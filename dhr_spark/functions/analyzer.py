@@ -1,0 +1,96 @@
+"""Lucene-compatible text analysis chain, vectorized for Spark.
+
+The reference delegates analysis to Anserini's default English analyzer —
+StandardTokenizer > EnglishPossessiveFilter > LowerCase > Stop > PorterStem
+(/root/reference/densify/densify_query.py:46,82-84;
+/root/reference/densify/output_vector.py:24-31 reads vectors from a Lucene
+index built with the same chain). We re-implement that chain deterministically
+in pure Python so the engine has NO runtime Lucene dependency; fixtures in
+tests/test_analyzer.py freeze the behavior (SURVEY.md §7.4).
+
+Two modes:
+  * ``lucene``  — full chain (possessive, stopwords, Porter). Used by the
+    real index/query pipeline; verified against the in-repo pandas oracle.
+  * ``simple``  — lowercase + [a-z0-9]+ tokenization only. SQL-expressible
+    (DuckDB ``string_split_regex``), used for the driver's oracle contract.
+
+Both are exposed as iterator pandas UDFs (Arrow-batched; no per-row Python
+crossing the JVM boundary — BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from dhr_spark.functions.porter import porter_stem
+
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (33 words) — the stop set
+# Anserini's default analyzer applies.
+LUCENE_STOPWORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+# StandardTokenizer approximation: runs of word characters (unicode letters,
+# digits, underscore removed), keeping intra-word apostrophes for the
+# possessive filter to handle.
+_TOKEN_RE = re.compile(r"[^\W_]+(?:['’][^\W_]+)*", re.UNICODE)
+_POSSESSIVE_RE = re.compile(r"['’][sS]$")
+
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+
+def analyze_lucene(text: str) -> list[str]:
+    """Full chain: tokenize > de-possessive > lowercase > stop > Porter."""
+    if not text:
+        return []
+    out = []
+    for tok in _TOKEN_RE.findall(text):
+        tok = _POSSESSIVE_RE.sub("", tok)
+        tok = tok.lower().replace("'", "").replace("’", "")
+        if not tok or tok in LUCENE_STOPWORDS:
+            continue
+        out.append(porter_stem(tok))
+    return out
+
+
+def analyze_simple(text: str) -> list[str]:
+    """SQL-parity chain: lowercase + [a-z0-9]+ runs (no stop/stem)."""
+    if not text:
+        return []
+    return _SIMPLE_RE.findall(text.lower())
+
+
+_ANALYZERS = {"lucene": analyze_lucene, "simple": analyze_simple}
+
+
+def tokenize_udf(mode: str = "lucene"):
+    """Iterator-of-series pandas UDF: text -> array<string> tokens.
+
+    Iterator form amortizes analyzer setup per Arrow batch stream (the Spark
+    equivalent of the reference's per-worker tokenizer instances,
+    /root/reference/densify/densify_corpus.py:148-156).
+    """
+    analyze = _ANALYZERS[mode]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tok(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(lambda t: analyze(t) if isinstance(t, str) else [])
+
+    return _tok
+
+
+def simple_tokens_col(col):
+    """``simple``-mode tokenization as a pure Column expression (codegen'd,
+    zero Python) — used on hot paths where stemming isn't required and by
+    the oracle-checked operators. Matches analyze_simple exactly."""
+    return F.filter(
+        F.split(F.lower(col), r"[^a-z0-9]+"),
+        lambda t: t != "",
+    )

@@ -1,0 +1,64 @@
+"""Stable dense docid assignment under (conv_id ASC, turn_idx ASC).
+
+The reference assigns docids positionally in file/line order and maps results
+back through a positional lookup (/root/reference/densify/densify_corpus.py:83;
+/root/reference/retrieval/gip_retrieval.py:336-341). Our invariant
+(BASELINE.json input_hint): per-turn text equality under stable turn ordering.
+
+Two strategies:
+  * ``window``   — row_number() over a global order. Correct but serializes
+    the final numbering through a single partition; fine to ~10^7 rows.
+  * ``scalable`` — repartitionByRange(conv_id, turn_idx) + sortWithinPartitions
+    + per-partition counts -> cumulative offsets (tiny driver array) ->
+    offset + local row index. No global single-partition sort; this is the
+    path that holds at 10^12 turns. Deterministic for a given partitioning;
+    the (docid <-> conv_id, turn_idx) mapping is materialized in doc_map so
+    downstream consumers never depend on re-derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ["conv_id", "turn_idx"]
+
+
+def with_docids(
+    transcripts: DataFrame, strategy: str = "scalable", num_partitions: int | None = None
+) -> DataFrame:
+    """Returns transcripts + ``docid`` (int64, dense, 0-based, ordered by
+    (conv_id, turn_idx))."""
+    if strategy == "window":
+        w = Window.orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+        return transcripts.withColumn("docid", F.row_number().over(w) - 1)
+
+    n = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism
+    parted = transcripts.repartitionByRange(n, *ORDER_COLS).sortWithinPartitions(
+        *ORDER_COLS
+    )
+    # persist so the count pass and the numbering pass see the SAME range
+    # bounds (range partitioning samples; two separate jobs could re-sample)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    # per-partition counts -> exclusive prefix offsets (tiny: one row/partition)
+    counts = {r["_pid"]: r["cnt"] for r in
+              with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offmap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+    return (
+        with_pid.withColumn("_local", F.row_number().over(w_local) - 1)
+        .withColumn("docid", (offmap[F.col("_pid")] + F.col("_local")).cast("long"))
+        .drop("_pid", "_local")
+    )
+
+
+def doc_map(docs: DataFrame) -> DataFrame:
+    """(docid, conv_id, turn_idx) dimension table — the positional docid
+    lookup of the reference (gip_retrieval.py:336-341) as a broadcastable dim."""
+    return docs.select("docid", *ORDER_COLS)
