@@ -1,0 +1,156 @@
+"""Index build orchestration: transcripts -> on-disk index + manifest.
+
+On-disk layout (all parquet unless noted):
+  <index_dir>/segments/   partitioned by chunk= (partition pruning at query)
+  <index_dir>/doclens/
+  <index_dir>/term_dict/
+  <index_dir>/doc_map/
+  <index_dir>/manifest.json   build params + global stats + per-chunk
+                              lineage & metrics (postings, bytes, skew ratio)
+
+Resumability (BASELINE.json north_rule): the manifest is the checkpoint.
+``resume=True`` skips chunks already recorded as completed and appends only
+the missing ones — idempotent at chunk granularity. The reference's analogue
+is its per-split pickle files re-globbed by retrieval/index.py:26-47; ours
+adds lineage + metrics per unit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dhr_spark import B, K1
+from dhr_spark.index.segments import build_doclens, build_segments
+from dhr_spark.operators.docids import doc_map, with_docids
+from dhr_spark.operators.stats import corpus_stats, term_dictionary, term_stats
+from dhr_spark.operators.termfreq import doc_lengths, term_freqs, with_tokens
+
+MANIFEST = "manifest.json"
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, MANIFEST)
+
+
+def load_manifest(index_dir: str) -> dict | None:
+    p = _manifest_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(index_dir: str, m: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = _manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(index_dir))  # atomic commit
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    analyzer_mode: str = "lucene",
+    chunk_bits: int = 17,
+    block_size: int = 128,
+    k1: float = K1,
+    b: float = B,
+    docid_strategy: str = "scalable",
+    resume: bool = False,
+) -> dict:
+    """Build (or resume) the full index; returns the manifest dict."""
+    t0 = time.time()
+    prior = load_manifest(index_dir) if resume else None
+    done_chunks = set(prior["chunks"].keys()) if prior else set()
+
+    docs = with_docids(transcripts, docid_strategy)
+    tok = with_tokens(docs, mode=analyzer_mode).select("docid", "conv_id",
+                                                       "turn_idx", "tokens")
+    tok.cache()
+    tfs = term_freqs(tok)
+    dls = doc_lengths(tok)
+    cs = corpus_stats(dls).collect()[0]
+    n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+
+    tdict = term_dictionary(term_stats(tfs, n_docs)).cache()
+    n_terms = tdict.count()
+
+    # flat postings with idf attached (broadcast dict join; the only wide
+    # shuffle downstream is the segment groupBy)
+    post = (
+        tfs.join(dls, "docid")
+        .join(F.broadcast(tdict.select("term", "term_id", "idf")), "term")
+        .select("term_id", "docid", "tf", "dl", "idf")
+    )
+    if done_chunks:
+        done_ints = [int(c) for c in done_chunks]
+        post = post.filter(
+            ~F.shiftright(F.col("docid"), chunk_bits).cast("int").isin(done_ints)
+        )
+
+    seg = build_segments(post, avgdl, chunk_bits, block_size, k1, b)
+    seg_path = os.path.join(index_dir, "segments")
+    dl_path = os.path.join(index_dir, "doclens")
+    mode = "append" if done_chunks else "overwrite"
+    seg.write.mode(mode).partitionBy("chunk").parquet(seg_path)
+
+    dls_for_chunks = dls
+    if done_chunks:
+        dls_for_chunks = dls.filter(
+            ~F.shiftright(F.col("docid"), chunk_bits).cast("int").isin(done_ints)
+        )
+    build_doclens(dls_for_chunks, chunk_bits).write.mode(mode).partitionBy(
+        "chunk"
+    ).parquet(dl_path)
+
+    if not done_chunks:
+        tdict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
+        doc_map(docs).write.mode("overwrite").parquet(os.path.join(index_dir, "doc_map"))
+
+    # per-chunk lineage + metrics from the committed files (A7 analogue:
+    # the reference's collision/build counters, densify_corpus.py:85-91)
+    written = spark.read.parquet(seg_path)
+    metrics = (
+        written.groupBy("chunk")
+        .agg(
+            F.sum("n").alias("postings"),
+            F.sum("bytes").alias("bytes"),
+            F.count("*").alias("terms"),
+            (F.max("n") / F.avg("n")).alias("skew_ratio"),
+        )
+        .collect()
+    )
+    chunks = {
+        str(r["chunk"]): {
+            "postings": int(r["postings"]),
+            "bytes": int(r["bytes"]),
+            "terms": int(r["terms"]),
+            "skew_ratio": round(float(r["skew_ratio"]), 3),
+        }
+        for r in metrics
+    }
+    manifest = {
+        "version": 1,
+        "k1": k1,
+        "b": b,
+        "chunk_bits": chunk_bits,
+        "block_size": block_size,
+        "analyzer_mode": analyzer_mode,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_terms": int(n_terms),
+        "build_seconds": round(time.time() - t0, 2),
+        "resumed_from": sorted(done_chunks) if done_chunks else [],
+        "chunks": chunks,
+    }
+    _write_manifest(index_dir, manifest)
+    tok.unpersist()
+    tdict.unpersist()
+    return manifest

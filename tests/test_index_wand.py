@@ -1,0 +1,132 @@
+"""Index build + block-max WAND fast path: rank-identity vs the DataFrame
+slow path (SURVEY.md M4/M5), manifest metrics, and kill-and-resume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+from dhr_spark.index.builder import build_index, load_manifest
+from dhr_spark.operators.docids import with_docids
+from dhr_spark.operators.postings import postings_flat
+from dhr_spark.operators.stats import corpus_stats, term_dictionary, term_stats
+from dhr_spark.operators.termfreq import (
+    doc_lengths,
+    query_term_freqs,
+    term_freqs,
+    with_tokens,
+)
+from dhr_spark.operators.topk import search_slow_path
+from dhr_spark.operators.wand import search_wand
+
+N_CONVS = 40
+CHUNK_BITS = 6  # 64 docs/chunk -> several chunks at this scale
+BLOCK = 8  # small blocks -> pruning paths exercised
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("index") / "idx")
+    tr = synth_transcripts(spark, N_CONVS)
+    manifest = build_index(
+        spark, tr, idx, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+        docid_strategy="window",
+    )
+    queries = synth_queries(spark, 20).cache()
+    return dict(idx=idx, manifest=manifest, tr=tr, queries=queries)
+
+
+def _slow_topk(spark, tr, queries, k):
+    docs = with_docids(tr, "window")
+    tok = with_tokens(docs, mode="lucene")
+    tfs, dls = term_freqs(tok), doc_lengths(tok)
+    cs = corpus_stats(dls).collect()[0]
+    tdict = term_dictionary(term_stats(tfs, cs["n_docs"]))
+    postings = postings_flat(tfs, dls, tdict, cs["avgdl"])
+    qtok = with_tokens(queries, mode="lucene")
+    qtfs = query_term_freqs(qtok.select("qid", "tokens")).join(
+        tdict.select("term", "term_id"), "term"
+    )
+    return search_slow_path(qtfs, postings, k=k)
+
+
+def _as_map(rows):
+    m = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        m.setdefault(r["qid"], []).append((r["docid"], r["rank"], r["score"]))
+    return m
+
+
+def test_manifest_metrics(built):
+    m = built["manifest"]
+    assert m["n_docs"] > 0 and m["n_terms"] > 0 and m["avgdl"] > 0
+    assert len(m["chunks"]) >= 2
+    for c in m["chunks"].values():
+        assert c["postings"] > 0 and c["bytes"] > 0 and c["skew_ratio"] >= 1.0
+
+
+@pytest.mark.parametrize("k", [5, 50])
+def test_wand_matches_slow_path(spark, built, k):
+    slow = _as_map(_slow_topk(spark, built["tr"], built["queries"], k).collect())
+    fast = _as_map(search_wand(spark, built["idx"], built["queries"], k=k).collect())
+    assert set(slow) == set(fast)
+    for qid in slow:
+        assert [x[0] for x in slow[qid]] == [x[0] for x in fast[qid]], qid
+        for (d1, r1, s1), (d2, r2, s2) in zip(slow[qid], fast[qid]):
+            assert r1 == r2 and abs(s1 - s2) <= 1e-6
+
+
+def test_prune_equals_noprune(spark, built):
+    a = _as_map(search_wand(spark, built["idx"], built["queries"], k=10,
+                            prune=True).collect())
+    b = _as_map(search_wand(spark, built["idx"], built["queries"], k=10,
+                            prune=False).collect())
+    assert a == b
+
+
+def test_resume_produces_identical_index(spark, built, tmp_path):
+    """Kill-and-resume: build half the chunks, write manifest, resume; the
+    final segment set must equal a clean full build's."""
+    import json
+    import os
+
+    tr = built["tr"]
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "part")
+    build_index(spark, tr, full_dir, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+                docid_strategy="window")
+
+    # simulate a killed build: run a full build, then delete half the chunk
+    # partitions and drop them from the manifest
+    build_index(spark, tr, part_dir, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+                docid_strategy="window")
+    man = load_manifest(part_dir)
+    chunks = sorted(man["chunks"], key=int)
+    lost = chunks[len(chunks) // 2 :]
+    for c in lost:
+        for sub in ("segments", "doclens"):
+            p = os.path.join(part_dir, sub, f"chunk={c}")
+            if os.path.exists(p):
+                import shutil
+
+                shutil.rmtree(p)
+    man["chunks"] = {c: v for c, v in man["chunks"].items() if c not in lost}
+    with open(os.path.join(part_dir, "manifest.json"), "w") as f:
+        json.dump(man, f)
+
+    m2 = build_index(spark, tr, part_dir, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+                     docid_strategy="window", resume=True)
+    assert sorted(m2["resumed_from"], key=int) == sorted(man["chunks"], key=int)
+
+    cols = ["chunk", "term_id", "n", "idf"]
+    a = spark.read.parquet(f"{full_dir}/segments").select(cols)
+    b = spark.read.parquet(f"{part_dir}/segments").select(cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # and the resumed index answers queries identically
+    fa = _as_map(search_wand(spark, full_dir, built["queries"], k=10).collect())
+    fb = _as_map(search_wand(spark, part_dir, built["queries"], k=10).collect())
+    assert fa == fb
