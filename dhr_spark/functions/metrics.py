@@ -1,0 +1,161 @@
+"""Ranking-quality metrics as DataFrame aggregates.
+
+Port of the reference's evaluation semantics — MRR / Recall@k / NDCG@k /
+R_cap / Hole (/root/reference/tevatron/utils/custom_metrics.py:17-116,
+/root/reference/tevatron/utils/metrics.py:4-92) — re-expressed as joins +
+window/grouped aggregates so a million-query eval is one shuffle, not a
+python loop over queries.
+
+Inputs:
+  run   (qid, docid, rank, score)  — rank 1-based, unique per (qid, rank)
+  qrels (qid, docid [, rel])       — binary relevance if `rel` absent
+
+Every metric returns one row per qid (missing qids -> 0.0), plus a
+``mean_*`` helper collapsing to the global mean the reference reports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _qids(run: DataFrame, qrels: DataFrame) -> DataFrame:
+    return run.select("qid").union(qrels.select("qid")).distinct()
+
+
+def mrr_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, rr): reciprocal rank of the first relevant hit within top-k
+    (custom_metrics.py:17-31)."""
+    hits = (
+        run.filter(F.col("rank") <= k)
+        .join(qrels.select("qid", "docid"), ["qid", "docid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    return (
+        _qids(run, qrels)
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rank"), F.lit(0.0)), 6
+            ).alias("rr"),
+        )
+    )
+
+
+def recall_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, recall): |relevant ∩ top-k| / |relevant| (custom_metrics.py:46-57)."""
+    rel_counts = qrels.groupBy("qid").agg(F.count("*").alias("n_rel"))
+    hit_counts = (
+        run.filter(F.col("rank") <= k)
+        .join(qrels.select("qid", "docid"), ["qid", "docid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        _qids(run, qrels)
+        .join(rel_counts, "qid", "left")
+        .join(hit_counts, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_rel"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, ndcg): binary-gain NDCG@k (utils/metrics.py:30-54).
+
+    dcg  = Σ over relevant docs in top-k of 1/log2(rank+1)
+    idcg = Σ_{i=1..min(|rel|,k)} 1/log2(i+1)
+    """
+    dcg = (
+        run.filter(F.col("rank") <= k)
+        .join(qrels.select("qid", "docid"), ["qid", "docid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("dcg"))
+    )
+    idcg = qrels.groupBy("qid").agg(F.count("*").alias("n_rel")).select(
+        "qid",
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+            F.lit(0.0),
+            lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+        ).alias("idcg"),
+    )
+    return (
+        _qids(run, qrels)
+        .join(dcg, "qid", "left")
+        .join(idcg, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.when(
+                    F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+                    F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
+def recall_cap_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, r_cap): capped recall — hits / min(|rel|, k)
+    (custom_metrics.py:78-87, the reference's BEIR R_cap)."""
+    rel_counts = qrels.groupBy("qid").agg(F.count("*").alias("n_rel"))
+    hit_counts = (
+        run.filter(F.col("rank") <= k)
+        .join(qrels.select("qid", "docid"), ["qid", "docid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        _qids(run, qrels)
+        .join(rel_counts, "qid", "left")
+        .join(hit_counts, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.least(F.col("n_rel"), F.lit(k)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("r_cap"),
+        )
+    )
+
+
+def hole_at_k(run: DataFrame, annotated: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, hole): fraction of top-k docs absent from the annotated pool
+    (custom_metrics.py:70-82) — a left-anti join per query."""
+    topk = run.filter(F.col("rank") <= k)
+    unjudged = topk.join(
+        annotated.select("qid", "docid"), ["qid", "docid"], "left_anti"
+    ).groupBy("qid").agg(F.count("*").alias("n_unjudged"))
+    denom = topk.groupBy("qid").agg(F.count("*").alias("n_top"))
+    return (
+        denom.join(unjudged, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.col("n_unjudged"), F.lit(0)) / F.col("n_top"), 6
+            ).alias("hole"),
+        )
+    )
+
+
+def mean_metric(per_query: DataFrame, col: str) -> DataFrame:
+    """Collapse a per-qid metric to its global mean (the reference's headline
+    number, e.g. MRR@10 over all dev queries)."""
+    return per_query.agg(F.round(F.avg(col), 6).alias(f"mean_{col}"))

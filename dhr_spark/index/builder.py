@@ -65,14 +65,44 @@ def build_index(
     docid_strategy: str = "scalable",
     resume: bool = False,
 ) -> dict:
-    """Build (or resume) the full index; returns the manifest dict."""
+    """Build (or resume) an index over transcripts (conv_id, turn_idx, ...,
+    text): assigns stable docids, then delegates to build_index_from_docs."""
+    docs = with_docids(transcripts, docid_strategy)
+    return build_index_from_docs(
+        spark,
+        docs,
+        index_dir,
+        analyzer_mode=analyzer_mode,
+        chunk_bits=chunk_bits,
+        block_size=block_size,
+        k1=k1,
+        b=b,
+        resume=resume,
+        doc_map_df=doc_map(docs),
+    )
+
+
+def build_index_from_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    analyzer_mode: str = "lucene",
+    chunk_bits: int = 17,
+    block_size: int = 128,
+    k1: float = K1,
+    b: float = B,
+    resume: bool = False,
+    doc_map_df: DataFrame | None = None,
+) -> dict:
+    """Build (or resume) the index over any corpus with (docid long, text).
+
+    The generic entry: the transcripts pipeline, the driver-contract
+    documents corpus, and pytest fixtures all funnel through here."""
     t0 = time.time()
     prior = load_manifest(index_dir) if resume else None
     done_chunks = set(prior["chunks"].keys()) if prior else set()
 
-    docs = with_docids(transcripts, docid_strategy)
-    tok = with_tokens(docs, mode=analyzer_mode).select("docid", "conv_id",
-                                                       "turn_idx", "tokens")
+    tok = with_tokens(docs, mode=analyzer_mode).select("docid", "tokens")
     tok.cache()
     tfs = term_freqs(tok)
     dls = doc_lengths(tok)
@@ -112,7 +142,10 @@ def build_index(
 
     if not done_chunks:
         tdict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
-        doc_map(docs).write.mode("overwrite").parquet(os.path.join(index_dir, "doc_map"))
+        if doc_map_df is not None:
+            doc_map_df.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "doc_map")
+            )
 
     # per-chunk lineage + metrics from the committed files (A7 analogue:
     # the reference's collision/build counters, densify_corpus.py:85-91)

@@ -1,0 +1,155 @@
+"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+
+Treats image/audio/video as `binary` columns moving through the same
+DataFrame pipeline as text: metadata extraction, batched decode/feature
+stages over mapInPandas (Arrow batches of bytes — the only sane way to move
+blobs through Python), frame sampling as a pure column op.
+
+The decode step is STUBBED (no imaging/audio libs in this container): it
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic fake feature vector is derived from the payload bytes. The
+Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch shape
+— is real and tested; swapping the stub for PIL/librosa is a one-function
+change.
+
+Scale notes: blobs dominate partition size — repartition by
+``spark.sql.files.maxPartitionBytes``-friendly counts BEFORE mapInPandas so a
+batch of blobs fits executor memory; never groupBy a blob column (metadata
+keys only); push blob-free predicates first so pruned rows never cross the
+Arrow boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+META_SCHEMA = (
+    "doc_id long, n_bytes long, magic string, modality string"
+)
+FEATURE_SCHEMA = "doc_id long, n_bytes long, feature array<double>"
+
+_MAGIC = {
+    b"\x89PNG": ("png", "image"),
+    b"\xff\xd8\xff": ("jpeg", "image"),
+    b"RIFF": ("riff", "audio"),
+    b"\x00\x00\x00": ("mp4?", "video"),
+}
+
+
+def with_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stand-in payload: utf-8 bytes of the text column as `binary`. Real
+    pipelines read the blob from object storage; the column type and
+    downstream plumbing are identical."""
+    return docs.withColumn("blob", F.encode(F.col(text_col), "utf-8"))
+
+
+def blob_metadata(docs_with_blob: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_bytes, magic, modality): header sniff over mapInPandas.
+
+    Arrow-batched; only (id, blob) crosses the boundary (column pruning)."""
+    src = docs_with_blob.select(F.col(id_col).alias("doc_id"), "blob")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["blob"]
+            magic, modality = [], []
+            for b in blobs:
+                head = bytes(b[:4]) if b is not None else b""
+                for sig, (m, mod) in _MAGIC.items():
+                    if head.startswith(sig):
+                        magic.append(m)
+                        modality.append(mod)
+                        break
+                else:
+                    magic.append("raw")
+                    modality.append("text")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(lambda b: len(b) if b is not None else 0),
+                    "magic": magic,
+                    "modality": modality,
+                }
+            )
+
+    return src.mapInPandas(extract, META_SCHEMA)
+
+
+def decode_blob(payload: bytes) -> np.ndarray:
+    """REAL decode goes here (PIL.Image.open / soundfile.read / pyav frame
+    iter). Not available in this container."""
+    raise NotImplementedError(
+        "image/audio decode libs are not installed; use fake=True for the "
+        "deterministic byte-histogram stand-in"
+    )
+
+
+def _fake_features(blobs: pd.Series) -> list[np.ndarray]:
+    """Deterministic stand-in: 16-bin byte histogram, L1-normalized."""
+    out = []
+    for b in blobs:
+        arr = np.frombuffer(bytes(b), dtype=np.uint8) if b else np.zeros(1, np.uint8)
+        hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
+        s = hist.sum()
+        out.append(np.round(hist / s, 6) if s else hist)
+    return out
+
+
+def blob_features(
+    docs_with_blob: DataFrame, fake: bool = False, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bytes, feature array<double>): batched decode + featurize.
+
+    The mapInPandas stage is the real plumbing; `fake=False` raises at task
+    time (documented stub), `fake=True` yields the byte-histogram features."""
+    src = docs_with_blob.select(F.col(id_col).alias("doc_id"), "blob")
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake:
+                feats = _fake_features(pdf["blob"])
+            else:
+                feats = [decode_blob(bytes(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["blob"].map(len),
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return src.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    docs_with_blob: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, frame_idx, byte_offset): deterministic frame-sampling plan — pure
+    column math (sequence + explode), no UDF. For video this is the keyframe
+    offset table handed to the decode stage; here offsets stride the blob."""
+    n = F.length(F.col("blob"))
+    n_frames = F.least(F.ceil(n / every_n_bytes).cast("int"), F.lit(max_frames))
+    return (
+        docs_with_blob.select(F.col(id_col).alias("doc_id"), n.alias("n_bytes"), n_frames.alias("nf"))
+        .filter(F.col("nf") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("nf") - 1)).alias("frame_idx"),
+            "n_bytes",
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            (F.col("frame_idx") * every_n_bytes).cast("long").alias("byte_offset"),
+        )
+    )

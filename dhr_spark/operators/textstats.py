@@ -1,0 +1,141 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are pure Column expressions (whole-stage codegen, zero Python):
+language ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (position-weighted token hash).
+
+Portability contract: every function here has an exact ANSI-SQL twin in
+``__spark_entry__.oracle_sql`` (DuckDB), so the driver's value-hash comparison
+pins the semantics. The portable token hash is the integer value of the first
+15 hex chars of md5(term) — computable in any engine with md5 + string ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dhr_spark.functions.analyzer import LUCENE_STOPWORDS, simple_tokens_col
+
+# tiny per-language stopword marker sets for the n-gram/stopword-hit language
+# heuristic; real pipelines would plug a fastText-style model in as a pandas
+# UDF — the *operator shape* (tokens -> per-language hit score -> argmax) is
+# what matters at 100 TB, and it is identical either way.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "on"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "los", "las", "es", "una", "para", "con", "por", "del"),
+}
+
+# BPE-ish token pattern: letter runs, digit runs, or single non-space symbol
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+FP_MOD = 1 << 20  # fingerprint modulus: keeps pos-weighted sums in int64
+
+
+def tokhash60(term: Column) -> Column:
+    """Portable 60-bit token hash: int(md5(term)[:15], 16).
+
+    Engine-agnostic by construction (md5 is standardized); the DuckDB twin
+    is a strpos/substr digit sum — see __spark_entry__.oracle_sql.
+    """
+    return F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+
+
+def with_simple_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", simple_tokens_col(F.col(text_col)))
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, ws_tokens, bpe_tokens, n_chars): whitespace + BPE-ish counts."""
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0))
+    return docs.select(
+        id_col,
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, avg_token_len, stopword_ratio, alnum_ratio, quality).
+
+    The classic cheap-filter stack (Gopher/C4-style rules) as pure columns;
+    `quality` is a [0,1] composite used as a keep/drop threshold upstream of
+    expensive stages. All ratios double, rounded to 6 for cross-engine hashing.
+    """
+    toks = simple_tokens_col(F.col("text"))
+    n = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(LUCENE_STOPWORDS)])
+    n_stop = F.size(F.array_intersect(toks, stop_arr)).cast("double")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    )
+    alnum = F.length(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", ""))
+    total = F.length("text").cast("double")
+    avg_len = F.when(n > 0, F.round(tok_chars / n, 6)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, F.round(n_stop / n, 6)).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(total > 0, F.round(alnum / total, 6)).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.least(n / F.lit(50.0), F.lit(1.0)) * F.lit(0.5)
+        + alnum_ratio * F.lit(0.3)
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * F.lit(0.2),
+        6,
+    )
+    return docs.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alnum_ratio.alias("alnum_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, lang_pred, lang_hits): stopword-marker language heuristic.
+
+    Per language: hits = |tokens ∩ markers(lang)| (distinct). Prediction =
+    argmax hits with deterministic tie-break on language code ASC; 'und'
+    (undetermined) when no marker hits at all.
+    """
+    toks = F.array_distinct(simple_tokens_col(F.col("text")))
+    hit_cols = []
+    for code in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[code]])
+        hit_cols.append(
+            F.struct(
+                F.size(F.array_intersect(toks, markers)).cast("long").alias("hits"),
+                F.lit(code).alias("lang"),
+            )
+        )
+    # array_max over (hits, lang) structs orders by hits then lang — we want
+    # hits DESC, lang ASC, so invert lang by sorting ourselves: take max hits,
+    # then first lang achieving it in sorted order.
+    arr = F.array(*hit_cols)
+    best_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    best_lang = F.element_at(
+        F.filter(arr, lambda s: s["hits"] == best_hits), 1
+    )["lang"]
+    return docs.select(
+        id_col,
+        F.when(best_hits > 0, best_lang).otherwise(F.lit("und")).alias("lang_pred"),
+        best_hits.alias("lang_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint): order-sensitive rolling document fingerprint.
+
+    fp = sum over positions i (1-based) of (tokhash60(t_i) % FP_MOD) * i,
+    all mod FP_MOD. Position-weighting makes it order-sensitive (unlike a
+    bag-of-words hash) while staying exactly portable: every intermediate
+    fits int64 for documents up to ~2^43 tokens.
+    """
+    toks = simple_tokens_col(F.col("text"))
+    pos_terms = F.transform(toks, lambda t, i: (tokhash60(t) % FP_MOD) * (i + 1))
+    fp = F.aggregate(pos_terms, F.lit(0).cast("long"), lambda a, x: a + x) % FP_MOD
+    return docs.select(id_col, fp.alias("fingerprint"))

@@ -57,6 +57,7 @@ def two_stage_topk(
     k: int = 1000,
     candidate_pool: int = 10_000,
     theta: float = 1.0,
+    on: str = "term_id",
 ) -> DataFrame:
     """Reference two-stage contract (gip_retrieval.py:128-156, T2/J3):
     stage 1 scores only query terms with qweight > theta (approx), takes the
@@ -67,7 +68,7 @@ def two_stage_topk(
     heavy = qtfs.filter(F.col("qtf").cast("double") > theta)
     # queries where nothing exceeds theta fall back to all their terms
     fallback = qtfs.join(heavy.select("qid").distinct(), "qid", "left_anti")
-    stage1 = score_all(heavy.unionByName(fallback), postings)
+    stage1 = score_all(heavy.unionByName(fallback), postings, on=on)
     cands = topk(stage1, candidate_pool).select("qid", "docid")
-    exact = score_all(qtfs, postings).join(cands, ["qid", "docid"], "left_semi")
+    exact = score_all(qtfs, postings, on=on).join(cands, ["qid", "docid"], "left_semi")
     return topk(exact, k)
