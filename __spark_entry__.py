@@ -418,6 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fingerprint_q(spark, sf):
         return TS.fingerprints(_docs(spark, sf))
 
+    def cooc_q(spark, sf):
+        return TS.term_cooccurrence(_docs(spark, sf), min_count=20)
+
     def mm_meta_q(spark, sf):
         return MM.blob_metadata(MM.with_blob(_docs(spark, sf)))
 
@@ -488,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": quality_q,
         "text_lang_id": lang_id_q,
         "text_fingerprint": fingerprint_q,
+        "text_cooccurrence": cooc_q,
         "multimodal_meta": mm_meta_q,
         "multimodal_frames": mm_frames_q,
         "multimodal_features": mm_features_q,
@@ -629,6 +633,11 @@ SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, alnum_ratio,
              + least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality
 FROM mid""",
         "text_lang_id": _lang_sql(),
+        "text_cooccurrence": f"""WITH {_TOKS_CTE},
+td AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks)
+SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS cooc
+FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2 HAVING count(*) >= 20""",
         "text_fingerprint": f"""WITH {_TOKS_CTE}
 SELECT doc_id,
        coalesce(list_sum(list_transform(toks,

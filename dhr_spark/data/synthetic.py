@@ -41,6 +41,10 @@ _TAIL = [
 ]
 
 
+N_TAIL_TYPES = 2000  # generated rare words tk0000..tk1999 (Heaps-law tail)
+TAIL_FRACTION = 3  # ~1/3 of tokens drawn from the generated tail
+
+
 def _sampling_pool() -> list[str]:
     """Word pool with Zipf-like multiplicity: head 64x, mid 8x, tail 1x."""
     pool = list(
@@ -51,6 +55,22 @@ def _sampling_pool() -> list[str]:
         )
     )
     return pool
+
+
+def _word_expr(vocab, vlen: int, h):
+    """One sampled word from hash column h: ~1/3 generated rare tail word
+    (tkNNNN, ~2k types — Heaps-law stand-in so block-max pruning and salting
+    see realistic selective terms), else a Zipf-weighted pool word. Pure
+    column arithmetic — no giant literal arrays (a 3k-literal array is
+    re-materialized per row by the interpreter)."""
+    tail_word = F.concat(
+        F.lit("tk"),
+        F.lpad(F.pmod(F.hash(h, F.lit(99)), F.lit(N_TAIL_TYPES)).cast("string"), 4, "0"),
+    )
+    pool_word = F.element_at(vocab, F.pmod(h, F.lit(vlen)) + 1)
+    return F.when(
+        F.pmod(F.hash(h, F.lit(7)), F.lit(TAIL_FRACTION)) == 0, tail_word
+    ).otherwise(pool_word)
 
 
 def synth_transcripts(
@@ -85,10 +105,8 @@ def synth_transcripts(
     )
     words = F.transform(
         F.sequence(F.lit(1), n_words),
-        lambda i: F.element_at(
-            vocab,
-            F.pmod(F.hash(F.col("_cid"), F.col("turn_idx"), i, F.lit(seed)), F.lit(vlen))
-            + 1,
+        lambda i: _word_expr(
+            vocab, vlen, F.hash(F.col("_cid"), F.col("turn_idx"), i, F.lit(seed))
         ),
     )
     return t.select(
@@ -121,9 +139,7 @@ def synth_queries(spark: SparkSession, n_queries: int = 50, seed: int = 7) -> Da
     n_words = F.pmod(h, F.lit(11)) + 2
     words = F.transform(
         F.sequence(F.lit(1), n_words),
-        lambda i: F.element_at(
-            vocab, F.pmod(F.hash(F.col("id"), i, F.lit(seed)), F.lit(vlen)) + 1
-        ),
+        lambda i: _word_expr(vocab, vlen, F.hash(F.col("id"), i, F.lit(seed))),
     )
     stop_only = F.pmod(h, F.lit(17)) == 0
     repeated = F.pmod(h, F.lit(13)) == 0

@@ -45,6 +45,23 @@ _POSSESSIVE_RE = re.compile(r"['’][sS]$")
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 
 
+# Memoized Porter: stems are per-TYPE, not per-token — a corpus shard sees
+# each vocabulary type thousands of times (Zipf), so caching turns the
+# analyzer's dominant cost into a dict hit. Bounded to stay executor-safe
+# under adversarial vocabularies (Heaps' law keeps real ones far smaller).
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 1_000_000
+
+
+def _stem_cached(tok: str) -> str:
+    s = _STEM_CACHE.get(tok)
+    if s is None:
+        if len(_STEM_CACHE) >= _STEM_CACHE_MAX:
+            _STEM_CACHE.clear()
+        s = _STEM_CACHE[tok] = porter_stem(tok)
+    return s
+
+
 def analyze_lucene(text: str) -> list[str]:
     """Full chain: tokenize > de-possessive > lowercase > stop > Porter."""
     if not text:
@@ -55,7 +72,7 @@ def analyze_lucene(text: str) -> list[str]:
         tok = tok.lower().replace("'", "").replace("’", "")
         if not tok or tok in LUCENE_STOPWORDS:
             continue
-        out.append(porter_stem(tok))
+        out.append(_stem_cached(tok))
     return out
 
 

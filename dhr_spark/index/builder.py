@@ -27,8 +27,8 @@ from pyspark.sql import functions as F
 from dhr_spark import B, K1
 from dhr_spark.index.segments import build_doclens, build_segments
 from dhr_spark.operators.docids import doc_map, with_docids
-from dhr_spark.operators.stats import corpus_stats, term_dictionary, term_stats
-from dhr_spark.operators.termfreq import doc_lengths, term_freqs, with_tokens
+from dhr_spark.operators.stats import term_dictionary, term_stats
+from dhr_spark.operators.termfreq import doc_term_freqs
 
 MANIFEST = "manifest.json"
 
@@ -102,23 +102,26 @@ def build_index_from_docs(
     prior = load_manifest(index_dir) if resume else None
     done_chunks = set(prior["chunks"].keys()) if prior else set()
 
-    tok = with_tokens(docs, mode=analyzer_mode).select("docid", "tokens")
-    tok.cache()
-    tfs = term_freqs(tok)
-    dls = doc_lengths(tok)
-    cs = corpus_stats(dls).collect()[0]
+    # fused analyze+TF kernel: per-doc term freqs + doc lengths with no
+    # shuffle (see doc_term_freqs) — the segment groupBy below is the build's
+    # only wide exchange. Cached because three consumers read it; at true
+    # 10^12 scale swap .cache() for a checkpoint to cluster storage.
+    fused = doc_term_freqs(docs, mode=analyzer_mode).cache()
+    cs = fused.agg(
+        F.count(F.when(F.col("first"), 1)).alias("n_docs"),
+        F.avg(F.when(F.col("first"), F.col("dl"))).alias("avgdl"),
+    ).collect()[0]
     n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+
+    tfs = fused.filter(F.col("term").isNotNull())
+    dls = fused.filter(F.col("first")).select("docid", "dl")
 
     tdict = term_dictionary(term_stats(tfs, n_docs)).cache()
     n_terms = tdict.count()
 
-    # flat postings with idf attached (broadcast dict join; the only wide
-    # shuffle downstream is the segment groupBy)
-    post = (
-        tfs.join(dls, "docid")
-        .join(F.broadcast(tdict.select("term", "term_id", "idf")), "term")
-        .select("term_id", "docid", "tf", "dl", "idf")
-    )
+    post = tfs.join(
+        F.broadcast(tdict.select("term", "term_id", "idf")), "term"
+    ).select("term_id", "docid", "tf", "dl", "idf")
     if done_chunks:
         done_ints = [int(c) for c in done_chunks]
         post = post.filter(
@@ -129,7 +132,10 @@ def build_index_from_docs(
     seg_path = os.path.join(index_dir, "segments")
     dl_path = os.path.join(index_dir, "doclens")
     mode = "append" if done_chunks else "overwrite"
-    seg.write.mode(mode).partitionBy("chunk").parquet(seg_path)
+    # cluster one chunk per task before the partitioned write: one file per
+    # chunk instead of (tasks x chunks) shards — small-file listing cost at
+    # read time dominated the old layout
+    seg.repartition("chunk").write.mode(mode).partitionBy("chunk").parquet(seg_path)
 
     dls_for_chunks = dls
     if done_chunks:
@@ -184,6 +190,6 @@ def build_index_from_docs(
         "chunks": chunks,
     }
     _write_manifest(index_dir, manifest)
-    tok.unpersist()
+    fused.unpersist()
     tdict.unpersist()
     return manifest

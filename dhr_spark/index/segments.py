@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dhr_spark import B, K1
-from dhr_spark.index.codec import block_delta_encode, encode_tfs, varint_lengths
+from dhr_spark.index.codec import varint_encode, varint_lengths
 
 SEGMENT_SCHEMA = (
     "chunk int, term_id long, n long, doc_gaps binary, tfs binary, "
@@ -54,6 +54,79 @@ def bm25_weights_np(
     return idf * tf / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
+def _encode_batch_vectorized(
+    pdf: pd.DataFrame, avgdl: float, block_size: int, k1: float, b: float
+) -> pd.DataFrame:
+    """Encode ALL (chunk, term_id) groups in a sorted batch at once.
+
+    Every heavy step — BM25 weights, delta gaps with per-block absolute
+    restarts, varint encode, per-block maxima — runs as ONE numpy op over the
+    whole batch (segmented via reduceat/searchsorted), leaving only cheap
+    buffer slicing in the per-group loop. ~10x over a per-group kernel.
+    """
+    chunks = pdf["chunk"].to_numpy()
+    tids = pdf["term_id"].to_numpy()
+    docids = pdf["docid"].to_numpy().astype(np.int64)
+    tfs = pdf["tf"].to_numpy().astype(np.int64)
+    dls = pdf["dl"].to_numpy().astype(np.int64)
+    idfs = pdf["idf"].to_numpy().astype(np.float64)
+    n = len(pdf)
+
+    bounds = np.flatnonzero((np.diff(chunks) != 0) | (np.diff(tids) != 0))
+    starts = np.concatenate(([0], bounds + 1))
+    ends = np.concatenate((bounds + 1, [n]))
+
+    w = idfs * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+
+    # global block-start positions: every block_size-th posting within a group
+    ingroup = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts)
+    bstarts = np.flatnonzero(ingroup % block_size == 0)
+    block_max_all = np.maximum.reduceat(w, bstarts)
+    block_first_all = docids[bstarts]
+
+    # delta gaps with absolute restart at every block boundary
+    gaps = np.empty_like(docids)
+    gaps[0] = docids[0]
+    np.subtract(docids[1:], docids[:-1], out=gaps[1:])
+    gaps[bstarts] = docids[bstarts]
+    if (gaps[ingroup % block_size != 0] <= 0).any():
+        raise ValueError("docids must be strictly increasing per group")
+    u = gaps.astype(np.uint64)
+    doc_cum = np.concatenate(([0], np.cumsum(varint_lengths(u))))
+    doc_buf = varint_encode(u)
+    tf_u = tfs.astype(np.uint64)
+    tf_cum = np.concatenate(([0], np.cumsum(varint_lengths(tf_u))))
+    tf_buf = varint_encode(tf_u)
+
+    # block index range per group
+    b0 = np.searchsorted(bstarts, starts)
+    b1 = np.searchsorted(bstarts, ends)
+    bstart_doc_bytes = doc_cum[bstarts]
+    bstart_tf_bytes = tf_cum[bstarts]
+
+    rows = []
+    for g in range(len(starts)):
+        s, e = starts[g], ends[g]
+        d0, d1 = doc_cum[s], doc_cum[e]
+        t0, t1 = tf_cum[s], tf_cum[e]
+        rows.append(
+            {
+                "chunk": int(chunks[s]),
+                "term_id": int(tids[s]),
+                "n": int(e - s),
+                "doc_gaps": doc_buf[d0:d1],
+                "tfs": tf_buf[t0:t1],
+                "block_max": block_max_all[b0[g] : b1[g]].tolist(),
+                "block_first": block_first_all[b0[g] : b1[g]].tolist(),
+                "block_doc_off": (bstart_doc_bytes[b0[g] : b1[g]] - d0).tolist(),
+                "block_tf_off": (bstart_tf_bytes[b0[g] : b1[g]] - t0).tolist(),
+                "idf": float(idfs[s]),
+                "bytes": int((d1 - d0) + (t1 - t0)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def build_segments(
     postings: DataFrame,
     avgdl: float,
@@ -62,50 +135,45 @@ def build_segments(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """postings (term_id, docid, tf, dl, weight?, idf) -> segment rows.
+    """postings (term_id, docid, tf, dl, idf) -> segment rows.
 
-    One shuffle: groupBy(term_id, chunk). Group size bounded by 2^chunk_bits.
+    One shuffle: repartition on (chunk, term_id) + sortWithinPartitions, then
+    a mapInPandas kernel that walks group boundaries with numpy. One Python
+    call per PARTITION (not per group — an applyInPandas per (term, chunk)
+    pays pandas-group overhead per posting list; with Heaps-law vocabularies
+    most groups are tiny and the overhead dominated the build). Arrow batches
+    can split a group, so the kernel carries the trailing partial group into
+    the next batch and flushes at partition end.
     """
     src = postings.withColumn(
         "chunk", F.shiftright(F.col("docid"), chunk_bits).cast("int")
+    ).select("chunk", "term_id", "docid", "tf", "dl", "idf")
+    parted = src.repartition("chunk", "term_id").sortWithinPartitions(
+        "chunk", "term_id", "docid"
     )
 
-    def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        chunk, term_id = int(key[0]), int(key[1])
-        order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-        docids = pdf["docid"].to_numpy()[order].astype(np.int64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.int64)
-        idf = float(pdf["idf"].iloc[0])
-        w = bm25_weights_np(tfs, dls, idf, avgdl, k1, b)
-        n = len(docids)
-        nblocks = (n + block_size - 1) // block_size
-        pad = nblocks * block_size - n
-        wpad = np.concatenate([w, np.full(pad, -np.inf)]) if pad else w
-        block_max = wpad.reshape(nblocks, block_size).max(axis=1)
-        block_first = docids[:: block_size].astype(np.int64)
-        gaps, doc_off = block_delta_encode(docids, block_size)
-        tf_enc = encode_tfs(tfs)
-        tf_lens = varint_lengths(tfs.astype(np.uint64))
-        tf_cum = np.concatenate(([0], np.cumsum(tf_lens)))
-        tf_off = tf_cum[:: block_size][:nblocks]
-        return pd.DataFrame(
-            {
-                "chunk": [chunk],
-                "term_id": [term_id],
-                "n": [n],
-                "doc_gaps": [gaps],
-                "tfs": [tf_enc],
-                "block_max": [block_max.tolist()],
-                "block_first": [block_first.tolist()],
-                "block_doc_off": [doc_off.tolist()],
-                "block_tf_off": [tf_off.tolist()],
-                "idf": [idf],
-                "bytes": [len(gaps) + len(tf_enc)],
-            }
-        )
+    def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_batch_vectorized(pdf, avgdl, block_size, k1, b)
 
-    return src.groupBy("chunk", "term_id").applyInPandas(_build, SEGMENT_SCHEMA)
+    def _build(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            last_c = pdf["chunk"].iloc[-1]
+            last_t = pdf["term_id"].iloc[-1]
+            tail = (pdf["chunk"] == last_c) & (pdf["term_id"] == last_t)
+            carry = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield _encode_batch(head)
+        if carry is not None and len(carry):
+            yield _encode_batch(carry)
+
+    return parted.mapInPandas(_build, SEGMENT_SCHEMA)
 
 
 def build_doclens(dls: DataFrame, chunk_bits: int = 17) -> DataFrame:

@@ -23,8 +23,13 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from dhr_spark.functions.analyzer import simple_tokens_col
 from dhr_spark.operators.textstats import tokhash60
@@ -115,25 +120,43 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>): MinHash signature over n-gram shingles.
 
-    Hash family i(x) = tokhash60(shingle || '#' || i) — md5-derived, exactly
-    portable across engines (no mult-overflow games). Signature component i =
-    min over the doc's shingles. Empty docs (no shingles) get sig of all -1.
-    All per-doc column math: ZERO shuffle for signature construction.
+    Hash family i(x) = int(md5(shingle || '#' || i)[:15], 16) — md5-derived,
+    exactly portable across engines (the DuckDB oracle reproduces it with
+    strpos/substr digit math). Signature component i = min over the doc's
+    distinct shingles; docs with no shingles get all -1.
+
+    Arrow-batched iterator UDF (not Column HOFs: Spark evaluates nested
+    higher-order lambdas interpreted per element — measured ~10x slower than
+    this batch kernel). ZERO shuffle: signatures are per-doc map work.
     """
-    toks = simple_tokens_col(F.col("text"))
-    sh = _shingles(shingle_n)(toks)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.coalesce(
-            F.array_min(
-                F.transform(
-                    sh, lambda s: tokhash60(F.concat_ws("#", s, i.cast("string")))
+    from dhr_spark.functions.analyzer import analyze_simple
+
+    suffixes = [f"#{i}".encode() for i in range(num_hashes)]
+
+    def sig_of(text: str) -> list[int]:
+        toks = analyze_simple(text) if isinstance(text, str) else []
+        if len(toks) < shingle_n:
+            return [-1] * num_hashes
+        shingles = {
+            " ".join(toks[j : j + shingle_n]).encode()
+            for j in range(len(toks) - shingle_n + 1)
+        }
+        sig = []
+        for sfx in suffixes:
+            sig.append(
+                min(
+                    int(hashlib.md5(s + sfx).hexdigest()[:15], 16)
+                    for s in shingles
                 )
-            ),
-            F.lit(-1).cast("long"),
-        ),
-    )
-    return docs.select(F.col(id_col), sig.alias("sig"))
+            )
+        return sig
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(sig_of)
+
+    return docs.select(F.col(id_col), _sig(F.col("text")).alias("sig"))
 
 
 def lsh_bands(

@@ -9,10 +9,17 @@ aggregation is free from Catalyst.
 
 from __future__ import annotations
 
+from collections import Counter
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dhr_spark.functions.analyzer import simple_tokens_col, tokenize_udf
+from dhr_spark.functions.analyzer import _ANALYZERS, simple_tokens_col, tokenize_udf
+
+FUSED_SCHEMA = "docid long, term string, tf long, dl long, first boolean"
 
 
 def with_tokens(df: DataFrame, text_col: str = "text", mode: str = "lucene") -> DataFrame:
@@ -38,6 +45,68 @@ def term_freqs(docs_tok: DataFrame, id_col: str = "docid") -> DataFrame:
 def doc_lengths(docs_tok: DataFrame, id_col: str = "docid") -> DataFrame:
     """(id, dl): token count per document (BM25 length norm input)."""
     return docs_tok.select(id_col, F.size("tokens").alias("dl"))
+
+
+def doc_term_freqs(
+    docs: DataFrame, text_col: str = "text", mode: str = "lucene"
+) -> DataFrame:
+    """Fused analyze+aggregate: (docid, text) -> (docid, term, tf, dl, first).
+
+    The index build's hot path. Because every token of a document lives in
+    ONE input row, per-doc term frequencies and doc length need no shuffle at
+    all — they are per-row computations. The separate explode -> groupBy
+    (docid, term) plan is correct but pays an exchange Catalyst can't elide
+    (it can't prove the grouping key is row-local); fusing into one Arrow
+    kernel removes that exchange AND the doc-length join, leaving the
+    segment-clustering groupBy as the build's only wide shuffle.
+
+    Row contract: one row per distinct (doc, term); `dl` on every row;
+    `first` marks one row per doc (corpus stats = count_if(first) /
+    avg-if(first)). Empty documents emit a single (docid, NULL, 0, 0, true)
+    sentinel so n_docs/avgdl still count them (reference empty-text guard,
+    data.py:240-241).
+    """
+    analyze = _ANALYZERS[mode]
+    src = docs.select(F.col("docid"), F.col(text_col).alias("_text"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docids: list[np.ndarray] = []
+            terms: list[list[str]] = []
+            tfs: list[np.ndarray] = []
+            dls: list[np.ndarray] = []
+            firsts: list[np.ndarray] = []
+            for docid, text in zip(pdf["docid"].to_numpy(), pdf["_text"]):
+                toks = analyze(text) if isinstance(text, str) else []
+                if not toks:
+                    docids.append(np.array([docid], dtype=np.int64))
+                    terms.append([None])
+                    tfs.append(np.zeros(1, dtype=np.int64))
+                    dls.append(np.zeros(1, dtype=np.int64))
+                    firsts.append(np.ones(1, dtype=bool))
+                    continue
+                c = Counter(toks)
+                m = len(c)
+                docids.append(np.full(m, docid, dtype=np.int64))
+                terms.append(list(c.keys()))
+                tfs.append(np.fromiter(c.values(), dtype=np.int64, count=m))
+                dls.append(np.full(m, len(toks), dtype=np.int64))
+                f = np.zeros(m, dtype=bool)
+                f[0] = True
+                firsts.append(f)
+            if not docids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "docid": np.concatenate(docids),
+                    "term": [t for ts in terms for t in ts],
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                    "first": np.concatenate(firsts),
+                }
+            )
+
+    return src.mapInPandas(kernel, FUSED_SCHEMA)
 
 
 def query_term_freqs(queries_tok: DataFrame) -> DataFrame:

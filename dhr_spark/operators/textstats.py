@@ -127,6 +127,32 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def term_cooccurrence(
+    docs: DataFrame, min_count: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """(term_a, term_b, cooc): docs containing both terms, term_a < term_b.
+
+    The reference's vocab-adjacency analysis tool ``vocab_adj[m,n] += 1``
+    (/root/reference/tevatron/utils/util.py:295-305) as an explode +
+    self-join + count. Scale note: the self-join is quadratic in distinct
+    terms per doc — cap docs upstream or raise min_count; the reference holds
+    the full |V|^2 matrix in RAM, which this avoids entirely.
+    """
+    t = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(simple_tokens_col(F.col("text")))).alias("term"),
+    )
+    a = t.select("_id", F.col("term").alias("term_a"))
+    b = t.select("_id", F.col("term").alias("term_b"))
+    return (
+        a.join(b, "_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= min_count)
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint): order-sensitive rolling document fingerprint.
 

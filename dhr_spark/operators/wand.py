@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 from dhr_spark.index.builder import load_manifest
 from dhr_spark.index.codec import segmented_cumsum_decode, varint_decode
 from dhr_spark.index.segments import bm25_weights_np
-from dhr_spark.operators.termfreq import query_term_freqs, with_tokens
 from dhr_spark.operators.topk import topk
 
 RESULT_SCHEMA = "qid string, docid long, score double"
@@ -94,27 +93,63 @@ def _score_chunk(
         base = int(dl["base_docid"].iloc[0])
         dls = np.frombuffer(dl["dls"].iloc[0], dtype=np.int32)
         term_row = {int(t): i for i, t in enumerate(seg["term_id"].to_numpy())}
+        seg_rows = list(seg.itertuples(index=False))
 
-        # decode cache: term -> (docids_local, tfs) for selected blocks
         out_qid: list[str] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
 
+        # how many queries need each term in this chunk — terms shared across
+        # queries are decoded (and weighted) once, amortized over the batch
+        usage: dict[int, int] = {}
+        for tids, _ in qinfo.values():
+            for t in tids:
+                i = term_row.get(int(t))
+                if i is not None:
+                    usage[i] = usage.get(i, 0) + 1
+
         def decode_term(row_i: int, sel: np.ndarray | None):
-            r = seg.iloc[row_i]
-            n = int(r["n"])
-            lens = _block_lens(n, block_size)
-            offs_d = np.asarray(r["block_doc_off"], dtype=np.int64)
-            offs_t = np.asarray(r["block_tf_off"], dtype=np.int64)
+            r = seg_rows[row_i]
+            lens = _block_lens(int(r.n), block_size)
             if sel is None:
                 sel = np.arange(lens.size)
             docids, _ = _decode_selected(
-                bytes(r["doc_gaps"]), offs_d, lens, sel, restarts=True
+                bytes(r.doc_gaps), np.asarray(r.block_doc_off, dtype=np.int64),
+                lens, sel, restarts=True,
             )
             tfs, _ = _decode_selected(
-                bytes(r["tfs"]), offs_t, lens, sel, restarts=False
+                bytes(r.tfs), np.asarray(r.block_tf_off, dtype=np.int64),
+                lens, sel, restarts=False,
             )
             return docids - base, tfs
+
+        full_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def get_full(row_i: int) -> tuple[np.ndarray, np.ndarray]:
+            """(local docids, unit BM25 weights) with full decode, cached."""
+            hit = full_cache.get(row_i)
+            if hit is None:
+                d_loc, tfs = decode_term(row_i, None)
+                wts = bm25_weights_np(
+                    tfs, dls[d_loc], float(seg_rows[row_i].idf), avgdl, k1, b
+                )
+                hit = full_cache[row_i] = (d_loc, wts)
+            return hit
+
+        def emit(qid: str, scores: np.ndarray, touched: np.ndarray) -> None:
+            cand = np.flatnonzero(touched)
+            if cand.size == 0:
+                return
+            cs = scores[cand]
+            if cand.size > k:
+                # deterministic cut: round6 score DESC, docid ASC — matches
+                # the global merge's tie-break so ties at the kth slot never
+                # depend on partition order
+                keep = np.lexsort((cand, -np.round(cs, 6)))[:k]
+                cand, cs = cand[keep], cs[keep]
+            out_qid.append(qid)
+            out_doc.append(cand + base)
+            out_score.append(cs)
 
         for qid, (tids, qtfs) in qinfo.items():
             present = [
@@ -122,63 +157,64 @@ def _score_chunk(
             ]
             if not present:
                 continue
-            # per-term upper bounds
+
+            # batch fast path: every term shared (or already decoded) —
+            # vectorized exact scoring straight off the cache
+            if not prune or all(
+                usage[i] > 1 or i in full_cache for i, _ in present
+            ):
+                scores = np.zeros(dls.size, dtype=np.float64)
+                touched = np.zeros(dls.size, dtype=bool)
+                for i, w in present:
+                    d_loc, wts = get_full(i)
+                    scores[d_loc] += w * wts
+                    touched[d_loc] = True
+                emit(qid, scores, touched)
+                continue
+
+            # block-max WAND path (single-use terms: skipping blocks saves
+            # real decode work)
             U = np.array(
-                [
-                    w * max(seg.iloc[i]["block_max"])
-                    for i, w in present
-                ]
+                [w * max(seg_rows[i].block_max) for i, w in present]
             )
             scores = np.zeros(dls.size, dtype=np.float64)
             touched = np.zeros(dls.size, dtype=bool)
 
             theta = -np.inf
             order = np.argsort(-U)
-            if prune and len(present) > 1:
+            if len(present) > 1:
                 i_star, w_star = present[order[0]]
-                r = seg.iloc[i_star]
-                if int(r["n"]) >= k:
-                    d_loc, tfs = decode_term(i_star, None)
-                    wts = w_star * bm25_weights_np(
-                        tfs, dls[d_loc], float(r["idf"]), avgdl, k1, b
-                    )
-                    theta = float(np.partition(wts, -k)[-k])
+                if int(seg_rows[i_star].n) >= k:
+                    _, wts = get_full(i_star)
+                    theta = float(np.partition(w_star * wts, -k)[-k])
 
             sumU = float(U.sum())
             for oi in order:
                 i, w = present[oi]
-                r = seg.iloc[i]
-                bm = np.asarray(r["block_max"], dtype=np.float64)
+                r = seg_rows[i]
+                if i in full_cache or usage[i] > 1:
+                    d_loc, wts = get_full(i)
+                    scores[d_loc] += w * wts
+                    touched[d_loc] = True
+                    continue
+                bm = np.asarray(r.block_max, dtype=np.float64)
                 others = sumU - float(U[oi])
-                if prune and theta > -np.inf:
+                sel_arg = None
+                if theta > -np.inf:
                     sel = np.flatnonzero(w * bm + others >= theta)
                     if sel.size == 0:
                         continue
-                    if sel.size == bm.size:
-                        sel_arg = None
-                    else:
+                    if sel.size < bm.size:
                         sel_arg = sel
-                else:
-                    sel_arg = None
                 d_loc, tfs = decode_term(i, sel_arg)
                 if d_loc.size == 0:
                     continue
-                wts = w * bm25_weights_np(
-                    tfs, dls[d_loc], float(r["idf"]), avgdl, k1, b
+                scores[d_loc] += w * bm25_weights_np(
+                    tfs, dls[d_loc], float(r.idf), avgdl, k1, b
                 )
-                scores[d_loc] += wts
                 touched[d_loc] = True
 
-            cand = np.flatnonzero(touched)
-            if cand.size == 0:
-                continue
-            cs = scores[cand]
-            if cand.size > k:
-                keep = np.argpartition(-cs, k - 1)[:k]
-                cand, cs = cand[keep], cs[keep]
-            out_qid.append(qid)
-            out_doc.append(cand + base)
-            out_score.append(cs)
+            emit(qid, scores, touched)
 
         if not out_qid:
             return pd.DataFrame({"qid": [], "docid": [], "score": []}).astype(
@@ -207,18 +243,37 @@ def search_wand(
     man = load_manifest(index_dir)
     if man is None:
         raise FileNotFoundError(f"no manifest in {index_dir}")
+    # query prep is driver-side: the query set is collected into the scoring
+    # kernel regardless (the reference loads all queries up front too,
+    # gip_retrieval.py:263-283), so analyzing |Q| strings here removes a
+    # pandas-UDF stage + broadcast join + extra job from every search call.
+    # The term dictionary is NOT collected — it is scanned with an isin
+    # pushdown on just the analyzed query terms.
+    from dhr_spark.functions.analyzer import _ANALYZERS
+
+    analyze = _ANALYZERS[man["analyzer_mode"]]
+    qrows = queries.select("qid", "text").collect()
+    qterm_tf: dict[str, dict[str, int]] = {}
+    for r in qrows:
+        tf: dict[str, int] = {}
+        for t in analyze(r["text"] or ""):
+            tf[t] = tf.get(t, 0) + 1
+        if tf:
+            qterm_tf[r["qid"]] = tf
+    terms = sorted({t for tf in qterm_tf.values() for t in tf})
     tdict = spark.read.parquet(f"{index_dir}/term_dict").select("term", "term_id")
-    qtok = with_tokens(queries, mode=man["analyzer_mode"]).select("qid", "tokens")
-    qtfs = query_term_freqs(qtok).join(F.broadcast(tdict), "term")
-    rows = qtfs.select("qid", "term_id", "qtf").collect()  # |Q| x |q terms|: tiny
+    tid = {
+        r["term"]: int(r["term_id"])
+        for r in tdict.filter(F.col("term").isin(terms)).collect()
+    }
     qinfo: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    tmp: dict[str, list[tuple[int, int]]] = {}
-    for r in rows:
-        tmp.setdefault(r["qid"], []).append((int(r["term_id"]), int(r["qtf"])))
-    for qid, pairs in tmp.items():
-        a = np.array(pairs, dtype=np.int64)
+    for qid, tf in qterm_tf.items():
+        pairs = [(tid[t], c) for t, c in tf.items() if t in tid]
+        if not pairs:
+            continue
+        a = np.array(sorted(pairs), dtype=np.int64)
         qinfo[qid] = (a[:, 0], a[:, 1].astype(np.float64))
-    all_terms = sorted({int(t) for tids, _ in qinfo.values() for t in tids})
+    all_terms = sorted(tid.values())
 
     seg = spark.read.parquet(f"{index_dir}/segments")
     # literal isin list -> parquet row-group pushdown on term_id; for huge

@@ -7,6 +7,7 @@ partitioning); tested on local[N].
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -20,6 +21,12 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # heap sized to parallelism, capped: measured on this workload, 8-16g is
+    # the sweet spot at 32 slots — huge heaps (48g) REGRESSED build time ~2x
+    # (GC ergonomics / page-touch costs dominate), tiny heaps thrash GC
+    m = re.match(r"local\[(\d+)\]", master)
+    n_slots = int(m.group(1)) if m else cpus
+    default_mem = f"{min(16, max(8, n_slots // 2))}g"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -31,7 +38,16 @@ def get_spark(
         # Arrow for all pandas UDF exchange (no per-row Python on the hot path)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("DHR_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("DHR_DRIVER_MEM", default_mem))
+        # shuffle/spill scratch on tmpfs when available: this sandbox's
+        # virtual disk writes ~150MB/s and throttles concurrent writers, which
+        # serialized every wide shuffle; a real cluster shuffles over NVMe +
+        # network. Override with DHR_LOCAL_DIR (cluster deploys should leave
+        # spark.local.dir to the resource manager).
+        .config("spark.local.dir", os.environ.get(
+            "DHR_LOCAL_DIR",
+            "/dev/shm/dhr-spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        ))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")

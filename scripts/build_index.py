@@ -1,0 +1,76 @@
+"""spark-submit entry: build (or resume) the inverted index.
+
+Cluster usage (BASELINE.json north_rule):
+
+    zip -r dhr_spark.zip dhr_spark
+    spark-submit --py-files dhr_spark.zip scripts/build_index.py \\
+        --input  <path or iceberg table of transcripts> \\
+        --format parquet|iceberg \\
+        --index-dir s3://bucket/index \\
+        --chunk-bits 20 --block-size 128 [--resume]
+
+Local sandbox: python scripts/build_index.py --synthetic 600 --index-dir /tmp/idx
+
+The job is idempotent per docid-chunk: a rerun with --resume skips chunks
+already committed to the manifest (per-partition lineage + metrics), which is
+the checkpoint/restart story for multi-hour 10^12-turn builds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", help="transcripts path/table")
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic conversations instead of --input")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--analyzer", default="lucene", choices=["lucene", "simple"])
+    p.add_argument("--chunk-bits", type=int, default=17)
+    p.add_argument("--block-size", type=int, default=128)
+    p.add_argument("--k1", type=float, default=0.9)
+    p.add_argument("--b", type=float, default=0.4)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    from dhr_spark.session import get_spark
+    from dhr_spark.index.builder import build_index
+
+    spark = get_spark(app_name="dhr_build_index", master=args.master)
+    if args.synthetic:
+        from dhr_spark.data.synthetic import synth_transcripts
+
+        transcripts = synth_transcripts(spark, n_convs=args.synthetic)
+    elif args.format == "iceberg":
+        # Iceberg catalogs are configured via --conf spark.sql.catalog.*;
+        # the table read is format-transparent from here on
+        transcripts = spark.read.table(args.input)
+    else:
+        transcripts = spark.read.parquet(args.input)
+
+    manifest = build_index(
+        spark,
+        transcripts,
+        args.index_dir,
+        analyzer_mode=args.analyzer,
+        chunk_bits=args.chunk_bits,
+        block_size=args.block_size,
+        k1=args.k1,
+        b=args.b,
+        resume=args.resume,
+    )
+    print(json.dumps({k: v for k, v in manifest.items() if k != "chunks"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""spark-submit entry: run top-k queries against a built index.
+
+    spark-submit --py-files dhr_spark.zip scripts/run_queries.py \\
+        --index-dir s3://bucket/index \\
+        --queries queries.tsv --k 1000 \\
+        --output s3://bucket/run --trec
+
+Local sandbox: python scripts/run_queries.py --index-dir /tmp/idx --synthetic 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--queries", help="TSV qid\\ttext")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--k", type=int, default=1000)
+    p.add_argument("--output", help="output path (parquet, or text with --trec)")
+    p.add_argument("--trec", action="store_true")
+    p.add_argument("--no-prune", action="store_true",
+                   help="disable block-max pruning (debug/verification)")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    from dhr_spark.session import get_spark
+    from dhr_spark.operators.wand import search_wand
+    from dhr_spark.sources.io import read_tsv_queries, write_trec_run
+
+    spark = get_spark(app_name="dhr_run_queries", master=args.master)
+    if args.synthetic:
+        from dhr_spark.data.synthetic import synth_queries
+
+        queries = synth_queries(spark, n_queries=args.synthetic)
+    else:
+        queries = read_tsv_queries(spark, args.queries)
+
+    t0 = time.time()
+    run = search_wand(spark, args.index_dir, queries, k=args.k,
+                      prune=not args.no_prune)
+    if args.output:
+        if args.trec:
+            write_trec_run(run, args.output)
+        else:
+            run.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count() if not args.trec else -1
+    else:
+        n = run.count()
+    dt = time.time() - t0
+    nq = queries.count()
+    print(f"{nq} queries, k={args.k}: {dt:.2f}s "
+          f"({nq / dt:.2f} q/s), {n} result rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

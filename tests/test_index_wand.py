@@ -67,9 +67,15 @@ def test_manifest_metrics(built):
         assert c["postings"] > 0 and c["bytes"] > 0 and c["skew_ratio"] >= 1.0
 
 
+@pytest.fixture(scope="module")
+def slow50(spark, built):
+    """Slow-path top-50 computed once; smaller k is a prefix slice."""
+    return _as_map(_slow_topk(spark, built["tr"], built["queries"], 50).collect())
+
+
 @pytest.mark.parametrize("k", [5, 50])
-def test_wand_matches_slow_path(spark, built, k):
-    slow = _as_map(_slow_topk(spark, built["tr"], built["queries"], k).collect())
+def test_wand_matches_slow_path(spark, built, slow50, k):
+    slow = {qid: rows[:k] for qid, rows in slow50.items()}
     fast = _as_map(search_wand(spark, built["idx"], built["queries"], k=k).collect())
     assert set(slow) == set(fast)
     for qid in slow:
