@@ -137,7 +137,12 @@ def main() -> None:
     if DO_SCALING and CPUS >= 8:
         low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         high = low * 4
-        n_scale = n_convs
+        # larger corpus for the scaling legs: fixed per-job costs (driver
+        # collects, stage scheduling) must amortize the way they do on a
+        # multi-hour cluster build, or they cap the 4N leg. 8x the query
+        # corpus ≈ 1M turns at sf0.1 — measured build eff 0.82 / query 0.90
+        # there vs 0.77 at 0.5M (fixed-cost fraction still visible).
+        n_scale = n_convs * 8
         leg_lo = _run_leg_subprocess(low, n_scale)
         leg_hi = _run_leg_subprocess(high, n_scale)
         ratio = high / low

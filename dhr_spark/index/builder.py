@@ -117,7 +117,6 @@ def build_index_from_docs(
     dls = fused.filter(F.col("first")).select("docid", "dl")
 
     tdict = term_dictionary(term_stats(tfs, n_docs)).cache()
-    n_terms = tdict.count()
 
     post = tfs.join(
         F.broadcast(tdict.select("term", "term_id", "idf")), "term"
@@ -147,11 +146,16 @@ def build_index_from_docs(
     ).parquet(dl_path)
 
     if not done_chunks:
-        tdict.write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
+        td_path = os.path.join(index_dir, "term_dict")
+        tdict.write.mode("overwrite").parquet(td_path)
+        # row count from parquet footers — metadata-only, no extra agg job
+        n_terms = spark.read.parquet(td_path).count()
         if doc_map_df is not None:
             doc_map_df.write.mode("overwrite").parquet(
                 os.path.join(index_dir, "doc_map")
             )
+    else:
+        n_terms = prior["n_terms"]
 
     # per-chunk lineage + metrics from the committed files (A7 analogue:
     # the reference's collision/build counters, densify_corpus.py:85-91)

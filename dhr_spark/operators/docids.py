@@ -50,11 +50,18 @@ def with_docids(
     offmap = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
-    w_local = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+    # local row index WITHOUT a window: monotonically_increasing_id() is
+    # (partition_id << 33) + row-index-within-partition, and rows are already
+    # sorted within partitions — a Window.partitionBy(_pid) here would
+    # hash-shuffle N partition ids into N buckets WITH COLLISIONS, silently
+    # capping stage parallelism (measured ~5 busy cores of 8). Bound: no
+    # partition may exceed 2^33 rows (8.6B — far above any sane partition).
+    local = F.monotonically_increasing_id() - (
+        F.col("_pid").cast("long") * F.lit(1 << 33)
+    )
     return (
-        with_pid.withColumn("_local", F.row_number().over(w_local) - 1)
-        .withColumn("docid", (offmap[F.col("_pid")] + F.col("_local")).cast("long"))
-        .drop("_pid", "_local")
+        with_pid.withColumn("docid", (offmap[F.col("_pid")] + local).cast("long"))
+        .drop("_pid")
     )
 
 

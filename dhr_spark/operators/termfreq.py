@@ -69,44 +69,54 @@ def doc_term_freqs(
     analyze = _ANALYZERS[mode]
     src = docs.select(F.col("docid"), F.col(text_col).alias("_text"))
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            docids: list[np.ndarray] = []
-            terms: list[list[str]] = []
-            tfs: list[np.ndarray] = []
-            dls: list[np.ndarray] = []
-            firsts: list[np.ndarray] = []
-            for docid, text in zip(pdf["docid"].to_numpy(), pdf["_text"]):
-                toks = analyze(text) if isinstance(text, str) else []
-                if not toks:
-                    docids.append(np.array([docid], dtype=np.int64))
-                    terms.append([None])
-                    tfs.append(np.zeros(1, dtype=np.int64))
-                    dls.append(np.zeros(1, dtype=np.int64))
-                    firsts.append(np.ones(1, dtype=bool))
-                    continue
-                c = Counter(toks)
-                m = len(c)
-                docids.append(np.full(m, docid, dtype=np.int64))
-                terms.append(list(c.keys()))
-                tfs.append(np.fromiter(c.values(), dtype=np.int64, count=m))
-                dls.append(np.full(m, len(toks), dtype=np.int64))
-                f = np.zeros(m, dtype=bool)
-                f[0] = True
-                firsts.append(f)
-            if not docids:
+    def kernel(batches):
+        # mapInArrow, not mapInPandas: building a pandas object column for
+        # 10^7 term strings costs more than the analysis itself (measured
+        # 7.1s pandas vs 0.1s arrow per 61k-doc partition). Per-doc work is
+        # ONLY analyze + Counter + list appends; array construction is one
+        # vectorized np.repeat/cumsum per batch.
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            yield pd.DataFrame(
-                {
-                    "docid": np.concatenate(docids),
-                    "term": [t for ts in terms for t in ts],
-                    "tf": np.concatenate(tfs),
-                    "dl": np.concatenate(dls),
-                    "first": np.concatenate(firsts),
-                }
+            in_docids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_pylist()
+            counts: list[int] = []
+            dls: list[int] = []
+            terms: list[str | None] = []
+            tfs: list[int] = []
+            for text in texts:
+                c = Counter(analyze(text)) if isinstance(text, str) else {}
+                if c:
+                    counts.append(len(c))
+                    dls.append(sum(c.values()))
+                    terms.extend(c.keys())
+                    tfs.extend(c.values())
+                else:
+                    counts.append(1)
+                    dls.append(0)
+                    terms.append(None)
+                    tfs.append(0)
+            counts_a = np.asarray(counts, dtype=np.int64)
+            total = int(counts_a.sum())
+            first = np.zeros(total, dtype=bool)
+            first[np.concatenate(([0], np.cumsum(counts_a)[:-1]))] = True
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(in_docids, counts_a), type=pa.int64()),
+                    pa.array(terms, type=pa.string()),
+                    pa.array(np.asarray(tfs, dtype=np.int64), type=pa.int64()),
+                    pa.array(
+                        np.repeat(np.asarray(dls, dtype=np.int64), counts_a),
+                        type=pa.int64(),
+                    ),
+                    pa.array(first),
+                ],
+                names=["docid", "term", "tf", "dl", "first"],
             )
 
-    return src.mapInPandas(kernel, FUSED_SCHEMA)
+    return src.mapInArrow(kernel, FUSED_SCHEMA)
 
 
 def query_term_freqs(queries_tok: DataFrame) -> DataFrame:
