@@ -122,6 +122,67 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(topk(score_all(_qtfs(spark), post, on="term"), TOPK))
 
 
+DENSIFY_DIM = 32  # small dim so slot collisions are exercised at sf0.01
+
+
+def _postings_with_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(docid, term_id, weight6): BM25 postings with deterministic dense term
+    ids (df DESC, term ASC — the reference's head-first dictionary order) and
+    weights rounded to 6 so cross-engine argmax ties break identically."""
+    from pyspark.sql import Window
+
+    tok = _docs_tok(spark, sf_dir).withColumnRenamed("doc_id", "docid")
+    tfs = term_freqs(tok)
+    dls = doc_lengths(tok)
+    cs = dls.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    ts = tfs.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "idf", idf_col(F.col("df"), int(cs["n"]))
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    tdict = ts.withColumn("term_id", (F.row_number().over(w) - 1).cast("long"))
+    return (
+        tfs.join(dls, "docid")
+        .join(F.broadcast(tdict.select("term", "term_id", "idf")), "term")
+        .select(
+            "docid",
+            "term_id",
+            F.round(
+                bm25_weight_col(
+                    F.col("tf"), F.col("dl"), F.col("idf"),
+                    F.lit(float(cs["a"])), K1, B,
+                ),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+_TDICT_CTE = """
+tdict AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS BIGINT) AS term_id
+  FROM ts
+)
+"""
+
+_DENSE_CTE = f"""
+wts AS (
+  SELECT tf.doc_id AS docid, tdict.term_id,
+         round({{w}}, 6) AS weight
+  FROM tf JOIN ts USING (term) JOIN tdict USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs
+),
+slotted AS (
+  SELECT docid, term_id % {{dim}} AS slot, term_id // {{dim}} AS bucket, weight,
+         row_number() OVER (
+           PARTITION BY docid, term_id % {{dim}}
+           ORDER BY weight DESC, term_id // {{dim}} ASC
+         ) AS rn
+  FROM wts
+),
+dens AS (SELECT docid, slot, weight AS value, bucket FROM slotted WHERE rn = 1)
+"""
+
+
 def _qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic relevance rule shared with the oracle: doc is relevant
     to q iff it contains ALL of q's distinct terms."""
@@ -430,6 +491,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def mm_features_q(spark, sf):
         return MM.blob_features(MM.with_blob(_docs(spark, sf)), fake=True)
 
+    def densify_q(spark, sf):
+        from dhr_spark.operators.densify import densify
+
+        return densify(_postings_with_ids(spark, sf), DENSIFY_DIM)
+
+    def densify_collisions_q(spark, sf):
+        from dhr_spark.operators.densify import collision_counts
+
+        return collision_counts(
+            _postings_with_ids(spark, sf), DENSIFY_DIM
+        )
+
+    def gip_topk_q(spark, sf):
+        from pyspark.sql import Window
+        from dhr_spark.operators.densify import densify, gip_score
+
+        dense_c = densify(_postings_with_ids(spark, sf), DENSIFY_DIM)
+        # query side: slot-max of query TF over the same term-id space
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        tfs = term_freqs(tok)
+        ts = tfs.groupBy("term").agg(F.count("*").alias("df"))
+        w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+        tdict = ts.withColumn("term_id", (F.row_number().over(w) - 1).cast("long"))
+        qd = (
+            _qtfs(spark)
+            .join(F.broadcast(tdict.select("term", "term_id")), "term")
+            .select(
+                F.col("qid").alias("docid"),
+                F.pmod(F.col("term_id"), F.lit(DENSIFY_DIM)).alias("slot"),
+                F.floor(F.col("term_id") / DENSIFY_DIM).cast("long").alias("bucket"),
+                F.col("qtf").cast("double").alias("value"),
+            )
+        )
+        wq = Window.partitionBy("docid", "slot").orderBy(
+            F.col("value").desc(), F.col("bucket").asc()
+        )
+        qd = (
+            qd.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") == 1)
+            .select("docid", "slot", "bucket", "value")
+        )
+        return _round4(topk(gip_score(qd, dense_c), TOPK))
+
     def transcripts_bm25_q(spark, sf):
         # full lucene-analyzer transcripts pipeline (rows-only: the analyzer
         # is deliberately NOT SQL-expressible; pytest owns its oracle)
@@ -495,6 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": mm_meta_q,
         "multimodal_frames": mm_frames_q,
         "multimodal_features": mm_features_q,
+        "densify_slots": densify_q,
+        "densify_collisions": densify_collisions_q,
+        "gip_topk": gip_topk_q,
         "transcripts_bm25": transcripts_bm25_q,
         "wand_vs_slow_identity": wand_vs_slow_q,
     }
@@ -564,6 +671,50 @@ SELECT qlist.qid,
        round(CASE WHEN coalesce(n_rel, 0) > 0
              THEN coalesce(n_hit, 0) * 1.0 / least(n_rel, 10) ELSE 0.0 END, 6) AS r_cap
 FROM qlist LEFT JOIN nrel USING (qid) LEFT JOIN nhit USING (qid)""",
+        "densify_slots": (
+            f"WITH {_TOKS_CTE}, {_TDICT_CTE}, "
+            + _DENSE_CTE.format(w=_W_EXPR, dim=DENSIFY_DIM)
+            + " SELECT docid, slot, value, bucket FROM dens"
+        ),
+        "densify_collisions": f"""WITH {_TOKS_CTE}, {_TDICT_CTE},
+wts AS (
+  SELECT tf.doc_id AS docid, tdict.term_id
+  FROM tf JOIN tdict USING (term)
+)
+SELECT docid, sum(c)::BIGINT AS collisions FROM (
+  SELECT docid, term_id % {DENSIFY_DIM} AS slot, count(*) - 1 AS c
+  FROM wts GROUP BY docid, term_id % {DENSIFY_DIM}
+) GROUP BY docid""",
+        "gip_topk": (
+            f"WITH {_TOKS_CTE}, {_TDICT_CTE}, "
+            + _DENSE_CTE.format(w=_W_EXPR, dim=DENSIFY_DIM)
+            + f""", {_q_values()},
+qslt AS (
+  SELECT q.qid, tdict.term_id % {DENSIFY_DIM} AS slot,
+         tdict.term_id // {DENSIFY_DIM} AS bucket,
+         CAST(q.qtf AS DOUBLE) AS qv,
+         row_number() OVER (
+           PARTITION BY q.qid, tdict.term_id % {DENSIFY_DIM}
+           ORDER BY q.qtf DESC, tdict.term_id // {DENSIFY_DIM} ASC
+         ) AS rn
+  FROM q JOIN tdict USING (term)
+),
+qd AS (SELECT qid, slot, bucket, qv FROM qslt WHERE rn = 1),
+gs AS (
+  SELECT qd.qid, dens.docid, sum(qd.qv * dens.value) AS score
+  FROM qd JOIN dens USING (slot, bucket)
+  GROUP BY 1, 2
+),
+granked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM gs
+)
+SELECT qid, docid, rank, score FROM granked WHERE rank <= {TOPK}"""
+        ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups, "
             "min(doc_id) AS keep_id FROM documents GROUP BY 1"

@@ -75,41 +75,35 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket_udf(dim: int, n_planes: int = 12):
-    """pandas UDF: embedding -> sign-bit bucket id (int64). Arrow-batched
-    matmul against the fixed hyperplane matrix — no per-row Python."""
-    planes = _hyperplanes(dim, n_planes).T  # (dim, n_planes)
+def lsh_buckets_udf(
+    dim: int, n_tables: int = 8, n_planes: int = 6, probe: bool = False
+):
+    """pandas UDF: embedding -> array of bucket ids, one (or two, with
+    ``probe``) per hash table.
 
-    @F.pandas_udf(LongType())
-    def _bucket(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy())  # (batch, dim)
-        bits = (m @ planes) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series(bits @ weights)
-
-    return _bucket
-
-
-def lsh_probe_udf(dim: int, n_planes: int = 12, n_probe: int = 4):
-    """pandas UDF: embedding -> array of probe buckets (own bucket + the
-    n_probe-1 buckets whose single flipped bit had the smallest margin).
-    Query-side multi-probe: recall knob with zero extra corpus work."""
-    planes = _hyperplanes(dim, n_planes).T
+    Multi-table LSH: a single k-plane table finds a neighbor at angle θ with
+    prob (1-θ/π)^k — hopeless for moderately-similar vectors; L independent
+    tables raise it to 1-(1-p)^L. Bucket id packs (table << 28) | sign bits.
+    ``probe=True`` (query side) adds one extra probe per table flipping the
+    lowest-margin bit — recall knob with zero extra corpus work.
+    """
+    planes = _hyperplanes(dim, n_tables * n_planes).T  # (dim, L*k)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    table_tag = (np.arange(n_tables, dtype=np.int64) << 28)
 
     @F.pandas_udf(ArrayType(LongType()))
-    def _probes(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy())
-        proj = m @ planes  # (batch, n_planes)
+    def _buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (batch, dim)
+        proj = (m @ planes).reshape(len(m), n_tables, n_planes)
         bits = proj > 0
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        base = (bits @ weights).astype(np.int64)
-        # flip order: smallest |projection| = most uncertain bit first
-        order = np.argsort(np.abs(proj), axis=1)[:, : max(n_probe - 1, 0)]
-        flips = base[:, None] ^ weights[order]
-        out = np.concatenate([base[:, None], flips], axis=1)
-        return pd.Series(list(out))
+        base = (bits @ weights) + table_tag  # (batch, L)
+        if not probe:
+            return pd.Series(list(base))
+        low = np.argmin(np.abs(proj), axis=2)  # (batch, L)
+        flips = base ^ weights[low]
+        return pd.Series(list(np.concatenate([base, flips], axis=1)))
 
-    return _probes
+    return _buckets
 
 
 def cosine_topk_lsh(
@@ -117,31 +111,33 @@ def cosine_topk_lsh(
     corpus: DataFrame,
     k: int = 10,
     dim: int = 64,
-    n_planes: int = 12,
-    n_probe: int = 4,
+    n_tables: int = 8,
+    n_planes: int = 6,
     qid_col: str = "qid",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(qid, vec_id, rank, cosine): approximate top-k via hyperplane LSH.
+    """(qid, vec_id, rank, cosine): approximate top-k via multi-table
+    hyperplane LSH.
 
-    corpus is bucketed once (reusable index table at scale: write out
-    (bucket, vec_id, unit) partitioned by bucket); queries explode to their
-    probe buckets; the equi-join on bucket bounds the scoring work. Exact
-    cosine within collisions, so precision is exact — only recall is
-    approximate (raise n_probe / lower n_planes to trade).
+    corpus is bucketed once, L buckets per vector (reusable index table at
+    scale: write out (bucket, vec_id, unit) partitioned by bucket); queries
+    explode to their buckets + one probe per table; the equi-join on bucket
+    bounds the scoring work. Exact cosine within collisions, so precision is
+    exact — only recall is approximate (raise n_tables / lower n_planes to
+    trade recall for join width).
     """
-    bucket = lsh_bucket_udf(dim, n_planes)
-    probes = lsh_probe_udf(dim, n_planes, n_probe)
+    buckets_c = lsh_buckets_udf(dim, n_tables, n_planes, probe=False)
+    buckets_q = lsh_buckets_udf(dim, n_tables, n_planes, probe=True)
     c = corpus.select(
         F.col(id_col),
         _unit(F.col(vec_col)).alias("uc"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.explode(buckets_c(F.col(vec_col))).alias("bucket"),
     )
     q = queries.select(
         F.col(qid_col).alias("qid"),
         _unit(F.col(vec_col)).alias("uq"),
-        F.explode(probes(F.col(vec_col))).alias("bucket"),
+        F.explode(buckets_q(F.col(vec_col))).alias("bucket"),
     )
     dot = F.aggregate(
         F.zip_with(F.col("uq"), F.col("uc"), lambda x, y: x * y),

@@ -1,0 +1,130 @@
+"""Training-data pipeline operators: ANN recall, dedup candidate quality,
+multimodal plumbing, densify semantics (tests beyond the driver's DuckDB
+oracle — behavioral properties the oracle can't express)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, embs):
+    from dhr_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    qs = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(qs, embs, k=10).collect()
+    approx = cosine_topk_lsh(qs, embs, k=10, dim=64).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+    got = {}
+    for r in approx:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # rank-1 must be the query itself in both (cosine=1.0 self-match)
+    for r in exact + approx:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["qid"]
+
+
+def test_minhash_candidates_cover_true_near_dups(spark, docs):
+    """Every pair with 3-gram Jaccard >= 0.9 must be an LSH candidate
+    (16 hashes, 4x4 bands: P[miss | j=0.9] = (1-0.9^4)^4 ~ 1.5% per pair —
+    the planted near-dups at this sf must all collide)."""
+    from dhr_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert truth, "test data should contain planted near-duplicates"
+    missed = truth - cands
+    assert not missed, f"LSH missed true near-dups: {missed}"
+
+
+def test_exact_dedup_survivors(spark, docs):
+    from dhr_spark.operators.dedup import exact_dedup
+
+    uniq = exact_dedup(docs)
+    assert uniq.count() == docs.select("text").distinct().count()
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    from dhr_spark.operators.dedup import ngram_jaccard_pairs, simhash, hamming64
+
+    near = ngram_jaccard_pairs(docs, n=3, threshold=0.9)
+    s = simhash(docs)
+    joined = (
+        near.join(s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha")), "id_a")
+        .join(s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb")), "id_b")
+        .select(hamming64(F.col("ha"), F.col("hb")).alias("d"))
+        .collect()
+    )
+    assert joined
+    # jaccard>=0.9 pairs should be far below the ~30-bit random expectation
+    assert sum(r["d"] for r in joined) / len(joined) <= 12
+
+
+def test_multimodal_fake_features_deterministic(spark, docs):
+    from dhr_spark.operators.multimodal import blob_features, with_blob
+
+    wb = with_blob(docs.limit(20))
+    a = {r["doc_id"]: r["feature"] for r in blob_features(wb, fake=True).collect()}
+    b = {r["doc_id"]: r["feature"] for r in blob_features(wb, fake=True).collect()}
+    assert a == b
+    for f in a.values():
+        assert len(f) == 16
+        assert abs(sum(f) - 1.0) < 1e-3  # L1-normalized histogram
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    from dhr_spark.operators.multimodal import blob_features, with_blob
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        blob_features(with_blob(docs.limit(2)), fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
+
+
+def test_densify_keeps_slot_max(spark):
+    from dhr_spark.operators.densify import collision_counts, densify
+
+    post = spark.createDataFrame(
+        [(1, 0, 2.0), (1, 4, 5.0), (1, 8, 5.0), (1, 1, 1.0), (2, 9, 3.0)],
+        "docid long, term_id long, weight double",
+    )
+    out = {(r["docid"], r["slot"]): (r["value"], r["bucket"])
+           for r in densify(post, dim=4).collect()}
+    # terms 0,4,8 share slot 0: max weight 5.0, tie between buckets 1 and 2
+    # -> smaller bucket wins
+    assert out[(1, 0)] == (5.0, 1)
+    assert out[(1, 1)] == (1.0, 0)
+    assert out[(2, 1)] == (3.0, 2)
+    coll = {r["docid"]: r["collisions"] for r in
+            collision_counts(post, dim=4).collect()}
+    assert coll == {1: 2, 2: 0}
