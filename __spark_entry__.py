@@ -438,6 +438,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rcap_q(spark, sf):
         return M.recall_cap_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
 
+    def map_q(spark, sf):
+        return M.map_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
+
+    def _events(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "events.parquet"))
+
+    def sessionize_q(spark, sf):
+        from dhr_spark.operators.sessions import sessionize
+
+        return sessionize(_events(spark, sf)).select(
+            "event_id", "user_id", "session_seq"
+        )
+
+    def session_stats_q(spark, sf):
+        from dhr_spark.operators.sessions import session_stats
+
+        return session_stats(_events(spark, sf))
+
+    def tumbling_q(spark, sf):
+        from dhr_spark.operators.sessions import tumbling_counts
+
+        return tumbling_counts(_events(spark, sf))
+
+    def json_fields_q(spark, sf):
+        from dhr_spark.operators.sessions import json_fields
+
+        return json_fields(_events(spark, sf))
+
     def dedup_exact_q(spark, sf):
         return D.exact_dup_groups(_docs(spark, sf))
 
@@ -584,6 +612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_at_10": recall_q,
         "ndcg_at_10": ndcg_q,
         "recall_cap_at_10": rcap_q,
+        "map_at_10": map_q,
+        "events_sessionize": sessionize_q,
+        "events_session_stats": session_stats_q,
+        "events_tumbling_counts": tumbling_q,
+        "events_json_fields": json_fields_q,
         "dedup_exact": dedup_exact_q,
         "dedup_ngram_jaccard": dedup_jaccard_q,
         "dedup_minhash_lsh": dedup_minhash_q,
@@ -671,6 +704,60 @@ SELECT qlist.qid,
        round(CASE WHEN coalesce(n_rel, 0) > 0
              THEN coalesce(n_hit, 0) * 1.0 / least(n_rel, 10) ELSE 0.0 END, 6) AS r_cap
 FROM qlist LEFT JOIN nrel USING (qid) LEFT JOIN nhit USING (qid)""",
+        "map_at_10": f"""{metric_prefix},
+hits AS (
+  SELECT r.qid, r.rank,
+         row_number() OVER (PARTITION BY r.qid ORDER BY r.rank) AS hit_no
+  FROM {topk10} r
+  JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
+),
+apn AS (SELECT qid, sum(hit_no * 1.0 / rank) AS num FROM hits GROUP BY 1),
+nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY 1)
+SELECT qlist.qid,
+       round(CASE WHEN coalesce(n_rel, 0) > 0
+             THEN coalesce(num, 0) / n_rel ELSE 0.0 END, 6) AS ap
+FROM qlist LEFT JOIN apn USING (qid) LEFT JOIN nrel USING (qid)""",
+        "events_sessionize": """
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev IS NULL OR floor(epoch(ts))::BIGINT - prev > 1800 THEN 1 ELSE 0 END AS ns
+  FROM lagged
+)
+SELECT event_id, user_id,
+       (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_seq
+FROM marked""",
+        "events_session_stats": """
+WITH lagged AS (
+  SELECT *, lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR floor(epoch(ts))::BIGINT - prev > 1800 THEN 1 ELSE 0 END AS ns
+  FROM lagged
+),
+sess AS (
+  SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+       min(floor(epoch(ts))::BIGINT) AS start_epoch,
+       max(floor(epoch(ts))::BIGINT) AS end_epoch,
+       (max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT))::BIGINT AS duration_sec,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY 1, 2""",
+        "events_tumbling_counts": """
+SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_epoch, event_type,
+       count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2""",
+        "events_json_fields": """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events""",
         "densify_slots": (
             f"WITH {_TOKS_CTE}, {_TDICT_CTE}, "
             + _DENSE_CTE.format(w=_W_EXPR, dim=DENSIFY_DIM)

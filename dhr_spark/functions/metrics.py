@@ -16,7 +16,7 @@ Every metric returns one row per qid (missing qids -> 0.0), plus a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -151,6 +151,34 @@ def hole_at_k(run: DataFrame, annotated: DataFrame, k: int = 10) -> DataFrame:
             F.round(
                 F.coalesce(F.col("n_unjudged"), F.lit(0)) / F.col("n_top"), 6
             ).alias("hole"),
+        )
+    )
+
+
+def map_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, ap): average precision@k with binary gains
+    (utils/metrics.py:4-28): AP = Σ_{relevant hit at rank r} P@r / |rel|."""
+    topk = run.filter(F.col("rank") <= k)
+    hits = topk.join(qrels.select("qid", "docid"), ["qid", "docid"], "left_semi")
+    w = Window.partitionBy("qid").orderBy("rank")
+    prec = hits.withColumn("hit_no", F.row_number().over(w)).select(
+        "qid", (F.col("hit_no") / F.col("rank")).alias("p_at_r")
+    )
+    ap_num = prec.groupBy("qid").agg(F.sum("p_at_r").alias("num"))
+    n_rel = qrels.groupBy("qid").agg(F.count("*").alias("n_rel"))
+    return (
+        _qids(run, qrels)
+        .join(ap_num, "qid", "left")
+        .join(n_rel, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                    F.coalesce(F.col("num"), F.lit(0.0)) / F.col("n_rel"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ap"),
         )
     )
 
