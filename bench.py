@@ -82,7 +82,7 @@ def run_leg(cores: int, n_convs: int) -> None:
     """One isolated scaling leg: warmup build (untimed) + timed build +
     timed query batch (the north rule scales the build AND query pipeline)."""
     from dhr_spark.data.synthetic import synth_queries
-    from dhr_spark.operators.wand import search_wand
+    from dhr_spark.operators.wand import Searcher
 
     spark = _spark(cores)
     idx = f"/tmp/dhr_bench_leg_{cores}"
@@ -90,9 +90,10 @@ def run_leg(cores: int, n_convs: int) -> None:
     dt, n_turns = _build(spark, n_convs, idx)
     queries = synth_queries(spark, n_queries=N_QUERIES).cache()
     queries.count()
-    search_wand(spark, idx, queries.limit(5), k=K).count()  # warm
+    searcher = Searcher(spark, idx)
+    searcher.search(queries.limit(5), k=K).count()  # warm
     t0 = time.time()
-    search_wand(spark, idx, queries, k=K).count()
+    searcher.search(queries, k=K).count()
     qdt = time.time() - t0
     spark.stop()
     print(json.dumps({"cores": cores, "build_sec": round(dt, 2),
@@ -120,7 +121,7 @@ def _run_leg_subprocess(cores: int, n_convs: int) -> dict:
 def main() -> None:
     import __spark_entry__ as entry_mod
     from dhr_spark.data.synthetic import synth_queries
-    from dhr_spark.operators.wand import search_wand
+    from dhr_spark.operators.wand import Searcher
 
     sf = _sf()
     n_convs = _n_convs(sf)
@@ -176,9 +177,10 @@ def main() -> None:
     # ---- batch query throughput (k=1000 WAND) ----
     queries = synth_queries(spark, n_queries=N_QUERIES).cache()
     queries.count()
-    search_wand(spark, idx, queries.limit(5), k=K).count()  # warm
+    searcher = Searcher(spark, idx)
+    searcher.search(queries.limit(5), k=K).count()  # warm
     t0 = time.time()
-    n_out = search_wand(spark, idx, queries, k=K).count()
+    n_out = searcher.search(queries, k=K).count()
     t_batch = time.time() - t0
     timings["wand_batch_200q"] = round(t_batch, 2)
 
@@ -187,7 +189,7 @@ def main() -> None:
     for row in queries.limit(N_LATENCY_SAMPLES).collect():
         q1 = spark.createDataFrame([(row["qid"], row["text"])], "qid string, text string")
         t0 = time.time()
-        search_wand(spark, idx, q1, k=K).count()
+        searcher.search(q1, k=K).count()
         lat.append(time.time() - t0)
     p50 = statistics.median(lat) if lat else 0.0
 

@@ -232,6 +232,98 @@ def _score_chunk(
     return kernel
 
 
+class Searcher:
+    """Reusable query session over a built index.
+
+    Holds the manifest, the analyzer, and CACHED doclens so repeated
+    searches skip per-call parquet footer/listing work — the Spark analogue
+    of the reference keeping its index tensors resident between queries
+    (gip_retrieval.py:287-315). Segments intentionally stay ON DISK: they are
+    read with a term_id pushdown per search (only the query terms' rows move),
+    which is the behavior that survives indexes far larger than cluster RAM.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+        from dhr_spark.functions.analyzer import _ANALYZERS
+
+        self.spark = spark
+        self.index_dir = index_dir
+        man = load_manifest(index_dir)
+        if man is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        self.manifest = man
+        self._analyze = _ANALYZERS[man["analyzer_mode"]]
+        self._tdict = spark.read.parquet(f"{index_dir}/term_dict").select(
+            "term", "term_id"
+        )
+        self._seg = spark.read.parquet(f"{index_dir}/segments")
+        self._dl = spark.read.parquet(f"{index_dir}/doclens")
+        self._tid_cache: dict[str, int] | None = None
+        if cache:
+            # doclens: one small row per chunk — always worth pinning
+            self._dl = self._dl.cache()
+            if int(man.get("n_terms", 1 << 62)) <= 2_000_000:
+                # small vocabulary: resident driver-side dict — query prep
+                # becomes zero Spark jobs (at 10^7+ terms stay distributed)
+                self._tid_cache = {
+                    r["term"]: int(r["term_id"]) for r in self._tdict.collect()
+                }
+
+    def _query_info(self, queries: DataFrame):
+        """Driver-side query prep: the query set is collected into the
+        scoring kernel regardless (the reference loads all queries up front,
+        gip_retrieval.py:263-283); analyzing |Q| strings here removes a
+        pandas-UDF stage + broadcast join + extra job from every search."""
+        qrows = queries.select("qid", "text").collect()
+        qterm_tf: dict[str, dict[str, int]] = {}
+        for r in qrows:
+            tf: dict[str, int] = {}
+            for t in self._analyze(r["text"] or ""):
+                tf[t] = tf.get(t, 0) + 1
+            if tf:
+                qterm_tf[r["qid"]] = tf
+        terms = sorted({t for tf in qterm_tf.values() for t in tf})
+        if self._tid_cache is not None:
+            tid = {t: self._tid_cache[t] for t in terms if t in self._tid_cache}
+        else:
+            tid = {
+                r["term"]: int(r["term_id"])
+                for r in self._tdict.filter(F.col("term").isin(terms)).collect()
+            }
+        qinfo: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for qid, tf in qterm_tf.items():
+            pairs = [(tid[t], c) for t, c in tf.items() if t in tid]
+            if pairs:
+                a = np.array(sorted(pairs), dtype=np.int64)
+                qinfo[qid] = (a[:, 0], a[:, 1].astype(np.float64))
+        return qinfo, sorted(tid.values())
+
+    def search(self, queries: DataFrame, k: int = 1000, prune: bool = True) -> DataFrame:
+        """queries (qid, text) -> (qid, docid, rank, score) top-k."""
+        qinfo, all_terms = self._query_info(queries)
+        seg = self._seg
+        # literal isin list -> parquet row-group pushdown on term_id; for
+        # huge query sets switch to a broadcast semi-join instead
+        if len(all_terms) <= 10_000:
+            seg = seg.filter(F.col("term_id").isin(all_terms))
+        else:
+            terms_df = self.spark.createDataFrame(
+                [(t,) for t in all_terms], "term_id long"
+            )
+            seg = seg.join(F.broadcast(terms_df), "term_id", "left_semi")
+        man = self.manifest
+        kernel = _score_chunk(
+            qinfo, k, float(man["avgdl"]), float(man["k1"]), float(man["b"]),
+            int(man["block_size"]), prune,
+        )
+        scored = (
+            seg.groupBy("chunk")
+            .cogroup(self._dl.groupBy("chunk"))
+            .applyInPandas(kernel, RESULT_SCHEMA)
+        )
+        return topk(scored, k)
+
+
 def search_wand(
     spark: SparkSession,
     index_dir: str,
@@ -239,59 +331,6 @@ def search_wand(
     k: int = 1000,
     prune: bool = True,
 ) -> DataFrame:
-    """queries (qid, text) -> (qid, docid, rank, score) top-k via the index."""
-    man = load_manifest(index_dir)
-    if man is None:
-        raise FileNotFoundError(f"no manifest in {index_dir}")
-    # query prep is driver-side: the query set is collected into the scoring
-    # kernel regardless (the reference loads all queries up front too,
-    # gip_retrieval.py:263-283), so analyzing |Q| strings here removes a
-    # pandas-UDF stage + broadcast join + extra job from every search call.
-    # The term dictionary is NOT collected — it is scanned with an isin
-    # pushdown on just the analyzed query terms.
-    from dhr_spark.functions.analyzer import _ANALYZERS
-
-    analyze = _ANALYZERS[man["analyzer_mode"]]
-    qrows = queries.select("qid", "text").collect()
-    qterm_tf: dict[str, dict[str, int]] = {}
-    for r in qrows:
-        tf: dict[str, int] = {}
-        for t in analyze(r["text"] or ""):
-            tf[t] = tf.get(t, 0) + 1
-        if tf:
-            qterm_tf[r["qid"]] = tf
-    terms = sorted({t for tf in qterm_tf.values() for t in tf})
-    tdict = spark.read.parquet(f"{index_dir}/term_dict").select("term", "term_id")
-    tid = {
-        r["term"]: int(r["term_id"])
-        for r in tdict.filter(F.col("term").isin(terms)).collect()
-    }
-    qinfo: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    for qid, tf in qterm_tf.items():
-        pairs = [(tid[t], c) for t, c in tf.items() if t in tid]
-        if not pairs:
-            continue
-        a = np.array(sorted(pairs), dtype=np.int64)
-        qinfo[qid] = (a[:, 0], a[:, 1].astype(np.float64))
-    all_terms = sorted(tid.values())
-
-    seg = spark.read.parquet(f"{index_dir}/segments")
-    # literal isin list -> parquet row-group pushdown on term_id; for huge
-    # query sets switch to a broadcast semi-join instead
-    if len(all_terms) <= 10_000:
-        seg = seg.filter(F.col("term_id").isin(all_terms))
-    else:
-        terms_df = spark.createDataFrame([(t,) for t in all_terms], "term_id long")
-        seg = seg.join(F.broadcast(terms_df), "term_id", "left_semi")
-    dl = spark.read.parquet(f"{index_dir}/doclens")
-
-    kernel = _score_chunk(
-        qinfo, k, float(man["avgdl"]), float(man["k1"]), float(man["b"]),
-        int(man["block_size"]), prune,
-    )
-    scored = (
-        seg.groupBy("chunk")
-        .cogroup(dl.groupBy("chunk"))
-        .applyInPandas(kernel, RESULT_SCHEMA)
-    )
-    return topk(scored, k)
+    """One-shot convenience wrapper; for repeated querying build a Searcher
+    once and call .search()."""
+    return Searcher(spark, index_dir, cache=False).search(queries, k, prune)

@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the optimizations we claim must be visible in
+the executed plan — predicate pushdown to parquet, column pruning, broadcast
+joins on the dictionary/query side, and the bounded-group-size invariant that
+is our head-term skew defense."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+from dhr_spark.index.builder import build_index
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planidx") / "idx")
+    build_index(spark, synth_transcripts(spark, 40), d, chunk_bits=7,
+                block_size=16, docid_strategy="window")
+    return d
+
+
+def test_segment_scan_pushes_term_filter(spark, idx):
+    seg = spark.read.parquet(f"{idx}/segments").filter(
+        F.col("term_id").isin([1, 2, 3])
+    )
+    plan = _plan(seg)
+    assert "PushedFilters" in plan
+    assert "term_id" in plan.split("PushedFilters")[1][:200], plan[:500]
+
+
+def test_segment_scan_prunes_columns(spark, idx):
+    seg = spark.read.parquet(f"{idx}/segments").select("term_id", "n")
+    plan = _plan(seg)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_gaps" not in read_schema and "block_max" not in read_schema
+
+
+def test_slow_path_broadcasts_query_side(spark, idx):
+    from dhr_spark.operators.topk import score_all
+
+    post = spark.createDataFrame(
+        [(1, 10, 0.5), (2, 11, 0.4)], "term_id long, docid long, weight double"
+    )
+    qtfs = spark.createDataFrame(
+        [("q1", 1, 1)], "qid string, term_id long, qtf long"
+    )
+    plan = _plan(score_all(qtfs, post))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_wand_searcher_filters_before_cogroup(spark, idx):
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, idx)
+    res = s.search(synth_queries(spark, 3), k=5)
+    plan = _optimized(res)
+    # the term filter must sit under the cogroup, not above it
+    assert "term_id IN" in plan or "term_id#" in plan
+
+
+def test_segment_groups_bounded_by_chunk(spark, idx):
+    """Skew defense invariant: no (term, chunk) posting group may exceed
+    2^chunk_bits postings, no matter how skewed the term distribution."""
+    seg = spark.read.parquet(f"{idx}/segments")
+    assert seg.agg(F.max("n")).collect()[0][0] <= 1 << 7
+
+
+def test_manifest_skew_metrics_present(spark, idx):
+    from dhr_spark.index.builder import load_manifest
+
+    man = load_manifest(idx)
+    for c in man["chunks"].values():
+        assert set(c) >= {"postings", "bytes", "terms", "skew_ratio"}
