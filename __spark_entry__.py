@@ -478,6 +478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash_q(spark, sf):
         return D.simhash(_docs(spark, sf))
 
+    def dedup_clusters_q(spark, sf):
+        docs = _docs(spark, sf)
+        pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        return D.dup_clusters(docs, pairs)
+
     def dedup_embedding_q(spark, sf):
         return D.embedding_dup_pairs(_embs(spark, sf), threshold=0.35)
 
@@ -621,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_jaccard_q,
         "dedup_minhash_lsh": dedup_minhash_q,
         "dedup_simhash": dedup_simhash_q,
+        "dedup_clusters": dedup_clusters_q,
         "dedup_embedding": dedup_embedding_q,
         "ann_bruteforce": ann_brute_q,
         "ann_lsh": ann_lsh_q,
@@ -826,6 +832,36 @@ SELECT id_a, id_b, jaccard FROM (
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
 ) WHERE jaccard >= 0.5""",
+        "dedup_clusters": f"""WITH RECURSIVE {_TOKS_CTE},
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - 1, 1)),
+      j -> array_to_string(array_slice(toks, j, j + 2), ' ')))) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+  ) WHERE jaccard >= 0.5
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp),
+r(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+),
+cp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a)
+SELECT d.doc_id, coalesce(cp.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cp USING (doc_id)""",
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": """

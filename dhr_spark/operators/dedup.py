@@ -256,6 +256,62 @@ def simhash_dup_pairs(
     )
 
 
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_id): connected components over duplicate pairs —
+    cluster_id = smallest member id; docs in no pair are singleton clusters.
+
+    Iterative min-label propagation (the iterative-algorithm pattern Spark
+    expresses as a driver loop of joins; each iteration is one shuffle and
+    the loop runs O(component diameter) times — near-dup clusters are
+    shallow, so 2-4 iterations in practice). At web scale swap the
+    convergence count() for an accumulator check, same plan shape.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).cache()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(prop, labels["node"] == prop["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def embedding_dup_pairs(
     embs: DataFrame,
     threshold: float = 0.95,

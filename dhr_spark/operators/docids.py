@@ -24,23 +24,30 @@ from pyspark.sql import functions as F
 ORDER_COLS = ["conv_id", "turn_idx"]
 
 
-def with_docids(
-    transcripts: DataFrame, strategy: str = "scalable", num_partitions: int | None = None
+def with_global_ids(
+    df: DataFrame,
+    order_exprs: list,
+    id_col: str,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Returns transcripts + ``docid`` (int64, dense, 0-based, ordered by
-    (conv_id, turn_idx))."""
-    if strategy == "window":
-        w = Window.orderBy(*[F.col(c).asc() for c in ORDER_COLS])
-        return transcripts.withColumn("docid", F.row_number().over(w) - 1)
+    """Dense 0-based int64 ids in the global order of ``order_exprs``,
+    WITHOUT a global sort through one partition.
 
-    n = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism
-    parted = transcripts.repartitionByRange(n, *ORDER_COLS).sortWithinPartitions(
-        *ORDER_COLS
+    Two-phase: repartitionByRange on the order + sortWithinPartitions, then
+    per-partition counts -> exclusive prefix offsets (tiny driver array) ->
+    offset + local row index. The local index comes from
+    monotonically_increasing_id() = (partition_id << 33) + row-index — NOT a
+    Window.partitionBy(_pid), which would hash-shuffle N partition ids into
+    N buckets WITH COLLISIONS, silently capping stage parallelism (measured
+    ~5 busy cores of 8). Bound: <= 2^33 rows per partition.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_exprs).sortWithinPartitions(
+        *order_exprs
     )
     # persist so the count pass and the numbering pass see the SAME range
     # bounds (range partitioning samples; two separate jobs could re-sample)
     with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
-    # per-partition counts -> exclusive prefix offsets (tiny: one row/partition)
     counts = {r["_pid"]: r["cnt"] for r in
               with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
@@ -50,18 +57,27 @@ def with_docids(
     offmap = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
-    # local row index WITHOUT a window: monotonically_increasing_id() is
-    # (partition_id << 33) + row-index-within-partition, and rows are already
-    # sorted within partitions — a Window.partitionBy(_pid) here would
-    # hash-shuffle N partition ids into N buckets WITH COLLISIONS, silently
-    # capping stage parallelism (measured ~5 busy cores of 8). Bound: no
-    # partition may exceed 2^33 rows (8.6B — far above any sane partition).
     local = F.monotonically_increasing_id() - (
         F.col("_pid").cast("long") * F.lit(1 << 33)
     )
     return (
-        with_pid.withColumn("docid", (offmap[F.col("_pid")] + local).cast("long"))
+        with_pid.withColumn(id_col, (offmap[F.col("_pid")] + local).cast("long"))
         .drop("_pid")
+    )
+
+
+def with_docids(
+    transcripts: DataFrame, strategy: str = "scalable", num_partitions: int | None = None
+) -> DataFrame:
+    """Returns transcripts + ``docid`` (int64, dense, 0-based, ordered by
+    (conv_id, turn_idx))."""
+    if strategy == "window":
+        w = Window.orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+        return transcripts.withColumn("docid", F.row_number().over(w) - 1)
+
+    return with_global_ids(
+        transcripts, [F.col(c).asc() for c in ORDER_COLS], "docid",
+        num_partitions,
     )
 
 

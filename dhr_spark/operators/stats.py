@@ -29,13 +29,22 @@ def term_stats(tfs: DataFrame, n_docs: int) -> DataFrame:
     return ts.withColumn("idf", idf_col(F.col("df"), F.lit(n_docs)))
 
 
-def term_dictionary(tstats: DataFrame) -> DataFrame:
-    """(term, term_id, df, idf): deterministic dense ids, head terms first.
+def term_dictionary(tstats: DataFrame, scalable: bool = True) -> DataFrame:
+    """(term, term_id, df, idf): deterministic dense ids, head terms first
+    (df DESC, term ASC).
 
-    The global row_number serializes through one partition — acceptable
-    because |vocabulary| << |corpus| (vocab grows ~ Heaps' law, ~10^7-10^8
-    terms even at 10^12 turns, and rows are 4 small columns). For larger
-    vocabularies switch to the same two-phase offset scheme as docids.
+    ``scalable`` uses the two-phase range-partition + offset scheme (no
+    single-partition global sort) — at 10^7-10^8 terms (Heaps' law at 10^12
+    turns) a one-partition row_number window is a straggler. The window path
+    remains for tiny ad-hoc dictionaries.
     """
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    return tstats.withColumn("term_id", (F.row_number().over(w) - 1).cast("long"))
+    if not scalable:
+        w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+        return tstats.withColumn(
+            "term_id", (F.row_number().over(w) - 1).cast("long")
+        )
+    from dhr_spark.operators.docids import with_global_ids
+
+    return with_global_ids(
+        tstats, [F.col("df").desc(), F.col("term").asc()], "term_id"
+    )
