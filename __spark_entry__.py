@@ -364,6 +364,41 @@ GROUP BY 1, 2
 """
 
 
+def _gip_sql(lam: float) -> str:
+    """Gated-inner-product top-k oracle, λ-parameterized (SURVEY P9: the
+    query-side score scaling at gip_retrieval.py:281-283)."""
+    return (
+        f"WITH {_TOKS_CTE}, {_TDICT_CTE}, "
+        + _DENSE_CTE.format(w=_W_EXPR, dim=DENSIFY_DIM)
+        + f""", {_q_values()},
+qslt AS (
+  SELECT q.qid, tdict.term_id % {DENSIFY_DIM} AS slot,
+         tdict.term_id // {DENSIFY_DIM} AS bucket,
+         CAST(q.qtf AS DOUBLE) AS qv,
+         row_number() OVER (
+           PARTITION BY q.qid, tdict.term_id % {DENSIFY_DIM}
+           ORDER BY q.qtf DESC, tdict.term_id // {DENSIFY_DIM} ASC
+         ) AS rn
+  FROM q JOIN tdict USING (term)
+),
+qd AS (SELECT qid, slot, bucket, qv FROM qslt WHERE rn = 1),
+gs AS (
+  SELECT qd.qid, dens.docid, sum(qd.qv * dens.value) * {lam} AS score
+  FROM qd JOIN dens USING (slot, bucket)
+  GROUP BY 1, 2
+),
+granked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM gs
+)
+SELECT qid, docid, rank, score FROM granked WHERE rank <= {TOPK}"""
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -522,7 +557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return MM.frame_sample(MM.with_blob(_docs(spark, sf)))
 
     def mm_features_q(spark, sf):
-        return MM.blob_features(MM.with_blob(_docs(spark, sf)), fake=True)
+        # exploded integer rows (doc_id, bin, cnt, n_bytes): the hashable,
+        # oracle-comparable shape of the byte-histogram features
+        return MM.blob_feature_rows(MM.with_blob(_docs(spark, sf)))
 
     def densify_q(spark, sf):
         from dhr_spark.operators.densify import densify
@@ -536,7 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _postings_with_ids(spark, sf), DENSIFY_DIM
         )
 
-    def gip_topk_q(spark, sf):
+    def _gip_topk(spark, sf, lam=1.0):
         from pyspark.sql import Window
         from dhr_spark.operators.densify import densify, gip_score
 
@@ -565,7 +602,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("_rn") == 1)
             .select("docid", "slot", "bucket", "value")
         )
-        return _round4(topk(gip_score(qd, dense_c), TOPK))
+        return _round4(topk(gip_score(qd, dense_c, lam=lam), TOPK))
+
+    def gip_topk_q(spark, sf):
+        return _gip_topk(spark, sf, lam=1.0)
+
+    def gip_topk_lambda_q(spark, sf):
+        # P9 query-side λ-scaling (gip_retrieval.py:281-283): the hybrid
+        # fusion weight applied to the lexical arm before score combination
+        return _gip_topk(spark, sf, lam=0.5)
+
+    def acc_q(spark, sf):
+        return M.top_k_accuracy_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
+
+    def hole_q(spark, sf):
+        return M.hole_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
 
     def transcripts_bm25_q(spark, sf):
         # full lucene-analyzer transcripts pipeline (rows-only: the analyzer
@@ -594,14 +645,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round4(topk(score_all(qtfs, post, on="term"), 10))
 
     def wand_vs_slow_q(spark, sf):
-        # self-check: rows where the block-max WAND fast path disagrees with
-        # the DataFrame slow path — MUST be empty (>=0 rows satisfies driver)
+        # self-check: COUNT of rows where the block-max WAND fast path
+        # disagrees with the DataFrame slow path — oracle pins it to 0, so
+        # the driver's hash check verifies fast == slow exactly
         from dhr_spark.operators.wand import search_wand
 
         idx = _wand_index_dir(spark, sf)
         fast = _round4(search_wand(spark, idx, _queries_df(spark), k=TOPK))
         slow = _bm25_topk(spark, sf)
-        return fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
     return {
         "term_freqs": term_freqs_q,
@@ -618,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_at_10": ndcg_q,
         "recall_cap_at_10": rcap_q,
         "map_at_10": map_q,
+        "acc_at_10": acc_q,
+        "hole_at_10": hole_q,
         "events_sessionize": sessionize_q,
         "events_session_stats": session_stats_q,
         "events_tumbling_counts": tumbling_q,
@@ -641,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densify_slots": densify_q,
         "densify_collisions": densify_collisions_q,
         "gip_topk": gip_topk_q,
+        "gip_topk_lambda": gip_topk_lambda_q,
         "transcripts_bm25": transcripts_bm25_q,
         "wand_vs_slow_identity": wand_vs_slow_q,
     }
@@ -778,36 +834,41 @@ SELECT docid, sum(c)::BIGINT AS collisions FROM (
   SELECT docid, term_id % {DENSIFY_DIM} AS slot, count(*) - 1 AS c
   FROM wts GROUP BY docid, term_id % {DENSIFY_DIM}
 ) GROUP BY docid""",
-        "gip_topk": (
-            f"WITH {_TOKS_CTE}, {_TDICT_CTE}, "
-            + _DENSE_CTE.format(w=_W_EXPR, dim=DENSIFY_DIM)
-            + f""", {_q_values()},
-qslt AS (
-  SELECT q.qid, tdict.term_id % {DENSIFY_DIM} AS slot,
-         tdict.term_id // {DENSIFY_DIM} AS bucket,
-         CAST(q.qtf AS DOUBLE) AS qv,
-         row_number() OVER (
-           PARTITION BY q.qid, tdict.term_id % {DENSIFY_DIM}
-           ORDER BY q.qtf DESC, tdict.term_id // {DENSIFY_DIM} ASC
-         ) AS rn
-  FROM q JOIN tdict USING (term)
-),
-qd AS (SELECT qid, slot, bucket, qv FROM qslt WHERE rn = 1),
-gs AS (
-  SELECT qd.qid, dens.docid, sum(qd.qv * dens.value) AS score
-  FROM qd JOIN dens USING (slot, bucket)
-  GROUP BY 1, 2
-),
-granked AS (
-  SELECT qid, docid,
-         CAST(row_number() OVER (
-           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
-         ) AS INTEGER) AS rank,
-         round(round(score, 6), 4) AS score
-  FROM gs
+        "gip_topk": _gip_sql(1.0),
+        "gip_topk_lambda": _gip_sql(0.5),
+        "acc_at_10": f"""{metric_prefix},
+accq AS (
+  SELECT DISTINCT r.qid FROM {topk10} r
+  JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
 )
-SELECT qid, docid, rank, score FROM granked WHERE rank <= {TOPK}"""
-        ),
+SELECT qlist.qid,
+       round(CASE WHEN accq.qid IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS acc
+FROM qlist LEFT JOIN accq USING (qid)""",
+        "hole_at_10": f"""{metric_prefix}
+SELECT r.qid,
+       round(sum(CASE WHEN qr.docid IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hole
+FROM {topk10} r
+LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
+GROUP BY r.qid""",
+        "wand_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
+        "multimodal_features": """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))::BIGINT AS n
+  FROM documents
+),
+pos AS (SELECT doc_id, hx, n, unnest(range(0, n)) AS i FROM h),
+bins AS (
+  SELECT doc_id,
+         (strpos('0123456789ABCDEF',
+                 substr(hx, CAST(2 * i + 1 AS INTEGER), 1)) - 1)::BIGINT AS bin
+  FROM pos
+),
+cnts AS (SELECT doc_id, bin, count(*)::BIGINT AS cnt FROM bins GROUP BY 1, 2),
+allbins AS (SELECT doc_id, n, unnest(range(0, 16)) AS bin FROM h)
+SELECT a.doc_id, a.bin::BIGINT AS bin, coalesce(c.cnt, 0)::BIGINT AS cnt,
+       a.n AS n_bytes
+FROM allbins a LEFT JOIN cnts c USING (doc_id, bin)""",
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups, "
             "min(doc_id) AS keep_id FROM documents GROUP BY 1"
@@ -929,6 +990,6 @@ WITH t AS (
 )
 SELECT doc_id, frame_idx, frame_idx * 64 AS byte_offset
 FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
-        # ann_lsh, multimodal_features, transcripts_bm25, wand_vs_slow_identity:
-        # intentionally no oracle (approximate / non-SQL-expressible) -> rows-only
+        # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
+        # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only
     }

@@ -155,6 +155,23 @@ def hole_at_k(run: DataFrame, annotated: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def top_k_accuracy_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, acc): 1.0 if ANY relevant doc appears in the top-k, else 0.0
+    (custom_metrics.py:103-116 — the reference's BEIR Accuracy@k)."""
+    hits = (
+        run.filter(F.col("rank") <= k)
+        .join(qrels.select("qid", "docid"), ["qid", "docid"], "left_semi")
+        .select("qid")
+        .distinct()
+        .withColumn("acc", F.lit(1.0))
+    )
+    return (
+        _qids(run, qrels)
+        .join(hits, "qid", "left")
+        .select("qid", F.round(F.coalesce(F.col("acc"), F.lit(0.0)), 6).alias("acc"))
+    )
+
+
 def map_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     """(qid, ap): average precision@k with binary gains
     (utils/metrics.py:4-28): AP = Σ_{relevant hit at rank r} P@r / |rel|."""

@@ -73,12 +73,18 @@ def collision_counts(
 def gip_score(
     dense_queries: DataFrame,
     dense_corpus: DataFrame,
+    lam: float = 1.0,
 ) -> DataFrame:
     """(qid, docid, score): gated inner product over densified vectors —
     sum of q.value * d.value where slot AND bucket match
     (/root/reference/retrieval/gip_retrieval.py:117-126). The equi-join on
     (slot, bucket) IS the gate; equals the exact sparse dot product absent
-    collisions."""
+    collisions.
+
+    ``lam`` is the reference's query-side λ-scaling hook
+    (gip_retrieval.py:281-283, SURVEY P9): the hybrid-fusion weight applied
+    to the lexical score before it is combined with a dense-arm score.
+    Rank-neutral for lam > 0 in a pure-lexical run; score-visible."""
     q = dense_queries.select(
         F.col("docid").alias("qid"), "slot", "bucket",
         F.col("value").alias("qv"),
@@ -88,5 +94,5 @@ def gip_score(
         F.broadcast(q)
         .join(d, ["slot", "bucket"])
         .groupBy("qid", "docid")
-        .agg(F.sum(F.col("qv") * F.col("dv")).alias("score"))
+        .agg((F.sum(F.col("qv") * F.col("dv")) * F.lit(lam)).alias("score"))
     )

@@ -128,6 +128,50 @@ def blob_features(
     return src.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
+def blob_feature_rows(
+    docs_with_blob: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, bin, cnt, n_bytes): the byte-histogram features as exploded
+    integer rows — the driver-/oracle-comparable shape (arrays are unhashable
+    in the harness's canonicalization; integer rows hash exactly).
+
+    Same mapInPandas plumbing as blob_features; emits all FEATURE_DIM bins per
+    doc (zeros included) so the row count is |docs| * 16 deterministically.
+    The normalized feature of blob_features is cnt / n_bytes — recoverable,
+    so this is a lossless re-representation of multimodal.py semantics."""
+    src = docs_with_blob.select(F.col(id_col).alias("doc_id"), "blob")
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bins = np.arange(FEATURE_DIM, dtype=np.int64)
+        for pdf in batches:
+            ids, out_bins, cnts, nb = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                arr = (
+                    np.frombuffer(bytes(b), dtype=np.uint8)
+                    if b is not None and len(b)
+                    else np.zeros(0, np.uint8)
+                )
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.int64)
+                ids.append(np.full(FEATURE_DIM, doc_id, dtype=np.int64))
+                out_bins.append(bins)
+                cnts.append(hist)
+                nb.append(np.full(FEATURE_DIM, len(arr), dtype=np.int64))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "bin": np.concatenate(out_bins),
+                    "cnt": np.concatenate(cnts),
+                    "n_bytes": np.concatenate(nb),
+                }
+            )
+
+    return src.mapInPandas(
+        featurize, "doc_id long, bin long, cnt long, n_bytes long"
+    )
+
+
 def frame_sample(
     docs_with_blob: DataFrame,
     every_n_bytes: int = 64,

@@ -82,5 +82,6 @@ def test_entry_smoke(spark):
 
 
 def test_wand_vs_slow_identity_is_empty(spark):
-    # the >=0-rows driver check is weak; assert the strong form here
-    assert ALL_QUERIES["wand_vs_slow_identity"](spark, SF_DIR).count() == 0
+    # the entry emits a single mismatch-count row; assert it is zero
+    rows = ALL_QUERIES["wand_vs_slow_identity"](spark, SF_DIR).collect()
+    assert len(rows) == 1 and rows[0]["mismatches"] == 0
