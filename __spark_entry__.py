@@ -123,6 +123,7 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DENSIFY_DIM = 32  # small dim so slot collisions are exercised at sf0.01
+SIMHASH_MAXD = 3  # canonical near-dup threshold (13 pairs at sf0.01)
 
 
 def _postings_with_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,7 +317,9 @@ SELECT doc_id, {case} AS lang_pred, best AS lang_hits FROM best_t
 """
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
+    """CTEs computing (doc_id, simhash) as ``sh2`` — shared by the simhash
+    value oracle and the brute pair-join oracle."""
     h60 = _HASH60.format(arg="term")
     sums = ", ".join(
         f"sum(tf * (((h >> {b}) & 1) * 2 - 1))::BIGINT AS s{b}"
@@ -327,15 +330,32 @@ def _simhash_sql() -> str:
         for b in range(D.SIMHASH_BITS)
     )
     return f"""
-WITH {_TOKS_CTE},
 tfh AS (SELECT doc_id, tf, {h60} AS h FROM tf),
-bits AS (SELECT doc_id, {sums} FROM tfh GROUP BY doc_id)
-SELECT doc_id, ({val})::BIGINT AS simhash FROM bits
+bits AS (SELECT doc_id, {sums} FROM tfh GROUP BY doc_id),
+sh2 AS (SELECT doc_id, ({val})::BIGINT AS simhash FROM bits)
 """
 
 
+def _simhash_sql() -> str:
+    return f"WITH {_TOKS_CTE}, {_simhash_cte()} SELECT doc_id, simhash FROM sh2"
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    # brute pair join — the oracle for the blocked (pigeonhole) scale path,
+    # which is a lossless decomposition and must match this EXACTLY
+    return f"""WITH {_TOKS_CTE}, {_simhash_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
 def _minhash_sql() -> str:
-    h60 = _HASH60.format(arg="s || '#' || i::VARCHAR")
+    # one md5 per shingle (the portable 60-bit hash), then the affine family
+    # h_i(x) = (A_i*(x mod p) + B_i) mod p, p = 2^31-1, with A_i/B_i
+    # regenerated inline — must match dedup.minhash_constants exactly
+    h60 = _HASH60.format(arg="s")
+    p = D.MINHASH_P
     return f"""
 WITH {_TOKS_CTE},
 sh AS (
@@ -344,11 +364,16 @@ sh AS (
              j -> array_to_string(array_slice(toks, j, j + 2), ' '))) AS shingles
   FROM toks
 ),
+xs AS (
+  SELECT doc_id, list_transform(shingles, s -> ({h60} % {p})) AS xv FROM sh
+),
 sigs AS (
   SELECT doc_id,
          list_transform(range(0, 16), i ->
-           coalesce(list_min(list_transform(shingles, s -> {h60})), -1)) AS sig
-  FROM sh
+           coalesce(list_min(list_transform(xv, x ->
+             (((i * 2654435761 + 1) % {p}) * x + ((i * 40503 + 17) % {p})) % {p}
+           )), -1)) AS sig
+  FROM xs
 ),
 bands AS (
   SELECT doc_id, b.band,
@@ -356,6 +381,7 @@ bands AS (
            list_transform(array_slice(sig, band * 4 + 1, band * 4 + 4),
                           x -> x::VARCHAR), ',')) AS band_hash
   FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+  WHERE sig[1] <> -1
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_bands
 FROM bands a JOIN bands b USING (band, band_hash)
@@ -512,6 +538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_simhash_q(spark, sf):
         return D.simhash(_docs(spark, sf))
+
+    def dedup_simhash_pairs_q(spark, sf):
+        # scale path (pigeonhole blocking); oracle is the brute pair join —
+        # the decomposition is lossless, so they must match exactly
+        return D.simhash_blocked_pairs(_docs(spark, sf), max_hamming=SIMHASH_MAXD)
 
     def dedup_clusters_q(spark, sf):
         docs = _docs(spark, sf)
@@ -681,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_jaccard_q,
         "dedup_minhash_lsh": dedup_minhash_q,
         "dedup_simhash": dedup_simhash_q,
+        "dedup_simhash_pairs": dedup_simhash_pairs_q,
         "dedup_clusters": dedup_clusters_q,
         "dedup_embedding": dedup_embedding_q,
         "ann_bruteforce": ann_brute_q,
@@ -925,6 +957,7 @@ SELECT d.doc_id, coalesce(cp.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN cp USING (doc_id)""",
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(SIMHASH_MAXD),
         "dedup_embedding": """
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

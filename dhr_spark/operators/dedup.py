@@ -23,13 +23,8 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
-import hashlib
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 from dhr_spark.functions.analyzer import simple_tokens_col
 from dhr_spark.operators.textstats import tokhash60
@@ -74,10 +69,17 @@ def _shingles(n: int):
 
 
 def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle): exploded distinct word n-grams (simple tokenization)."""
-    toks = simple_tokens_col(F.col("text"))
-    return docs.select(
-        F.col(id_col), F.explode(_shingles(n)(toks)).alias("shingle")
+    """(id, shingle): exploded distinct word n-grams (simple tokenization).
+
+    The token array is projected into a named column BEFORE the shingle
+    higher-order function: referencing the regexp-split expression inside the
+    transform lambda makes codegen re-evaluate the split per shingle element
+    (measured 6x slower at sf0.1)."""
+    with_toks = docs.select(
+        F.col(id_col), simple_tokens_col(F.col("text")).alias("_toks")
+    )
+    return with_toks.select(
+        F.col(id_col), F.explode(_shingles(n)(F.col("_toks"))).alias("shingle")
     )
 
 
@@ -115,48 +117,60 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: affine-hash products stay < 2^62
+
+
+def minhash_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Fixed affine-family constants h_i(x) = (A_i*x + B_i) mod p — simple
+    deterministic formulas so any engine can regenerate them inline."""
+    a = [(i * 2654435761 + 1) % MINHASH_P for i in range(num_hashes)]
+    b = [(i * 40503 + 17) % MINHASH_P for i in range(num_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, sig array<long>): MinHash signature over n-gram shingles.
 
-    Hash family i(x) = int(md5(shingle || '#' || i)[:15], 16) — md5-derived,
-    exactly portable across engines (the DuckDB oracle reproduces it with
-    strpos/substr digit math). Signature component i = min over the doc's
-    distinct shingles; docs with no shingles get all -1.
+    One md5 per shingle (tokhash60), then ``num_hashes`` affine hashes
+    h_i(x) = (A_i * (x mod p) + B_i) mod p over the Mersenne prime
+    p = 2^31 - 1 — the classic universal family, exactly portable (the DuckDB
+    oracle regenerates A_i/B_i inline and reproduces every value).
 
-    Arrow-batched iterator UDF (not Column HOFs: Spark evaluates nested
-    higher-order lambdas interpreted per element — measured ~10x slower than
-    this batch kernel). ZERO shuffle: signatures are per-doc map work.
+    Pure Column math end-to-end: shingle explode -> md5 hash -> 16 affine
+    min-aggregates, all whole-stage codegen (the prior md5-per-(shingle, i)
+    Python UDF was the slowest op in BENCH_r01 — 16x more md5 calls and an
+    Arrow round-trip). The groupBy shuffles only map-side partial minima:
+    16 longs per (doc, partition). Docs with < shingle_n tokens get the
+    all -1 sentinel and MUST NOT be banded (see lsh_candidate_pairs).
     """
-    from dhr_spark.functions.analyzer import analyze_simple
+    from dhr_spark.operators.textstats import tokhash60 as _h60
 
-    suffixes = [f"#{i}".encode() for i in range(num_hashes)]
-
-    def sig_of(text: str) -> list[int]:
-        toks = analyze_simple(text) if isinstance(text, str) else []
-        if len(toks) < shingle_n:
-            return [-1] * num_hashes
-        shingles = {
-            " ".join(toks[j : j + shingle_n]).encode()
-            for j in range(len(toks) - shingle_n + 1)
-        }
-        sig = []
-        for sfx in suffixes:
-            sig.append(
-                min(
-                    int(hashlib.md5(s + sfx).hexdigest()[:15], 16)
-                    for s in shingles
-                )
-            )
-        return sig
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def _sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in batches:
-            yield s.map(sig_of)
-
-    return docs.select(F.col(id_col), _sig(F.col("text")).alias("sig"))
+    a_c, b_c = minhash_constants(num_hashes)
+    sh = shingle_sets(docs, shingle_n, id_col)
+    x = F.pmod(_h60(F.col("shingle")), F.lit(MINHASH_P))
+    hs = sh.select(F.col(id_col), x.alias("x"))
+    aggs = [
+        F.min(F.pmod(F.col("x") * F.lit(a_c[i]) + F.lit(b_c[i]), F.lit(MINHASH_P)))
+        .cast("long")
+        .alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        hs.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+    sentinel = F.array(*[F.lit(-1).cast("long")] * num_hashes)
+    return (
+        docs.select(F.col(id_col))
+        .join(sigs, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("sig"), sentinel).alias("sig"))
+    )
 
 
 def lsh_bands(
@@ -188,9 +202,17 @@ def lsh_candidate_pairs(
     The scale-path candidate generator: group size is bounded by true
     near-dup cluster size; the quadratic expansion happens only inside a
     bucket. Feed into ngram_jaccard_pairs on the candidate set to verify.
+
+    Sentinel signatures (docs with < shingle_n tokens, sig all -1) are
+    dropped BEFORE banding: they would otherwise all share every band hash,
+    forming one quadratic skew bucket of short docs that are not near-dups
+    of each other. Short-doc dedup belongs to exact_dedup (full-text hash).
     """
     rows = num_hashes // bands
-    b = lsh_bands(minhash_signatures(docs, num_hashes, shingle_n, id_col), bands, rows, id_col)
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, id_col).filter(
+        F.element_at(F.col("sig"), 1) >= 0
+    )
+    b = lsh_bands(sigs, bands, rows, id_col)
     l = b.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     r = b.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -241,15 +263,68 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming): near-dup pairs by SimHash distance.
 
-    Brute pair-join for verification; the scale path blocks on bit-chunks
-    (pigeonhole: distance <= d pairs share at least one of d+1 chunks).
-    """
+    Brute pair-join — ORACLE/VERIFIER ONLY (quadratic). The scale path is
+    simhash_blocked_pairs, which produces the identical output via
+    pigeonhole blocking."""
     s = simhash(docs, id_col)
     a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_blocked_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_a, id_b, hamming): SimHash near-dup pairs via pigeonhole blocking —
+    EXACTLY equal to simhash_dup_pairs, without the cross join.
+
+    Split the 60-bit hash into (max_hamming + 1) chunks: two hashes within
+    Hamming distance d differ in <= d bit positions, so at least one of the
+    d+1 chunks is untouched and IDENTICAL in both (pigeonhole). Candidate
+    generation is therefore an equi-join on (chunk_idx, chunk_value); the
+    exact hamming filter then removes false candidates. No recall loss —
+    this is a lossless decomposition, not an approximation.
+
+    Scale shape: |docs| * (d+1) rows into one equi-join whose bucket sizes
+    are bounded by docs sharing a 15-bit chunk value (corpus/2^15 expected,
+    plus true near-dup clusters) — at 10^9 docs this is the standard
+    blocked-SimHash layout (Manku et al., WWW'07 — public algorithm).
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = (SIMHASH_BITS + n_chunks - 1) // n_chunks
+    mask = (1 << chunk_bits) - 1
+    s = simhash(docs, id_col)
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col("simhash"), i * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    e = s.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunk_arr).alias("c")
+    ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "ci", "cv"
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")  # a pair can collide in several chunks
+        .agg(F.first("ha").alias("ha"), F.first("hb").alias("hb"))
         .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -88,6 +88,39 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
     assert sum(r["d"] for r in joined) / len(joined) <= 12
 
 
+def test_simhash_blocked_pairs_equal_brute(spark, docs):
+    """Pigeonhole blocking is a lossless decomposition: the bucketed scale
+    path must produce EXACTLY the brute crossJoin's pairs."""
+    from dhr_spark.operators.dedup import simhash_blocked_pairs, simhash_dup_pairs
+
+    for d in (3, 8):
+        brute = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_dup_pairs(docs, max_hamming=d).collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_blocked_pairs(docs, max_hamming=d).collect()
+        }
+        assert blocked == brute, f"d={d}: {blocked ^ brute}"
+
+
+def test_minhash_sentinel_docs_not_banded(spark):
+    """Docs shorter than the shingle width all share the -1 sentinel
+    signature; they must NOT appear as LSH candidates of each other."""
+    from dhr_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    rows = [(1, "hi"), (2, "ok no"), (3, "yes"), (4, "a proper longer document text here"),
+            (5, "a proper longer document text here")]
+    short_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(short_docs).collect()}
+    for i in (1, 2, 3):
+        assert sigs[i] == [-1] * 16
+    assert sigs[4] == sigs[5] != [-1] * 16
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(short_docs).collect()}
+    assert pairs == {(4, 5)}
+
+
 def test_multimodal_fake_features_deterministic(spark, docs):
     from dhr_spark.operators.multimodal import blob_features, with_blob
 
