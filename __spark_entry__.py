@@ -390,6 +390,123 @@ GROUP BY 1, 2
 """
 
 
+# LSH geometry shared by the ann_lsh / dedup_embedding_lsh entries and their
+# oracles — must match operators.similarity.lsh_buckets_udf defaults
+_LSH_L, _LSH_K, _LSH_DIM = 8, 6, 64
+EMB_LSH_THRESHOLD = 0.35  # same threshold as the brute dedup_embedding entry
+
+
+def _lsh_cte(l: int = _LSH_L, k: int = _LSH_K, dim: int = _LSH_DIM) -> str:
+    """CTEs regenerating the Rademacher planes (md5-parity signs — identical
+    to similarity.rademacher_planes) and bucketing every embedding: yields
+    ``cbuck(vec_id, t, bucket)`` and ``proj(vec_id, t, p, pr)``."""
+    sgn = (
+        "CASE WHEN (strpos('0123456789abcdef', substr(md5("
+        "t.t::VARCHAR || ':' || p.p::VARCHAR || ':' || i.i::VARCHAR"
+        "), 1, 1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+planes AS (
+  SELECT t.t, p.p, i.i, {sgn} AS s
+  FROM (SELECT unnest(range(0, {l})) AS t) t,
+       (SELECT unnest(range(0, {k})) AS p) p,
+       (SELECT unnest(range(0, {dim})) AS i) i
+),
+comp AS (
+  SELECT vec_id, u.i AS i, embedding[CAST(u.i + 1 AS INTEGER)]::DOUBLE AS x
+  FROM embeddings, (SELECT unnest(range(0, {dim})) AS i) u
+),
+proj AS (
+  SELECT c.vec_id, pl.t, pl.p, round(sum(pl.s * c.x), 6) AS pr
+  FROM comp c JOIN planes pl ON pl.i = c.i
+  GROUP BY 1, 2, 3
+),
+cbuck AS (
+  SELECT vec_id, t,
+         (t << 28) | (sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id, t
+)
+"""
+
+
+_ANN_LSH_SQL = f"""
+WITH {_lsh_cte()},
+qmin AS (
+  SELECT vec_id, t, p AS pmin FROM (
+    SELECT vec_id, t, p,
+           row_number() OVER (
+             PARTITION BY vec_id, t ORDER BY abs(pr) ASC, p ASC
+           ) AS rn
+    FROM proj WHERE vec_id < 5
+  ) WHERE rn = 1
+),
+qb0 AS (SELECT vec_id, t, bucket FROM cbuck WHERE vec_id < 5),
+qall AS (
+  SELECT vec_id AS qid, bucket FROM qb0
+  UNION ALL
+  SELECT q.vec_id, xor(q.bucket, (1::BIGINT << m.pmin))
+  FROM qb0 q JOIN qmin m USING (vec_id, t)
+),
+cand AS (
+  SELECT DISTINCT q.qid, c.vec_id
+  FROM qall q JOIN cbuck c ON c.bucket = q.bucket
+),
+lscored AS (
+  SELECT cand.qid, cand.vec_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+)
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+       cosine
+FROM lscored QUALIFY rank <= 10"""
+
+
+_EMB_LSH_SQL = f"""
+WITH {_lsh_cte()},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cbuck a JOIN cbuck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pscored AS (
+  SELECT id_a, id_b,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+  FROM pairs
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b
+)
+SELECT id_a, id_b, cosine FROM pscored WHERE cosine >= {EMB_LSH_THRESHOLD}"""
+
+
+_ANN_QUANT_SQL = """
+WITH mxs AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+  FROM embeddings
+),
+dq AS (
+  SELECT vec_id,
+         CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding,
+                     x -> floor(x::DOUBLE * 127 / mx + 0.5) * mx / 127)
+         END AS v
+  FROM mxs
+),
+qscored AS (
+  SELECT q.vec_id AS qid, c.vec_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM dq q CROSS JOIN dq c
+  WHERE q.vec_id < 5
+)
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+       cosine
+FROM qscored QUALIFY rank <= 10"""
+
+
 def _gip_sql(lam: float) -> str:
     """Gated-inner-product top-k oracle, λ-parameterized (SURVEY P9: the
     query-side score scaling at gip_retrieval.py:281-283)."""
@@ -550,7 +667,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.dup_clusters(docs, pairs)
 
     def dedup_embedding_q(spark, sf):
+        # brute pair join — kept as the exact/verifier path (quadratic)
         return D.embedding_dup_pairs(_embs(spark, sf), threshold=0.35)
+
+    def dedup_embedding_lsh_q(spark, sf):
+        # scale path: LSH-bucketed pair join; the oracle replicates the
+        # gating exactly (portable Rademacher planes), so this is a hash
+        # check of the bucketing itself, not a recall bound
+        return D.embedding_dup_pairs_lsh(
+            _embs(spark, sf), threshold=EMB_LSH_THRESHOLD,
+            dim=_LSH_DIM, n_tables=_LSH_L, n_planes=_LSH_K,
+        )
 
     def ann_brute_q(spark, sf):
         embs = _embs(spark, sf)
@@ -564,7 +691,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = embs.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("qid"), "embedding"
         )
-        return SIM.cosine_topk_lsh(qs, embs, k=10, dim=64)
+        return SIM.cosine_topk_lsh(
+            qs, embs, k=10, dim=_LSH_DIM, n_tables=_LSH_L, n_planes=_LSH_K
+        )
+
+    def ann_quant_q(spark, sf):
+        embs = _embs(spark, sf)
+        qs = embs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        return SIM.cosine_topk_quantized(qs, embs, k=10)
 
     def token_counts_q(spark, sf):
         return TS.token_counts(_docs(spark, sf))
@@ -715,8 +851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs_q,
         "dedup_clusters": dedup_clusters_q,
         "dedup_embedding": dedup_embedding_q,
+        "dedup_embedding_lsh": dedup_embedding_lsh_q,
         "ann_bruteforce": ann_brute_q,
         "ann_lsh": ann_lsh_q,
+        "ann_quantized": ann_quant_q,
         "text_token_counts": token_counts_q,
         "text_quality": quality_q,
         "text_lang_id": lang_id_q,
@@ -964,6 +1102,9 @@ SELECT id_a, id_b, cosine FROM (
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
 ) WHERE cosine >= 0.35""",
+        "ann_lsh": _ANN_LSH_SQL,
+        "ann_quantized": _ANN_QUANT_SQL,
+        "dedup_embedding_lsh": _EMB_LSH_SQL,
         "ann_bruteforce": """
 WITH scored AS (
   SELECT q.vec_id AS qid, c.vec_id,

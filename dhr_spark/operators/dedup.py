@@ -396,8 +396,8 @@ def embedding_dup_pairs(
     """(id_a, id_b, cosine): embedding near-dup pairs, cosine >= threshold.
 
     Normalizes once, then a pair-join with a zip_with/aggregate dot product —
-    JVM column math, no UDF. Quadratic: at scale gate behind
-    similarity.lsh_buckets (random hyperplane) so the join runs per-bucket.
+    JVM column math, no UDF. Quadratic — ORACLE/VERIFIER ONLY; the scale
+    path is embedding_dup_pairs_lsh (bucketed join).
     """
     norm = F.sqrt(
         F.aggregate(
@@ -421,6 +421,53 @@ def embedding_dup_pairs(
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(dot, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_dup_pairs_lsh(
+    embs: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine): embedding near-dup pairs, LSH-gated — the scale
+    path for embedding_dup_pairs.
+
+    The corpus is bucketed once with the portable Rademacher hyperplanes
+    (operators.similarity.lsh_buckets_udf); the pair join runs per (table,
+    bucket), so work is bounded by bucket occupancy instead of |corpus|^2.
+    Exact cosine is computed inside each collision, so precision is exact;
+    recall is the LSH collision probability (1 - (1 - (1-θ/π)^n_planes)^
+    n_tables — ≈1.0 for true near-dups at θ→0, pytest-bounded). The
+    deterministic planes make this reproducible in the DuckDB oracle, which
+    replicates the gating exactly rather than comparing against brute force.
+    """
+    from dhr_spark.operators.similarity import _unit, lsh_buckets_udf
+
+    buckets = lsh_buckets_udf(dim, n_tables, n_planes, probe=False)
+    e = embs.select(
+        F.col(id_col),
+        _unit(F.col(vec_col)).alias("u"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
+    )
+    a = e.select(F.col(id_col).alias("id_a"), F.col("u").alias("ua"), "bucket")
+    b = e.select(F.col(id_col).alias("id_b"), F.col("u").alias("ub"), "bucket")
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot, 6))
+        .groupBy("id_a", "id_b")  # a pair can collide in several tables
+        .agg(F.first("cosine").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

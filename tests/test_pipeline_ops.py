@@ -88,6 +88,61 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
     assert sum(r["d"] for r in joined) / len(joined) <= 12
 
 
+def test_embedding_lsh_pairs_recall_on_near_dups(spark):
+    """Planted near-identical vectors (cosine > 0.99) must survive the LSH
+    gate: per-table collision prob at theta~0 is ~(1-theta/pi)^6 ~ 1, so
+    missing all 8 tables is ~impossible. Checks the scale path loses no
+    true near-dups vs the brute verifier."""
+    import numpy as np
+
+    from dhr_spark.operators.dedup import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 10 planted near-dups of vectors 0..9 (ids 100..109)
+    for i in range(10):
+        rows.append((100 + i, [float(x) for x in base[i] + 0.01 * rng.standard_normal(64)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(embs, threshold=0.99).collect()
+    }
+    gated = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_lsh(embs, threshold=0.99).collect()
+    }
+    assert brute, "planted near-dups should exceed cosine 0.99"
+    recall = len(brute & gated) / len(brute)
+    assert recall >= 0.95, (recall, brute - gated)
+
+
+def test_quantized_ann_close_to_exact(spark, embs):
+    """int8 scalar quantization: top-1 self-hit preserved; top-10 overlap
+    with exact cosine >= 0.8 (the precision/storage tradeoff bound)."""
+    from dhr_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+    )
+
+    qs = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(qs, embs, k=10).collect()
+    quant = cosine_topk_quantized(qs, embs, k=10).collect()
+    t, g = {}, {}
+    for r in exact:
+        t.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in quant:
+        g.setdefault(r["qid"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["qid"]
+    overlaps = [len(t[q] & g[q]) / len(t[q]) for q in t]
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+
+
 def test_simhash_blocked_pairs_equal_brute(spark, docs):
     """Pigeonhole blocking is a lossless decomposition: the bucketed scale
     path must produce EXACTLY the brute crossJoin's pairs."""
