@@ -33,6 +33,9 @@ import subprocess
 import sys
 import time
 
+# this sandbox's disk throttles concurrent writers — opt in to tmpfs scratch
+os.environ.setdefault("DHR_SHM_SCRATCH", "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"

@@ -13,6 +13,14 @@ Resumability (BASELINE.json north_rule): the manifest is the checkpoint.
 the missing ones — idempotent at chunk granularity. The reference's analogue
 is its per-split pickle files re-globbed by retrieval/index.py:26-47; ours
 adds lineage + metrics per unit.
+
+Resume is ONLY valid for re-running the SAME corpus after an interrupted
+build: global stats (n_docs/avgdl), the term dictionary ordering (df DESC),
+and the block maxes derived from them are frozen in the prior manifest, so
+building new chunks over a grown corpus would score against stale term ids
+and break block-max WAND admissibility. The build asserts corpus identity
+(n_docs, avgdl, term count) against the prior manifest and raises otherwise;
+for new data, run a full rebuild (the streaming compactor does exactly this).
 """
 
 from __future__ import annotations
@@ -68,18 +76,26 @@ def build_index(
     """Build (or resume) an index over transcripts (conv_id, turn_idx, ...,
     text): assigns stable docids, then delegates to build_index_from_docs."""
     docs = with_docids(transcripts, docid_strategy)
-    return build_index_from_docs(
-        spark,
-        docs,
-        index_dir,
-        analyzer_mode=analyzer_mode,
-        chunk_bits=chunk_bits,
-        block_size=block_size,
-        k1=k1,
-        b=b,
-        resume=resume,
-        doc_map_df=doc_map(docs),
-    )
+    try:
+        return build_index_from_docs(
+            spark,
+            docs,
+            index_dir,
+            analyzer_mode=analyzer_mode,
+            chunk_bits=chunk_bits,
+            block_size=block_size,
+            k1=k1,
+            b=b,
+            resume=resume,
+            doc_map_df=doc_map(docs),
+        )
+    finally:
+        # the scalable docid path persists its range-partitioned base so the
+        # count and numbering passes see identical bounds; release it here or
+        # every build leaks one cached copy of the corpus (executor storage)
+        cached = getattr(docs, "_dhr_persisted", None)
+        if cached is not None:
+            cached.unpersist()
 
 
 def build_index_from_docs(
@@ -113,10 +129,29 @@ def build_index_from_docs(
     ).collect()[0]
     n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
 
+    if prior is not None and (
+        int(prior["n_docs"]) != n_docs
+        or abs(float(prior["avgdl"]) - avgdl) > 1e-9
+    ):
+        raise ValueError(
+            "resume=True requires the SAME corpus as the prior build "
+            f"(manifest n_docs={prior['n_docs']} avgdl={prior['avgdl']}, got "
+            f"n_docs={n_docs} avgdl={avgdl}). Resume only re-runs an "
+            "interrupted build; for new/changed data run a full rebuild "
+            "(resume=False) — incremental chunk-append over a grown corpus "
+            "would use stale term ids and invalid block maxes."
+        )
+
     tfs = fused.filter(F.col("term").isNotNull())
     dls = fused.filter(F.col("first")).select("docid", "dl")
 
     tdict = term_dictionary(term_stats(tfs, n_docs)).cache()
+    if prior is not None and tdict.count() != int(prior["n_terms"]):
+        raise ValueError(
+            "resume=True requires the SAME corpus as the prior build: term "
+            f"dictionary has {tdict.count()} terms vs manifest "
+            f"n_terms={prior['n_terms']}. Run a full rebuild."
+        )
 
     post = tfs.join(
         F.broadcast(tdict.select("term", "term_id", "idf")), "term"

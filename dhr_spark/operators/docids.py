@@ -60,10 +60,15 @@ def with_global_ids(
     local = F.monotonically_increasing_id() - (
         F.col("_pid").cast("long") * F.lit(1 << 33)
     )
-    return (
+    out = (
         with_pid.withColumn(id_col, (offmap[F.col("_pid")] + local).cast("long"))
         .drop("_pid")
     )
+    # hand the persisted base to the caller: the cache must live until the
+    # numbered rows are materialized, so it cannot be released here — callers
+    # (index.builder) unpersist it once their jobs have run
+    out._dhr_persisted = with_pid
+    return out
 
 
 def with_docids(

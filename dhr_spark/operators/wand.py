@@ -269,12 +269,30 @@ class Searcher:
                     r["term"]: int(r["term_id"]) for r in self._tdict.collect()
                 }
 
+    MAX_COLLECTED_QUERIES = 100_000
+
     def _query_info(self, queries: DataFrame):
         """Driver-side query prep: the query set is collected into the
         scoring kernel regardless (the reference loads all queries up front,
         gip_retrieval.py:263-283); analyzing |Q| strings here removes a
-        pandas-UDF stage + broadcast join + extra job from every search."""
-        qrows = queries.select("qid", "text").collect()
+        pandas-UDF stage + broadcast join + extra job from every search.
+
+        Guarded at MAX_COLLECTED_QUERIES: an offline eval over millions of
+        queries should not funnel through the driver — route it through the
+        distributed slow path (operators.topk.search_slow_path), which
+        scores all queries in one shuffled join with no driver state."""
+        qrows = (
+            queries.select("qid", "text")
+            .limit(self.MAX_COLLECTED_QUERIES + 1)
+            .collect()
+        )
+        if len(qrows) > self.MAX_COLLECTED_QUERIES:
+            raise ValueError(
+                f"query set exceeds {self.MAX_COLLECTED_QUERIES} rows; "
+                "Searcher collects queries to the driver for interactive/"
+                "batch use — run huge offline evals through the distributed "
+                "slow path (operators.topk.search_slow_path) instead"
+            )
         qterm_tf: dict[str, dict[str, int]] = {}
         for r in qrows:
             tf: dict[str, int] = {}

@@ -39,19 +39,24 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("DHR_DRIVER_MEM", default_mem))
-        # shuffle/spill scratch on tmpfs when available: this sandbox's
-        # virtual disk writes ~150MB/s and throttles concurrent writers, which
-        # serialized every wide shuffle; a real cluster shuffles over NVMe +
-        # network. Override with DHR_LOCAL_DIR (cluster deploys should leave
-        # spark.local.dir to the resource manager).
-        .config("spark.local.dir", os.environ.get(
-            "DHR_LOCAL_DIR",
-            "/dev/shm/dhr-spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-        ))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Shuffle/spill scratch: OPT-IN tmpfs only. DHR_LOCAL_DIR pins a specific
+    # directory; DHR_SHM_SCRATCH=1 selects RAM-backed /dev/shm — a measured
+    # win on hosts whose local disk throttles concurrent writers (this test
+    # sandbox: ~150MB/s, serialized every wide shuffle), but a failure mode
+    # anywhere shuffle spill can exceed free RAM (tmpfs cannot spill to
+    # disk). With neither set, spark.local.dir is left alone so cluster
+    # resource managers keep control of scratch placement.
+    local_dir = os.environ.get("DHR_LOCAL_DIR")
+    if not local_dir and os.environ.get("DHR_SHM_SCRATCH") == "1" and os.path.isdir(
+        "/dev/shm"
+    ):
+        local_dir = "/dev/shm/dhr-spark-local"
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

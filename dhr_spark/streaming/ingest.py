@@ -6,20 +6,26 @@ real lexical engines (Lucene/ES) handle streams — because BM25 is a GLOBAL
 function (idf, avgdl move with every insert), exact scoring cannot be
 incrementally maintained per event. So:
 
-  1. ``ingest_stream``  — readStream -> foreachBatch appends arriving turns
-     to a chunk-aligned parquet STAGING area, exactly-once (batch_id high-
-     water mark in the staging manifest makes replays idempotent).
+  1. ``ingest_stream``  — readStream -> foreachBatch lands arriving turns
+     in a batch-partitioned parquet STAGING area, exactly-once: each batch
+     writes its OWN ``_batch_id=`` partition with dynamic partition
+     overwrite, so a replay after a crash at ANY point (mid-write, between
+     write and manifest) clobbers the partial partition instead of
+     appending duplicates. The manifest's high-water mark is a cache, not
+     the correctness mechanism.
   2. ``compact_to_index`` — batch job folding staged turns into the index:
-     a full rebuild refreshes global stats + block maxes (the "segment
-     optimize" step); with ``resume=True`` it builds only chunks not yet in
-     the index manifest (stats frozen from the existing manifest — the
-     standard refresh-lag tradeoff, documented, NOT silent).
+     ALWAYS a full rebuild over everything staged (BM25 is a global
+     function — idf/avgdl/block maxes move with every insert, so
+     incremental chunk-append would corrupt term ids and break block-max
+     admissibility). ``resume=True`` is ONLY for re-running an interrupted
+     compaction of the SAME staged snapshot; the builder verifies the
+     corpus matches the prior manifest and raises otherwise.
   3. ``streaming_turn_counts`` — a native streaming windowed aggregation
      (watermark + tumbling window) for monitoring the firehose itself.
 
-Scale shape: foreachBatch writes are append-only parquet partitioned by
-ingest batch; no shuffle in the hot path. Compaction is the existing
-resumable build (one wide shuffle).
+Scale shape: foreachBatch writes are per-partition parquet commits; no
+shuffle in the hot path. Compaction is the existing resumable build (one
+wide shuffle).
 """
 
 from __future__ import annotations
@@ -62,6 +68,39 @@ def stream_transcripts(
     return spark.readStream.schema(schema).parquet(input_dir)
 
 
+def stage_batch(batch_df: DataFrame, batch_id: int, staging_dir: str) -> int:
+    """Idempotently commit one micro-batch to the staging area.
+
+    The write itself is idempotent — the batch lands in its own
+    ``_batch_id=`` partition via dynamic partition overwrite — so a replay
+    after a crash anywhere between the data write and the manifest update
+    overwrites the partial partition instead of appending duplicates (the
+    exactly-once hole of the append-then-manifest design). The committed
+    row count is read back from the written partition (partition-pruned
+    scan), so ``batch_df`` is evaluated once. Returns rows committed,
+    0 if the batch was already recorded."""
+    state = _staging_state(staging_dir)
+    if batch_id <= state["last_batch_id"]:
+        return 0  # replay after recovery: already committed
+    data_dir = os.path.join(staging_dir, "turns")
+    (
+        batch_df.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(data_dir)
+    )
+    n = (
+        batch_df.sparkSession.read.parquet(data_dir)
+        .filter(F.col("_batch_id") == batch_id)
+        .count()
+    )
+    state["last_batch_id"] = batch_id
+    state["n_turns"] += n
+    _write_staging_state(staging_dir, state)
+    return n
+
+
 def ingest_stream(
     spark: SparkSession,
     input_dir: str,
@@ -69,27 +108,15 @@ def ingest_stream(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
 ):
-    """readStream -> exactly-once append into the staging area.
+    """readStream -> exactly-once commit into the staging area (see
+    stage_batch for the idempotence contract).
 
     Returns the StreamingQuery; with ``available_now`` it drains existing
-    files and stops (the test/cron mode). Batch replays after checkpoint
-    recovery are dropped via the last_batch_id high-water mark."""
+    files and stops (the test/cron mode)."""
     stream = stream_transcripts(spark, input_dir)
-    data_dir = os.path.join(staging_dir, "turns")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        state = _staging_state(staging_dir)
-        if batch_id <= state["last_batch_id"]:
-            return  # replay after recovery: already committed
-        n = batch_df.count()
-        (
-            batch_df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(data_dir)
-        )
-        state["last_batch_id"] = batch_id
-        state["n_turns"] += n
-        _write_staging_state(staging_dir, state)
+        stage_batch(batch_df, batch_id, staging_dir)
 
     writer = (
         stream.writeStream.foreachBatch(sink)
@@ -114,13 +141,14 @@ def compact_to_index(
 ) -> dict:
     """Fold the staged turns into the inverted index.
 
-    Default = full rebuild: recomputes global stats (idf/avgdl) and block
-    maxes over everything staged so far — exact BM25, the periodic
-    "optimize". ``resume=True`` only builds docid-chunks missing from the
-    manifest (cheap incremental refresh; global stats stay frozen at their
-    last full-rebuild values, so scores for new docs use slightly stale
-    idf/avgdl until the next full rebuild — the standard refresh-lag
-    contract, NOT rank-exact across the refresh boundary)."""
+    ALWAYS a full rebuild over everything staged: BM25 is a global function
+    (idf, avgdl, and therefore block maxes move with every insert), so
+    appending chunks built under new stats to segments built under old ones
+    would mis-score terms (term-id drift) and break block-max WAND
+    admissibility. ``resume=True`` is ONLY for re-running an interrupted
+    compaction of the SAME staged snapshot — the builder asserts the corpus
+    matches the prior manifest (n_docs/avgdl/term count) and raises if the
+    staging area has grown since."""
     from dhr_spark.index.builder import build_index
 
     turns = spark.read.parquet(os.path.join(staging_dir, "turns")).drop("_batch_id")

@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 
 from dhr_spark.data.synthetic import synth_queries, synth_transcripts
 from dhr_spark.streaming.ingest import (
+    _staging_state,
+    _write_staging_state,
     compact_to_index,
     ingest_stream,
+    stage_batch,
     stream_transcripts,
     streaming_turn_counts,
 )
@@ -54,6 +57,60 @@ def test_compact_and_query(spark, dirs):
     assert res.count() > 0
     assert res.groupBy("qid").agg(F.max("rank")).agg(F.max("max(rank)")) \
         .collect()[0][0] <= 5
+
+
+def test_replay_after_crash_between_write_and_manifest(spark, tmp_path):
+    """The exactly-once hole VERDICT r01 flagged: a crash AFTER the batch
+    data lands but BEFORE the manifest high-water mark is updated must not
+    duplicate rows when the batch replays. The partitioned dynamic-overwrite
+    write makes the replay clobber the partial partition."""
+    staging = str(tmp_path / "staging")
+    tr = synth_transcripts(spark, 10)
+    n_batch = tr.count()
+
+    assert stage_batch(tr, 0, staging) == n_batch
+    # simulate the crash: data for batch 0 is committed, manifest is not
+    state = _staging_state(staging)
+    state["last_batch_id"] = -1
+    state["n_turns"] = 0
+    _write_staging_state(staging, state)
+
+    # replay of the same batch (recovery path) — must overwrite, not append
+    assert stage_batch(tr, 0, staging) == n_batch
+    staged = spark.read.parquet(os.path.join(staging, "turns"))
+    assert staged.count() == n_batch
+    assert staged.select("conv_id", "turn_idx").distinct().count() == n_batch
+    assert _staging_state(staging) == {"last_batch_id": 0, "n_turns": n_batch}
+
+    # post-commit replay is still a no-op
+    assert stage_batch(tr, 0, staging) == 0
+    assert spark.read.parquet(os.path.join(staging, "turns")).count() == n_batch
+
+
+def test_compact_resume_on_grown_staging_raises(spark, tmp_path):
+    """resume=True is only valid for the SAME staged snapshot: once new
+    batches land, the frozen term dictionary / stats no longer match and
+    the builder must refuse rather than silently corrupt the index."""
+    staging = str(tmp_path / "staging")
+    idx = str(tmp_path / "idx")
+    tr = synth_transcripts(spark, 12)
+    half = tr.filter(F.col("conv_id") < "conv-000006")
+    stage_batch(half, 0, staging)
+    compact_to_index(spark, staging, idx, chunk_bits=7, block_size=16)
+
+    # same snapshot: resume re-run is fine (no-op for completed chunks)
+    compact_to_index(spark, staging, idx, chunk_bits=7, block_size=16,
+                     resume=True)
+
+    # staging grows -> resume must refuse
+    stage_batch(tr.filter(F.col("conv_id") >= "conv-000006"), 1, staging)
+    with pytest.raises(ValueError, match="SAME corpus"):
+        compact_to_index(spark, staging, idx, chunk_bits=7, block_size=16,
+                         resume=True)
+
+    # the sanctioned path: full rebuild over the grown staging area
+    man = compact_to_index(spark, staging, idx, chunk_bits=7, block_size=16)
+    assert man["n_docs"] == tr.count()
 
 
 def test_streaming_windowed_agg(spark, dirs):
