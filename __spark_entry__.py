@@ -55,6 +55,16 @@ BM25_QUERIES: list[tuple[str, str]] = [
 ]
 
 
+def _query_tokens() -> list[tuple[str, int, str]]:
+    """(qid, qpos, term) rows — one per query-token occurrence (the MaxSim
+    query side keeps duplicate tokens distinct by position)."""
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for pos, t in enumerate(analyze_simple(text)):
+            rows.append((qid, pos, t))
+    return rows
+
+
 def _query_tf() -> list[tuple[str, str, int]]:
     """Analyzed (qid, term, qtf) rows — identical to the Spark tokenize path
     because analyze_simple IS the simple_tokens_col semantics."""
@@ -507,6 +517,34 @@ SELECT qid, vec_id,
 FROM qscored QUALIFY rank <= 10"""
 
 
+def _maxsim_sql(key_len: int = 4) -> str:
+    """MaxSim oracle: token-pair join on the stem-ish prefix key, per-(qid,
+    docid, qpos) max, per-(qid, docid) sum (ColBERT/modeling.py:214-219)."""
+    vals = ", ".join(f"('{q}', {p}, '{t}')" for q, p, t in _query_tokens())
+    return f"""WITH {_TOKS_CTE},
+qtok(qid, qpos, term) AS (VALUES {vals}),
+wts AS (
+  SELECT tf.term, tf.doc_id AS docid, round({_W_EXPR}, 6) AS w
+  FROM tf JOIN ts USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs
+),
+per AS (
+  SELECT q.qid, w.docid, q.qpos, max(w.w) AS best
+  FROM qtok q JOIN wts w
+    ON substr(q.term, 1, {key_len}) = substr(w.term, 1, {key_len})
+  GROUP BY 1, 2, 3
+),
+ms AS (SELECT qid, docid, sum(best) AS score FROM per GROUP BY 1, 2),
+msrank AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM ms
+)
+SELECT qid, docid, rank, score FROM msrank WHERE rank <= {TOPK}"""
+
+
 def _gip_sql(lam: float) -> str:
     """Gated-inner-product top-k oracle, λ-parameterized (SURVEY P9: the
     query-side score scaling at gip_retrieval.py:281-283)."""
@@ -779,6 +817,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fusion weight applied to the lexical arm before score combination
         return _gip_topk(spark, sf, lam=0.5)
 
+    def maxsim_q(spark, sf):
+        from dhr_spark.operators.maxsim import maxsim_topk
+
+        post, _, _ = _postings(spark, sf)
+        qt = spark.createDataFrame(
+            _query_tokens(), "qid string, qpos int, term string"
+        )
+        return _round4(maxsim_topk(qt, post, k=TOPK))
+
     def acc_q(spark, sf):
         return M.top_k_accuracy_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
 
@@ -867,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densify_collisions": densify_collisions_q,
         "gip_topk": gip_topk_q,
         "gip_topk_lambda": gip_topk_lambda_q,
+        "maxsim_topk": maxsim_q,
         "transcripts_bm25": transcripts_bm25_q,
         "wand_vs_slow_identity": wand_vs_slow_q,
     }
@@ -1006,6 +1054,7 @@ SELECT docid, sum(c)::BIGINT AS collisions FROM (
 ) GROUP BY docid""",
         "gip_topk": _gip_sql(1.0),
         "gip_topk_lambda": _gip_sql(0.5),
+        "maxsim_topk": _maxsim_sql(),
         "acc_at_10": f"""{metric_prefix},
 accq AS (
   SELECT DISTINCT r.qid FROM {topk10} r

@@ -199,6 +199,38 @@ def test_multimodal_real_decode_raises(spark, docs):
     )
 
 
+def test_maxsim_takes_per_qtoken_max(spark):
+    """The max is load-bearing: one query token matching several doc terms
+    via the prefix key must contribute only the best weight, once."""
+    from dhr_spark.operators.maxsim import maxsim_score
+
+    qt = spark.createDataFrame(
+        [("q1", 0, "sparking"), ("q1", 1, "sparking")],
+        "qid string, qpos int, term string",
+    )
+    post = spark.createDataFrame(
+        [("sparkle", 7, 2.0), ("sparky", 7, 5.0), ("other", 7, 9.0)],
+        "term string, docid long, weight double",
+    )
+    rows = maxsim_score(qt, post).collect()
+    # both occurrences match {sparkle, sparky} via key 'spar'; max = 5.0 each
+    assert len(rows) == 1
+    assert rows[0]["qid"] == "q1" and rows[0]["docid"] == 7
+    assert rows[0]["score"] == 10.0
+
+
+def test_wordpiece_slot_raises_without_transformers(spark):
+    from dhr_spark.functions.wordpiece import hf_wordpiece_udf
+
+    try:
+        import transformers  # noqa: F401
+        pytest.skip("transformers installed; slot is live")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="transformers"):
+        hf_wordpiece_udf()
+
+
 def test_densify_keeps_slot_max(spark):
     from dhr_spark.operators.densify import collision_counts, densify
 
