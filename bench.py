@@ -185,21 +185,34 @@ def main() -> None:
         }
 
     # ---- main leg at full cores (warm JVM via a small untimed build) ----
+    # best-of-2 on the timed build AND query batch: this VM shows ±15%
+    # ambient run-to-run noise (BASELINE.md §scaling-methodology); a single
+    # sample aliases that noise into the round-over-round regression signal
+    # (BENCH_r01's 32c build read 28% low on one draw)
     spark = _spark(CPUS)
     idx = f"/tmp/dhr_bench_idx_full{CPUS}"
     _build(spark, 200, f"/tmp/dhr_bench_warm_main")
-    t_build, n_turns = _build(spark, n_convs, idx)
+    build_runs = []
+    for _ in range(2):
+        t_build_i, n_turns = _build(spark, n_convs, idx)
+        build_runs.append(t_build_i)
+    t_build = min(build_runs)
     timings["index_build"] = round(t_build, 2)
+    result["build_runs_sec"] = [round(x, 2) for x in build_runs]
 
     # ---- batch query throughput (k=1000 WAND) ----
     queries = synth_queries(spark, n_queries=N_QUERIES).cache()
     queries.count()
     searcher = Searcher(spark, idx)
     searcher.search(queries.limit(5), k=K).count()  # warm
-    t0 = time.time()
-    n_out = searcher.search(queries, k=K).count()
-    t_batch = time.time() - t0
+    query_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        n_out = searcher.search(queries, k=K).count()
+        query_runs.append(time.time() - t0)
+    t_batch = min(query_runs)
     timings["wand_batch_200q"] = round(t_batch, 2)
+    result["query_runs_sec"] = [round(x, 2) for x in query_runs]
 
     # ---- p50 single-query latency ----
     lat = []

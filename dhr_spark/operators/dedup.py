@@ -340,11 +340,16 @@ def dup_clusters(
     """(id, cluster_id): connected components over duplicate pairs —
     cluster_id = smallest member id; docs in no pair are singleton clusters.
 
-    Iterative min-label propagation (the iterative-algorithm pattern Spark
-    expresses as a driver loop of joins; each iteration is one shuffle and
-    the loop runs O(component diameter) times — near-dup clusters are
-    shallow, so 2-4 iterations in practice). At web scale swap the
-    convergence count() for an accumulator check, same plan shape.
+    Min-label propagation accelerated with POINTER JUMPING: each round first
+    takes the min label over graph neighbors (one shuffle), then replaces
+    every label with its label's label (label(u) always names a node in the
+    same component, so the jump preserves correctness while halving chain
+    depth — path doubling). Convergence is O(log diameter) rounds instead of
+    O(diameter), which is what survives a pathological near-dup CHAIN
+    (a->b->c->...) at web scale; shallow clusters still converge in 2-3
+    rounds. This is the shuffle-count behavior of the large-star/small-star
+    algorithm with a simpler per-round plan (two joins + one agg). At web
+    scale swap the convergence count() for an accumulator check, same shape.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -363,15 +368,31 @@ def dup_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nl"))
         )
+        stepped = labels.join(prop, labels["node"] == prop["dst"], "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label <- label(label). Invariant: label(u) is the id
+        # of a node in u's component, so jumping stays inside the component
+        # and is monotone non-increasing (labels only shrink toward the min).
+        lookup = stepped.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        # localCheckpoint (not cache): the jump references `stepped` twice,
+        # which doubles the LOGICAL plan every round — lineage must be
+        # truncated or plan compilation itself blows up after ~10 rounds.
+        # On a cluster use checkpoint() to reliable storage instead.
         new_labels = (
-            labels.join(prop, labels["node"] == prop["dst"], "left")
+            stepped.join(lookup, stepped["label"] == lookup["l_node"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

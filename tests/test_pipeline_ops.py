@@ -199,6 +199,24 @@ def test_multimodal_real_decode_raises(spark, docs):
     )
 
 
+def test_dup_clusters_chain_converges_fast(spark):
+    """A 200-node path graph is the pathological near-dup chain: plain
+    min-label propagation needs ~200 rounds; with pointer jumping the loop
+    must converge within max_iter=12 (~2*log2(200)) and still label every
+    node with the component minimum."""
+    from dhr_spark.operators.dedup import dup_clusters
+
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(n - 1)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(docs, pairs, max_iter=12).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
 def test_maxsim_takes_per_qtoken_max(spark):
     """The max is load-bearing: one query token matching several doc terms
     via the prefix key must contribute only the best weight, once."""

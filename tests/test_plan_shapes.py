@@ -67,6 +67,58 @@ def test_wand_searcher_filters_before_cogroup(spark, idx):
     assert "term_id IN" in plan or "term_id#" in plan
 
 
+@pytest.fixture(scope="module")
+def docs_small(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_simhash_blocked_pairs_no_cartesian(spark, docs_small):
+    """The pigeonhole scale path must plan as an equi-join on (chunk_idx,
+    chunk_value) — any CartesianProduct would mean the blocking decomposition
+    silently degraded to the brute path."""
+    from dhr_spark.operators.dedup import simhash_blocked_pairs
+
+    plan = _plan(simhash_blocked_pairs(docs_small, max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_pairs_no_cartesian(spark):
+    from dhr_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_dup_pairs_lsh(embs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signatures_fully_codegen(spark, docs_small):
+    """The signature path must stay JVM-side: no Python UDF evaluation
+    (BatchEvalPython / ArrowEvalPython) anywhere in the plan."""
+    from dhr_spark.operators.dedup import minhash_signatures
+
+    plan = _plan(minhash_signatures(docs_small))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # map-side combine: the 16 min-aggregates must have a partial phase
+    assert "partial_min" in plan
+
+
+def test_maxsim_broadcasts_query_tokens(spark):
+    from dhr_spark.operators.maxsim import maxsim_score
+
+    qt = spark.createDataFrame(
+        [("q1", 0, "alpha")], "qid string, qpos int, term string"
+    )
+    post = spark.createDataFrame(
+        [("alphabet", 1, 1.0)], "term string, docid long, weight double"
+    )
+    plan = _plan(maxsim_score(qt, post))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # two-level contraction: partial max then sum — two HashAggregates
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_segment_groups_bounded_by_chunk(spark, idx):
     """Skew defense invariant: no (term, chunk) posting group may exceed
     2^chunk_bits postings, no matter how skewed the term distribution."""
