@@ -642,6 +642,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def trec_run_q(spark, sf):
         return trec_run_lines(_bm25_topk(spark, sf))
 
+    def _rt_dir(sf, what):
+        key = hashlib.md5(sf.encode()).hexdigest()[:10]
+        return f"/tmp/dhr_spark_rt_{what}_{key}"
+
+    def trec_roundtrip_q(spark, sf):
+        # S11 sink -> S9 scan round trip: the parsed file must reproduce the
+        # run exactly (scores are 4-decimal in TREC format on both sides)
+        from dhr_spark.sources.io import read_trec_run, write_trec_run
+
+        path = _rt_dir(sf, "trec")
+        write_trec_run(_bm25_topk(spark, sf), path)
+        return read_trec_run(spark, path)
+
+    def qrels_roundtrip_q(spark, sf):
+        # S10 scan: write the deterministic qrels as reference-format TSV
+        # (qid \t 0 \t docid \t rel), read back through read_qrels
+        from dhr_spark.sources.io import read_qrels
+
+        path = _rt_dir(sf, "qrels")
+        (
+            _qrels(spark, sf)
+            .select(
+                F.concat_ws(
+                    "\t", F.col("qid"), F.lit("0"),
+                    F.col("docid").cast("string"), F.lit("1"),
+                ).alias("value")
+            )
+            .write.mode("overwrite").text(path)
+        )
+        return read_qrels(spark, path)
+
+    def tsv_corpus_roundtrip_q(spark, sf):
+        # S1 scan: docid \t text corpus round trip
+        from dhr_spark.sources.io import read_tsv_corpus
+
+        path = _rt_dir(sf, "tsv")
+        (
+            _docs(spark, sf)
+            .select(
+                F.concat_ws(
+                    "\t", F.col("doc_id").cast("string"), F.col("text")
+                ).alias("value")
+            )
+            .write.mode("overwrite").text(path)
+        )
+        return read_tsv_corpus(spark, path)
+
     def mrr_q(spark, sf):
         return M.mrr_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
 
@@ -880,6 +927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_twostage": bm25_topk_twostage_q,
         "wand_topk": wand_topk_q,
         "trec_run": trec_run_q,
+        "trec_roundtrip": trec_roundtrip_q,
+        "qrels_roundtrip": qrels_roundtrip_q,
+        "tsv_corpus_roundtrip": tsv_corpus_roundtrip_q,
         "mrr_at_10": mrr_q,
         "recall_at_10": recall_q,
         "ndcg_at_10": ndcg_q,
@@ -943,6 +993,12 @@ FROM tf JOIN ts USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs""",
         "bm25_topk_twostage": _TOPK_SQL,
         "wand_topk": _TOPK_SQL,
         "trec_run": f"WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE} {trec}",
+        "trec_roundtrip": _TOPK_SQL,
+        "qrels_roundtrip": (
+            f"WITH {_TOKS_CTE}, {_q_values()}, {_QRELS_CTE.lstrip()} "
+            "SELECT qid, docid, CAST(1 AS INTEGER) AS rel FROM qrels"
+        ),
+        "tsv_corpus_roundtrip": "SELECT doc_id AS docid, text FROM documents",
         "mrr_at_10": f"""{metric_prefix}
 SELECT qlist.qid,
        round(coalesce(1.0 / min(CASE WHEN qr.docid IS NOT NULL THEN r.rank END), 0.0), 6) AS rr
