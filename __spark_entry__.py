@@ -360,14 +360,13 @@ FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
     # one md5 per shingle (the portable 60-bit hash), then the affine family
     # h_i(x) = (A_i*(x mod p) + B_i) mod p, p = 2^31-1, with A_i/B_i
     # regenerated inline — must match dedup.minhash_constants exactly
     h60 = _HASH60.format(arg="s")
     p = D.MINHASH_P
     return f"""
-WITH {_TOKS_CTE},
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
@@ -392,12 +391,43 @@ bands AS (
                           x -> x::VARCHAR), ',')) AS band_hash
   FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
   WHERE sig[1] <> -1
+),
+mh_cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_bands
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_bands
-FROM bands a JOIN bands b USING (band, band_hash)
-WHERE a.doc_id < b.doc_id
-GROUP BY 1, 2
 """
+
+
+def _minhash_sql() -> str:
+    return (
+        f"WITH {_TOKS_CTE}, {_minhash_ctes()} "
+        "SELECT id_a, id_b, n_bands FROM mh_cand"
+    )
+
+
+def _minhash_verified_sql(threshold: float) -> str:
+    """LSH candidates -> exact Jaccard on the candidate set only — the
+    composed scale pipeline's oracle."""
+    return f"""WITH {_TOKS_CTE}, {_minhash_ctes()},
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+vsizes AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY 1),
+vcommon AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM mh_cand c
+  JOIN shx a ON a.doc_id = c.id_a
+  JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT v.id_a, v.id_b,
+         round(v.common * 1.0 / (sa.sz + sb.sz - v.common), 6) AS jaccard
+  FROM vcommon v
+  JOIN vsizes sa ON sa.doc_id = v.id_a
+  JOIN vsizes sb ON sb.doc_id = v.id_b
+) WHERE jaccard >= {threshold}"""
 
 
 # LSH geometry shared by the ann_lsh / dedup_embedding_lsh entries and their
@@ -738,6 +768,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_q(spark, sf):
         return D.lsh_candidate_pairs(_docs(spark, sf))
 
+    def dedup_minhash_verified_q(spark, sf):
+        # the composed scale pipeline: LSH candidates -> exact Jaccard on
+        # the candidate set only (no quadratic shingle self-join)
+        return D.lsh_verified_pairs(_docs(spark, sf), threshold=0.5)
+
     def dedup_simhash_q(spark, sf):
         return D.simhash(_docs(spark, sf))
 
@@ -944,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact_q,
         "dedup_ngram_jaccard": dedup_jaccard_q,
         "dedup_minhash_lsh": dedup_minhash_q,
+        "dedup_minhash_verified": dedup_minhash_verified_q,
         "dedup_simhash": dedup_simhash_q,
         "dedup_simhash_pairs": dedup_simhash_pairs_q,
         "dedup_clusters": dedup_clusters_q,
@@ -1199,6 +1235,7 @@ cp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a)
 SELECT d.doc_id, coalesce(cp.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN cp USING (doc_id)""",
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_minhash_verified": _minhash_verified_sql(0.5),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(SIMHASH_MAXD),
         "dedup_embedding": """

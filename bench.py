@@ -160,8 +160,10 @@ def main() -> None:
         # corpus ≈ 1M turns at sf0.1 — measured build eff 0.82 / query 0.90
         # there vs 0.77 at 0.5M (fixed-cost fraction still visible).
         n_scale = n_convs * 8
-        leg_lo = _run_leg_subprocess(low, n_scale)
-        # the short high leg is the variance-exposed one: best of 2
+        # best-of-2 on BOTH legs: a single lucky/unlucky draw on either side
+        # aliases ±15% ambient noise straight into the efficiency ratio
+        # (r01->r02 swung 0.82->0.79 from a fast low-leg draw alone)
+        leg_lo = _run_leg_subprocess(low, n_scale, repeats=2)
         leg_hi = _run_leg_subprocess(high, n_scale, repeats=2)
         ratio = high / low
         result["scaling"] = {
@@ -227,7 +229,8 @@ def main() -> None:
     qmap = entry_mod.queries()
     for name in [
         "bm25_topk", "wand_topk", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_simhash", "ann_bruteforce", "text_quality", "text_fingerprint",
+        "dedup_minhash_verified", "dedup_simhash", "dedup_simhash_pairs",
+        "ann_bruteforce", "ann_quantized", "text_quality", "text_fingerprint",
     ]:
         t0 = time.time()
         qmap[name](spark, SF_DIR).count()

@@ -223,6 +223,59 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, jaccard): the canonical web-scale text-dedup pipeline as
+    one operator — MinHash-LSH candidate generation, then exact n-gram
+    Jaccard computed ONLY for candidate pairs.
+
+    Either stage alone is wrong at 100 TB: ngram_jaccard_pairs explodes
+    quadratically inside hot shingle buckets; lsh_candidate_pairs emits band
+    collisions that are not actually similar. Composed, the shingle join is
+    gated by the (small) candidate list — broadcastable when near-dup
+    density is low — and every emitted jaccard is exact. Pairs the LSH
+    misses are the documented recall tradeoff: P[miss] = (1 - j^rows)^bands.
+    """
+    cands = lsh_candidate_pairs(docs, num_hashes, bands, shingle_n, id_col)
+    sh = shingle_sets(docs, shingle_n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cands.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, simhash): 60-bit SimHash, tf-weighted.
 
