@@ -703,6 +703,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return read_qrels(spark, path)
 
+    def jsonl_corpus_roundtrip_q(spark, sf):
+        # S2 + S3: JSONL corpus round trip WITH gzip (written compressed;
+        # the reader is codec-transparent). to_json handles escaping.
+        from dhr_spark.sources.io import read_jsonl_corpus
+
+        path = _rt_dir(sf, "jsonl")
+        (
+            _docs(spark, sf)
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.col("doc_id").cast("string").alias("id"),
+                        F.col("text").alias("contents"),
+                    )
+                ).alias("value")
+            )
+            .write.mode("overwrite").option("compression", "gzip").text(path)
+        )
+        return read_jsonl_corpus(spark, path)
+
     def tsv_corpus_roundtrip_q(spark, sf):
         # S1 scan: docid \t text corpus round trip
         from dhr_spark.sources.io import read_tsv_corpus
@@ -965,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trec_roundtrip": trec_roundtrip_q,
         "qrels_roundtrip": qrels_roundtrip_q,
         "tsv_corpus_roundtrip": tsv_corpus_roundtrip_q,
+        "jsonl_corpus_roundtrip": jsonl_corpus_roundtrip_q,
         "mrr_at_10": mrr_q,
         "recall_at_10": recall_q,
         "ndcg_at_10": ndcg_q,
@@ -1035,6 +1056,7 @@ FROM tf JOIN ts USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs""",
             "SELECT qid, docid, CAST(1 AS INTEGER) AS rel FROM qrels"
         ),
         "tsv_corpus_roundtrip": "SELECT doc_id AS docid, text FROM documents",
+        "jsonl_corpus_roundtrip": "SELECT doc_id AS docid, text FROM documents",
         "mrr_at_10": f"""{metric_prefix}
 SELECT qlist.qid,
        round(coalesce(1.0 / min(CASE WHEN qr.docid IS NOT NULL THEN r.rank END), 0.0), 6) AS rr
