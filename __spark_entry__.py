@@ -575,6 +575,41 @@ msrank AS (
 SELECT qid, docid, rank, score FROM msrank WHERE rank <= {TOPK}"""
 
 
+def _hybrid_sql(lam: float) -> str:
+    """λ·dense + lexical BM25 fusion oracle, query-by-example over the
+    shared (doc_id == vec_id) id space."""
+    return f"""WITH {_TOKS_CTE},
+hdense AS (
+  SELECT q.vec_id AS qid, c.vec_id AS docid,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS ds
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 5
+),
+hlex AS (
+  SELECT q.doc_id AS qid, tf.doc_id AS docid, round(sum(q.tf * {_W_EXPR}), 6) AS ls
+  FROM tf q
+  JOIN tf ON tf.term = q.term
+  JOIN ts ON ts.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+  WHERE q.doc_id < 5
+  GROUP BY 1, 2
+),
+hyb AS (
+  SELECT hdense.qid, hdense.docid, {lam} * ds + coalesce(ls, 0.0) AS score
+  FROM hdense LEFT JOIN hlex ON hlex.qid = hdense.qid AND hlex.docid = hdense.docid
+),
+hrank AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM hyb
+)
+SELECT qid, docid, rank, score FROM hrank WHERE rank <= {TOPK}"""
+
+
 def _gip_sql(lam: float) -> str:
     """Gated-inner-product top-k oracle, λ-parameterized (SURVEY P9: the
     query-side score scaling at gip_retrieval.py:281-283)."""
@@ -928,6 +963,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _round4(maxsim_topk(qt, post, k=TOPK))
 
+    def hybrid_q(spark, sf):
+        # the reference's namesake fusion: λ·dense + lexical BM25, query-by-
+        # example (query i = embedding i + the terms of document i)
+        from dhr_spark.operators.hybrid import hybrid_topk
+
+        embs = _embs(spark, sf)
+        dq = embs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        tfs_all = term_freqs(_docs_tok(spark, sf), id_col="doc_id")
+        qtfs = tfs_all.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("qid"), "term", F.col("tf").alias("qtf")
+        )
+        post, _, _ = _postings(spark, sf)
+        return _round4(hybrid_topk(dq, embs, qtfs, post, k=TOPK, lam=0.5))
+
     def acc_q(spark, sf):
         return M.top_k_accuracy_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
 
@@ -1022,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gip_topk": gip_topk_q,
         "gip_topk_lambda": gip_topk_lambda_q,
         "maxsim_topk": maxsim_q,
+        "hybrid_topk": hybrid_q,
         "transcripts_bm25": transcripts_bm25_q,
         "wand_vs_slow_identity": wand_vs_slow_q,
     }
@@ -1169,6 +1221,7 @@ SELECT docid, sum(c)::BIGINT AS collisions FROM (
         "gip_topk": _gip_sql(1.0),
         "gip_topk_lambda": _gip_sql(0.5),
         "maxsim_topk": _maxsim_sql(),
+        "hybrid_topk": _hybrid_sql(0.5),
         "acc_at_10": f"""{metric_prefix},
 accq AS (
   SELECT DISTINCT r.qid FROM {topk10} r

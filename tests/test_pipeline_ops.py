@@ -249,6 +249,44 @@ def test_wordpiece_slot_raises_without_transformers(spark):
         hf_wordpiece_udf()
 
 
+def test_hybrid_fusion_self_hit_top(spark, docs, embs):
+    """Query-by-example hybrid: the query document itself gets cosine 1.0
+    plus its full lexical self-score, so it must land in the top 5 (BM25
+    query-by-example can legitimately rank a term-denser doc above self,
+    so exact rank-1 is NOT an invariant)."""
+    from dhr_spark.functions.bm25 import bm25_weight_col, idf_col
+    from dhr_spark.operators.hybrid import hybrid_topk
+    from dhr_spark.operators.termfreq import doc_lengths, term_freqs, with_tokens
+
+    tok = with_tokens(docs, mode="simple").withColumnRenamed("doc_id", "docid")
+    tfs = term_freqs(tok)
+    dls = doc_lengths(tok)
+    cs = dls.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    ts = tfs.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "idf", idf_col(F.col("df"), int(cs["n"]))
+    )
+    post = (
+        tfs.join(dls, "docid")
+        .join(F.broadcast(ts.select("term", "idf")), "term")
+        .select("term", "docid", bm25_weight_col(
+            F.col("tf"), F.col("dl"), F.col("idf"), F.lit(float(cs["a"])), 0.9, 0.4
+        ).alias("weight"))
+    )
+    dq = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    qtfs = tfs.filter(F.col("docid") < 3).select(
+        F.col("docid").alias("qid"), "term", F.col("tf").alias("qtf")
+    )
+    out = hybrid_topk(dq, embs, qtfs, post, k=5, lam=0.5).collect()
+    top5 = {}
+    for r in out:
+        top5.setdefault(r["qid"], set()).add(r["docid"])
+    assert set(top5) == {0, 1, 2}
+    for qid, docs5 in top5.items():
+        assert qid in docs5, (qid, docs5)
+
+
 def test_densify_keeps_slot_max(spark):
     from dhr_spark.operators.densify import collision_counts, densify
 
