@@ -119,6 +119,28 @@ def test_maxsim_broadcasts_query_tokens(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_hybrid_fusion_broadcasts_both_small_sides(spark):
+    """Hybrid fusion: the dense query side and the lexical qtf side must
+    broadcast; the corpus/postings sides stream (never broadcast-exploded
+    through a nested-loop join except the intended dense cross join)."""
+    from dhr_spark.operators.hybrid import hybrid_score
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dq = embs.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+    qtfs = spark.createDataFrame(
+        [(1, "alpha", 1)], "qid long, term string, qtf long"
+    )
+    post = spark.createDataFrame(
+        [("alpha", 1, 1.0)], "term string, docid long, weight double"
+    )
+    plan = _plan(hybrid_score(dq, embs, qtfs, post))
+    assert plan.count("BroadcastExchange") >= 2
+    # the fusion join itself is an equi-join on (qid, docid), not a loop join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    )
+
+
 def test_segment_groups_bounded_by_chunk(spark, idx):
     """Skew defense invariant: no (term, chunk) posting group may exceed
     2^chunk_bits postings, no matter how skewed the term distribution."""
