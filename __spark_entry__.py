@@ -575,6 +575,77 @@ msrank AS (
 SELECT qid, docid, rank, score FROM msrank WHERE rank <= {TOPK}"""
 
 
+def _ivf_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64) -> str:
+    """IVF ANN oracle: replays the deterministic spherical k-means
+    (seeded by the k smallest ids, every step rounded to 6) and the
+    probe-then-exact-cosine search of operators.ivf bit-for-bit."""
+    norm = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    parts = [
+        f"""u AS (
+  SELECT vec_id, i.i AS i,
+         embedding[CAST(i.i + 1 AS INTEGER)]::DOUBLE / {norm} AS x
+  FROM embeddings, (SELECT unnest(range(0, {dim})) AS i) i
+)""",
+        f"cent0 AS (SELECT vec_id AS cid, i, round(x, 6) AS c FROM u WHERE vec_id < {k})",
+    ]
+    cur = "cent0"
+    for t in range(iters):
+        parts += [
+            f"""d{t} AS (
+  SELECT u.vec_id, c.cid, round(sum(u.x * c.c), 6) AS dot
+  FROM u JOIN {cur} c USING (i) GROUP BY 1, 2
+)""",
+            f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM d{t}) WHERE rn = 1
+)""",
+            f"""m{t} AS (
+  SELECT a{t}.cid, u.i, round(avg(u.x), 6) AS m
+  FROM u JOIN a{t} USING (vec_id) GROUP BY 1, 2
+)""",
+            f"n{t} AS (SELECT cid, round(sqrt(sum(m * m)), 6) AS nrm FROM m{t} GROUP BY 1)",
+            f"""cent{t + 1} AS (
+  SELECT m{t}.cid, m{t}.i, round(m{t}.m / n{t}.nrm, 6) AS c
+  FROM m{t} JOIN n{t} USING (cid) WHERE n{t}.nrm > 0
+)""",
+        ]
+        cur = f"cent{t + 1}"
+    parts += [
+        f"""dfin AS (
+  SELECT u.vec_id, c.cid, round(sum(u.x * c.c), 6) AS dot
+  FROM u JOIN {cur} c USING (i) GROUP BY 1, 2
+)""",
+        """afin AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM dfin) WHERE rn = 1
+)""",
+        f"""qp AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM dfin WHERE vec_id < 5) WHERE rn <= {n_probe}
+)""",
+        """ivcand AS (SELECT DISTINCT qp.qid, afin.vec_id FROM qp JOIN afin USING (cid))""",
+        """ivscored AS (
+  SELECT ivcand.qid, ivcand.vec_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS cosine
+  FROM ivcand
+  JOIN embeddings qe ON qe.vec_id = ivcand.qid
+  JOIN embeddings ce ON ce.vec_id = ivcand.vec_id
+)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
+       cosine
+FROM ivscored QUALIFY rank <= 10"""
+
+
 def _hybrid_sql(lam: float) -> str:
     """λ·dense + lexical BM25 fusion oracle, query-by-example over the
     shared (doc_id == vec_id) id space."""
@@ -870,6 +941,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             qs, embs, k=10, dim=_LSH_DIM, n_tables=_LSH_L, n_planes=_LSH_K
         )
 
+    def ann_ivf_q(spark, sf):
+        from dhr_spark.operators.ivf import cosine_topk_ivf
+
+        embs = _embs(spark, sf)
+        qs = embs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        return cosine_topk_ivf(qs, embs, k=10)
+
     def ann_quant_q(spark, sf):
         embs = _embs(spark, sf)
         qs = embs.filter(F.col("vec_id") < 5).select(
@@ -1059,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh_q,
         "ann_bruteforce": ann_brute_q,
         "ann_lsh": ann_lsh_q,
+        "ann_ivf": ann_ivf_q,
         "ann_quantized": ann_quant_q,
         "text_token_counts": token_counts_q,
         "text_quality": quality_q,
@@ -1320,6 +1401,7 @@ SELECT id_a, id_b, cosine FROM (
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
 ) WHERE cosine >= 0.35""",
         "ann_lsh": _ANN_LSH_SQL,
+        "ann_ivf": _ivf_sql(),
         "ann_quantized": _ANN_QUANT_SQL,
         "dedup_embedding_lsh": _EMB_LSH_SQL,
         "ann_bruteforce": """

@@ -119,6 +119,28 @@ def test_embedding_lsh_pairs_recall_on_near_dups(spark):
     assert recall >= 0.95, (recall, brute - gated)
 
 
+def test_ivf_ann_self_hit_and_recall(spark, embs):
+    """IVF-probed ANN: a query's own cell is always probed (self-hit exact);
+    cross-cell recall vs brute force bounded like the LSH path."""
+    from dhr_spark.operators.ivf import cosine_topk_ivf
+    from dhr_spark.operators.similarity import cosine_topk_bruteforce
+
+    qs = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(qs, embs, k=10).collect()
+    approx = cosine_topk_ivf(qs, embs, k=10).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in approx:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["qid"]
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
 def test_quantized_ann_close_to_exact(spark, embs):
     """int8 scalar quantization: top-1 self-hit preserved; top-10 overlap
     with exact cosine >= 0.8 (the precision/storage tradeoff bound)."""
