@@ -90,8 +90,12 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id_a, id_b, jaccard): doc pairs with n-gram Jaccard >= threshold,
-    id_a < id_b, jaccard rounded to 6 for cross-engine hashing."""
-    sh = shingle_sets(docs, n, id_col)
+    id_a < id_b, jaccard rounded to 6 for cross-engine hashing.
+
+    Shingles are materialized once (localCheckpoint): three plan references
+    (sizes + both join sides) would otherwise re-tokenize the corpus three
+    times — measured 3x slower at sf0.1."""
+    sh = shingle_sets(docs, n, id_col).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -243,7 +247,8 @@ def lsh_verified_pairs(
     misses are the documented recall tradeoff: P[miss] = (1 - j^rows)^bands.
     """
     cands = lsh_candidate_pairs(docs, num_hashes, bands, shingle_n, id_col)
-    sh = shingle_sets(docs, shingle_n, id_col)
+    # materialized once: referenced by sizes and both join sides
+    sh = shingle_sets(docs, shingle_n, id_col).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
