@@ -216,7 +216,8 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures(docs, num_hashes, shingle_n, id_col).filter(
         F.element_at(F.col("sig"), 1) >= 0
     )
-    b = lsh_bands(sigs, bands, rows, id_col)
+    # materialized once: both self-join sides reference the signature plan
+    b = lsh_bands(sigs, bands, rows, id_col).localCheckpoint()
     l = b.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     r = b.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -534,11 +535,12 @@ def embedding_dup_pairs_lsh(
     from dhr_spark.operators.similarity import _unit, lsh_buckets_udf
 
     buckets = lsh_buckets_udf(dim, n_tables, n_planes, probe=False)
+    # materialized once: both self-join sides reference the bucketing plan
     e = embs.select(
         F.col(id_col),
         _unit(F.col(vec_col)).alias("u"),
         F.explode(buckets(F.col(vec_col))).alias("bucket"),
-    )
+    ).localCheckpoint()
     a = e.select(F.col(id_col).alias("id_a"), F.col("u").alias("ua"), "bucket")
     b = e.select(F.col(id_col).alias("id_b"), F.col("u").alias("ub"), "bucket")
     dot = F.aggregate(

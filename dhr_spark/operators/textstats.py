@@ -138,10 +138,11 @@ def term_cooccurrence(
     terms per doc — cap docs upstream or raise min_count; the reference holds
     the full |V|^2 matrix in RAM, which this avoids entirely.
     """
+    # materialized once: both self-join sides reference the tokenize plan
     t = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(simple_tokens_col(F.col("text")))).alias("term"),
-    )
+    ).localCheckpoint()
     a = t.select("_id", F.col("term").alias("term_a"))
     b = t.select("_id", F.col("term").alias("term_b"))
     return (
