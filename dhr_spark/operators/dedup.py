@@ -532,28 +532,48 @@ def embedding_dup_pairs_lsh(
     deterministic planes make this reproducible in the DuckDB oracle, which
     replicates the gating exactly rather than comparing against brute force.
     """
-    from dhr_spark.operators.similarity import _unit, lsh_buckets_udf
+    import numpy as np
+    import pandas as pd
+
+    from dhr_spark.operators.similarity import lsh_buckets_udf
 
     buckets = lsh_buckets_udf(dim, n_tables, n_planes, probe=False)
-    # materialized once: both self-join sides reference the bucketing plan
     e = embs.select(
         F.col(id_col),
-        _unit(F.col(vec_col)).alias("u"),
+        F.col(vec_col).alias("v"),
         F.explode(buckets(F.col(vec_col))).alias("bucket"),
-    ).localCheckpoint()
-    a = e.select(F.col(id_col).alias("id_a"), F.col("u").alias("ua"), "bucket")
-    b = e.select(F.col(id_col).alias("id_b"), F.col("u").alias("ub"), "bucket")
-    dot = F.aggregate(
-        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
+
+    # per-bucket pair scoring as ONE numpy matmul (U @ U.T) instead of a
+    # per-pair zip_with/aggregate fold — the fold is interpreted per element
+    # (measured ~10s vs <1s at sf0.1 for the same join). The bucket is the
+    # natural kernel batch: all-pairs WITHIN a bucket is exactly the work
+    # LSH admits, and the threshold filter runs before anything leaves the
+    # kernel, so shuffle-out is only true near-dup pairs.
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        u = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        cos = np.round(u @ u.T, 6)
+        ia, ib = np.triu_indices(n, 1)
+        keep = cos[ia, ib] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine": cos[ia[keep], ib[keep]],
+            }
+        )
+
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot, 6))
+        e.groupBy("bucket")
+        .applyInPandas(_pairs, "id_a long, id_b long, cosine double")
         .groupBy("id_a", "id_b")  # a pair can collide in several tables
         .agg(F.first("cosine").alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
     )
