@@ -127,6 +127,11 @@ def build_index_from_docs(
         F.count(F.when(F.col("first"), 1)).alias("n_docs"),
         F.avg(F.when(F.col("first"), F.col("dl"))).alias("avgdl"),
     ).collect()[0]
+    if cs["n_docs"] == 0 or cs["avgdl"] is None:
+        fused.unpersist()
+        raise ValueError(
+            "cannot build an index over an empty corpus (0 documents)"
+        )
     n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
 
     if prior is not None and (
@@ -146,6 +151,14 @@ def build_index_from_docs(
     dls = fused.filter(F.col("first")).select("docid", "dl")
 
     tdict = term_dictionary(term_stats(tfs, n_docs)).cache()
+    if tdict.limit(1).count() == 0:
+        fused.unpersist()
+        tdict.unpersist()
+        raise ValueError(
+            "corpus produced zero index terms (every document is empty or "
+            "all-stopword after analysis) — an index over it cannot answer "
+            "any query; nothing was written"
+        )
     if prior is not None and tdict.count() != int(prior["n_terms"]):
         raise ValueError(
             "resume=True requires the SAME corpus as the prior build: term "

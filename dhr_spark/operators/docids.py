@@ -50,6 +50,12 @@ def with_global_ids(
     with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {r["_pid"]: r["cnt"] for r in
               with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    if not counts:
+        # empty input: create_map() with zero entries is not a valid
+        # expression — return the (empty) frame with the id column typed
+        out = with_pid.drop("_pid").withColumn(id_col, F.lit(0).cast("long"))
+        out._dhr_persisted = with_pid
+        return out
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

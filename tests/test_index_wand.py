@@ -136,3 +136,42 @@ def test_resume_produces_identical_index(spark, built, tmp_path):
     fa = _as_map(search_wand(spark, full_dir, built["queries"], k=10).collect())
     fb = _as_map(search_wand(spark, part_dir, built["queries"], k=10).collect())
     assert fa == fb
+
+
+def test_build_empty_corpus_raises(spark, tmp_path):
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+    )
+    from dhr_spark.index.builder import build_index
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_index(spark, empty, str(tmp_path / "idx"), chunk_bits=7,
+                    block_size=16)
+
+
+def test_build_zero_term_corpus_raises(spark, tmp_path):
+    """All-stopword/empty texts analyze to zero terms — the build must
+    refuse with a clear message, not crash in docid/dictionary plumbing."""
+    stop_only = spark.createDataFrame(
+        [("c1", 0, "user", "the and of to", None, None),
+         ("c1", 1, "asst", "", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    from dhr_spark.index.builder import build_index
+
+    with pytest.raises(ValueError, match="zero index terms"):
+        build_index(spark, stop_only, str(tmp_path / "idx"), chunk_bits=7,
+                    block_size=16)
+
+
+def test_with_global_ids_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from dhr_spark.operators.docids import with_global_ids
+
+    empty = spark.createDataFrame([], "conv_id string, turn_idx int")
+    out = with_global_ids(empty, [F.col("conv_id"), F.col("turn_idx")], "docid")
+    assert out.count() == 0
+    assert dict(out.dtypes)["docid"] == "bigint"
