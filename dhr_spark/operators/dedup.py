@@ -149,11 +149,9 @@ def minhash_signatures(
     16 longs per (doc, partition). Docs with < shingle_n tokens get the
     all -1 sentinel and MUST NOT be banded (see lsh_candidate_pairs).
     """
-    from dhr_spark.operators.textstats import tokhash60 as _h60
-
     a_c, b_c = minhash_constants(num_hashes)
     sh = shingle_sets(docs, shingle_n, id_col)
-    x = F.pmod(_h60(F.col("shingle")), F.lit(MINHASH_P))
+    x = F.pmod(tokhash60(F.col("shingle")), F.lit(MINHASH_P))
     hs = sh.select(F.col(id_col), x.alias("x"))
     aggs = [
         F.min(F.pmod(F.col("x") * F.lit(a_c[i]) + F.lit(b_c[i]), F.lit(MINHASH_P)))
