@@ -221,14 +221,22 @@ def main() -> None:
     timings["wand_batch_200q"] = round(t_batch, 2)
     result["query_runs_sec"] = [round(x, 2) for x in query_runs]
 
-    # ---- p50 single-query latency ----
+    # ---- p50 single-query latency (interactive serving mode) ----
+    # a point-query tier disables AQE and narrows shuffles (Searcher
+    # interactive=True, measured 1.65 -> 1.21 s p50); restore the batch
+    # conf afterwards for the per-op timings below
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    searcher_i = Searcher(spark, idx, interactive=True)
     lat = []
     for row in queries.limit(N_LATENCY_SAMPLES).collect():
         q1 = spark.createDataFrame([(row["qid"], row["text"])], "qid string, text string")
         t0 = time.time()
-        searcher.search(q1, k=K).count()
+        searcher_i.search(q1, k=K).count()
         lat.append(time.time() - t0)
     p50 = statistics.median(lat) if lat else 0.0
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     # ---- headline operator timings over the testdata tables ----
     qmap = entry_mod.queries()
