@@ -90,10 +90,14 @@ def stage_batch(batch_df: DataFrame, batch_id: int, staging_dir: str) -> int:
         .partitionBy("_batch_id")
         .parquet(data_dir)
     )
+    # count the batch's own partition directory: an all-empty batch writes
+    # no partition (dynamic overwrite leaves only _SUCCESS at the root, so
+    # a whole-dataset read would fail schema inference on the first batch)
+    part_dir = os.path.join(data_dir, f"_batch_id={batch_id}")
     n = (
-        batch_df.sparkSession.read.parquet(data_dir)
-        .filter(F.col("_batch_id") == batch_id)
-        .count()
+        batch_df.sparkSession.read.parquet(part_dir).count()
+        if os.path.isdir(part_dir)
+        else 0
     )
     state["last_batch_id"] = batch_id
     state["n_turns"] += n

@@ -87,6 +87,17 @@ def test_replay_after_crash_between_write_and_manifest(spark, tmp_path):
     assert spark.read.parquet(os.path.join(staging, "turns")).count() == n_batch
 
 
+def test_stage_empty_first_batch(spark, tmp_path):
+    """An all-empty first micro-batch writes no files and not even the
+    dataset root; stage_batch must record it without crashing."""
+    staging = str(tmp_path / "staging")
+    empty = synth_transcripts(spark, 5).limit(0)
+    assert stage_batch(empty, 0, staging) == 0
+    assert _staging_state(staging) == {"last_batch_id": 0, "n_turns": 0}
+    tr = synth_transcripts(spark, 5)
+    assert stage_batch(tr, 1, staging) == tr.count()
+
+
 def test_compact_resume_on_grown_staging_raises(spark, tmp_path):
     """resume=True is only valid for the SAME staged snapshot: once new
     batches land, the frozen term dictionary / stats no longer match and
