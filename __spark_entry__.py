@@ -575,6 +575,39 @@ msrank AS (
 SELECT qid, docid, rank, score FROM msrank WHERE rank <= {TOPK}"""
 
 
+def _clusters_lsh_sql(threshold: float) -> str:
+    """Connected components over LSH-verified pairs — the recursive-CTE twin
+    of the full scale dedup pipeline."""
+    return f"""WITH RECURSIVE {_TOKS_CTE}, {_minhash_ctes()},
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+vsizes AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY 1),
+vcommon AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM mh_cand c
+  JOIN shx a ON a.doc_id = c.id_a
+  JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+vp AS (
+  SELECT id_a, id_b FROM (
+    SELECT v.id_a, v.id_b,
+           round(v.common * 1.0 / (sa.sz + sb.sz - v.common), 6) AS jaccard
+    FROM vcommon v
+    JOIN vsizes sa ON sa.doc_id = v.id_a
+    JOIN vsizes sb ON sb.doc_id = v.id_b
+  ) WHERE jaccard >= {threshold}
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM vp UNION SELECT id_b, id_a FROM vp),
+r(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+),
+cp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a)
+SELECT d.doc_id, coalesce(cp.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cp USING (doc_id)"""
+
+
 def _ivf_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64) -> str:
     """IVF ANN oracle: replays the deterministic spherical k-means
     (seeded by the k smallest ids, every step rounded to 6) and the
@@ -912,6 +945,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
         return D.dup_clusters(docs, pairs)
 
+    def dedup_clusters_lsh_q(spark, sf):
+        # the complete scale pipeline end-to-end: LSH candidates -> exact
+        # Jaccard verify -> connected components (no quadratic stage)
+        docs = _docs(spark, sf)
+        return D.dup_clusters(docs, D.lsh_verified_pairs(docs, threshold=0.5))
+
     def dedup_embedding_q(spark, sf):
         # brute pair join — kept as the exact/verifier path (quadratic)
         return D.embedding_dup_pairs(_embs(spark, sf), threshold=0.35)
@@ -1135,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash_q,
         "dedup_simhash_pairs": dedup_simhash_pairs_q,
         "dedup_clusters": dedup_clusters_q,
+        "dedup_clusters_lsh": dedup_clusters_lsh_q,
         "dedup_embedding": dedup_embedding_q,
         "dedup_embedding_lsh": dedup_embedding_lsh_q,
         "ann_bruteforce": ann_brute_q,
@@ -1392,6 +1432,7 @@ SELECT d.doc_id, coalesce(cp.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN cp USING (doc_id)""",
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_minhash_verified": _minhash_verified_sql(0.5),
+        "dedup_clusters_lsh": _clusters_lsh_sql(0.5),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(SIMHASH_MAXD),
         "dedup_embedding": """
