@@ -1022,6 +1022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-comparable shape of the byte-histogram features
         return MM.blob_feature_rows(MM.with_blob(_docs(spark, sf)))
 
+    def mm_resize_q(spark, sf):
+        return MM.blob_resize_stats(MM.with_blob(_docs(spark, sf)), factor=4)
+
     def densify_q(spark, sf):
         from dhr_spark.operators.densify import densify
 
@@ -1189,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": mm_meta_q,
         "multimodal_frames": mm_frames_q,
         "multimodal_features": mm_features_q,
+        "multimodal_resize": mm_resize_q,
         "densify_slots": densify_q,
         "densify_collisions": densify_collisions_q,
         "gip_topk": gip_topk_q,
@@ -1493,6 +1497,31 @@ SELECT doc_id,
            (t, i) -> ({_HASH60.format(arg='t')} % {TS.FP_MOD}) * i)), 0)::BIGINT
        % {TS.FP_MOD} AS fingerprint
 FROM toks""",
+        "multimodal_resize": """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))::BIGINT AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, hx, n,
+         unnest(range(0, CAST(ceil(n / 4.0) AS BIGINT))) AS i
+  FROM h
+),
+vals AS (
+  SELECT doc_id,
+         (strpos('0123456789ABCDEF', substr(hx, CAST(8 * i + 1 AS INTEGER), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(hx, CAST(8 * i + 2 AS INTEGER), 1)) - 1) AS v
+  FROM pos
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS resized_bytes, sum(v)::BIGINT AS resized_checksum
+  FROM vals GROUP BY 1
+)
+SELECT h.doc_id, h.n AS n_bytes,
+       coalesce(agg.resized_bytes, 0)::BIGINT AS resized_bytes,
+       coalesce(agg.resized_checksum, 0)::BIGINT AS resized_checksum
+FROM h LEFT JOIN agg USING (doc_id)""",
         "multimodal_meta": """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        'raw' AS magic, 'text' AS modality

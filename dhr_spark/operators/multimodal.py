@@ -172,6 +172,49 @@ def blob_feature_rows(
     )
 
 
+def blob_resize_stats(
+    docs_with_blob: DataFrame, factor: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_bytes, resized_bytes, resized_checksum): the resize /
+    downsample stage of the multimodal pipeline with a deterministic
+    byte-stride stand-in.
+
+    A real image resize needs PIL (not in this container); the pipeline
+    SHAPE is identical either way: Arrow batches of blobs in, smaller blobs
+    out, metadata alongside. The stand-in keeps every ``factor``-th byte —
+    deterministic and engine-portable, so the oracle can verify the length
+    and a byte-sum checksum of the downsampled payload exactly. Swapping in
+    `PIL.Image.resize` is a one-function change inside the same kernel."""
+    src = docs_with_blob.select(F.col(id_col).alias("doc_id"), "blob")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_b, r_len, r_sum = [], [], []
+            for b in pdf["blob"]:
+                arr = (
+                    np.frombuffer(bytes(b), dtype=np.uint8)
+                    if b is not None and len(b)
+                    else np.zeros(0, np.uint8)
+                )
+                small = arr[::factor]
+                n_b.append(len(arr))
+                r_len.append(len(small))
+                r_sum.append(int(small.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": np.asarray(n_b, dtype=np.int64),
+                    "resized_bytes": np.asarray(r_len, dtype=np.int64),
+                    "resized_checksum": np.asarray(r_sum, dtype=np.int64),
+                }
+            )
+
+    return src.mapInPandas(
+        resize,
+        "doc_id long, n_bytes long, resized_bytes long, resized_checksum long",
+    )
+
+
 def frame_sample(
     docs_with_blob: DataFrame,
     every_n_bytes: int = 64,
