@@ -34,11 +34,25 @@ from dhr_spark.operators.termfreq import (
     term_freqs,
     with_tokens,
 )
+from dhr_spark.operators import phrase as PH
+from dhr_spark.operators import rm3 as R3
 from dhr_spark.operators.topk import score_all, topk, two_stage_topk
 from dhr_spark.sources.io import trec_run_lines
 
 K1, B = 0.9, 0.4
 TOPK = 20
+
+# phrase / proximity query set (occurring + analyzer-exercising + no-match)
+PHRASES: list[tuple[str, str]] = [
+    ("p1", "table hash"),
+    ("p2", "slow hash batch"),
+    ("p3", "Window, FAST query!"),  # analysis-normalized to window fast query
+    ("p4", "zzyzx table"),          # no-match phrase
+]
+PROX_TERMS = ["customer", "join", "scan"]
+PROX_WINDOW = 12
+
+RM3_FB_DOCS, RM3_FB_TERMS, RM3_BETA = 5, 10, 0.5
 
 # ---------------------------------------------------------------- query set
 # Fixed reference query set (vocabulary drawn from the documents corpus,
@@ -324,6 +338,142 @@ td_t AS (SELECT doc_id, list_distinct(toks) AS td FROM toks),
 hits AS (SELECT doc_id, {hits} FROM td_t),
 best_t AS (SELECT doc_id, {hit_names}, {best} AS best FROM hits)
 SELECT doc_id, {case} AS lang_pred, best AS lang_hits FROM best_t
+"""
+
+
+def _pos_list(term: str) -> str:
+    """DuckDB twin of phrase.term_positions: 0-based positions of term."""
+    return (
+        "list_filter(list_transform(toks, (t, i) -> "
+        f"CASE WHEN t = '{term}' THEN i - 1 ELSE -1 END), p -> p >= 0)"
+    )
+
+
+def _phrase_sql() -> str:
+    selects = []
+    for pid, p in PHRASES:
+        terms = analyze_simple(p)
+        expr = _pos_list(terms[0])
+        for i, t in enumerate(terms[1:], start=1):
+            expr = (
+                f"list_intersect({expr}, "
+                f"list_transform({_pos_list(t)}, p -> p - {i}))"
+            )
+        selects.append(
+            f"SELECT '{pid}' AS phrase_id, doc_id, "
+            "len(starts)::BIGINT AS n_matches, "
+            "list_sort(starts)[1]::BIGINT AS first_pos "
+            f"FROM (SELECT doc_id, {expr} AS starts FROM toks) "
+            "WHERE len(starts) > 0"
+        )
+    return f"WITH {_TOKS_CTE} " + " UNION ALL ".join(selects)
+
+
+_POS_POSTINGS_SQL_TMPL = """
+WITH {toks},
+p AS (
+  SELECT doc_id, unnest(list_transform(toks, (t, i) -> {{'term': t, 'pos': i - 1}})) AS u
+  FROM toks
+)
+SELECT doc_id, u.term AS term,
+       string_agg(u.pos::VARCHAR, ',' ORDER BY u.pos) AS positions,
+       count(*)::BIGINT AS tf
+FROM p GROUP BY doc_id, u.term
+"""
+
+
+def _prox_sql() -> str:
+    n = len(PROX_TERMS)
+    m_defs = ", ".join(
+        f"{_pos_list(t)} AS m{i}" for i, t in enumerate(PROX_TERMS)
+    )
+    allpos = (
+        "list_sort(list_distinct(flatten(["
+        + ", ".join(f"m{i}" for i in range(n))
+        + "])))"
+    )
+    cond = " AND ".join(
+        f"len(list_filter(m{i}, q -> q >= s AND q < s + {PROX_WINDOW})) > 0"
+        for i in range(n)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+m AS (SELECT doc_id, {m_defs} FROM toks),
+v AS (SELECT doc_id, list_sort(list_filter({allpos}, s -> {cond})) AS valid FROM m)
+SELECT doc_id, valid[1]::BIGINT AS window_start FROM v WHERE len(valid) > 0
+"""
+
+
+def _rm3_ctes() -> str:
+    """RM3 relevance model CTEs (assumes _TOKS_CTE + q + _SCORED_CTE).
+
+    Mirrors operators/rm3.py exactly: integer-micros rm1 weights so the
+    per-query normalizing sums are order-independent across engines."""
+    return f"""
+fb AS (SELECT qid, docid, score FROM ranked WHERE rank <= {RM3_FB_DOCS}),
+contrib AS (
+  SELECT fb.qid, tf.term, tf.tf::DOUBLE / dl.dl * fb.score AS c
+  FROM fb JOIN tf ON tf.doc_id = fb.docid JOIN dl ON dl.doc_id = fb.docid
+),
+rm1raw AS (
+  SELECT qid, term, CAST(round(round(sum(c), 6) * 1e6) AS BIGINT) AS rm1_i
+  FROM contrib GROUP BY 1, 2
+),
+rm1top AS (
+  SELECT qid, term, rm1_i FROM (
+    SELECT qid, term, rm1_i,
+           row_number() OVER (PARTITION BY qid ORDER BY rm1_i DESC, term ASC) AS r
+    FROM rm1raw
+  ) WHERE r <= {RM3_FB_TERMS} AND rm1_i > 0
+),
+rm1n AS (
+  SELECT qid, term,
+         rm1_i::DOUBLE / sum(rm1_i) OVER (PARTITION BY qid) AS rm1
+  FROM rm1top
+),
+qm AS (
+  SELECT qid, term, qtf::DOUBLE / sum(qtf) OVER (PARTITION BY qid) AS pq
+  FROM q
+),
+expanded AS (
+  SELECT coalesce(qm.qid, rm1n.qid) AS qid,
+         coalesce(qm.term, rm1n.term) AS term,
+         round({RM3_BETA} * coalesce(pq, 0)
+               + {1.0 - RM3_BETA} * coalesce(rm1, 0), 6) AS weight
+  FROM qm FULL OUTER JOIN rm1n ON qm.qid = rm1n.qid AND qm.term = rm1n.term
+)
+"""
+
+
+def _rm3_expansion_sql() -> str:
+    return (
+        f"WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE}, {_rm3_ctes()} "
+        "SELECT qid, term, weight FROM expanded WHERE weight > 0"
+    )
+
+
+def _rm3_topk_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE}, {_rm3_ctes()},
+scored2 AS (
+  SELECT e.qid, tf.doc_id AS docid, sum(e.weight * {_W_EXPR}) AS score
+  FROM expanded e
+  JOIN tf ON tf.term = e.term
+  JOIN ts ON ts.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+  WHERE e.weight > 0
+  GROUP BY 1, 2
+),
+ranked2 AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM scored2
+)
+SELECT qid, docid, rank, score FROM ranked2 WHERE rank <= {TOPK}
 """
 
 
@@ -1145,6 +1295,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def phrase_match_q(spark, sf):
+        docs = _docs(spark, sf)
+        out = None
+        for pid, p in PHRASES:
+            try:
+                m = PH.phrase_match(docs, p).withColumn("phrase_id", F.lit(pid))
+            except ValueError:
+                continue
+            out = m if out is None else out.unionByName(m)
+        return out.select("phrase_id", "doc_id", "n_matches", "first_pos")
+
+    def positional_postings_q(spark, sf):
+        pp = PH.positional_postings(_docs(spark, sf))
+        return pp.select(
+            "doc_id",
+            "term",
+            F.array_join("positions", ",").alias("positions"),
+            "tf",
+        )
+
+    def phrase_proximity_q(spark, sf):
+        return PH.proximity_match(_docs(spark, sf), PROX_TERMS, PROX_WINDOW)
+
+    def _rm3_expanded(spark, sf):
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return R3.rm3_expand(
+            _qtfs(spark),
+            _bm25_topk(spark, sf),
+            term_freqs(tok),
+            doc_lengths(tok),
+            fb_docs=RM3_FB_DOCS,
+            fb_terms=RM3_FB_TERMS,
+            orig_weight=RM3_BETA,
+        )
+
+    def rm3_expansion_q(spark, sf):
+        return _rm3_expanded(spark, sf)
+
+    def rm3_topk_q(spark, sf):
+        post, _, _ = _postings(spark, sf)
+        return _round4(R3.rm3_topk(_rm3_expanded(spark, sf), post, k=TOPK, on="term"))
+
     return {
         "term_freqs": term_freqs_q,
         "doc_lengths": doc_lengths_q,
@@ -1199,6 +1391,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gip_topk_lambda": gip_topk_lambda_q,
         "maxsim_topk": maxsim_q,
         "hybrid_topk": hybrid_q,
+        "phrase_match": phrase_match_q,
+        "positional_postings": positional_postings_q,
+        "phrase_proximity": phrase_proximity_q,
+        "rm3_expansion": rm3_expansion_q,
+        "rm3_topk": rm3_topk_q,
         "transcripts_bm25": transcripts_bm25_q,
         "wand_vs_slow_identity": wand_vs_slow_q,
     }
@@ -1362,6 +1559,11 @@ FROM {topk10} r
 LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
 GROUP BY r.qid""",
         "wand_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
+        "phrase_match": _phrase_sql(),
+        "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),
+        "phrase_proximity": _prox_sql(),
+        "rm3_expansion": _rm3_expansion_sql(),
+        "rm3_topk": _rm3_topk_sql(),
         "multimodal_features": """
 WITH h AS (
   SELECT doc_id, hex(encode(text)) AS hx,

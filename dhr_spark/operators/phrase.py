@@ -1,0 +1,161 @@
+"""Positional postings and phrase / proximity matching.
+
+The reference's Lucene backend stores term positions and answers phrase
+queries through ``PhraseQuery`` (Anserini's ``SearchCollection`` exposes
+them; dhr itself only issues bag-of-words queries — see SURVEY.md §2.5).
+A complete fulltext engine needs them, so this module adds the positional
+layer Spark-first:
+
+  * ``positional_postings`` — (doc, term, positions[]) rows, the positional
+    inverted-index relation. One posexplode + groupBy; positions are stored
+    sorted so downstream merges are streaming.
+  * ``phrase_match``       — exact consecutive-phrase matching as PURE column
+    math: per phrase term i take its 0-based token positions, shift by -i,
+    and intersect across terms; each surviving value is a phrase start.
+    Zero shuffle, zero Python — whole-stage codegen over the corpus scan.
+  * ``proximity_match``    — unordered "all terms within a window of w
+    tokens" matching. The minimal covering window starts at some term
+    occurrence, so testing every occurrence as a candidate start is exact.
+
+Positions are defined over the ``simple`` analyzer (lowercase ``[a-z0-9]+``
+runs, no stop/stem — functions/analyzer.py) so every operator here has an
+exact DuckDB twin in ``__spark_entry__.oracle_sql``. The Lucene-chain
+analogue would count stopword position increments the same way Lucene does;
+the operator shape is identical.
+
+Scale: all three operators are embarrassingly parallel map-side column
+expressions (no join, no shuffle); ``positional_postings`` adds the same
+single (term)-keyed exchange the TF aggregation already pays. At 100 TB the
+phrase scan reads only (id, text) thanks to column pruning.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dhr_spark.functions.analyzer import simple_tokens_col
+
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+
+def _phrase_terms(phrase: str) -> list[str]:
+    """Client-side analysis of the phrase with the same simple chain."""
+    terms = _SIMPLE_RE.findall(phrase.lower())
+    if not terms:
+        raise ValueError(f"phrase {phrase!r} has no indexable terms")
+    return terms
+
+
+def term_positions(toks: Column, term: str) -> Column:
+    """0-based positions of ``term`` in the token array (sorted, distinct).
+
+    Pure column math: tag each slot with its index or -1, drop the -1s.
+    """
+    tagged = F.transform(
+        toks, lambda t, i: F.when(t == F.lit(term), i).otherwise(F.lit(-1))
+    )
+    return F.array_remove(tagged, -1)
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, positions array<int>, tf) — the positional index relation.
+
+    positions is sorted ascending (posexplode emits in order; collect_list
+    order is then re-pinned with sort_array for determinism under AQE).
+    """
+    toks = simple_tokens_col(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    )
+    return exploded.groupBy(id_col, "term").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count("*").cast("long").alias("tf"),
+    )
+
+
+def phrase_starts(toks: Column, terms: list[str]) -> Column:
+    """Array of phrase start positions: ∩_i (positions(term_i) - i).
+
+    array_intersect dedups, which is lossless here — positions within one
+    list are already distinct. Repeated phrase terms (``"the the"``) work:
+    each occurrence list is shifted independently.
+    """
+    def _shift_by(i: int):
+        # closure, NOT a default arg: a 2-param lambda would make PySpark
+        # pass the array index as the second argument instead of the shift
+        return lambda p: p - F.lit(i)
+
+    starts = term_positions(toks, terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        shifted = F.transform(term_positions(toks, t), _shift_by(i))
+        starts = F.array_intersect(starts, shifted)
+    return F.array_sort(starts)
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_matches, first_pos) for docs containing ``phrase`` verbatim
+    (consecutive tokens under the simple analyzer)."""
+    terms = _phrase_terms(phrase)
+    toks = simple_tokens_col(F.col(text_col))
+    starts = phrase_starts(toks, terms)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(starts).cast("long").alias("n_matches"),
+            F.try_element_at(starts, F.lit(1)).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def proximity_match(
+    docs: DataFrame,
+    terms_raw: list[str],
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, window_start) for docs where ALL terms co-occur within any
+    ``window``-token span [s, s+window). Unordered (bag proximity).
+
+    window_start is the smallest valid span start. Candidate starts are
+    every occurrence of every term — the minimal covering window begins at
+    one of them, so the test is exact, and the per-doc cost is
+    O(occurrences² · |terms|) in pure codegen (no shuffle).
+    """
+    terms = [t for raw in terms_raw for t in _SIMPLE_RE.findall(raw.lower())]
+    if not terms:
+        raise ValueError("no indexable terms")
+    toks = simple_tokens_col(F.col(text_col))
+    pos_arrays = [term_positions(toks, t) for t in terms]
+    all_pos = F.array_sort(F.array_distinct(F.flatten(F.array(*pos_arrays))))
+
+    def _in_window(pa: Column, s: Column) -> Column:
+        # bind s via closure (a default arg would change the visible lambda
+        # arity and break PySpark's higher-order-function resolution)
+        return F.exists(pa, lambda q: (q >= s) & (q < s + F.lit(window)))
+
+    def covers(s: Column) -> Column:
+        ok = F.lit(True)
+        for pa in pos_arrays:
+            ok = ok & _in_window(pa, s)
+        return ok
+
+    valid = F.filter(all_pos, covers)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.try_element_at(valid, F.lit(1)).cast("long").alias("window_start"),
+        )
+        .filter(F.col("window_start").isNotNull())
+    )
