@@ -34,6 +34,7 @@ from dhr_spark.operators.termfreq import (
     term_freqs,
     with_tokens,
 )
+from dhr_spark.operators import conversations as CV
 from dhr_spark.operators import phrase as PH
 from dhr_spark.operators import rm3 as R3
 from dhr_spark.operators.topk import score_all, topk, two_stage_topk
@@ -53,6 +54,9 @@ PROX_TERMS = ["customer", "join", "scan"]
 PROX_WINDOW = 12
 
 RM3_FB_DOCS, RM3_FB_TERMS, RM3_BETA = 5, 10, 0.5
+
+SNIPPET_TERMS = ["table", "hash", "merge"]
+SNIPPET_WIDTH = 8
 
 # ---------------------------------------------------------------- query set
 # Fixed reference query set (vocabulary drawn from the documents corpus,
@@ -474,6 +478,60 @@ ranked2 AS (
   FROM scored2
 )
 SELECT qid, docid, rank, score FROM ranked2 WHERE rank <= {TOPK}
+"""
+
+
+# transcript-shaped view of the documents table: a deterministic pure-column
+# reshape both engines can compute, so the conversation operators get full
+# DuckDB oracles (the synthetic murmur3 transcripts are not SQL-expressible)
+_TTURNS_CTE = """
+tturns AS (
+  SELECT doc_id // 10 AS conv_id,
+         (doc_id % 10)::INT AS turn_idx,
+         ['user','assistant','tool','system'][(doc_id % 4 + 1)::INT] AS role,
+         CASE WHEN doc_id % 4 = 2
+              THEN ['bash','grep'][(doc_id % 2 + 1)::INT] END AS tool,
+         text
+  FROM documents
+)
+"""
+
+
+def _snippet_sql() -> str:
+    pos_defs = ", ".join(
+        f"{_pos_list(t)} AS m{i}" for i, t in enumerate(SNIPPET_TERMS)
+    )
+    n = len(SNIPPET_TERMS)
+    allpos = (
+        "list_sort(list_distinct(flatten(["
+        + ", ".join(f"m{i}" for i in range(n))
+        + "])))"
+    )
+    hits = " + ".join(
+        f"(len(list_filter(m{i}, q -> q >= s AND q < s + {SNIPPET_WIDTH})) > 0)::BIGINT"
+        for i in range(n)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+m AS (SELECT doc_id, toks, {pos_defs} FROM toks),
+cand AS (
+  SELECT doc_id, toks, unnest({allpos}) AS s,
+         {", ".join(f"m{i}" for i in range(n))}
+  FROM m
+),
+scored_w AS (
+  SELECT doc_id, toks, s, {hits} AS n_hits FROM cand
+),
+best AS (
+  SELECT doc_id, toks, s, n_hits,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY n_hits DESC, s ASC
+         ) AS r
+  FROM scored_w
+)
+SELECT doc_id, s::BIGINT AS start, n_hits,
+       array_to_string(toks[s + 1 : s + {SNIPPET_WIDTH}], ' ') AS snippet
+FROM best WHERE r = 1
 """
 
 
@@ -1337,6 +1395,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         post, _, _ = _postings(spark, sf)
         return _round4(R3.rm3_topk(_rm3_expanded(spark, sf), post, k=TOPK, on="term"))
 
+    def _tturns(spark, sf):
+        # transcript-shaped reshape of documents (same math as _TTURNS_CTE)
+        d = _docs(spark, sf)
+        role = F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        )
+        return d.select(
+            F.floor(F.col("doc_id") / 10).cast("long").alias("conv_id"),
+            (F.col("doc_id") % 10).cast("int").alias("turn_idx"),
+            role.alias("role"),
+            F.when(
+                F.col("doc_id") % 4 == 2,
+                F.element_at(
+                    F.array(F.lit("bash"), F.lit("grep")),
+                    (F.col("doc_id") % 2 + 1).cast("int"),
+                ),
+            ).alias("tool"),
+            "text",
+        )
+
+    def conv_documents_q(spark, sf):
+        return CV.conv_documents(_tturns(spark, sf))
+
+    def turn_context_q(spark, sf):
+        return CV.turn_context(_tturns(spark, sf))
+
+    def conv_role_stats_q(spark, sf):
+        return CV.conv_role_stats(_tturns(spark, sf))
+
+    def tool_usage_q(spark, sf):
+        return CV.tool_usage(_tturns(spark, sf))
+
+    def snippet_q(spark, sf):
+        return PH.best_snippet(
+            _docs(spark, sf), SNIPPET_TERMS, width=SNIPPET_WIDTH
+        )
+
     return {
         "term_freqs": term_freqs_q,
         "doc_lengths": doc_lengths_q,
@@ -1394,8 +1490,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": phrase_match_q,
         "positional_postings": positional_postings_q,
         "phrase_proximity": phrase_proximity_q,
+        "text_snippet": snippet_q,
         "rm3_expansion": rm3_expansion_q,
         "rm3_topk": rm3_topk_q,
+        "conv_documents": conv_documents_q,
+        "conv_turn_context": turn_context_q,
+        "conv_role_stats": conv_role_stats_q,
+        "conv_tool_usage": tool_usage_q,
         "transcripts_bm25": transcripts_bm25_q,
         "wand_vs_slow_identity": wand_vs_slow_q,
     }
@@ -1562,8 +1663,32 @@ GROUP BY r.qid""",
         "phrase_match": _phrase_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),
         "phrase_proximity": _prox_sql(),
+        "text_snippet": _snippet_sql(),
         "rm3_expansion": _rm3_expansion_sql(),
         "rm3_topk": _rm3_topk_sql(),
+        "conv_documents": f"""
+WITH {_TTURNS_CTE}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       string_agg(text, ' ' ORDER BY turn_idx) AS text
+FROM tturns GROUP BY conv_id""",
+        "conv_turn_context": f"""
+WITH {_TTURNS_CTE}
+SELECT conv_id, turn_idx, role, text,
+       coalesce(lag(text) OVER w, '') AS prev_text,
+       coalesce(lead(text) OVER w, '') AS next_text
+FROM tturns
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)""",
+        "conv_role_stats": f"""
+WITH {_TTURNS_CTE}
+SELECT conv_id, role, count(*)::BIGINT AS n_turns,
+       sum(length(text))::BIGINT AS total_chars,
+       round(sum(length(text))::DOUBLE / count(*), 6) AS avg_chars
+FROM tturns GROUP BY conv_id, role""",
+        "conv_tool_usage": f"""
+WITH {_TTURNS_CTE}
+SELECT tool, count(*)::BIGINT AS n_calls,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM tturns WHERE tool IS NOT NULL GROUP BY tool""",
         "multimodal_features": """
 WITH h AS (
   SELECT doc_id, hex(encode(text)) AS hx,

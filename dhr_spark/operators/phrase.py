@@ -159,3 +159,56 @@ def proximity_match(
         )
         .filter(F.col("window_start").isNotNull())
     )
+
+
+def best_snippet(
+    docs: DataFrame,
+    terms_raw: list[str],
+    width: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, start, n_hits, snippet): the ``width``-token window covering the
+    most DISTINCT query terms (ties → earliest window), i.e. result
+    highlighting / keyword-in-context extraction.
+
+    Candidate starts are term-occurrence positions (the optimal window
+    starts at one — shifting right past a hit can only lose it), so the
+    selection is exact and stays zero-shuffle column math: per candidate
+    start s count terms with an occurrence in [s, s+width), then
+    array_max over (hits, -s) structs picks hits DESC, s ASC.
+    """
+    terms = list(
+        dict.fromkeys(
+            t for raw in terms_raw for t in _SIMPLE_RE.findall(raw.lower())
+        )
+    )
+    if not terms:
+        raise ValueError("no indexable terms")
+    toks = simple_tokens_col(F.col(text_col))
+    pos_arrays = [term_positions(toks, t) for t in terms]
+    all_pos = F.array_sort(F.array_distinct(F.flatten(F.array(*pos_arrays))))
+
+    def hits(s):
+        n = F.lit(0)
+        for pa in pos_arrays:
+            n = n + F.exists(
+                pa, lambda q: (q >= s) & (q < s + F.lit(width))
+            ).cast("int")
+        return n
+
+    best = F.array_max(
+        F.transform(all_pos, lambda s: F.struct(hits(s).alias("h"), (-s).alias("ns")))
+    )
+    start = (-best["ns"]).cast("long")
+    return (
+        docs.select(
+            F.col(id_col),
+            start.alias("start"),
+            best["h"].cast("long").alias("n_hits"),
+            F.array_join(
+                F.slice(toks, start.cast("int") + 1, width), " "
+            ).alias("snippet"),
+        )
+        .filter(F.col("n_hits").isNotNull())
+    )
