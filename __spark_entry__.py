@@ -497,6 +497,20 @@ tturns AS (
 """
 
 
+def _redact_sql() -> str:
+    """Sequential rule application mirroring textstats.redact: each rule's
+    match count is taken on ITS OWN input (after earlier rewrites)."""
+    cur = "props"
+    counts = []
+    for pat, repl in TS.REDACT_RULES:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(counts)
+    return f"""
+SELECT event_id, {cur} AS redacted, ({total})::BIGINT AS n_redacted
+FROM events"""
+
+
 def _snippet_sql() -> str:
     pos_defs = ", ".join(
         f"{_pos_list(t)} AS m{i}" for i, t in enumerate(SNIPPET_TERMS)
@@ -1433,6 +1447,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), SNIPPET_TERMS, width=SNIPPET_WIDTH
         )
 
+    def repetition_q(spark, sf):
+        return TS.repetition_stats(_docs(spark, sf))
+
+    def redact_q(spark, sf):
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return TS.redact(ev, "props", "event_id")
+
+    def sample_split_q(spark, sf):
+        return TS.hash_split(_docs(spark, sf))
+
     return {
         "term_freqs": term_freqs_q,
         "doc_lengths": doc_lengths_q,
@@ -1491,6 +1515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_postings": positional_postings_q,
         "phrase_proximity": phrase_proximity_q,
         "text_snippet": snippet_q,
+        "text_repetition": repetition_q,
+        "events_redact": redact_q,
+        "sample_split": sample_split_q,
         "rm3_expansion": rm3_expansion_q,
         "rm3_topk": rm3_topk_q,
         "conv_documents": conv_documents_q,
@@ -1664,6 +1691,35 @@ GROUP BY r.qid""",
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),
         "phrase_proximity": _prox_sql(),
         "text_snippet": _snippet_sql(),
+        "text_repetition": f"""
+WITH {_TOKS_CTE},
+r AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM toks
+)
+SELECT doc_id, n::BIGINT AS n_tokens,
+  CASE WHEN n > 0 THEN round(list_max(list_transform(list_distinct(toks),
+       d -> len(list_filter(toks, t -> t = d))))::DOUBLE / n, 6)
+       ELSE 0.0 END AS top_token_frac,
+  CASE WHEN n > 1 THEN round(list_max(list_transform(list_distinct(bigrams),
+       d -> len(list_filter(bigrams, t -> t = d))))::DOUBLE / (n - 1), 6)
+       ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN n > 0 THEN round(len(list_distinct(toks))::DOUBLE / n, 6)
+       ELSE 0.0 END AS distinct_ratio
+FROM r""",
+        "events_redact": _redact_sql(),
+        "sample_split": f"""
+WITH b AS (
+  SELECT doc_id, ({_HASH60.format(arg="doc_id::VARCHAR")}) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket::BIGINT AS bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b""",
         "rm3_expansion": _rm3_expansion_sql(),
         "rm3_topk": _rm3_topk_sql(),
         "conv_documents": f"""

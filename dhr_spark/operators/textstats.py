@@ -154,6 +154,103 @@ def term_cooccurrence(
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, top_token_frac, top_bigram_frac, distinct_ratio):
+    Gopher-style repetition filters (most-frequent-token mass and
+    most-frequent-bigram mass; high values flag boilerplate/spam docs).
+
+    Pure column math: per distinct token/bigram, count its occurrences with
+    a filter scan over the array and take the max — O(n·distinct) per doc in
+    whole-stage codegen, zero shuffle, and an exact DuckDB list-ops twin.
+    Ratios rounded to 6 for cross-engine hashing.
+    """
+    toks = simple_tokens_col(F.col("text"))
+    n = F.size(toks)
+
+    def top_count(arr: Column) -> Column:
+        distinct = F.array_distinct(arr)
+        return F.array_max(
+            F.transform(
+                distinct,
+                lambda d: F.size(F.filter(arr, lambda t: t == d)),
+            )
+        )
+
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    top_tok = F.when(n > 0, F.round(top_count(toks) / n.cast("double"), 6)).otherwise(0.0)
+    top_bg = F.when(
+        n > 1, F.round(top_count(bigrams) / (n - 1).cast("double"), 6)
+    ).otherwise(0.0)
+    dr = F.when(
+        n > 0, F.round(F.size(F.array_distinct(toks)) / n.cast("double"), 6)
+    ).otherwise(0.0)
+    return docs.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        top_tok.alias("top_token_frac"),
+        top_bg.alias("top_bigram_frac"),
+        dr.alias("distinct_ratio"),
+    )
+
+
+# default PII-shaped scrub rules: portable across Java regex (Spark) and
+# RE2 (DuckDB) — simple character classes only, no lookaround
+REDACT_RULES: list[tuple[str, str]] = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+", "<EMAIL>"),
+    (r"[0-9]+", "<NUM>"),
+]
+
+
+def redact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rules: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(id, redacted, n_redacted): pattern scrubbing for training-data
+    pipelines (PII-shaped tokens → placeholders). Rules apply in order;
+    n_redacted counts matches of each rule BEFORE its rewrite (an earlier
+    rule's placeholder is never double-counted by a later one because
+    counting happens on that rule's own input)."""
+    rules = REDACT_RULES if rules is None else rules
+    cur = F.col(text_col)
+    total = F.lit(0)
+    for pat, repl in rules:
+        total = total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(
+        id_col,
+        cur.alias("redacted"),
+        total.cast("long").alias("n_redacted"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """(id, bucket, split): deterministic train/val/test assignment by
+    portable content-free hash of the id — stable across engines, runs and
+    cluster sizes (no RNG state; the split of a given id never changes when
+    the corpus grows, unlike randomSplit)."""
+    bucket = tokhash60(F.col(id_col).cast("string")) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        id_col, bucket.cast("long").alias("bucket"), split.alias("split")
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint): order-sensitive rolling document fingerprint.
 

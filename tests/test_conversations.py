@@ -84,3 +84,42 @@ def test_best_snippet_tie_prefers_earliest(spark):
     )
     r = PH.best_snippet(df, ["hash"], width=3).collect()[0]
     assert (r["start"], r["n_hits"]) == (0, 1)
+
+
+def test_repetition_stats_edges(spark):
+    from dhr_spark.operators import textstats as TS
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, ""), (3, "x"), (4, "p q p q p q")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in TS.repetition_stats(df).collect()}
+    assert out[1]["top_token_frac"] == 0.75
+    assert out[1]["distinct_ratio"] == 0.5
+    assert out[2]["n_tokens"] == 0 and out[2]["top_token_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.0  # single token: no bigrams
+    assert out[4]["top_bigram_frac"] == 0.6  # "p q" 3x of 5 bigrams
+
+
+def test_redact_order_and_counts(spark):
+    from dhr_spark.operators import textstats as TS
+    df = spark.createDataFrame(
+        [(1, "mail bob42@x.org or call 555 1234"), (2, "clean")],
+        "event_id int, props string",
+    )
+    out = {r["event_id"]: (r["redacted"], r["n_redacted"])
+           for r in TS.redact(df, "props", "event_id").collect()}
+    assert out[1] == ("mail <EMAIL> or call <NUM> <NUM>", 3)
+    assert out[2] == ("clean", 0)
+
+
+def test_hash_split_deterministic_and_total(spark):
+    from dhr_spark.operators import textstats as TS
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in TS.hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         TS.hash_split(docs.repartition(13)).collect()}
+    assert a == b  # partitioning-independent
+    from collections import Counter
+    c = Counter(a.values())
+    assert c["train"] + c["val"] + c["test"] == 1000
+    assert 700 < c["train"] < 900  # ~80%
