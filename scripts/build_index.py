@@ -50,12 +50,16 @@ def main() -> None:
         from dhr_spark.data.synthetic import synth_transcripts
 
         transcripts = synth_transcripts(spark, n_convs=args.synthetic)
-    elif args.format == "iceberg":
-        # Iceberg catalogs are configured via --conf spark.sql.catalog.*;
-        # the table read is format-transparent from here on
-        transcripts = spark.read.table(args.input)
     else:
-        transcripts = spark.read.parquet(args.input)
+        # Iceberg catalogs are configured via --conf spark.sql.catalog.*;
+        # read_transcripts resolves table-vs-path and pins the contract
+        # schema (missing/incompatible columns fail fast here, not mid-build)
+        from dhr_spark.sources.transcripts import read_transcripts
+
+        transcripts = read_transcripts(
+            spark, args.input,
+            fmt="table" if args.format == "iceberg" else "parquet",
+        )
 
     manifest = build_index(
         spark,
