@@ -240,7 +240,14 @@ def _wand_index_dir(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     idx = f"/tmp/dhr_spark_idx_{key}"
     if key not in _INDEX_CACHE:
-        if load_manifest(idx) is None:
+        man = load_manifest(idx)
+        if man is not None and int(man.get("version", 1)) < 2:
+            # stale pre-v2 cache from an older build: rebuild in place
+            import shutil
+
+            shutil.rmtree(idx, ignore_errors=True)
+            man = None
+        if man is None:
             docs = _docs(spark, sf_dir).select(
                 F.col("doc_id").alias("docid"), "text"
             )

@@ -109,11 +109,15 @@ def build_index_from_docs(
     b: float = B,
     resume: bool = False,
     doc_map_df: DataFrame | None = None,
+    extra_manifest: dict | None = None,
 ) -> dict:
     """Build (or resume) the index over any corpus with (docid long, text).
 
     The generic entry: the transcripts pipeline, the driver-contract
-    documents corpus, and pytest fixtures all funnel through here."""
+    documents corpus, and pytest fixtures all funnel through here.
+    ``extra_manifest`` fields ride the atomic manifest commit — callers (the
+    streaming compactor) use it to commit their own watermark transactionally
+    with the build."""
     t0 = time.time()
     prior = load_manifest(index_dir) if resume else None
     done_chunks = set(prior["chunks"].keys()) if prior else set()
@@ -126,6 +130,8 @@ def build_index_from_docs(
     cs = fused.agg(
         F.count(F.when(F.col("first"), 1)).alias("n_docs"),
         F.avg(F.when(F.col("first"), F.col("dl"))).alias("avgdl"),
+        F.sum(F.when(F.col("first"), F.col("dl"))).alias("total_dl"),
+        F.max(F.when(F.col("first"), F.col("docid"))).alias("max_docid"),
     ).collect()[0]
     if cs["n_docs"] == 0 or cs["avgdl"] is None:
         fused.unpersist()
@@ -133,6 +139,7 @@ def build_index_from_docs(
             "cannot build an index over an empty corpus (0 documents)"
         )
     n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    total_dl, max_docid = int(cs["total_dl"]), int(cs["max_docid"])
 
     if prior is not None and (
         int(prior["n_docs"]) != n_docs
@@ -166,16 +173,20 @@ def build_index_from_docs(
             f"n_terms={prior['n_terms']}. Run a full rebuild."
         )
 
+    # idf deliberately NOT joined into the postings: segments are stats-free
+    # (query-time idf comes from the term dictionary), which keeps one double
+    # per posting out of the build's only wide shuffle AND makes the rows
+    # immutable under incremental appends
     post = tfs.join(
-        F.broadcast(tdict.select("term", "term_id", "idf")), "term"
-    ).select("term_id", "docid", "tf", "dl", "idf")
+        F.broadcast(tdict.select("term", "term_id")), "term"
+    ).select("term_id", "docid", "tf", "dl")
     if done_chunks:
         done_ints = [int(c) for c in done_chunks]
         post = post.filter(
             ~F.shiftright(F.col("docid"), chunk_bits).cast("int").isin(done_ints)
         )
 
-    seg = build_segments(post, avgdl, chunk_bits, block_size, k1, b)
+    seg = build_segments(post, chunk_bits, block_size)
     seg_path = os.path.join(index_dir, "segments")
     dl_path = os.path.join(index_dir, "doclens")
     mode = "append" if done_chunks else "overwrite"
@@ -199,9 +210,12 @@ def build_index_from_docs(
         # row count from parquet footers — metadata-only, no extra agg job
         n_terms = spark.read.parquet(td_path).count()
         if doc_map_df is not None:
-            doc_map_df.write.mode("overwrite").parquet(
-                os.path.join(index_dir, "doc_map")
-            )
+            # seg_batch partitioning: 0 = base build; incremental appends
+            # write their own seg_batch= partition with dynamic overwrite,
+            # so a crashed-and-retried append replaces rather than duplicates
+            doc_map_df.withColumn("seg_batch", F.lit(0)).write.mode(
+                "overwrite"
+            ).partitionBy("seg_batch").parquet(os.path.join(index_dir, "doc_map"))
     else:
         n_terms = prior["n_terms"]
 
@@ -228,7 +242,7 @@ def build_index_from_docs(
         for r in metrics
     }
     manifest = {
-        "version": 1,
+        "version": 2,
         "k1": k1,
         "b": b,
         "chunk_bits": chunk_bits,
@@ -236,11 +250,17 @@ def build_index_from_docs(
         "analyzer_mode": analyzer_mode,
         "n_docs": n_docs,
         "avgdl": avgdl,
+        "total_dl": total_dl,
+        "next_docid": max_docid + 1,
+        "appends": 0,
+        "term_dict_dir": "term_dict",
         "n_terms": int(n_terms),
         "build_seconds": round(time.time() - t0, 2),
         "resumed_from": sorted(done_chunks) if done_chunks else [],
         "chunks": chunks,
     }
+    if extra_manifest:
+        manifest.update(extra_manifest)
     _write_manifest(index_dir, manifest)
     fused.unpersist()
     tdict.unpersist()

@@ -1,0 +1,222 @@
+"""Incremental index refresh: append new transcripts WITHOUT a rebuild.
+
+A 10^12-turn index cannot be rebuilt per ingest batch. BM25 is a global
+function — every insert moves idf (per-term df) and avgdl — which is why the
+naive "append segments built under new stats" corrupts scoring. This module
+makes appends sound by construction, exploiting two invariants of the v2
+index layout:
+
+  1. Segment rows are STATS-FREE: they store raw (gaps, tfs) and per-block
+     (max_tf, min_dl). Query-time scoring applies the CURRENT idf/avgdl
+     (term dictionary + manifest), and the block bound idf·f(max_tf, min_dl)
+     is admissible under any stats (w monotone ↑tf ↓dl). Committed rows
+     therefore never need re-encoding when the corpus grows.
+  2. New docids start at the NEXT CHUNK BOUNDARY above the prior corpus
+     (docid space is virtual — the skipped slots cost nothing), so an append
+     only ever creates brand-new (chunk, term) groups and brand-new doclens
+     chunks: pure parquet appends, no read-modify-write, and a crash before
+     the manifest commit leaves orphan chunk files that the next run
+     overwrites (the manifest is the atomic commit point, exactly like the
+     resume path).
+
+What an append updates:
+  * term_dict — rewritten (small vs corpus): existing terms keep their ids
+    with df += batch df; unseen terms get fresh ids after the old maximum;
+    idf recomputed for ALL terms under the new n_docs.
+  * doc_map / doclens / segments — appended (new chunks only).
+  * manifest — n_docs, total_dl, avgdl (exact, from totals), n_terms,
+    next_docid, appends counter, new chunk lineage.
+
+Cost shape at scale: tokenize+TF of the BATCH only, one (chunk, term)
+shuffle of the BATCH postings, a broadcast join against the updated term
+dictionary, and one |V|-row dictionary rewrite. Nothing touches existing
+postings.
+
+Semantics: search results over base+batch are IDENTICAL (same scores) to a
+full rebuild over the union corpus — docid assignment differs (appends pack
+new docs after the boundary) but the (conv_id, turn_idx)-level ranking is
+the same; verified in tests/test_incremental.py.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dhr_spark.functions.bm25 import idf_col
+from dhr_spark.index.builder import _write_manifest, load_manifest
+from dhr_spark.index.segments import build_doclens, build_segments
+from dhr_spark.operators.docids import ORDER_COLS, with_docids
+from dhr_spark.operators.termfreq import doc_term_freqs
+
+
+def append_to_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    extra_manifest: dict | None = None,
+) -> dict:
+    """Fold a new batch of transcript turns into an existing v2 index.
+
+    Returns the updated manifest. Raises if the index is missing or was
+    built with a pre-v2 (stats-bound) layout. ``extra_manifest`` fields ride
+    the atomic manifest commit (streaming compaction watermark).
+    """
+    t0 = time.time()
+    man = load_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    if int(man.get("version", 1)) < 2:
+        raise ValueError(
+            "incremental append requires a version>=2 index (stats-free "
+            "block bounds); rebuild once with the current builder"
+        )
+    chunk_bits = int(man["chunk_bits"])
+    chunk_docs = 1 << chunk_bits
+    # new docids start at the next chunk boundary: appends create only
+    # brand-new (chunk, term) groups — no read-modify-write of committed rows
+    base = -(-int(man["next_docid"]) // chunk_docs) * chunk_docs
+
+    docs = with_docids(transcripts).withColumn(
+        "docid", F.col("docid") + F.lit(base)
+    )
+    try:
+        return _append_docs(spark, docs, index_dir, man, base, t0, extra_manifest)
+    finally:
+        cached = getattr(docs, "_dhr_persisted", None)
+        if cached is not None:
+            cached.unpersist()
+
+
+def _append_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    man: dict,
+    base: int,
+    t0: float,
+    extra_manifest: dict | None = None,
+) -> dict:
+    chunk_bits = int(man["chunk_bits"])
+    fused = doc_term_freqs(docs, mode=man["analyzer_mode"]).cache()
+    cs = fused.agg(
+        F.count(F.when(F.col("first"), 1)).alias("n"),
+        F.sum(F.when(F.col("first"), F.col("dl"))).alias("dl_sum"),
+        F.max(F.when(F.col("first"), F.col("docid"))).alias("max_docid"),
+    ).collect()[0]
+    if int(cs["n"]) == 0:
+        fused.unpersist()
+        raise ValueError("append batch is empty (0 documents)")
+    n_new, dl_new, max_docid = int(cs["n"]), int(cs["dl_sum"]), int(cs["max_docid"])
+    n_docs = int(man["n_docs"]) + n_new
+    total_dl = int(man["total_dl"]) + dl_new
+    avgdl = total_dl / n_docs
+
+    tfs = fused.filter(F.col("term").isNotNull())
+    dls = fused.filter(F.col("first")).select("docid", "dl")
+
+    # --- term dictionary merge: stable ids for known terms, fresh ids after
+    # the old maximum for new ones (df_batch DESC, term ASC — deterministic)
+    old = spark.read.parquet(
+        os.path.join(index_dir, man.get("term_dict_dir", "term_dict"))
+    ).select("term", "term_id", "df")
+    batch_df = tfs.groupBy("term").agg(F.count("*").alias("df_b"))
+    joined = old.join(batch_df, "term", "full_outer")
+    known = joined.filter(F.col("term_id").isNotNull()).select(
+        "term",
+        "term_id",
+        (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("df_b"), F.lit(0)))
+        .alias("df"),
+    )
+    w_new = Window.orderBy(F.col("df_b").desc(), F.col("term").asc())
+    fresh = (
+        joined.filter(F.col("term_id").isNull())
+        .select(
+            "term",
+            (F.row_number().over(w_new) - 1 + F.lit(int(man["n_terms"])))
+            .cast("long")
+            .alias("term_id"),
+            F.col("df_b").alias("df"),
+        )
+    )
+    tdict = (
+        known.unionByName(fresh)
+        .withColumn("idf", idf_col(F.col("df"), F.lit(n_docs)))
+        .cache()
+    )
+    n_terms = tdict.count()
+
+    post = tfs.join(F.broadcast(tdict.select("term", "term_id")), "term").select(
+        "term_id", "docid", "tf", "dl"
+    )
+    seg_path = os.path.join(index_dir, "segments")
+    dl_path = os.path.join(index_dir, "doclens")
+    new_chunk_lo = base >> chunk_bits
+    append_no = int(man.get("appends", 0)) + 1
+    # every write below is idempotent under crash-and-retry; the manifest
+    # rewrite at the end is the single atomic commit point:
+    #   * segments/doclens — dynamic partition overwrite of the BRAND-NEW
+    #     chunk partitions (appends never touch committed chunks)
+    #   * doc_map — dynamic overwrite of this append's seg_batch= partition
+    #   * term dictionary — written to a VERSIONED directory referenced only
+    #     by the new manifest; a crash leaves the old pointer valid
+    dyn = {"partitionOverwriteMode": "dynamic"}
+    seg = build_segments(post, chunk_bits, int(man["block_size"]))
+    seg.repartition("chunk").write.mode("overwrite").options(**dyn).partitionBy(
+        "chunk"
+    ).parquet(seg_path)
+    build_doclens(dls, chunk_bits).write.mode("overwrite").options(
+        **dyn
+    ).partitionBy("chunk").parquet(dl_path)
+    docs.select("docid", *ORDER_COLS).withColumn(
+        "seg_batch", F.lit(append_no)
+    ).write.mode("overwrite").options(**dyn).partitionBy("seg_batch").parquet(
+        os.path.join(index_dir, "doc_map")
+    )
+    td_dir = f"term_dict_v{append_no}"
+    tdict.write.mode("overwrite").parquet(os.path.join(index_dir, td_dir))
+
+    written = spark.read.parquet(seg_path).filter(
+        F.col("chunk") >= new_chunk_lo
+    )
+    metrics = (
+        written.groupBy("chunk")
+        .agg(
+            F.sum("n").alias("postings"),
+            F.sum("bytes").alias("bytes"),
+            F.count("*").alias("terms"),
+            (F.max("n") / F.avg("n")).alias("skew_ratio"),
+        )
+        .collect()
+    )
+    chunks = dict(man["chunks"])
+    for r in metrics:
+        chunks[str(r["chunk"])] = {
+            "postings": int(r["postings"]),
+            "bytes": int(r["bytes"]),
+            "terms": int(r["terms"]),
+            "skew_ratio": round(float(r["skew_ratio"]), 3),
+        }
+    man2 = dict(man)
+    man2.update(
+        {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "total_dl": total_dl,
+            "next_docid": max_docid + 1,
+            "n_terms": int(n_terms),
+            "appends": append_no,
+            "term_dict_dir": td_dir,
+            "last_append_seconds": round(time.time() - t0, 2),
+            "chunks": chunks,
+        }
+    )
+    if extra_manifest:
+        man2.update(extra_manifest)
+    _write_manifest(index_dir, man2)
+    fused.unpersist()
+    tdict.unpersist()
+    return man2

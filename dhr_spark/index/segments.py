@@ -3,8 +3,10 @@
 Layout: the docid space is split into fixed-width CHUNKS
 (``chunk = docid >> chunk_bits``). A segment row is one (term_id, chunk)
 group: postings sorted by docid, delta-gap + varint encoded, with per-block
-(``block_size`` postings) max BM25 weights and first-docids for block-max
-WAND skipping.
+(``block_size`` postings) (max tf, min dl) pairs and first-docids for
+block-max WAND skipping. Block bounds are stats-free — the query-time bound
+idf·f(max_tf, min_dl) is admissible under any current (idf, avgdl) — so
+committed segment rows survive incremental corpus growth unchanged.
 
 Why chunked (scale rationale):
   * bounded group size — a head term with df=10^10 never materializes one
@@ -35,9 +37,9 @@ from dhr_spark.index.codec import varint_encode, varint_lengths
 
 SEGMENT_SCHEMA = (
     "chunk int, term_id long, n long, doc_gaps binary, tfs binary, "
-    "block_max array<double>, block_first array<long>, "
-    "block_doc_off array<long>, block_tf_off array<long>, "
-    "idf double, bytes long"
+    "block_max_tf array<long>, block_min_dl array<long>, "
+    "block_first array<long>, "
+    "block_doc_off array<long>, block_tf_off array<long>, bytes long"
 )
 
 DOCLEN_SCHEMA = "chunk int, base_docid long, n_docs long, dls binary"
@@ -55,33 +57,38 @@ def bm25_weights_np(
 
 
 def _encode_batch_vectorized(
-    pdf: pd.DataFrame, avgdl: float, block_size: int, k1: float, b: float
+    pdf: pd.DataFrame, block_size: int
 ) -> pd.DataFrame:
     """Encode ALL (chunk, term_id) groups in a sorted batch at once.
 
-    Every heavy step — BM25 weights, delta gaps with per-block absolute
-    restarts, varint encode, per-block maxima — runs as ONE numpy op over the
-    whole batch (segmented via reduceat/searchsorted), leaving only cheap
-    buffer slicing in the per-group loop. ~10x over a per-group kernel.
-    """
+    Every heavy step — delta gaps with per-block absolute restarts, varint
+    encode, per-block (max tf, min dl) — runs as ONE numpy op over the whole
+    batch (segmented via reduceat/searchsorted), leaving only cheap buffer
+    slicing in the per-group loop. ~10x over a per-group kernel.
+
+    Blocks store (max_tf, min_dl), NOT precomputed max BM25 weights: the
+    BM25 weight w(tf, dl) = idf·tf/(tf + k1(1-b+b·dl/avgdl)) is monotone
+    increasing in tf and decreasing in dl, so idf·f(max_tf, min_dl) is an
+    admissible per-block upper bound under WHATEVER (idf, avgdl) hold at
+    query time. That makes segment rows immutable under corpus growth —
+    incremental appends only update the term dictionary and manifest stats,
+    never the committed postings (index/incremental.py)."""
     chunks = pdf["chunk"].to_numpy()
     tids = pdf["term_id"].to_numpy()
     docids = pdf["docid"].to_numpy().astype(np.int64)
     tfs = pdf["tf"].to_numpy().astype(np.int64)
     dls = pdf["dl"].to_numpy().astype(np.int64)
-    idfs = pdf["idf"].to_numpy().astype(np.float64)
     n = len(pdf)
 
     bounds = np.flatnonzero((np.diff(chunks) != 0) | (np.diff(tids) != 0))
     starts = np.concatenate(([0], bounds + 1))
     ends = np.concatenate((bounds + 1, [n]))
 
-    w = idfs * tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-
     # global block-start positions: every block_size-th posting within a group
     ingroup = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts)
     bstarts = np.flatnonzero(ingroup % block_size == 0)
-    block_max_all = np.maximum.reduceat(w, bstarts)
+    block_max_tf_all = np.maximum.reduceat(tfs, bstarts)
+    block_min_dl_all = np.minimum.reduceat(dls, bstarts)
     block_first_all = docids[bstarts]
 
     # delta gaps with absolute restart at every block boundary
@@ -116,11 +123,11 @@ def _encode_batch_vectorized(
                 "n": int(e - s),
                 "doc_gaps": doc_buf[d0:d1],
                 "tfs": tf_buf[t0:t1],
-                "block_max": block_max_all[b0[g] : b1[g]].tolist(),
+                "block_max_tf": block_max_tf_all[b0[g] : b1[g]].tolist(),
+                "block_min_dl": block_min_dl_all[b0[g] : b1[g]].tolist(),
                 "block_first": block_first_all[b0[g] : b1[g]].tolist(),
                 "block_doc_off": (bstart_doc_bytes[b0[g] : b1[g]] - d0).tolist(),
                 "block_tf_off": (bstart_tf_bytes[b0[g] : b1[g]] - t0).tolist(),
-                "idf": float(idfs[s]),
                 "bytes": int((d1 - d0) + (t1 - t0)),
             }
         )
@@ -129,13 +136,10 @@ def _encode_batch_vectorized(
 
 def build_segments(
     postings: DataFrame,
-    avgdl: float,
     chunk_bits: int = 17,
     block_size: int = 128,
-    k1: float = K1,
-    b: float = B,
 ) -> DataFrame:
-    """postings (term_id, docid, tf, dl, idf) -> segment rows.
+    """postings (term_id, docid, tf, dl) -> segment rows.
 
     One shuffle: repartition on (chunk, term_id) + sortWithinPartitions, then
     a mapInPandas kernel that walks group boundaries with numpy. One Python
@@ -147,13 +151,13 @@ def build_segments(
     """
     src = postings.withColumn(
         "chunk", F.shiftright(F.col("docid"), chunk_bits).cast("int")
-    ).select("chunk", "term_id", "docid", "tf", "dl", "idf")
+    ).select("chunk", "term_id", "docid", "tf", "dl")
     parted = src.repartition("chunk", "term_id").sortWithinPartitions(
         "chunk", "term_id", "docid"
     )
 
     def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_batch_vectorized(pdf, avgdl, block_size, k1, b)
+        return _encode_batch_vectorized(pdf, block_size)
 
     def _build(batches):
         carry: pd.DataFrame | None = None

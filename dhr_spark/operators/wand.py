@@ -100,13 +100,32 @@ def _score_chunk(
         out_score: list[np.ndarray] = []
 
         # how many queries need each term in this chunk — terms shared across
-        # queries are decoded (and weighted) once, amortized over the batch
+        # queries are decoded (and weighted) once, amortized over the batch.
+        # idf rides in on the QUERY side (current term-dictionary stats) —
+        # segment rows are stats-free, so they stay valid across appends.
         usage: dict[int, int] = {}
-        for tids, _ in qinfo.values():
-            for t in tids:
+        row_idf: dict[int, float] = {}
+        for tids, _, idfs in qinfo.values():
+            for t, t_idf in zip(tids, idfs):
                 i = term_row.get(int(t))
                 if i is not None:
                     usage[i] = usage.get(i, 0) + 1
+                    row_idf[i] = float(t_idf)
+
+        bound_cache: dict[int, np.ndarray] = {}
+
+        def block_bounds(row_i: int) -> np.ndarray:
+            """Admissible per-block weight upper bounds under CURRENT stats:
+            idf·f(max_tf, min_dl) — w is monotone ↑tf, ↓dl."""
+            hit = bound_cache.get(row_i)
+            if hit is None:
+                r = seg_rows[row_i]
+                tf_b = np.asarray(r.block_max_tf, dtype=np.float64)
+                dl_b = np.asarray(r.block_min_dl, dtype=np.float64)
+                hit = bound_cache[row_i] = row_idf[row_i] * tf_b / (
+                    tf_b + k1 * (1.0 - b + b * dl_b / avgdl)
+                )
+            return hit
 
         def decode_term(row_i: int, sel: np.ndarray | None):
             r = seg_rows[row_i]
@@ -131,7 +150,7 @@ def _score_chunk(
             if hit is None:
                 d_loc, tfs = decode_term(row_i, None)
                 wts = bm25_weights_np(
-                    tfs, dls[d_loc], float(seg_rows[row_i].idf), avgdl, k1, b
+                    tfs, dls[d_loc], row_idf[row_i], avgdl, k1, b
                 )
                 hit = full_cache[row_i] = (d_loc, wts)
             return hit
@@ -151,7 +170,7 @@ def _score_chunk(
             out_doc.append(cand + base)
             out_score.append(cs)
 
-        for qid, (tids, qtfs) in qinfo.items():
+        for qid, (tids, qtfs, _idfs) in qinfo.items():
             present = [
                 (term_row[t], float(w)) for t, w in zip(tids, qtfs) if t in term_row
             ]
@@ -175,7 +194,7 @@ def _score_chunk(
             # block-max WAND path (single-use terms: skipping blocks saves
             # real decode work)
             U = np.array(
-                [w * max(seg_rows[i].block_max) for i, w in present]
+                [w * float(block_bounds(i).max()) for i, w in present]
             )
             scores = np.zeros(dls.size, dtype=np.float64)
             touched = np.zeros(dls.size, dtype=bool)
@@ -191,13 +210,12 @@ def _score_chunk(
             sumU = float(U.sum())
             for oi in order:
                 i, w = present[oi]
-                r = seg_rows[i]
                 if i in full_cache or usage[i] > 1:
                     d_loc, wts = get_full(i)
                     scores[d_loc] += w * wts
                     touched[d_loc] = True
                     continue
-                bm = np.asarray(r.block_max, dtype=np.float64)
+                bm = block_bounds(i)
                 others = sumU - float(U[oi])
                 sel_arg = None
                 if theta > -np.inf:
@@ -210,7 +228,7 @@ def _score_chunk(
                 if d_loc.size == 0:
                     continue
                 scores[d_loc] += w * bm25_weights_np(
-                    tfs, dls[d_loc], float(r.idf), avgdl, k1, b
+                    tfs, dls[d_loc], row_idf[i], avgdl, k1, b
                 )
                 touched[d_loc] = True
 
@@ -272,10 +290,17 @@ class Searcher:
         man = load_manifest(index_dir)
         if man is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
+        if int(man.get("version", 1)) < 2:
+            raise ValueError(
+                f"index at {index_dir} is manifest version "
+                f"{man.get('version', 1)} (pre-stats-free block bounds); "
+                "rebuild it with the current builder"
+            )
         self.manifest = man
         self._analyze = _ANALYZERS[man["analyzer_mode"]]
-        self._tdict = spark.read.parquet(f"{index_dir}/term_dict").select(
-            "term", "term_id"
+        td_dir = man.get("term_dict_dir", "term_dict")
+        self._tdict = spark.read.parquet(f"{index_dir}/{td_dir}").select(
+            "term", "term_id", "idf"
         )
         self._seg = spark.read.parquet(f"{index_dir}/segments")
         self._dl = spark.read.parquet(f"{index_dir}/doclens")
@@ -287,7 +312,8 @@ class Searcher:
                 # small vocabulary: resident driver-side dict — query prep
                 # becomes zero Spark jobs (at 10^7+ terms stay distributed)
                 self._tid_cache = {
-                    r["term"]: int(r["term_id"]) for r in self._tdict.collect()
+                    r["term"]: (int(r["term_id"]), float(r["idf"]))
+                    for r in self._tdict.collect()
                 }
 
     MAX_COLLECTED_QUERIES = 100_000
@@ -326,16 +352,21 @@ class Searcher:
             tid = {t: self._tid_cache[t] for t in terms if t in self._tid_cache}
         else:
             tid = {
-                r["term"]: int(r["term_id"])
+                r["term"]: (int(r["term_id"]), float(r["idf"]))
                 for r in self._tdict.filter(F.col("term").isin(terms)).collect()
             }
-        qinfo: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        qinfo: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for qid, tf in qterm_tf.items():
-            pairs = [(tid[t], c) for t, c in tf.items() if t in tid]
-            if pairs:
-                a = np.array(sorted(pairs), dtype=np.int64)
-                qinfo[qid] = (a[:, 0], a[:, 1].astype(np.float64))
-        return qinfo, sorted(tid.values())
+            # (term_id, qtf, current idf) triples — idf travels with the
+            # query so the kernel scores under CURRENT stats (appends shift
+            # idf/avgdl; committed segments never re-encode)
+            trips = [(tid[t][0], c, tid[t][1]) for t, c in tf.items() if t in tid]
+            if trips:
+                trips.sort()
+                a = np.array([(t, c) for t, c, _ in trips], dtype=np.int64)
+                idfs = np.array([x[2] for x in trips], dtype=np.float64)
+                qinfo[qid] = (a[:, 0], a[:, 1].astype(np.float64), idfs)
+        return qinfo, sorted(i for i, _ in tid.values())
 
     def search(self, queries: DataFrame, k: int = 1000, prune: bool = True) -> DataFrame:
         """queries (qid, text) -> (qid, docid, rank, score) top-k."""

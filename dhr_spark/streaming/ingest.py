@@ -13,14 +13,17 @@ incrementally maintained per event. So:
      write and manifest) clobbers the partial partition instead of
      appending duplicates. The manifest's high-water mark is a cache, not
      the correctness mechanism.
-  2. ``compact_to_index`` — batch job folding staged turns into the index:
-     ALWAYS a full rebuild over everything staged (BM25 is a global
-     function — idf/avgdl/block maxes move with every insert, so
-     incremental chunk-append would corrupt term ids and break block-max
-     admissibility). ``resume=True`` is ONLY for re-running an interrupted
-     compaction of the SAME staged snapshot; the builder verifies the
-     corpus matches the prior manifest and raises otherwise.
-  3. ``streaming_turn_counts`` — a native streaming windowed aggregation
+  2. ``compact_to_index`` — full rebuild over everything staged (the
+     periodic defragmentation path). ``resume=True`` is ONLY for re-running
+     an interrupted compaction of the SAME staged snapshot; the builder
+     verifies the corpus matches the prior manifest and raises otherwise.
+  3. ``refresh_index`` — INCREMENTAL compaction: appends only unseen staged
+     batches via index/incremental.py. Sound despite BM25 being a global
+     function because v2 segments are stats-free (raw tf + per-block
+     (max_tf, min_dl) bounds; idf/avgdl applied query-side), so committed
+     postings survive stats drift; the batch watermark rides the append's
+     atomic manifest commit.
+  4. ``streaming_turn_counts`` — a native streaming windowed aggregation
      (watermark + tumbling window) for monitoring the firehose itself.
 
 Scale shape: foreachBatch writes are per-partition parquet commits; no
@@ -161,6 +164,62 @@ def compact_to_index(
         analyzer_mode=analyzer_mode, chunk_bits=chunk_bits,
         block_size=block_size, resume=resume,
     )
+
+
+def refresh_index(
+    spark: SparkSession,
+    staging_dir: str,
+    index_dir: str,
+    analyzer_mode: str = "lucene",
+    chunk_bits: int = 17,
+    block_size: int = 128,
+) -> dict:
+    """INCREMENTAL compaction: fold only the staged batches the index has
+    not seen yet (``_batch_id`` > the manifest's compaction watermark) into
+    the index via ``index.incremental.append_to_index`` — no rebuild.
+
+    Soundness rests on the v2 stats-free segment layout (block bounds are
+    (max_tf, min_dl), idf/avgdl applied query-side), so committed postings
+    stay valid as stats drift; see index/incremental.py. The watermark rides
+    the append's ATOMIC manifest commit: a crash mid-append leaves the old
+    watermark, and the retry re-appends the same batches idempotently
+    (dynamic partition overwrite + versioned term dictionary).
+
+    First call (no index yet) performs the initial full build. Returns the
+    manifest; no-ops (returns it unchanged) when nothing new is staged.
+    """
+    from dhr_spark.index.builder import load_manifest
+    from dhr_spark.index.incremental import append_to_index
+
+    staged_hwm = _staging_state(staging_dir)["last_batch_id"]
+    man = load_manifest(index_dir)
+    seen = int(man.get("compacted_through_batch", -1)) if man else -1
+    if staged_hwm <= seen:
+        if man is None:
+            raise ValueError(f"nothing staged in {staging_dir} to build from")
+        return man
+    turns = (
+        spark.read.parquet(os.path.join(staging_dir, "turns"))
+        .filter(F.col("_batch_id") > seen)  # partition-pruned scan
+        .drop("_batch_id")
+    )
+    mark = {"compacted_through_batch": int(staged_hwm)}
+    if man is None:
+        from dhr_spark.operators.docids import with_docids, doc_map
+        from dhr_spark.index.builder import build_index_from_docs
+
+        docs = with_docids(turns)
+        try:
+            return build_index_from_docs(
+                spark, docs, index_dir, analyzer_mode=analyzer_mode,
+                chunk_bits=chunk_bits, block_size=block_size,
+                doc_map_df=doc_map(docs), extra_manifest=mark,
+            )
+        finally:
+            cached = getattr(docs, "_dhr_persisted", None)
+            if cached is not None:
+                cached.unpersist()
+    return append_to_index(spark, turns, index_dir, extra_manifest=mark)
 
 
 def streaming_turn_counts(

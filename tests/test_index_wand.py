@@ -126,7 +126,7 @@ def test_resume_produces_identical_index(spark, built, tmp_path):
                      docid_strategy="window", resume=True)
     assert sorted(m2["resumed_from"], key=int) == sorted(man["chunks"], key=int)
 
-    cols = ["chunk", "term_id", "n", "idf"]
+    cols = ["chunk", "term_id", "n", "block_max_tf", "block_min_dl"]
     a = spark.read.parquet(f"{full_dir}/segments").select(cols)
     b = spark.read.parquet(f"{part_dir}/segments").select(cols)
     assert a.count() == b.count()

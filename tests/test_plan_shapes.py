@@ -41,7 +41,7 @@ def test_segment_scan_prunes_columns(spark, idx):
     seg = spark.read.parquet(f"{idx}/segments").select("term_id", "n")
     plan = _plan(seg)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
-    assert "doc_gaps" not in read_schema and "block_max" not in read_schema
+    assert "doc_gaps" not in read_schema and "block_max_tf" not in read_schema
 
 
 def test_slow_path_broadcasts_query_side(spark, idx):
@@ -154,3 +154,33 @@ def test_manifest_skew_metrics_present(spark, idx):
     man = load_manifest(idx)
     for c in man["chunks"].values():
         assert set(c) >= {"postings", "bytes", "terms", "skew_ratio"}
+
+
+def test_phrase_match_prunes_scan_to_id_and_text(spark):
+    # phrase matching over a 100 TB corpus must read only (doc_id, text)
+    from dhr_spark.operators.phrase import phrase_match
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(phrase_match(docs, "table hash"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+    assert "Exchange" not in plan  # zero-shuffle map-side scan
+
+
+def test_snippet_and_repetition_zero_shuffle(spark):
+    from dhr_spark.operators.phrase import best_snippet
+    from dhr_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in _plan(best_snippet(docs, ["table"], width=5))
+    assert "Exchange" not in _plan(repetition_stats(docs))
+
+
+def test_conv_documents_single_exchange(spark):
+    # one hash-shuffle keyed by conv_id and nothing else
+    from dhr_spark.data.synthetic import synth_transcripts
+    from dhr_spark.operators.conversations import conv_documents
+
+    plan = _plan(conv_documents(synth_transcripts(spark, 20)))
+    assert plan.count("Exchange") <= 2  # initial agg exchange (+AQE read)

@@ -143,3 +143,50 @@ def test_streaming_windowed_agg(spark, dirs):
     }
     for r in rows:
         assert r["n_turns"] > 0
+
+
+def test_incremental_refresh_matches_full_compaction(spark, tmp_path):
+    from dhr_spark.index.builder import load_manifest
+    from dhr_spark.operators.wand import search_wand
+    from dhr_spark.streaming.ingest import refresh_index
+
+    tr = synth_transcripts(spark, 24)
+    staging = str(tmp_path / "staging")
+    inc_idx = str(tmp_path / "inc")
+    full_idx = str(tmp_path / "full")
+    half = tr.filter(F.col("conv_id") < "conv-000012")
+    rest = tr.subtract(half)
+
+    stage_batch(half, 0, staging)
+    m0 = refresh_index(spark, staging, inc_idx, chunk_bits=7, block_size=16)
+    assert m0["compacted_through_batch"] == 0  # initial build
+
+    stage_batch(rest, 1, staging)
+    m1 = refresh_index(spark, staging, inc_idx, chunk_bits=7, block_size=16)
+    assert m1["compacted_through_batch"] == 1 and m1["appends"] == 1
+
+    # no new batches -> no-op, watermark unchanged
+    m2 = refresh_index(spark, staging, inc_idx, chunk_bits=7, block_size=16)
+    assert m2["compacted_through_batch"] == 1 and m2["appends"] == 1
+
+    # equivalence with the full-rebuild compactor
+    compact_to_index(spark, staging, full_idx, chunk_bits=7, block_size=16)
+    queries = synth_queries(spark, 10)
+
+    def res(idx):
+        dm = spark.read.parquet(os.path.join(idx, "doc_map"))
+        out = search_wand(spark, idx, queries, k=100_000).join(dm, "docid")
+        return {
+            (r["qid"], r["conv_id"], r["turn_idx"]): round(r["score"], 4)
+            for r in out.collect()
+        }
+
+    assert res(inc_idx) == res(full_idx)
+    assert load_manifest(inc_idx)["n_docs"] == load_manifest(full_idx)["n_docs"]
+
+
+def test_refresh_empty_staging_raises(spark, tmp_path):
+    from dhr_spark.streaming.ingest import refresh_index
+
+    with pytest.raises(ValueError, match="nothing staged"):
+        refresh_index(spark, str(tmp_path / "empty"), str(tmp_path / "idx"))
