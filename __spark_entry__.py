@@ -34,6 +34,7 @@ from dhr_spark.operators.termfreq import (
     term_freqs,
     with_tokens,
 )
+from dhr_spark.operators import boolquery as BQ
 from dhr_spark.operators import conversations as CV
 from dhr_spark.operators import phrase as PH
 from dhr_spark.operators import rm3 as R3
@@ -1464,6 +1465,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sample_split_q(spark, sf):
         return TS.hash_split(_docs(spark, sf))
 
+    def bool_match_q(spark, sf):
+        return BQ.boolean_match(
+            _docs(spark, sf),
+            must=["table", "hash"],
+            should=["merge", "scan"],
+            must_not=["slow"],
+        )
+
+    def filtered_topk_q(spark, sf):
+        post, _, _ = _postings(spark, sf)
+        flt = (
+            _docs(spark, sf)
+            .filter(F.col("source").isin("src18", "src6", "src7"))
+            .select(F.col("doc_id").alias("docid"))
+        )
+        return _round4(
+            BQ.filtered_topk(_qtfs(spark), post, flt, k=TOPK, on="term")
+        )
+
+    def facet_counts_q(spark, sf):
+        return BQ.facet_counts(
+            _docs(spark, sf), ["table", "hash"], facet_col="source"
+        )
+
     return {
         "term_freqs": term_freqs_q,
         "doc_lengths": doc_lengths_q,
@@ -1525,6 +1550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": repetition_q,
         "events_redact": redact_q,
         "sample_split": sample_split_q,
+        "bool_match": bool_match_q,
+        "filtered_topk": filtered_topk_q,
+        "facet_counts": facet_counts_q,
         "rm3_expansion": rm3_expansion_q,
         "rm3_topk": rm3_topk_q,
         "conv_documents": conv_documents_q,
@@ -1717,6 +1745,41 @@ SELECT doc_id, n::BIGINT AS n_tokens,
        ELSE 0.0 END AS distinct_ratio
 FROM r""",
         "events_redact": _redact_sql(),
+        "bool_match": f"""
+WITH {_TOKS_CTE},
+td AS (SELECT doc_id, list_distinct(toks) AS d FROM toks)
+SELECT doc_id FROM td
+WHERE list_contains(d, 'table') AND list_contains(d, 'hash')
+  AND (list_contains(d, 'merge') OR list_contains(d, 'scan'))
+  AND NOT list_contains(d, 'slow')""",
+        "filtered_topk": f"""
+WITH {_TOKS_CTE}, {_q_values()},
+flt AS (SELECT doc_id FROM documents WHERE source IN ('src18','src6','src7')),
+scored AS (
+  SELECT q.qid, tf.doc_id AS docid, sum(q.qtf * {_W_EXPR}) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN ts USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN flt ON flt.doc_id = tf.doc_id
+  CROSS JOIN cs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
+        "facet_counts": f"""
+WITH {_TOKS_CTE}
+SELECT d.source AS facet, count(*)::BIGINT AS n_docs
+FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+WHERE len(list_intersect(t.toks, ['table', 'hash'])) > 0
+GROUP BY d.source""",
         "sample_split": f"""
 WITH b AS (
   SELECT doc_id, ({_HASH60.format(arg="doc_id::VARCHAR")}) % 100 AS bucket

@@ -100,9 +100,13 @@ def run_leg(cores: int, n_convs: int) -> None:
     queries.count()
     searcher = Searcher(spark, idx)
     searcher.search(queries.limit(5), k=K).count()  # warm
-    t0 = time.time()
-    searcher.search(queries, k=K).count()
-    qdt = time.time() - t0
+    # best-of-2 WITHIN the leg: the VM's slow windows last minutes, so a
+    # single batch draw aliases straight into the cross-leg efficiency ratio
+    qdt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        searcher.search(queries, k=K).count()
+        qdt = min(qdt, time.time() - t0)
     spark.stop()
     print(json.dumps({"cores": cores, "build_sec": round(dt, 2),
                       "n_turns": n_turns,
@@ -238,12 +242,37 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
+    # ---- incremental refresh throughput (append 1/8 of the corpus) ----
+    # the 10^12-turn operating mode: per-batch refresh must cost O(batch),
+    # not O(corpus) — report the append's own turns/sec next to the full
+    # rebuild rate (index/incremental.py). Runs AFTER the query benchmarks:
+    # the append mutates the benched index.
+    from dhr_spark.data.synthetic import synth_transcripts
+    from dhr_spark.index.incremental import append_to_index
+    from pyspark.sql import functions as SF
+
+    batch = synth_transcripts(spark, n_convs=max(50, n_convs // 8), seed=9).withColumn(
+        "conv_id", SF.concat(SF.lit("inc-"), SF.col("conv_id"))
+    )
+    t0 = time.time()
+    man_inc = append_to_index(spark, batch, idx)
+    t_append = time.time() - t0
+    append_turns = int(man_inc["n_docs"]) - n_turns
+    timings["incremental_append"] = round(t_append, 2)
+    result["append_turns_per_sec"] = round(append_turns / t_append, 1)
+    result["append_batch_turns"] = append_turns
+
     # ---- headline operator timings over the testdata tables ----
     qmap = entry_mod.queries()
+    # warm the entry's documents-corpus index untimed: wand_topk must time
+    # the QUERY, not a one-time index build into the /tmp cache
+    entry_mod._wand_index_dir(spark, SF_DIR)
     for name in [
         "bm25_topk", "wand_topk", "dedup_exact", "dedup_minhash_lsh",
         "dedup_minhash_verified", "dedup_simhash", "dedup_simhash_pairs",
         "ann_bruteforce", "ann_quantized", "text_quality", "text_fingerprint",
+        "phrase_match", "text_snippet", "text_repetition", "rm3_topk",
+        "conv_documents", "sample_split",
     ]:
         t0 = time.time()
         qmap[name](spark, SF_DIR).count()

@@ -129,3 +129,39 @@ def test_rm3_no_feedback_docs_keeps_query(spark):
     out = {r["term"]: r["weight"]
            for r in R3.rm3_expand(qtfs, fp, doc_tfs, dls).collect()}
     assert out == {"zzz": round(0.5 * 2 / 3, 6), "yyy": round(0.5 * 1 / 3, 6)}
+
+
+# ---------------------------------------------------------------- property
+
+def _naive_phrase(tokens, phrase):
+    starts = [
+        i for i in range(len(tokens) - len(phrase) + 1)
+        if tokens[i : i + len(phrase)] == phrase
+    ]
+    return starts
+
+
+def test_phrase_match_property_vs_naive(spark):
+    """Randomized cross-check: the shifted-intersection phrase matcher must
+    agree with a naive Python sliding-window scan on every case."""
+    import random
+
+    rng = random.Random(20260816)
+    vocab = ["a", "b", "c", "ab", "x9"]
+    rows, expected = [], {}
+    phrases = [["a", "b"], ["b", "b"], ["a", "b", "a"], ["c"]]
+    for doc_id in range(120):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+        rows.append((doc_id, " ".join(toks)))
+        for pi, ph in enumerate(phrases):
+            s = _naive_phrase(toks, ph)
+            if s:
+                expected[(doc_id, pi)] = (len(s), s[0])
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {}
+    for pi, ph in enumerate(phrases):
+        from dhr_spark.operators.phrase import phrase_match
+
+        for r in phrase_match(df, " ".join(ph)).collect():
+            got[(r["doc_id"], pi)] = (r["n_matches"], r["first_pos"])
+    assert got == expected
