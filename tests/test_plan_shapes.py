@@ -156,11 +156,17 @@ def test_manifest_skew_metrics_present(spark, idx):
         assert set(c) >= {"postings", "bytes", "terms", "skew_ratio"}
 
 
-def test_phrase_match_prunes_scan_to_id_and_text(spark):
-    # phrase matching over a 100 TB corpus must read only (doc_id, text)
+def test_phrase_match_prunes_scan_to_id_and_text(spark, tmp_path):
+    # phrase matching over a 100 TB corpus must read only (doc_id, text).
+    # Scan a private copy: other modules .cache() the shared testdata path,
+    # and a cache hit replaces the file scan (full ReadSchema) in the plan.
+    import shutil
+
     from dhr_spark.operators.phrase import phrase_match
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "docs.parquet")
+    shutil.copyfile("/root/testdata/sf0.001/documents.parquet", p)
+    docs = spark.read.parquet(p)
     plan = _plan(phrase_match(docs, "table hash"))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read_schema and "doc_id" in read_schema
