@@ -72,6 +72,7 @@ def build_index(
     b: float = B,
     docid_strategy: str = "scalable",
     resume: bool = False,
+    forward_index: bool = False,
 ) -> dict:
     """Build (or resume) an index over transcripts (conv_id, turn_idx, ...,
     text): assigns stable docids, then delegates to build_index_from_docs."""
@@ -88,6 +89,7 @@ def build_index(
             b=b,
             resume=resume,
             doc_map_df=doc_map(docs),
+            forward_index=forward_index,
         )
     finally:
         # the scalable docid path persists its range-partitioned base so the
@@ -110,6 +112,7 @@ def build_index_from_docs(
     resume: bool = False,
     doc_map_df: DataFrame | None = None,
     extra_manifest: dict | None = None,
+    forward_index: bool = False,
 ) -> dict:
     """Build (or resume) the index over any corpus with (docid long, text).
 
@@ -186,6 +189,20 @@ def build_index_from_docs(
             ~F.shiftright(F.col("docid"), chunk_bits).cast("int").isin(done_ints)
         )
 
+    if forward_index:
+        # doc-major term vectors (the forward index): what pseudo-relevance
+        # feedback (Searcher.search_rm3) reads for its handful of feedback
+        # docs — chunk-partitioned so the lookup prunes to the docs' chunks
+        (
+            post.withColumn(
+                "chunk", F.shiftright(F.col("docid"), chunk_bits).cast("int")
+            )
+            .repartition("chunk")
+            .write.mode("append" if done_chunks else "overwrite")
+            .partitionBy("chunk")
+            .parquet(os.path.join(index_dir, "forward"))
+        )
+
     seg = build_segments(post, chunk_bits, block_size)
     seg_path = os.path.join(index_dir, "segments")
     dl_path = os.path.join(index_dir, "doclens")
@@ -254,6 +271,7 @@ def build_index_from_docs(
         "next_docid": max_docid + 1,
         "appends": 0,
         "term_dict_dir": "term_dict",
+        "forward_index": bool(forward_index),
         "n_terms": int(n_terms),
         "build_seconds": round(time.time() - t0, 2),
         "resumed_from": sorted(done_chunks) if done_chunks else [],

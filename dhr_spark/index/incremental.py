@@ -164,6 +164,17 @@ def _append_docs(
     #   * term dictionary — written to a VERSIONED directory referenced only
     #     by the new manifest; a crash leaves the old pointer valid
     dyn = {"partitionOverwriteMode": "dynamic"}
+    if man.get("forward_index"):
+        (
+            post.withColumn(
+                "chunk", F.shiftright(F.col("docid"), chunk_bits).cast("int")
+            )
+            .repartition("chunk")
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("chunk")
+            .parquet(os.path.join(index_dir, "forward"))
+        )
     seg = build_segments(post, chunk_bits, int(man["block_size"]))
     seg.repartition("chunk").write.mode("overwrite").options(**dyn).partitionBy(
         "chunk"

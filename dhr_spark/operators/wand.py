@@ -371,6 +371,11 @@ class Searcher:
     def search(self, queries: DataFrame, k: int = 1000, prune: bool = True) -> DataFrame:
         """queries (qid, text) -> (qid, docid, rank, score) top-k."""
         qinfo, all_terms = self._query_info(queries)
+        return self._search_prepared(qinfo, all_terms, k, prune)
+
+    def _search_prepared(
+        self, qinfo: dict, all_terms: list[int], k: int, prune: bool
+    ) -> DataFrame:
         seg = self._seg
         # literal isin list -> parquet row-group pushdown on term_id; for
         # huge query sets switch to a broadcast semi-join instead
@@ -392,6 +397,109 @@ class Searcher:
             .applyInPandas(kernel, RESULT_SCHEMA)
         )
         return topk(scored, k)
+
+    def _terms_for_ids(self, ids: list[int]) -> dict[int, tuple[str, float]]:
+        """term_id -> (term, current idf) for a small id set."""
+        if self._tid_cache is not None:
+            if not hasattr(self, "_rev_cache"):
+                self._rev_cache = {
+                    i: (t, w) for t, (i, w) in self._tid_cache.items()
+                }
+            return {i: self._rev_cache[i] for i in ids if i in self._rev_cache}
+        rows = self._tdict.filter(F.col("term_id").isin(list(ids))).collect()
+        return {int(r["term_id"]): (r["term"], float(r["idf"])) for r in rows}
+
+    def search_rm3(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        fb_docs: int = 10,
+        fb_terms: int = 10,
+        orig_weight: float = 0.5,
+        prune: bool = True,
+    ) -> DataFrame:
+        """BM25 + RM3 pseudo-relevance feedback over the index (Anserini's
+        default expansion ranker; semantics = operators/rm3.rm3_expand).
+
+        First pass: WAND top-``fb_docs``. Feedback doc term vectors come
+        from the FORWARD index (doc-major, chunk-pruned lookup of a handful
+        of docids — build with ``forward_index=True``). The relevance model
+        is computed driver-side (|Q|·fb_docs·avg_dl values — tiny) with the
+        same integer-micros arithmetic as the operator, then the weighted
+        expanded query runs through the same WAND kernel (fractional qtf
+        weights are native to it)."""
+        man = self.manifest
+        if not man.get("forward_index"):
+            raise ValueError(
+                "index was built without forward_index=True; RM3 needs the "
+                "doc-major term vectors (rebuild or append with the flag)"
+            )
+        qinfo, all_terms = self._query_info(queries)
+        first = self._search_prepared(qinfo, all_terms, fb_docs, prune)
+        fb_by_q: dict[str, list[tuple[int, float]]] = {}
+        for r in first.collect():
+            fb_by_q.setdefault(r["qid"], []).append(
+                (int(r["docid"]), float(r["score"]))
+            )
+        fb_ids = sorted({d for lst in fb_by_q.values() for d, _ in lst})
+        vec: dict[int, list[tuple[int, int, int]]] = {}
+        if fb_ids:
+            fwd = self.spark.read.parquet(f"{self.index_dir}/forward")
+            for r in fwd.filter(F.col("docid").isin(fb_ids)).collect():
+                vec.setdefault(int(r["docid"]), []).append(
+                    (int(r["term_id"]), int(r["tf"]), int(r["dl"]))
+                )
+        fb_tids = sorted({t for v in vec.values() for t, _, _ in v})
+        id_info = self._terms_for_ids(fb_tids)
+
+        # full query-model denominators include analyzed-but-OOV terms,
+        # matching rm3_expand's qmodel (OOV terms carry weight mass even
+        # though they cannot score)
+        qsum: dict[str, int] = {}
+        for r in queries.select("qid", "text").collect():
+            toks = self._analyze(r["text"] or "")
+            if toks:
+                qsum[r["qid"]] = len(toks)
+
+        qinfo2: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        beta = float(orig_weight)
+        for qid, (tids, qtfs, idfs) in qinfo.items():
+            contrib: dict[int, float] = {}
+            for docid, score in fb_by_q.get(qid, []):
+                for t, tf, dl in vec.get(docid, []):
+                    contrib[t] = contrib.get(t, 0.0) + tf / dl * score
+            rm1_i = {
+                t: int(round(round(c, 6) * 1e6)) for t, c in contrib.items()
+            }
+            top = sorted(
+                ((v, t) for t, v in rm1_i.items() if v > 0),
+                key=lambda x: (-x[0], id_info.get(x[1], ("",))[0]),
+            )[:fb_terms]
+            denom = sum(v for v, _ in top)
+            rm1 = {t: v / denom for v, t in top} if denom else {}
+            pq = {
+                int(t): float(c) / qsum[qid]
+                for t, c in zip(tids, qtfs)
+            }
+            w: dict[int, float] = {}
+            for t in set(pq) | set(rm1):
+                val = round(
+                    beta * pq.get(t, 0.0) + (1.0 - beta) * rm1.get(t, 0.0), 6
+                )
+                if val > 0:
+                    w[t] = val
+            if not w:
+                continue
+            trips = sorted(
+                (t, w[t], id_info[t][1] if t in id_info else float(idfs[list(tids).index(t)]))
+                for t in w
+            )
+            a_t = np.array([t for t, _, _ in trips], dtype=np.int64)
+            a_w = np.array([x for _, x, _ in trips], dtype=np.float64)
+            a_i = np.array([i for _, _, i in trips], dtype=np.float64)
+            qinfo2[qid] = (a_t, a_w, a_i)
+        all_terms2 = sorted({int(t) for tids, _, _ in qinfo2.values() for t in tids})
+        return self._search_prepared(qinfo2, all_terms2, k, prune)
 
 
 def search_wand(

@@ -39,6 +39,8 @@ def main() -> None:
     p.add_argument("--k1", type=float, default=0.9)
     p.add_argument("--b", type=float, default=0.4)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--forward-index", action="store_true",
+                   help="also write doc-major term vectors (enables RM3)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -71,6 +73,7 @@ def main() -> None:
         k1=args.k1,
         b=args.b,
         resume=args.resume,
+        forward_index=args.forward_index,
     )
     print(json.dumps({k: v for k, v in manifest.items() if k != "chunks"}))
     spark.stop()

@@ -28,11 +28,17 @@ def main() -> None:
     p.add_argument("--trec", action="store_true")
     p.add_argument("--no-prune", action="store_true",
                    help="disable block-max pruning (debug/verification)")
+    p.add_argument("--rm3", action="store_true",
+                   help="BM25+RM3 expansion (index must have --forward-index)")
+    p.add_argument("--fb-docs", type=int, default=10)
+    p.add_argument("--fb-terms", type=int, default=10)
+    p.add_argument("--rm3-beta", type=float, default=0.5,
+                   help="original-query interpolation weight")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
     from dhr_spark.session import get_spark
-    from dhr_spark.operators.wand import search_wand
+    from dhr_spark.operators.wand import Searcher
     from dhr_spark.sources.io import read_tsv_queries, write_trec_run
 
     spark = get_spark(app_name="dhr_run_queries", master=args.master)
@@ -44,8 +50,14 @@ def main() -> None:
         queries = read_tsv_queries(spark, args.queries)
 
     t0 = time.time()
-    run = search_wand(spark, args.index_dir, queries, k=args.k,
-                      prune=not args.no_prune)
+    searcher = Searcher(spark, args.index_dir)
+    if args.rm3:
+        run = searcher.search_rm3(
+            queries, k=args.k, fb_docs=args.fb_docs, fb_terms=args.fb_terms,
+            orig_weight=args.rm3_beta, prune=not args.no_prune,
+        )
+    else:
+        run = searcher.search(queries, k=args.k, prune=not args.no_prune)
     if args.output:
         if args.trec:
             write_trec_run(run, args.output)
