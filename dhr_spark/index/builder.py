@@ -73,6 +73,7 @@ def build_index(
     docid_strategy: str = "scalable",
     resume: bool = False,
     forward_index: bool = False,
+    positional: bool = False,
 ) -> dict:
     """Build (or resume) an index over transcripts (conv_id, turn_idx, ...,
     text): assigns stable docids, then delegates to build_index_from_docs."""
@@ -90,6 +91,7 @@ def build_index(
             resume=resume,
             doc_map_df=doc_map(docs),
             forward_index=forward_index,
+            positional=positional,
         )
     finally:
         # the scalable docid path persists its range-partitioned base so the
@@ -98,6 +100,45 @@ def build_index(
         cached = getattr(docs, "_dhr_persisted", None)
         if cached is not None:
             cached.unpersist()
+
+
+def write_positions(
+    docs: DataFrame,
+    tdict: DataFrame,
+    index_dir: str,
+    analyzer_mode: str,
+    chunk_bits: int,
+    mode: str = "overwrite",
+    dynamic: bool = False,
+) -> None:
+    """Write the positional artifact: (chunk, docid, term_id, positions).
+
+    Positions index the POST-ANALYSIS token sequence (after stop/stem for
+    the lucene chain) — query phrases are analyzed identically, so phrase
+    adjacency means "adjacent after analysis" (a stopword between two terms
+    does not break a phrase; Lucene with position increments would differ —
+    documented engine semantics, pinned by tests). Costs one extra
+    tokenization pass over the corpus; opt-in.
+    """
+    from dhr_spark.operators.termfreq import with_tokens
+
+    tok = with_tokens(docs.select("docid", "text"), mode=analyzer_mode)
+    rel = (
+        tok.select("docid", F.posexplode("tokens").alias("pos", "term"))
+        .groupBy("docid", "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .join(F.broadcast(tdict.select("term", "term_id")), "term")
+        .select(
+            F.shiftright(F.col("docid"), chunk_bits).cast("int").alias("chunk"),
+            "docid",
+            "term_id",
+            "positions",
+        )
+    )
+    w = rel.repartition("chunk").write.mode(mode)
+    if dynamic:
+        w = w.options(partitionOverwriteMode="dynamic")
+    w.partitionBy("chunk").parquet(os.path.join(index_dir, "positions"))
 
 
 def build_index_from_docs(
@@ -113,6 +154,7 @@ def build_index_from_docs(
     doc_map_df: DataFrame | None = None,
     extra_manifest: dict | None = None,
     forward_index: bool = False,
+    positional: bool = False,
 ) -> dict:
     """Build (or resume) the index over any corpus with (docid long, text).
 
@@ -203,6 +245,12 @@ def build_index_from_docs(
             .parquet(os.path.join(index_dir, "forward"))
         )
 
+    if positional:
+        write_positions(
+            docs, tdict, index_dir, analyzer_mode, chunk_bits,
+            mode="append" if done_chunks else "overwrite",
+        )
+
     seg = build_segments(post, chunk_bits, block_size)
     seg_path = os.path.join(index_dir, "segments")
     dl_path = os.path.join(index_dir, "doclens")
@@ -272,6 +320,7 @@ def build_index_from_docs(
         "appends": 0,
         "term_dict_dir": "term_dict",
         "forward_index": bool(forward_index),
+        "positional": bool(positional),
         "n_terms": int(n_terms),
         "build_seconds": round(time.time() - t0, 2),
         "resumed_from": sorted(done_chunks) if done_chunks else [],

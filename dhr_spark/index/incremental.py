@@ -164,6 +164,13 @@ def _append_docs(
     #   * term dictionary — written to a VERSIONED directory referenced only
     #     by the new manifest; a crash leaves the old pointer valid
     dyn = {"partitionOverwriteMode": "dynamic"}
+    if man.get("positional"):
+        from dhr_spark.index.builder import write_positions
+
+        write_positions(
+            docs, tdict, index_dir, man["analyzer_mode"], chunk_bits,
+            mode="overwrite", dynamic=True,
+        )
     if man.get("forward_index"):
         (
             post.withColumn(

@@ -501,6 +501,69 @@ class Searcher:
         all_terms2 = sorted({int(t) for tids, _, _ in qinfo2.values() for t in tids})
         return self._search_prepared(qinfo2, all_terms2, k, prune)
 
+    def search_phrase(self, phrase: str) -> DataFrame:
+        """(docid, n_matches, first_pos): exact phrase matches served from
+        the POSITIONAL artifact (build with ``positional=True``) — no corpus
+        text scan; reads only the phrase terms' position rows (term_id
+        pushdown) and intersects shifted position arrays per doc.
+
+        Positions index the post-analysis token sequence: a phrase matches
+        when its analyzed terms are adjacent after stop/stem (see
+        builder.write_positions for the semantics note).
+        """
+        if not self.manifest.get("positional"):
+            raise ValueError(
+                "index was built without positional=True; phrase search "
+                "needs the positions artifact (or use operators.phrase."
+                "phrase_match over the corpus text)"
+            )
+        terms = self._analyze(phrase)
+        if not terms:
+            raise ValueError(f"phrase {phrase!r} has no indexable terms")
+        if self._tid_cache is not None:
+            tid = {t: self._tid_cache[t][0] for t in set(terms)
+                   if t in self._tid_cache}
+        else:
+            rows = self._tdict.filter(F.col("term").isin(list(set(terms)))).collect()
+            tid = {r["term"]: int(r["term_id"]) for r in rows}
+        empty = self.spark.createDataFrame(
+            [], "docid long, n_matches long, first_pos long"
+        )
+        if any(t not in tid for t in terms):
+            return empty  # an OOV phrase term can never match
+        pos = self.spark.read.parquet(f"{self.index_dir}/positions")
+
+        def _shift_by(i: int):
+            # closure, NOT a default arg: a 2-param lambda would receive the
+            # array index as its second argument (PySpark HOF arity rules)
+            return lambda p: p - F.lit(i)
+
+        def _shifted(i: int, t: str):
+            col = (
+                F.transform(F.col("positions"), _shift_by(i))
+                if i
+                else F.col("positions")
+            )
+            return pos.filter(F.col("term_id") == tid[t]).select(
+                "docid", col.alias(f"p{i}")
+            )
+
+        joined = _shifted(0, terms[0])
+        for i, t in enumerate(terms[1:], start=1):
+            joined = joined.join(_shifted(i, t), "docid")
+        starts = F.col("p0")
+        for i in range(1, len(terms)):
+            starts = F.array_intersect(starts, F.col(f"p{i}"))
+        starts = F.array_sort(starts)
+        return (
+            joined.select(
+                "docid",
+                F.size(starts).cast("long").alias("n_matches"),
+                F.try_element_at(starts, F.lit(1)).cast("long").alias("first_pos"),
+            )
+            .filter(F.col("n_matches") > 0)
+        )
+
 
 def search_wand(
     spark: SparkSession,

@@ -41,6 +41,8 @@ def main() -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--forward-index", action="store_true",
                    help="also write doc-major term vectors (enables RM3)")
+    p.add_argument("--positional", action="store_true",
+                   help="also write term positions (enables index-backed phrase search)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -74,6 +76,7 @@ def main() -> None:
         b=args.b,
         resume=args.resume,
         forward_index=args.forward_index,
+        positional=args.positional,
     )
     print(json.dumps({k: v for k, v in manifest.items() if k != "chunks"}))
     spark.stop()

@@ -1,0 +1,93 @@
+"""Index-backed phrase search (positions artifact) must equal the corpus-scan
+phrase matcher, honor the analyzer chain, and survive incremental appends."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.index.builder import build_index, build_index_from_docs
+from dhr_spark.operators.phrase import phrase_match
+from dhr_spark.operators.wand import Searcher
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.col("doc_id").alias("docid"), "text")
+    )
+
+
+@pytest.fixture(scope="module")
+def idx(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("phidx") / "idx")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="simple", chunk_bits=6, block_size=16,
+        positional=True,
+    )
+    return d
+
+
+def _as_map(rows):
+    return {r["docid"]: (r["n_matches"], r["first_pos"]) for r in rows}
+
+
+@pytest.mark.parametrize("phrase", ["table hash", "big order scan", "hash"])
+def test_index_phrase_equals_corpus_scan(spark, docs, idx, phrase):
+    s = Searcher(spark, idx)
+    fast = _as_map(s.search_phrase(phrase).collect())
+    slow = _as_map(
+        phrase_match(docs, phrase, id_col="docid").collect()
+    )
+    assert fast == slow and fast  # non-trivial match sets
+
+
+def test_index_phrase_oov_and_guards(spark, idx, docs, tmp_path):
+    s = Searcher(spark, idx)
+    assert s.search_phrase("zzyzx table").count() == 0
+    with pytest.raises(ValueError, match="no indexable"):
+        s.search_phrase("!!!")
+    d = str(tmp_path / "nopos")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="simple", chunk_bits=6, block_size=16
+    )
+    with pytest.raises(ValueError, match="positional"):
+        Searcher(spark, d).search_phrase("table hash")
+
+
+def test_lucene_positions_are_post_analysis(spark, tmp_path):
+    # lucene chain drops stopwords WITHOUT position increments: "slow the
+    # hash" analyzes to [slow, hash], so the phrase "slow hash" matches —
+    # the documented post-analysis adjacency semantics
+    tr = spark.createDataFrame(
+        [("c1", 0, "u", "slow the hash", None, None),
+         ("c1", 1, "u", "slow fast hash", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, tr, d, chunk_bits=6, block_size=16,
+                docid_strategy="window", positional=True)
+    got = _as_map(Searcher(spark, d).search_phrase("slow hash").collect())
+    assert got == {0: (1, 0)}  # turn 0 matches, turn 1 does not
+
+
+def test_positions_survive_append(spark, idx, tmp_path):
+    import shutil
+
+    from dhr_spark.index.incremental import append_to_index
+
+    d = str(tmp_path / "idx2")
+    shutil.copytree(idx, d)
+    extra = spark.createDataFrame(
+        [("x-1", 0, "u", "table hash table hash", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    man = append_to_index(spark, extra, d)
+    new_docid = man["next_docid"] - 1
+    got = _as_map(Searcher(spark, d).search_phrase("table hash").collect())
+    assert got[new_docid] == (2, 0)
