@@ -15,12 +15,13 @@ is its per-split pickle files re-globbed by retrieval/index.py:26-47; ours
 adds lineage + metrics per unit.
 
 Resume is ONLY valid for re-running the SAME corpus after an interrupted
-build: global stats (n_docs/avgdl), the term dictionary ordering (df DESC),
-and the block maxes derived from them are frozen in the prior manifest, so
-building new chunks over a grown corpus would score against stale term ids
-and break block-max WAND admissibility. The build asserts corpus identity
-(n_docs, avgdl, term count) against the prior manifest and raises otherwise;
-for new data, run a full rebuild (the streaming compactor does exactly this).
+build: the term dictionary ordering (df DESC) is frozen in the prior
+manifest, so rebuilding the remaining chunks over a grown corpus would
+assign different term ids than the committed chunks carry. The build asserts
+corpus identity (n_docs, avgdl, term count) against the prior manifest and
+raises otherwise. For NEW data use index/incremental.append_to_index — the
+v2 stats-free segment layout (per-block max_tf/min_dl, query-side idf/avgdl)
+makes appends sound without touching committed chunks.
 """
 
 from __future__ import annotations
@@ -194,9 +195,9 @@ def build_index_from_docs(
             "resume=True requires the SAME corpus as the prior build "
             f"(manifest n_docs={prior['n_docs']} avgdl={prior['avgdl']}, got "
             f"n_docs={n_docs} avgdl={avgdl}). Resume only re-runs an "
-            "interrupted build; for new/changed data run a full rebuild "
-            "(resume=False) — incremental chunk-append over a grown corpus "
-            "would use stale term ids and invalid block maxes."
+            "interrupted build (chunk-level skip needs the frozen term-id "
+            "order); for NEW data use index.incremental.append_to_index, "
+            "or a full rebuild (resume=False)."
         )
 
     tfs = fused.filter(F.col("term").isNotNull())

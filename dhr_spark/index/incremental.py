@@ -43,13 +43,13 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dhr_spark.functions.bm25 import idf_col
 from dhr_spark.index.builder import _write_manifest, load_manifest
 from dhr_spark.index.segments import build_doclens, build_segments
-from dhr_spark.operators.docids import ORDER_COLS, with_docids
+from dhr_spark.operators.docids import ORDER_COLS, with_docids, with_global_ids
 from dhr_spark.operators.termfreq import doc_term_freqs
 
 
@@ -131,16 +131,19 @@ def _append_docs(
         (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("df_b"), F.lit(0)))
         .alias("df"),
     )
-    w_new = Window.orderBy(F.col("df_b").desc(), F.col("term").asc())
-    fresh = (
-        joined.filter(F.col("term_id").isNull())
-        .select(
-            "term",
-            (F.row_number().over(w_new) - 1 + F.lit(int(man["n_terms"])))
-            .cast("long")
-            .alias("term_id"),
-            F.col("df_b").alias("df"),
-        )
+    # fresh ids via the scalable two-phase scheme (no single-partition
+    # global-sort window): a batch can introduce a large new-term tail
+    fresh_base = with_global_ids(
+        joined.filter(F.col("term_id").isNull()).select("term", "df_b"),
+        [F.col("df_b").desc(), F.col("term").asc()],
+        "_new_id",
+    )
+    fresh = fresh_base.select(
+        "term",
+        (F.col("_new_id") + F.lit(int(man["n_terms"]))).cast("long").alias(
+            "term_id"
+        ),
+        F.col("df_b").alias("df"),
     )
     tdict = (
         known.unionByName(fresh)
@@ -148,6 +151,7 @@ def _append_docs(
         .cache()
     )
     n_terms = tdict.count()
+    fresh_cached = getattr(fresh_base, "_dhr_persisted", None)
 
     post = tfs.join(F.broadcast(tdict.select("term", "term_id")), "term").select(
         "term_id", "docid", "tf", "dl"
@@ -237,4 +241,6 @@ def _append_docs(
     _write_manifest(index_dir, man2)
     fused.unpersist()
     tdict.unpersist()
+    if fresh_cached is not None:
+        fresh_cached.unpersist()
     return man2

@@ -3,12 +3,17 @@
 Algorithm per (chunk, query), all numpy-vectorized inside a cogrouped Arrow
 UDF (no per-row Python):
 
-  1. Term upper bounds U_t = qtf_t * max_b block_max[t][b].
+  1. Per-block weight bounds computed AT QUERY TIME from the stored
+     (max_tf, min_dl) pairs under the CURRENT stats:
+         bound[t][b] = idf_t · f(max_tf, min_dl),  f = tf/(tf+k1(1-b+b·dl/avgdl))
+     (w is monotone ↑tf ↓dl, so the bound is admissible under any idf/avgdl
+     — what keeps committed segments valid across incremental appends).
+     Term upper bounds U_t = qtf_t * max_b bound[t][b].
   2. Safe threshold bootstrap: fully score the single highest-impact term t*;
      theta = k-th largest single-term score (a lower bound on the chunk's
      true k-th best total score when df_chunk(t*) >= k, else -inf).
   3. Block pruning: skip block b of term t iff
-         qtf_t * block_max[t][b]  +  sum_{t' != t} U_t'  <  theta.
+         qtf_t * bound[t][b]  +  sum_{t' != t} U_t'  <  theta.
      Any doc confined to a pruned block has total upper bound < theta, hence
      cannot enter the true top-k (BM25 weights are strictly positive), and
      cannot even tie the k-th doc (strict inequality). Surviving blocks are
