@@ -161,6 +161,33 @@ def proximity_match(
     )
 
 
+def sloppy_anchors(pos_cols: list[Column], slop: int) -> Column:
+    """Anchor positions of ordered within-window matches (Lucene-slop
+    analogue): anchors p0 from pos_cols[0] such that positions
+    p0 < p1 < ... < p_{k-1} exist (p_i from pos_cols[i]) with total span
+    p_{k-1} - p0 <= (k-1) + slop. slop=0 degenerates to the exact
+    consecutive phrase.
+
+    Built as a nested-exists chain (exhaustive, so existence is exact);
+    pure codegen, expression depth linear in k — intended for the short
+    phrases real queries carry.
+    """
+    k = len(pos_cols)
+    span = k - 1 + slop
+
+    def chain(i: int, prev: Column, p0: Column) -> Column:
+        if i == k:
+            return F.lit(True)
+        return F.exists(
+            pos_cols[i],
+            lambda q: (q > prev) & (q <= p0 + F.lit(span)) & chain(i + 1, q, p0),
+        )
+
+    if k == 1:
+        return pos_cols[0]
+    return F.filter(pos_cols[0], lambda p0: chain(1, p0, p0))
+
+
 def best_snippet(
     docs: DataFrame,
     terms_raw: list[str],

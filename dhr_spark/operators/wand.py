@@ -506,11 +506,14 @@ class Searcher:
         all_terms2 = sorted({int(t) for tids, _, _ in qinfo2.values() for t in tids})
         return self._search_prepared(qinfo2, all_terms2, k, prune)
 
-    def search_phrase(self, phrase: str) -> DataFrame:
-        """(docid, n_matches, first_pos): exact phrase matches served from
-        the POSITIONAL artifact (build with ``positional=True``) — no corpus
+    def search_phrase(self, phrase: str, slop: int = 0) -> DataFrame:
+        """(docid, n_matches, first_pos): phrase matches served from the
+        POSITIONAL artifact (build with ``positional=True``) — no corpus
         text scan; reads only the phrase terms' position rows (term_id
-        pushdown) and intersects shifted position arrays per doc.
+        pushdown). ``slop=0`` is the exact consecutive phrase (shifted
+        position-array intersection); ``slop>0`` is the Lucene-slop
+        analogue — ordered occurrence with total span ≤ len+slop-1
+        (phrase.sloppy_anchors); n_matches then counts valid anchors.
 
         Positions index the post-analysis token sequence: a phrase matches
         when its analyzed terms are adjacent after stop/stem (see
@@ -544,9 +547,12 @@ class Searcher:
             return lambda p: p - F.lit(i)
 
         def _shifted(i: int, t: str):
+            # exact mode pre-shifts by -i so matching reduces to array
+            # intersection; sloppy mode keeps raw positions for the
+            # ordered-window chain
             col = (
                 F.transform(F.col("positions"), _shift_by(i))
-                if i
+                if i and not slop
                 else F.col("positions")
             )
             return pos.filter(F.col("term_id") == tid[t]).select(
@@ -556,9 +562,16 @@ class Searcher:
         joined = _shifted(0, terms[0])
         for i, t in enumerate(terms[1:], start=1):
             joined = joined.join(_shifted(i, t), "docid")
-        starts = F.col("p0")
-        for i in range(1, len(terms)):
-            starts = F.array_intersect(starts, F.col(f"p{i}"))
+        if slop:
+            from dhr_spark.operators.phrase import sloppy_anchors
+
+            starts = sloppy_anchors(
+                [F.col(f"p{i}") for i in range(len(terms))], slop
+            )
+        else:
+            starts = F.col("p0")
+            for i in range(1, len(terms)):
+                starts = F.array_intersect(starts, F.col(f"p{i}"))
         starts = F.array_sort(starts)
         return (
             joined.select(

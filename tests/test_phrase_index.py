@@ -91,3 +91,60 @@ def test_positions_survive_append(spark, idx, tmp_path):
     new_docid = man["next_docid"] - 1
     got = _as_map(Searcher(spark, d).search_phrase("table hash").collect())
     assert got[new_docid] == (2, 0)
+
+
+def _naive_sloppy(tok_lists, phrase, slop):
+    """anchors p0 s.t. ordered positions exist with span <= len-1+slop."""
+    out = {}
+    for docid, toks in tok_lists:
+        pos = [[i for i, t in enumerate(toks) if t == term] for term in phrase]
+        if any(not p for p in pos):
+            continue
+        anchors = []
+        for p0 in pos[0]:
+            bound = p0 + len(phrase) - 1 + slop
+
+            def ok(i, prev):
+                if i == len(phrase):
+                    return True
+                return any(prev < q <= bound and ok(i + 1, q) for q in pos[i])
+
+            if ok(1, p0):
+                anchors.append(p0)
+        if anchors:
+            out[docid] = (len(anchors), anchors[0])
+    return out
+
+
+def test_sloppy_phrase_vs_naive(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        ("c", i, "u", " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))),
+         None, None)
+        for i in range(80)
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, tr, d, chunk_bits=6, block_size=8,
+                docid_strategy="window", analyzer_mode="simple",
+                positional=True)
+    tok_lists = [(r[1], r[3].split()) for r in rows]  # docid == turn_idx here
+    s = Searcher(spark, d)
+    for phrase, slop in [(["aa", "bb"], 0), (["aa", "bb"], 2),
+                         (["aa", "bb", "cc"], 1), (["bb", "bb"], 3)]:
+        got = _as_map(s.search_phrase(" ".join(phrase), slop=slop).collect())
+        want = _naive_sloppy(tok_lists, phrase, slop)
+        assert got == want, (phrase, slop)
+
+
+def test_slop_zero_equals_exact_path(spark, idx):
+    s = Searcher(spark, idx)
+    exact = _as_map(s.search_phrase("table hash").collect())
+    via_chain = _as_map(s.search_phrase("table hash", slop=0).collect())
+    assert exact == via_chain and exact
