@@ -53,6 +53,10 @@ PHRASES: list[tuple[str, str]] = [
 ]
 PROX_TERMS = ["customer", "join", "scan"]
 PROX_WINDOW = 12
+SLOPPY_PHRASES: list[tuple[str, str, int]] = [
+    ("s1", "table hash", 2),
+    ("s2", "slow hash batch", 3),
+]
 
 RM3_FB_DOCS, RM3_FB_TERMS, RM3_BETA = 5, 10, 0.5
 
@@ -377,6 +381,36 @@ def _phrase_sql() -> str:
             "list_sort(starts)[1]::BIGINT AS first_pos "
             f"FROM (SELECT doc_id, {expr} AS starts FROM toks) "
             "WHERE len(starts) > 0"
+        )
+    return f"WITH {_TOKS_CTE} " + " UNION ALL ".join(selects)
+
+
+def _sloppy_sql() -> str:
+    selects = []
+    for pid, p, slop in SLOPPY_PHRASES:
+        terms = analyze_simple(p)
+        k = len(terms)
+        span = k - 1 + slop
+        m_defs = ", ".join(
+            f"{_pos_list(t)} AS m{i}" for i, t in enumerate(terms)
+        )
+
+        def chain(i: int, prev: str) -> str:
+            if i == k:
+                return "TRUE"
+            inner = chain(i + 1, f"q{i}")
+            return (
+                f"len(list_filter(m{i}, q{i} -> q{i} > {prev} "
+                f"AND q{i} <= p0 + {span} AND {inner})) > 0"
+            )
+
+        anchors = f"list_sort(list_filter(m0, p0 -> {chain(1, 'p0')}))"
+        selects.append(
+            f"SELECT '{pid}' AS phrase_id, doc_id, "
+            "len(anchors)::BIGINT AS n_matches, anchors[1]::BIGINT AS first_pos "
+            f"FROM (SELECT doc_id, {anchors} AS anchors "
+            f"FROM (SELECT doc_id, {m_defs} FROM toks)) "
+            "WHERE len(anchors) > 0"
         )
     return f"WITH {_TOKS_CTE} " + " UNION ALL ".join(selects)
 
@@ -1398,6 +1432,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def phrase_proximity_q(spark, sf):
         return PH.proximity_match(_docs(spark, sf), PROX_TERMS, PROX_WINDOW)
 
+    def phrase_sloppy_q(spark, sf):
+        docs = _docs(spark, sf)
+        out = None
+        for pid, p, slop in SLOPPY_PHRASES:
+            m = PH.phrase_match_sloppy(docs, p, slop).withColumn(
+                "phrase_id", F.lit(pid)
+            )
+            out = m if out is None else out.unionByName(m)
+        return out.select("phrase_id", "doc_id", "n_matches", "first_pos")
+
     def _rm3_expanded(spark, sf):
         tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
         return R3.rm3_expand(
@@ -1546,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": phrase_match_q,
         "positional_postings": positional_postings_q,
         "phrase_proximity": phrase_proximity_q,
+        "phrase_sloppy": phrase_sloppy_q,
         "text_snippet": snippet_q,
         "text_repetition": repetition_q,
         "events_redact": redact_q,
@@ -1725,6 +1770,7 @@ GROUP BY r.qid""",
         "phrase_match": _phrase_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),
         "phrase_proximity": _prox_sql(),
+        "phrase_sloppy": _sloppy_sql(),
         "text_snippet": _snippet_sql(),
         "text_repetition": f"""
 WITH {_TOKS_CTE},

@@ -188,6 +188,32 @@ def sloppy_anchors(pos_cols: list[Column], slop: int) -> Column:
     return F.filter(pos_cols[0], lambda p0: chain(1, p0, p0))
 
 
+def phrase_match_sloppy(
+    docs: DataFrame,
+    phrase: str,
+    slop: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_matches, first_pos): sloppy phrase over the corpus text —
+    anchors where the phrase terms occur in order within a window of
+    len+slop-1 positions (sloppy_anchors). Zero-shuffle codegen, exact
+    DuckDB twin in __spark_entry__."""
+    terms = _phrase_terms(phrase)
+    toks = simple_tokens_col(F.col(text_col))
+    anchors = F.array_sort(
+        sloppy_anchors([term_positions(toks, t) for t in terms], slop)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(anchors).cast("long").alias("n_matches"),
+            F.try_element_at(anchors, F.lit(1)).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
 def best_snippet(
     docs: DataFrame,
     terms_raw: list[str],
