@@ -1494,6 +1494,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tool_usage_q(spark, sf):
         return CV.tool_usage(_tturns(spark, sf))
 
+    def conv_bm25_topk_q(spark, sf):
+        # retrieval-granularity flexibility: index the conversation-level
+        # reshape (stable turn order) and rank with the same scoring plan
+        cd = CV.conv_documents(_tturns(spark, sf)).select(
+            F.col("conv_id").alias("docid"), "text"
+        )
+        tok = with_tokens(cd, mode="simple")
+        tfs = term_freqs(tok)
+        dls = doc_lengths(tok)
+        cs = dls.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+        ts = tfs.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+            "idf", idf_col(F.col("df"), int(cs["n"]))
+        )
+        post = (
+            tfs.join(dls, "docid")
+            .join(F.broadcast(ts.select("term", "idf")), "term")
+            .select("term", "docid", bm25_weight_col(
+                F.col("tf"), F.col("dl"), F.col("idf"),
+                F.lit(float(cs["a"])), K1, B,
+            ).alias("weight"))
+        )
+        return _round4(topk(score_all(_qtfs(spark), post, on="term"), TOPK))
+
     def snippet_q(spark, sf):
         return PH.best_snippet(
             _docs(spark, sf), SNIPPET_TERMS, width=SNIPPET_WIDTH
@@ -1604,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_turn_context": turn_context_q,
         "conv_role_stats": conv_role_stats_q,
         "conv_tool_usage": tool_usage_q,
+        "conv_bm25_topk": conv_bm25_topk_q,
         "transcripts_bm25": transcripts_bm25_q,
         "wand_vs_slow_identity": wand_vs_slow_q,
     }
@@ -1861,6 +1885,39 @@ WITH {_TTURNS_CTE}
 SELECT tool, count(*)::BIGINT AS n_calls,
        count(DISTINCT conv_id)::BIGINT AS n_convs
 FROM tturns WHERE tool IS NOT NULL GROUP BY tool""",
+        "conv_bm25_topk": f"""
+WITH {_TTURNS_CTE},
+convdocs AS (
+  SELECT conv_id AS doc_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+  FROM tturns GROUP BY conv_id
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM convdocs
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+cs AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+{_q_values()},
+scored AS (
+  SELECT q.qid, tf.doc_id AS docid, sum(q.qtf * {_W_EXPR}) AS score
+  FROM q JOIN tf USING (term) JOIN ts USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         "multimodal_features": """
 WITH h AS (
   SELECT doc_id, hex(encode(text)) AS hx,
