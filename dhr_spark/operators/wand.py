@@ -582,6 +582,54 @@ class Searcher:
             .filter(F.col("n_matches") > 0)
         )
 
+    def search_proximity(self, terms_raw: list[str], window: int) -> DataFrame:
+        """(docid, window_start): docs where ALL terms co-occur within any
+        ``window``-token span, served from the positional artifact (the
+        index-backed twin of operators.phrase.proximity_match — same
+        candidate-start cover test, exact)."""
+        if not self.manifest.get("positional"):
+            raise ValueError(
+                "index was built without positional=True; proximity search "
+                "needs the positions artifact"
+            )
+        terms = sorted({t for raw in terms_raw for t in self._analyze(raw)})
+        if not terms:
+            raise ValueError("no indexable terms")
+        if self._tid_cache is not None:
+            tid = {t: self._tid_cache[t][0] for t in terms if t in self._tid_cache}
+        else:
+            rows = self._tdict.filter(F.col("term").isin(terms)).collect()
+            tid = {r["term"]: int(r["term_id"]) for r in rows}
+        empty = self.spark.createDataFrame([], "docid long, window_start long")
+        if any(t not in tid for t in terms):
+            return empty
+        pos = self.spark.read.parquet(f"{self.index_dir}/positions")
+        joined = None
+        for i, t in enumerate(terms):
+            rel = pos.filter(F.col("term_id") == tid[t]).select(
+                "docid", F.col("positions").alias(f"m{i}")
+            )
+            joined = rel if joined is None else joined.join(rel, "docid")
+        m_cols = [F.col(f"m{i}") for i in range(len(terms))]
+        all_pos = F.array_sort(F.array_distinct(F.flatten(F.array(*m_cols))))
+
+        def covers(s):
+            ok = F.lit(True)
+            for mc in m_cols:
+                ok = ok & F.exists(
+                    mc, lambda q: (q >= s) & (q < s + F.lit(window))
+                )
+            return ok
+
+        valid = F.filter(all_pos, covers)
+        return (
+            joined.select(
+                "docid",
+                F.try_element_at(valid, F.lit(1)).cast("long").alias("window_start"),
+            )
+            .filter(F.col("window_start").isNotNull())
+        )
+
 
 def search_wand(
     spark: SparkSession,

@@ -148,3 +148,19 @@ def test_slop_zero_equals_exact_path(spark, idx):
     exact = _as_map(s.search_phrase("table hash").collect())
     via_chain = _as_map(s.search_phrase("table hash", slop=0).collect())
     assert exact == via_chain and exact
+
+
+def test_index_proximity_equals_corpus_scan(spark, docs, idx):
+    from dhr_spark.operators.phrase import proximity_match
+
+    s = Searcher(spark, idx)
+    for terms, w in [(["customer", "join", "scan"], 12), (["table", "hash"], 4)]:
+        fast = {(r["docid"], r["window_start"])
+                for r in s.search_proximity(terms, w).collect()}
+        slow = {(r["docid"], r["window_start"])
+                for r in proximity_match(docs, terms, w, id_col="docid").collect()}
+        assert fast == slow and fast
+
+
+def test_index_proximity_oov_returns_empty(spark, idx):
+    assert Searcher(spark, idx).search_proximity(["zzyzx", "table"], 5).count() == 0
