@@ -247,8 +247,19 @@ def build_index_from_docs(
         )
 
     if positional:
+        # same done-chunk filter as the postings/doclens paths: on resume the
+        # positions for committed chunks are already on disk, and the append
+        # write below would duplicate every (docid, term) row for them —
+        # phrase/proximity join on docid, so duplicates multiply results
+        pos_docs = docs
+        if done_chunks:
+            pos_docs = docs.filter(
+                ~F.shiftright(F.col("docid"), chunk_bits)
+                .cast("int")
+                .isin(done_ints)
+            )
         write_positions(
-            docs, tdict, index_dir, analyzer_mode, chunk_bits,
+            pos_docs, tdict, index_dir, analyzer_mode, chunk_bits,
             mode="append" if done_chunks else "overwrite",
         )
 

@@ -80,13 +80,16 @@ def append_to_index(
     # brand-new (chunk, term) groups — no read-modify-write of committed rows
     base = -(-int(man["next_docid"]) // chunk_docs) * chunk_docs
 
-    docs = with_docids(transcripts).withColumn(
-        "docid", F.col("docid") + F.lit(base)
-    )
+    # keep a handle on the with_docids result itself: .withColumn returns a
+    # NEW DataFrame without the _dhr_persisted attribute, and reading the
+    # attribute off the derived frame would leak one cached copy of the
+    # batch into executor storage per append (builder.py:98-103 hazard)
+    base_docs = with_docids(transcripts)
+    docs = base_docs.withColumn("docid", F.col("docid") + F.lit(base))
     try:
         return _append_docs(spark, docs, index_dir, man, base, t0, extra_manifest)
     finally:
-        cached = getattr(docs, "_dhr_persisted", None)
+        cached = getattr(base_docs, "_dhr_persisted", None)
         if cached is not None:
             cached.unpersist()
 

@@ -307,8 +307,12 @@ class Searcher:
         self._tdict = spark.read.parquet(f"{index_dir}/{td_dir}").select(
             "term", "term_id", "idf"
         )
-        self._seg = spark.read.parquet(f"{index_dir}/segments")
-        self._dl = spark.read.parquet(f"{index_dir}/doclens")
+        self._seg = self._prune_to_manifest(
+            spark.read.parquet(f"{index_dir}/segments")
+        )
+        self._dl = self._prune_to_manifest(
+            spark.read.parquet(f"{index_dir}/doclens")
+        )
         self._tid_cache: dict[str, int] | None = None
         if cache:
             # doclens: one small row per chunk — always worth pinning
@@ -322,12 +326,34 @@ class Searcher:
                 }
 
     MAX_COLLECTED_QUERIES = 100_000
+    MAX_CHUNK_ISIN = 100_000
 
-    def _query_info(self, queries: DataFrame):
+    def _prune_to_manifest(self, df: DataFrame) -> DataFrame:
+        """Restrict a chunk-partitioned artifact scan to the chunks committed
+        in the manifest lineage. A crashed append leaves orphan chunk
+        partitions on disk (the manifest rewrite is the atomic commit point);
+        without this filter those never-committed docs would be scored and
+        returned with no doc_map entry. ``chunk`` is the partition column, so
+        the predicate is pure partition pruning — no data files of pruned
+        chunks are even listed. Exact ``isin`` up to MAX_CHUNK_ISIN committed
+        chunks; beyond that (10^12-turn scale: millions of chunks) the
+        contiguity invariant (the base build numbers chunks densely and every
+        append starts at the next chunk boundary) makes a <=max-chunk range
+        predicate equivalent and O(1) to plan."""
+        chunks = [int(c) for c in self.manifest["chunks"]]
+        if len(chunks) <= self.MAX_CHUNK_ISIN:
+            return df.filter(F.col("chunk").isin(chunks))
+        return df.filter(F.col("chunk") <= max(chunks))
+
+    def _query_info(self, queries: DataFrame, want_qlen: bool = False):
         """Driver-side query prep: the query set is collected into the
         scoring kernel regardless (the reference loads all queries up front,
         gip_retrieval.py:263-283); analyzing |Q| strings here removes a
         pandas-UDF stage + broadcast join + extra job from every search.
+
+        ``want_qlen=True`` additionally returns {qid: analyzed token count
+        INCLUDING out-of-vocabulary terms} — RM3's query-model denominator —
+        so callers never re-collect the query set.
 
         Guarded at MAX_COLLECTED_QUERIES: an offline eval over millions of
         queries should not funnel through the driver — route it through the
@@ -346,12 +372,15 @@ class Searcher:
                 "slow path (operators.topk.search_slow_path) instead"
             )
         qterm_tf: dict[str, dict[str, int]] = {}
+        qlen: dict[str, int] = {}
         for r in qrows:
             tf: dict[str, int] = {}
-            for t in self._analyze(r["text"] or ""):
+            toks = self._analyze(r["text"] or "")
+            for t in toks:
                 tf[t] = tf.get(t, 0) + 1
             if tf:
                 qterm_tf[r["qid"]] = tf
+                qlen[r["qid"]] = len(toks)
         terms = sorted({t for tf in qterm_tf.values() for t in tf})
         if self._tid_cache is not None:
             tid = {t: self._tid_cache[t] for t in terms if t in self._tid_cache}
@@ -371,6 +400,8 @@ class Searcher:
                 a = np.array([(t, c) for t, c, _ in trips], dtype=np.int64)
                 idfs = np.array([x[2] for x in trips], dtype=np.float64)
                 qinfo[qid] = (a[:, 0], a[:, 1].astype(np.float64), idfs)
+        if want_qlen:
+            return qinfo, sorted(i for i, _ in tid.values()), qlen
         return qinfo, sorted(i for i, _ in tid.values())
 
     def search(self, queries: DataFrame, k: int = 1000, prune: bool = True) -> DataFrame:
@@ -449,7 +480,9 @@ class Searcher:
         fb_ids = sorted({d for lst in fb_by_q.values() for d, _ in lst})
         vec: dict[int, list[tuple[int, int, int]]] = {}
         if fb_ids:
-            fwd = self.spark.read.parquet(f"{self.index_dir}/forward")
+            fwd = self._prune_to_manifest(
+                self.spark.read.parquet(f"{self.index_dir}/forward")
+            )
             for r in fwd.filter(F.col("docid").isin(fb_ids)).collect():
                 vec.setdefault(int(r["docid"]), []).append(
                     (int(r["term_id"]), int(r["tf"]), int(r["dl"]))
@@ -539,7 +572,9 @@ class Searcher:
         )
         if any(t not in tid for t in terms):
             return empty  # an OOV phrase term can never match
-        pos = self.spark.read.parquet(f"{self.index_dir}/positions")
+        pos = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/positions")
+        )
 
         def _shift_by(i: int):
             # closure, NOT a default arg: a 2-param lambda would receive the
@@ -603,7 +638,9 @@ class Searcher:
         empty = self.spark.createDataFrame([], "docid long, window_start long")
         if any(t not in tid for t in terms):
             return empty
-        pos = self.spark.read.parquet(f"{self.index_dir}/positions")
+        pos = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/positions")
+        )
         joined = None
         for i, t in enumerate(terms):
             rel = pos.filter(F.col("term_id") == tid[t]).select(

@@ -60,7 +60,25 @@ def canonicalize_transcripts(df: DataFrame) -> DataFrame:
         if have == want:
             cols.append(F.col(name))
         elif isinstance(have, _SAFE_CASTS.get(type(want), ())):
-            cols.append(F.col(name).cast(want).alias(name))
+            col = F.col(name)
+            if isinstance(have, T.LongType) and isinstance(want, T.IntegerType):
+                # narrowing: with ANSI off an out-of-range int64 silently
+                # becomes NULL and breaks stable turn ordering — fail fast at
+                # execution instead (the guard is codegen'd scalar math)
+                col = F.when(
+                    col.between(-(2**31), 2**31 - 1), col
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"transcripts column {name!r}: int64 value "
+                            ),
+                            col.cast("string"),
+                            F.lit(" overflows the contract's int32"),
+                        )
+                    )
+                )
+            cols.append(col.cast(want).alias(name))
         else:
             problems.append(
                 f"column {name!r} has incompatible type "

@@ -100,3 +100,26 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     manifest = json.loads(out.stdout.strip().splitlines()[-1])
     assert manifest["n_docs"] > 0 and manifest["n_terms"] > 0
     assert os.path.exists(os.path.join(idx, "manifest.json"))
+
+
+def test_canonicalize_int64_overflow_fails_fast(spark):
+    """Narrowing int64->int32 must raise at execution for out-of-range
+    values, not silently null them (ADVICE r2: stable turn ordering)."""
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("c1", 2**40, "user", "hi", None, None)],
+        "conv_id string, turn_idx bigint, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = canonicalize_transcripts(df)  # plan builds fine; action raises
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException, Exception)) as e:
+        out.collect()
+    assert "overflows the contract's int32" in str(e.value)
+    # in-range values still pass through the guard untouched
+    ok = spark.createDataFrame(
+        [("c1", 2**31 - 1, "user", "hi", None, None)],
+        "conv_id string, turn_idx bigint, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    assert canonicalize_transcripts(ok).first()["turn_idx"] == 2**31 - 1

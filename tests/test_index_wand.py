@@ -175,3 +175,85 @@ def test_with_global_ids_empty_input(spark):
     out = with_global_ids(empty, [F.col("conv_id"), F.col("turn_idx")], "docid")
     assert out.count() == 0
     assert dict(out.dtypes)["docid"] == "bigint"
+
+
+def test_resume_with_positional_does_not_duplicate_positions(spark, built, tmp_path):
+    """ADVICE r2 (medium): resuming a positional build must write positions
+    only for the NOT-yet-committed chunks; an unfiltered append would
+    duplicate every (docid, term) positions row of the done chunks and
+    multiply phrase/proximity results."""
+    import json
+    import os
+    import shutil
+
+    tr = built["tr"]
+    part_dir = str(tmp_path / "part")
+    build_index(spark, tr, part_dir, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+                docid_strategy="window", positional=True)
+    clean = (
+        spark.read.parquet(f"{part_dir}/positions")
+        .groupBy().agg(F.count("*").alias("n"),
+                       F.sum(F.size("positions")).alias("npos"))
+        .collect()[0]
+    )
+
+    # simulate a crash that lost half the chunks (positions included)
+    man = load_manifest(part_dir)
+    chunks = sorted(man["chunks"], key=int)
+    lost = chunks[len(chunks) // 2:]
+    for c in lost:
+        for sub in ("segments", "doclens", "positions"):
+            p = os.path.join(part_dir, sub, f"chunk={c}")
+            if os.path.exists(p):
+                shutil.rmtree(p)
+    man["chunks"] = {c: v for c, v in man["chunks"].items() if c not in lost}
+    with open(os.path.join(part_dir, "manifest.json"), "w") as f:
+        json.dump(man, f)
+
+    build_index(spark, tr, part_dir, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+                docid_strategy="window", resume=True, positional=True)
+    resumed = (
+        spark.read.parquet(f"{part_dir}/positions")
+        .groupBy().agg(F.count("*").alias("n"),
+                       F.sum(F.size("positions")).alias("npos"))
+        .collect()[0]
+    )
+    assert (resumed["n"], resumed["npos"]) == (clean["n"], clean["npos"])
+    # no (docid, term_id) appears twice
+    dup = (
+        spark.read.parquet(f"{part_dir}/positions")
+        .groupBy("docid", "term_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
+def test_searcher_ignores_orphan_chunks(spark, built, tmp_path):
+    """ADVICE r2: chunk partitions on disk but absent from the manifest
+    lineage (a crashed append's leftovers) must not be scored."""
+    import shutil
+
+    idx2 = str(tmp_path / "orph")
+    shutil.copytree(built["idx"], idx2)
+    man = load_manifest(idx2)
+    max_chunk = max(int(c) for c in man["chunks"])
+    orphan = max_chunk + 5
+    # forge an orphan by cloning the highest committed chunk's files
+    for sub in ("segments", "doclens"):
+        src = f"{idx2}/{sub}/chunk={max_chunk}"
+        shutil.copytree(src, f"{idx2}/{sub}/chunk={orphan}")
+
+    from dhr_spark.operators.wand import Searcher
+
+    res = Searcher(spark, idx2).search(built["queries"], k=10)
+    committed_docs = spark.read.parquet(f"{idx2}/segments").filter(
+        F.col("chunk") <= max_chunk
+    )
+    # every returned docid must belong to a committed chunk
+    bad = res.filter(
+        F.shiftright(F.col("docid"), CHUNK_BITS) > max_chunk
+    ).count()
+    assert bad == 0 and res.count() > 0
+    # and the result equals the pre-orphan index's answer exactly
+    a = _as_map(search_wand(spark, built["idx"], built["queries"], k=10).collect())
+    b = _as_map(res.collect())
+    assert a == b
