@@ -434,17 +434,6 @@ class Searcher:
         )
         return topk(scored, k)
 
-    def _terms_for_ids(self, ids: list[int]) -> dict[int, tuple[str, float]]:
-        """term_id -> (term, current idf) for a small id set."""
-        if self._tid_cache is not None:
-            if not hasattr(self, "_rev_cache"):
-                self._rev_cache = {
-                    i: (t, w) for t, (i, w) in self._tid_cache.items()
-                }
-            return {i: self._rev_cache[i] for i in ids if i in self._rev_cache}
-        rows = self._tdict.filter(F.col("term_id").isin(list(ids))).collect()
-        return {int(r["term_id"]): (r["term"], float(r["idf"])) for r in rows}
-
     def search_rm3(
         self,
         queries: DataFrame,
@@ -455,88 +444,110 @@ class Searcher:
         prune: bool = True,
     ) -> DataFrame:
         """BM25 + RM3 pseudo-relevance feedback over the index (Anserini's
-        default expansion ranker; semantics = operators/rm3.rm3_expand).
+        default expansion ranker; semantics = operators/rm3.rm3_expand,
+        two-stage contract anchor: /root/reference/retrieval/
+        gip_retrieval.py:128-156).
 
-        First pass: WAND top-``fb_docs``. Feedback doc term vectors come
-        from the FORWARD index (doc-major, chunk-pruned lookup of a handful
-        of docids — build with ``forward_index=True``). The relevance model
-        is computed driver-side (|Q|·fb_docs·avg_dl values — tiny) with the
-        same integer-micros arithmetic as the operator, then the weighted
-        expanded query runs through the same WAND kernel (fractional qtf
-        weights are native to it)."""
+        Fully distributed dataflow: first pass (WAND top-``fb_docs``) →
+        broadcast the tiny (qid, docid, score) feedback set into the FORWARD
+        index scan (doc-major term vectors, build with ``forward_index=True``)
+        → relevance model + interpolation as DataFrame algebra with the same
+        integer-micros arithmetic as rm3_expand → second WAND pass. Forward
+        index rows are never collected; the only driver funnel is the final
+        expanded query model (≤ |Q|·(fb_terms+|q|) rows — the same scale as
+        the query set itself, which Searcher holds driver-side by design)."""
+        from pyspark.sql import Window
+
         man = self.manifest
         if not man.get("forward_index"):
             raise ValueError(
                 "index was built without forward_index=True; RM3 needs the "
                 "doc-major term vectors (rebuild or append with the flag)"
             )
-        qinfo, all_terms = self._query_info(queries)
+        qinfo, all_terms, qlen = self._query_info(queries, want_qlen=True)
         first = self._search_prepared(qinfo, all_terms, fb_docs, prune)
-        fb_by_q: dict[str, list[tuple[int, float]]] = {}
-        for r in first.collect():
-            fb_by_q.setdefault(r["qid"], []).append(
-                (int(r["docid"]), float(r["score"]))
+        fwd = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/forward")
+        )
+        # P(t|d)·score contributions: the feedback set (|Q|·fb_docs rows)
+        # broadcasts into the forward scan — non-feedback docs are pruned at
+        # the join, nothing wider than the expansion table ever moves
+        ptd = fwd.join(
+            F.broadcast(first.select("qid", "docid", "score")), "docid"
+        ).select(
+            "qid",
+            "term_id",
+            (F.col("tf") / F.col("dl") * F.col("score")).alias("contrib"),
+        )
+        # integer-micros sums: round to 6 decimals then scale to int64 so the
+        # normalizing sums are exact integer arithmetic (order-independent,
+        # bit-identical to operators/rm3.rm3_expand and its DuckDB oracle)
+        rm1 = (
+            ptd.groupBy("qid", "term_id")
+            .agg(
+                F.round(F.round(F.sum("contrib"), 6) * 1e6)
+                .cast("long")
+                .alias("rm1_i")
             )
-        fb_ids = sorted({d for lst in fb_by_q.values() for d, _ in lst})
-        vec: dict[int, list[tuple[int, int, int]]] = {}
-        if fb_ids:
-            fwd = self._prune_to_manifest(
-                self.spark.read.parquet(f"{self.index_dir}/forward")
+            .filter(F.col("rm1_i") > 0)
+        )
+        # term string (Anserini tie order) + current idf ride in from the
+        # dictionary; rm1 is tiny, so it broadcasts against the |V|-row scan
+        rm1 = self._tdict.join(F.broadcast(rm1), "term_id")
+        w_cut = Window.partitionBy("qid").orderBy(
+            F.col("rm1_i").desc(), F.col("term").asc()
+        )
+        rm1_norm = (
+            rm1.withColumn("_r", F.row_number().over(w_cut))
+            .filter(F.col("_r") <= fb_terms)
+            .withColumn(
+                "rm1",
+                F.col("rm1_i") / F.sum("rm1_i").over(Window.partitionBy("qid")),
             )
-            for r in fwd.filter(F.col("docid").isin(fb_ids)).collect():
-                vec.setdefault(int(r["docid"]), []).append(
-                    (int(r["term_id"]), int(r["tf"]), int(r["dl"]))
-                )
-        fb_tids = sorted({t for v in vec.values() for t, _, _ in v})
-        id_info = self._terms_for_ids(fb_tids)
-
-        # full query-model denominators include analyzed-but-OOV terms,
-        # matching rm3_expand's qmodel (OOV terms carry weight mass even
-        # though they cannot score)
-        qsum: dict[str, int] = {}
-        for r in queries.select("qid", "text").collect():
-            toks = self._analyze(r["text"] or "")
-            if toks:
-                qsum[r["qid"]] = len(toks)
-
+            .select("qid", "term_id", "rm1", F.col("idf").alias("idf_fb"))
+        )
+        # original query model from the already-prepped driver arrays; the
+        # denominator counts analyzed-but-OOV terms (they carry weight mass
+        # even though they cannot score), matching rm3_expand's qmodel
+        qm_rows = [
+            (qid, int(t), float(c) / qlen[qid], float(i))
+            for qid, (tids, qtfs, idfs) in qinfo.items()
+            for t, c, i in zip(tids, qtfs, idfs)
+        ]
+        qmodel = self.spark.createDataFrame(
+            qm_rows, "qid string, term_id long, pq double, idf double"
+        )
+        beta = F.lit(float(orig_weight))
+        expanded = (
+            qmodel.join(rm1_norm, ["qid", "term_id"], "full_outer")
+            .select(
+                "qid",
+                "term_id",
+                F.round(
+                    beta * F.coalesce(F.col("pq"), F.lit(0.0))
+                    + (F.lit(1.0) - beta) * F.coalesce(F.col("rm1"), F.lit(0.0)),
+                    6,
+                ).alias("weight"),
+                F.coalesce(F.col("idf"), F.col("idf_fb")).alias("idf_q"),
+            )
+            .filter(F.col("weight") > 0)
+        )
         qinfo2: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        beta = float(orig_weight)
-        for qid, (tids, qtfs, idfs) in qinfo.items():
-            contrib: dict[int, float] = {}
-            for docid, score in fb_by_q.get(qid, []):
-                for t, tf, dl in vec.get(docid, []):
-                    contrib[t] = contrib.get(t, 0.0) + tf / dl * score
-            rm1_i = {
-                t: int(round(round(c, 6) * 1e6)) for t, c in contrib.items()
-            }
-            top = sorted(
-                ((v, t) for t, v in rm1_i.items() if v > 0),
-                key=lambda x: (-x[0], id_info.get(x[1], ("",))[0]),
-            )[:fb_terms]
-            denom = sum(v for v, _ in top)
-            rm1 = {t: v / denom for v, t in top} if denom else {}
-            pq = {
-                int(t): float(c) / qsum[qid]
-                for t, c in zip(tids, qtfs)
-            }
-            w: dict[int, float] = {}
-            for t in set(pq) | set(rm1):
-                val = round(
-                    beta * pq.get(t, 0.0) + (1.0 - beta) * rm1.get(t, 0.0), 6
-                )
-                if val > 0:
-                    w[t] = val
-            if not w:
-                continue
-            trips = sorted(
-                (t, w[t], id_info[t][1] if t in id_info else float(idfs[list(tids).index(t)]))
-                for t in w
+        by_q: dict[str, list[tuple[int, float, float]]] = {}
+        for r in expanded.collect():
+            by_q.setdefault(r["qid"], []).append(
+                (int(r["term_id"]), float(r["weight"]), float(r["idf_q"]))
             )
-            a_t = np.array([t for t, _, _ in trips], dtype=np.int64)
-            a_w = np.array([x for _, x, _ in trips], dtype=np.float64)
-            a_i = np.array([i for _, _, i in trips], dtype=np.float64)
-            qinfo2[qid] = (a_t, a_w, a_i)
-        all_terms2 = sorted({int(t) for tids, _, _ in qinfo2.values() for t in tids})
+        for qid, trips in by_q.items():
+            trips.sort()
+            qinfo2[qid] = (
+                np.array([t for t, _, _ in trips], dtype=np.int64),
+                np.array([w for _, w, _ in trips], dtype=np.float64),
+                np.array([i for _, _, i in trips], dtype=np.float64),
+            )
+        all_terms2 = sorted(
+            {int(t) for tids, _, _ in qinfo2.values() for t in tids}
+        )
         return self._search_prepared(qinfo2, all_terms2, k, prune)
 
     def search_phrase(self, phrase: str, slop: int = 0) -> DataFrame:

@@ -123,3 +123,30 @@ def test_forward_index_survives_append(spark, idx, queries, tmp_path):
     assert fwd.filter(F.col("docid") >= man["next_docid"] - 1).count() > 0
     out = Searcher(spark, d).search_rm3(queries, k=5, fb_docs=3, fb_terms=5)
     assert out.count() > 0
+
+
+def test_search_rm3_never_collects_forward_rows(spark, idx, queries, monkeypatch):
+    """The distributed RM3 must not funnel forward-index term vectors (or raw
+    first-pass results) through the driver: the only allowed collects are
+    the query set and the final expanded query model."""
+    from pyspark.sql import DataFrame
+
+    collected_schemas = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        collected_schemas.append({f.name for f in self.schema.fields})
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    out = Searcher(spark, idx).search_rm3(
+        queries, k=10, fb_docs=FB_DOCS, fb_terms=FB_TERMS
+    )
+    n = out.count()
+    assert n > 0
+    for cols in collected_schemas:
+        # forward-index rows carry (docid, term_id, tf, dl)
+        assert not {"docid", "tf", "dl"} <= cols, cols
+        # raw first-pass results carry (qid, docid, rank/score) without
+        # term-level columns; the expanded model has no docid at all
+        assert "docid" not in cols or "weight" in cols, cols
