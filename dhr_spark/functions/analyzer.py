@@ -83,17 +83,52 @@ def analyze_simple(text: str) -> list[str]:
     return _SIMPLE_RE.findall(text.lower())
 
 
+def analyze_lucene_gaps(text: str) -> list:
+    """Full chain WITH Lucene position increments: every tokenizer-emitted
+    token consumes one slot; removed tokens (stopwords, tokens that clean to
+    empty) leave a ``None`` hole. The slot index IS the Lucene position —
+    this is how Lucene's StopFilter records increments, so PhraseQuery over
+    "new the york" stores new@0/york@2 and the exact phrase "new york" does
+    NOT match it, while slop=1 does (Anserini PhraseQuery behavior the
+    reference's Lucene backend exposes)."""
+    if not text:
+        return []
+    out = []
+    for tok in _TOKEN_RE.findall(text):
+        tok = _POSSESSIVE_RE.sub("", tok)
+        tok = tok.lower().replace("'", "").replace("’", "")
+        if not tok or tok in LUCENE_STOPWORDS:
+            out.append(None)
+        else:
+            out.append(_stem_cached(tok))
+    return out
+
+
+def analyze_positions(mode: str, text: str) -> list[tuple[int, str]]:
+    """(position, term) pairs under ``mode``'s position semantics: gap
+    increments for the lucene chain, dense stream indexes for simple (which
+    has no removals, so the two coincide)."""
+    toks = _GAP_ANALYZERS[mode](text)
+    return [(i, t) for i, t in enumerate(toks) if t is not None]
+
+
 _ANALYZERS = {"lucene": analyze_lucene, "simple": analyze_simple}
+_GAP_ANALYZERS = {"lucene": analyze_lucene_gaps, "simple": analyze_simple}
 
 
-def tokenize_udf(mode: str = "lucene"):
+def tokenize_udf(mode: str = "lucene", keep_gaps: bool = False):
     """Iterator-of-series pandas UDF: text -> array<string> tokens.
+
+    ``keep_gaps=True`` preserves Lucene position increments: removed tokens
+    (stopwords) stay in the array as NULL slots, so a downstream posexplode
+    + NOT NULL filter yields gap-correct (position, term) rows. The simple
+    chain removes nothing, so both settings coincide there.
 
     Iterator form amortizes analyzer setup per Arrow batch stream (the Spark
     equivalent of the reference's per-worker tokenizer instances,
     /root/reference/densify/densify_corpus.py:148-156).
     """
-    analyze = _ANALYZERS[mode]
+    analyze = (_GAP_ANALYZERS if keep_gaps else _ANALYZERS)[mode]
 
     @F.pandas_udf(ArrayType(StringType()))
     def _tok(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

@@ -114,18 +114,23 @@ def write_positions(
 ) -> None:
     """Write the positional artifact: (chunk, docid, term_id, positions).
 
-    Positions index the POST-ANALYSIS token sequence (after stop/stem for
-    the lucene chain) — query phrases are analyzed identically, so phrase
-    adjacency means "adjacent after analysis" (a stopword between two terms
-    does not break a phrase; Lucene with position increments would differ —
-    documented engine semantics, pinned by tests). Costs one extra
-    tokenization pass over the corpus; opt-in.
+    Positions carry Lucene position increments: removed tokens (stopwords
+    under the lucene chain) consume a position but emit nothing, exactly as
+    Lucene's StopFilter records them — "new the york" stores new@0/york@2,
+    so the exact phrase "new york" does not match it while slop=1 does
+    (Anserini PhraseQuery behavior; the reference's Lucene backend,
+    /root/reference/densify/output_vector.py:24-31, reads from such an
+    index). The simple chain removes nothing, so its positions are the
+    plain token-stream indexes — which keeps every positional operator
+    DuckDB-oracle-expressible. Costs one extra tokenization pass over the
+    corpus; opt-in.
     """
-    from dhr_spark.operators.termfreq import with_tokens
+    from dhr_spark.functions.analyzer import tokenize_udf
 
-    tok = with_tokens(docs.select("docid", "text"), mode=analyzer_mode)
+    tokc = tokenize_udf(analyzer_mode, keep_gaps=True)(F.col("text"))
     rel = (
-        tok.select("docid", F.posexplode("tokens").alias("pos", "term"))
+        docs.select("docid", F.posexplode(tokc).alias("pos", "term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("docid", "term")
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
         .join(F.broadcast(tdict.select("term", "term_id")), "term")

@@ -161,19 +161,23 @@ def proximity_match(
     )
 
 
-def sloppy_anchors(pos_cols: list[Column], slop: int) -> Column:
+def sloppy_anchors(
+    pos_cols: list[Column], slop: int, base_span: int | None = None
+) -> Column:
     """Anchor positions of ordered within-window matches (Lucene-slop
     analogue): anchors p0 from pos_cols[0] such that positions
     p0 < p1 < ... < p_{k-1} exist (p_i from pos_cols[i]) with total span
-    p_{k-1} - p0 <= (k-1) + slop. slop=0 degenerates to the exact
-    consecutive phrase.
+    p_{k-1} - p0 <= base_span + slop. ``base_span`` defaults to k-1 (a
+    dense phrase); a gapped phrase (stopword position increments) passes
+    its own expected span. With the default, slop=0 degenerates to the
+    exact consecutive phrase.
 
     Built as a nested-exists chain (exhaustive, so existence is exact);
     pure codegen, expression depth linear in k — intended for the short
     phrases real queries carry.
     """
     k = len(pos_cols)
-    span = k - 1 + slop
+    span = (k - 1 if base_span is None else base_span) + slop
 
     def chain(i: int, prev: Column, p0: Column) -> Column:
         if i == k:

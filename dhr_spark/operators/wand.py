@@ -554,24 +554,33 @@ class Searcher:
         """(docid, n_matches, first_pos): phrase matches served from the
         POSITIONAL artifact (build with ``positional=True``) — no corpus
         text scan; reads only the phrase terms' position rows (term_id
-        pushdown). ``slop=0`` is the exact consecutive phrase (shifted
-        position-array intersection); ``slop>0`` is the Lucene-slop
-        analogue — ordered occurrence with total span ≤ len+slop-1
-        (phrase.sloppy_anchors); n_matches then counts valid anchors.
+        pushdown). ``slop=0`` is the exact phrase at the query's analyzed
+        position offsets (shifted position-array intersection); ``slop>0``
+        is the Lucene-slop analogue — ordered occurrence with total span ≤
+        expected_span+slop (phrase.sloppy_anchors); n_matches then counts
+        valid anchors.
 
-        Positions index the post-analysis token sequence: a phrase matches
-        when its analyzed terms are adjacent after stop/stem (see
-        builder.write_positions for the semantics note).
+        Positions carry Lucene position increments (stopwords consume a
+        position under the lucene chain — builder.write_positions): the
+        query phrase is analyzed with the same increments, so "new york"
+        does NOT exact-match "new the york"-gapped text, while slop=1 does
+        — Anserini PhraseQuery behavior.
         """
+        from dhr_spark.functions.analyzer import analyze_positions
+
         if not self.manifest.get("positional"):
             raise ValueError(
                 "index was built without positional=True; phrase search "
                 "needs the positions artifact (or use operators.phrase."
                 "phrase_match over the corpus text)"
             )
-        terms = self._analyze(phrase)
-        if not terms:
+        pairs = analyze_positions(self.manifest["analyzer_mode"], phrase)
+        if not pairs:
             raise ValueError(f"phrase {phrase!r} has no indexable terms")
+        # offsets relative to the first indexed term (a leading stopword
+        # only shifts the anchor, exactly as Lucene's query parser does)
+        offs = [p - pairs[0][0] for p, _ in pairs]
+        terms = [t for _, t in pairs]
         if self._tid_cache is not None:
             tid = {t: self._tid_cache[t][0] for t in set(terms)
                    if t in self._tid_cache}
@@ -592,32 +601,33 @@ class Searcher:
             # array index as its second argument (PySpark HOF arity rules)
             return lambda p: p - F.lit(i)
 
-        def _shifted(i: int, t: str):
-            # exact mode pre-shifts by -i so matching reduces to array
+        def _shifted(j: int, off: int, t: str):
+            # exact mode pre-shifts by -offset so matching reduces to array
             # intersection; sloppy mode keeps raw positions for the
             # ordered-window chain
             col = (
-                F.transform(F.col("positions"), _shift_by(i))
-                if i and not slop
+                F.transform(F.col("positions"), _shift_by(off))
+                if off and not slop
                 else F.col("positions")
             )
             return pos.filter(F.col("term_id") == tid[t]).select(
-                "docid", col.alias(f"p{i}")
+                "docid", col.alias(f"p{j}")
             )
 
-        joined = _shifted(0, terms[0])
-        for i, t in enumerate(terms[1:], start=1):
-            joined = joined.join(_shifted(i, t), "docid")
+        joined = _shifted(0, offs[0], terms[0])
+        for j in range(1, len(terms)):
+            joined = joined.join(_shifted(j, offs[j], terms[j]), "docid")
         if slop:
             from dhr_spark.operators.phrase import sloppy_anchors
 
             starts = sloppy_anchors(
-                [F.col(f"p{i}") for i in range(len(terms))], slop
+                [F.col(f"p{j}") for j in range(len(terms))], slop,
+                base_span=offs[-1],
             )
         else:
             starts = F.col("p0")
-            for i in range(1, len(terms)):
-                starts = F.array_intersect(starts, F.col(f"p{i}"))
+            for j in range(1, len(terms)):
+                starts = F.array_intersect(starts, F.col(f"p{j}"))
         starts = F.array_sort(starts)
         return (
             joined.select(

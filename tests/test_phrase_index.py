@@ -58,21 +58,45 @@ def test_index_phrase_oov_and_guards(spark, idx, docs, tmp_path):
         Searcher(spark, d).search_phrase("table hash")
 
 
-def test_lucene_positions_are_post_analysis(spark, tmp_path):
-    # lucene chain drops stopwords WITHOUT position increments: "slow the
-    # hash" analyzes to [slow, hash], so the phrase "slow hash" matches —
-    # the documented post-analysis adjacency semantics
+def test_lucene_position_increments(spark, tmp_path):
+    # Lucene semantics: stopwords CONSUME a position (StopFilter increments)
+    # — "new the york" stores new@0/york@2, so the exact phrase "new york"
+    # does not match it while slop=1 does (Anserini PhraseQuery behavior)
     tr = spark.createDataFrame(
-        [("c1", 0, "u", "slow the hash", None, None),
-         ("c1", 1, "u", "slow fast hash", None, None)],
+        [("c1", 0, "u", "new the york city", None, None),
+         ("c1", 1, "u", "new york city", None, None),
+         ("c1", 2, "u", "york new city", None, None)],
         "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp",
     )
     d = str(tmp_path / "idx")
     build_index(spark, tr, d, chunk_bits=6, block_size=16,
                 docid_strategy="window", positional=True)
-    got = _as_map(Searcher(spark, d).search_phrase("slow hash").collect())
-    assert got == {0: (1, 0)}  # turn 0 matches, turn 1 does not
+    s = Searcher(spark, d)
+    exact = _as_map(s.search_phrase("new york").collect())
+    assert exact == {1: (1, 0)}  # only the gap-free turn
+    sloppy = {r["docid"] for r in s.search_phrase("new york", slop=1).collect()}
+    assert sloppy == {0, 1}  # slop=1 bridges the stopword hole, stays ordered
+
+
+def test_lucene_gapped_query_phrase(spark, tmp_path):
+    # a stopword INSIDE the query phrase carries its increment too: "slow
+    # the hash" exact-matches only text with the same one-position gap
+    tr = spark.createDataFrame(
+        [("c1", 0, "u", "slow the hash", None, None),
+         ("c1", 1, "u", "slow hash", None, None),
+         ("c1", 2, "u", "the slow in hash", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, tr, d, chunk_bits=6, block_size=16,
+                docid_strategy="window", positional=True)
+    s = Searcher(spark, d)
+    got = _as_map(s.search_phrase("slow the hash").collect())
+    # turn 0: slow@0 hash@2 — matches the gapped query (anchor at slow@0);
+    # turn 2: slow@1 hash@3 — same relative gap, anchored at 1
+    assert got == {0: (1, 0), 2: (1, 1)}
 
 
 def test_positions_survive_append(spark, idx, tmp_path):
