@@ -943,6 +943,75 @@ SELECT qid, vec_id,
 FROM ivscored QUALIFY rank <= 10"""
 
 
+def _pq_sql(
+    m: int = 16, ksub: int = 32, iters: int = 2, dim: int = 64
+) -> str:
+    """PQ/ADC ANN oracle: replays the per-subspace deterministic L2 k-means
+    (seeded by the ksub smallest ids, every step rounded to 6), the code
+    assignment, and the ADC table scoring of operators.pq bit-for-bit."""
+    d_sub = dim // m
+    norm = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    parts = [
+        f"""u AS (
+  SELECT vec_id, CAST(p.p // {d_sub} AS INTEGER) AS sub, p.p % {d_sub} AS i,
+         embedding[CAST(p.p + 1 AS INTEGER)]::DOUBLE / {norm} AS x
+  FROM embeddings, (SELECT unnest(range(0, {dim})) AS p) p
+)""",
+        f"""cent0 AS (
+  SELECT sub, vec_id AS cid, i, round(x, 6) AS c FROM u WHERE vec_id < {ksub}
+)""",
+    ]
+    cur = "cent0"
+    for t in range(iters):
+        parts += [
+            f"""d{t} AS (
+  SELECT u.vec_id, u.sub, c.cid,
+         round(sum((u.x - c.c) * (u.x - c.c)), 6) AS dist
+  FROM u JOIN {cur} c USING (sub, i) GROUP BY 1, 2, 3
+)""",
+            f"""a{t} AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM d{t}) WHERE rn = 1
+)""",
+            f"""cent{t + 1} AS (
+  SELECT u.sub, a.cid, u.i, round(avg(u.x), 6) AS c
+  FROM u JOIN a{t} a USING (vec_id, sub) GROUP BY 1, 2, 3
+)""",
+        ]
+        cur = f"cent{t + 1}"
+    parts += [
+        f"""dfin AS (
+  SELECT u.vec_id, u.sub, c.cid,
+         round(sum((u.x - c.c) * (u.x - c.c)), 6) AS dist
+  FROM u JOIN {cur} c USING (sub, i) GROUP BY 1, 2, 3
+)""",
+        """codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM dfin) WHERE rn = 1
+)""",
+        f"""tab AS (
+  SELECT u.vec_id AS qid, u.sub, c.cid, round(sum(u.x * c.c), 6) AS dot
+  FROM u JOIN {cur} c USING (sub, i) WHERE u.vec_id < 5 GROUP BY 1, 2, 3
+)""",
+        """pqsc AS (
+  SELECT tab.qid, codes.vec_id, round(sum(tab.dot), 6) AS adc
+  FROM codes JOIN tab USING (sub, cid) GROUP BY 1, 2
+)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS INTEGER) AS rank,
+       adc
+FROM pqsc QUALIFY rank <= 10"""
+
+
 def _hybrid_sql(lam: float) -> str:
     """λ·dense + lexical BM25 fusion oracle, query-by-example over the
     shared (doc_id == vec_id) id space."""
@@ -1252,6 +1321,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("qid"), "embedding"
         )
         return cosine_topk_ivf(qs, embs, k=10)
+
+    def ann_pq_q(spark, sf):
+        from dhr_spark.operators.pq import cosine_topk_pq
+
+        embs = _embs(spark, sf)
+        qs = embs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        return cosine_topk_pq(qs, embs, k=10)
 
     def ann_quant_q(spark, sf):
         embs = _embs(spark, sf)
@@ -1591,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_bm25": transcripts_bm25_q,
         "wand_vs_slow_identity": wand_vs_slow_q,
         # -- round-3 additions are registered here (keep inside slot 50) ----
+        "ann_pq": ann_pq_q,
         # -- long-green round-1 entries fill the rest of the driver window --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -2016,6 +2095,7 @@ SELECT id_a, id_b, cosine FROM (
 ) WHERE cosine >= 0.35""",
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ivf_sql(),
+        "ann_pq": _pq_sql(),
         "ann_quantized": _ANN_QUANT_SQL,
         "dedup_embedding_lsh": _EMB_LSH_SQL,
         "ann_bruteforce": """

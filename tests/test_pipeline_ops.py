@@ -326,3 +326,41 @@ def test_densify_keeps_slot_max(spark):
     coll = {r["docid"]: r["collisions"] for r in
             collision_counts(post, dim=4).collect()}
     assert coll == {1: 2, 2: 0}
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, embs):
+    """PQ/ADC approximate top-k: no pruning, only quantization error, so
+    recall vs brute force should beat the coarse-probe paths; top-1 should
+    be the self-hit for most queries."""
+    from dhr_spark.operators.pq import cosine_topk_pq
+    from dhr_spark.operators.similarity import cosine_topk_bruteforce
+
+    qs = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(qs, embs, k=10).collect()
+    approx = cosine_topk_pq(qs, embs, k=10).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+    self_hits = 0
+    for r in approx:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+        if r["rank"] == 1 and r["vec_id"] == r["qid"]:
+            self_hits += 1
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    assert self_hits >= len(truth) // 2, self_hits
+
+
+def test_pq_codes_shape(spark, embs):
+    """Every vector gets exactly m codes, each a valid centroid id."""
+    from dhr_spark.operators.pq import PQ_KSUB, PQ_M, pq_codebooks, pq_encode
+
+    books = pq_codebooks(embs)
+    codes = pq_encode(embs, books)
+    n = embs.count()
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n and all(r["count"] == PQ_M for r in per_vec)
+    rng = codes.agg(F.min("cid"), F.max("cid")).collect()[0]
+    assert rng[0] >= 0 and rng[1] < PQ_KSUB
