@@ -246,8 +246,11 @@ def _wand_index_dir(spark: SparkSession, sf_dir: str) -> str:
     idx = f"/tmp/dhr_spark_idx_{key}"
     if key not in _INDEX_CACHE:
         man = load_manifest(idx)
-        if man is not None and int(man.get("version", 1)) < 2:
-            # stale pre-v2 cache from an older build: rebuild in place
+        if man is not None and (
+            int(man.get("version", 1)) < 2 or not man.get("positional")
+        ):
+            # stale cache from an older build (pre-v2 layout, or built
+            # before the batch-phrase entry needed positions): rebuild
             import shutil
 
             shutil.rmtree(idx, ignore_errors=True)
@@ -258,7 +261,7 @@ def _wand_index_dir(spark: SparkSession, sf_dir: str) -> str:
             )
             build_index_from_docs(
                 spark, docs, idx, analyzer_mode="simple", chunk_bits=10,
-                block_size=64,
+                block_size=64, positional=True,
             )
         _INDEX_CACHE[key] = idx
     return idx
@@ -1379,6 +1382,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _postings_with_ids(spark, sf), DENSIFY_DIM
         )
 
+    def aggpool_q(spark, sf):
+        from dhr_spark.operators.densify import aggregate_pool
+
+        post = _postings_with_ids(spark, sf)
+        vocab = int(post.agg(F.max("term_id")).collect()[0][0]) + 1
+        return aggregate_pool(post, dims=16, vocab_size=vocab)
+
     def _gip_topk(spark, sf, lam=1.0):
         from pyspark.sql import Window
         from dhr_spark.operators.densify import densify, gip_score
@@ -1486,6 +1496,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         slow = _bm25_topk(spark, sf)
         mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
+    def phrase_batch_q(spark, sf):
+        # index-backed BATCH phrase search: all phrases answered from ONE
+        # positions scan (union term_id pushdown); same oracle as the
+        # per-phrase corpus-scan entry since simple-chain positions are
+        # stream positions
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        ph = spark.createDataFrame(list(PHRASES), "qid string, phrase string")
+        return Searcher(spark, idx).search_phrase_batch(ph).select(
+            F.col("qid").alias("phrase_id"),
+            F.col("docid").alias("doc_id"),
+            "n_matches",
+            "first_pos",
+        )
 
     def phrase_match_q(spark, sf):
         docs = _docs(spark, sf)
@@ -1670,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_vs_slow_identity": wand_vs_slow_q,
         # -- round-3 additions are registered here (keep inside slot 50) ----
         "ann_pq": ann_pq_q,
+        "phrase_batch": phrase_batch_q,
+        "aggpool_vectors": aggpool_q,
         # -- long-green round-1 entries fill the rest of the driver window --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -1850,6 +1878,37 @@ SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_epoch, event_type,
 FROM events GROUP BY 1, 2""",
         "events_json_fields": """
 SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events""",
+        "aggpool_vectors": f"""WITH {_TOKS_CTE}, {_TDICT_CTE},
+wts AS (
+  SELECT tf.doc_id AS docid, tdict.term_id,
+         round({_W_EXPR}, 6) AS weight
+  FROM tf JOIN ts USING (term) JOIN tdict USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs
+),
+rmv AS (
+  SELECT CASE WHEN (max(term_id) + 1) % 32 > 1000
+              THEN (max(term_id) + 1) % 32 - 32
+              ELSE (max(term_id) + 1) % 32 END AS r
+  FROM tdict
+),
+par AS (
+  SELECT w.docid,
+         ((w.term_id - GREATEST(rmv.r, 0)) % 32) // 2 AS slot,
+         (w.term_id - GREATEST(rmv.r, 0)) % 2 AS sign,
+         w.weight
+  FROM wts w CROSS JOIN rmv
+  WHERE w.term_id - GREATEST(rmv.r, 0) >= 0
+),
+pool AS (
+  SELECT docid, slot,
+         max(CASE WHEN sign = 0 THEN weight END) AS pos,
+         max(CASE WHEN sign = 1 THEN weight END) AS neg
+  FROM par GROUP BY 1, 2
+)
+SELECT docid, slot::BIGINT AS slot,
+       round(CASE WHEN coalesce(pos, 0) > coalesce(neg, 0)
+             THEN pos ELSE -coalesce(neg, 0) END, 6) AS value
+FROM pool""",
         "densify_slots": (
             f"WITH {_TOKS_CTE}, {_TDICT_CTE}, "
             + _DENSE_CTE.format(w=_W_EXPR, dim=DENSIFY_DIM)
@@ -1884,6 +1943,7 @@ LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
 GROUP BY r.qid""",
         "wand_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
         "phrase_match": _phrase_sql(),
+        "phrase_batch": _phrase_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),
         "phrase_proximity": _prox_sql(),
         "phrase_sloppy": _sloppy_sql(),

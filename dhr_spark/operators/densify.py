@@ -96,3 +96,65 @@ def gip_score(
         .groupBy("qid", "docid")
         .agg((F.sum(F.col("qv") * F.col("dv")) * F.lit(lam)).alias("score"))
     )
+
+
+def aggregate_pool(
+    postings: DataFrame,
+    dims: int,
+    vocab_size: int,
+    id_col: str = "docid",
+    term_col: str = "term_id",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """(docid, slot, value): Aggretriever's agg-pooling (A5/A6) as a lexical
+    dataflow twin — the signed-pair slot-max that compresses a vocab-sized
+    weight vector into ``dims`` entries.
+
+    Reference semantics (/root/reference/tevatron/Aggretriever/utils.py:16-44,
+    full mode; the encoder that feeds it: DHR/modeling.py:297-300):
+      1. width = 2*dims; rm = vocab_size % width, minus width when the
+         remainder exceeds 1000 ("the first 1000 BERT tokens are useless").
+      2. rm >= 0 drops the first rm term ids (tid' = tid - rm); rm < 0 pads
+         the tail with zeros — a no-op on sparse rows.
+      3. lane = tid' % width, max-pooled over buckets (tid' // width) —
+         the same fold as ``densify``.
+      4. Lanes pair up (even = positive, odd = negative); each pair emits
+         +pos when pos > neg else -neg — the signed select that doubles
+         effective capacity per slot.
+    Missing lanes are implicit zeros (the dense tensor's semantics): a pair
+    with only a negative lane emits -neg because 0 > neg is false for
+    positive BM25 weights.
+
+    Scale shape: one groupBy(docid, pair) with map-side partial max — the
+    densify exchange, nothing more.
+    """
+    width = 2 * dims
+    rm = vocab_size % width
+    if rm > 1000:
+        rm -= width
+    p = postings.select(
+        F.col(id_col).alias("docid"),
+        (F.col(term_col) - max(rm, 0)).alias("tid2"),
+        F.col(weight_col).alias("weight"),
+    )
+    if rm > 0:
+        p = p.filter(F.col("tid2") >= 0)
+    lane = F.pmod(F.col("tid2"), F.lit(width))
+    pooled = (
+        p.select(
+            "docid",
+            F.floor(lane / 2).cast("long").alias("slot"),
+            F.pmod(lane, F.lit(2)).alias("sign"),
+            "weight",
+        )
+        .groupBy("docid", "slot")
+        .agg(
+            F.max(F.when(F.col("sign") == 0, F.col("weight"))).alias("pos"),
+            F.max(F.when(F.col("sign") == 1, F.col("weight"))).alias("neg"),
+        )
+    )
+    value = F.when(
+        F.coalesce(F.col("pos"), F.lit(0.0)) > F.coalesce(F.col("neg"), F.lit(0.0)),
+        F.col("pos"),
+    ).otherwise(-F.coalesce(F.col("neg"), F.lit(0.0)))
+    return pooled.select("docid", "slot", F.round(value, 6).alias("value"))

@@ -638,6 +638,100 @@ class Searcher:
             .filter(F.col("n_matches") > 0)
         )
 
+    def search_phrase_batch(self, phrases: DataFrame) -> DataFrame:
+        """Batch exact-phrase search: (qid, phrase) -> (qid, docid,
+        n_matches, first_pos) — the many-phrase twin of ``search_phrase``,
+        same result shape as ``search``.
+
+        One scan of the positions artifact serves ALL phrases: the union of
+        every phrase's term_ids is pushed down once (parquet row-group
+        pruning), the tiny (qid, slot, term_id, offset) plan broadcasts into
+        that scan, per-row position arrays are pre-shifted by the slot's
+        query offset (Lucene position increments, as search_phrase), and a
+        per-(qid, docid) fold intersects the arrays — a doc qualifies only
+        when all k slots matched. No per-phrase jobs, no driver loops over
+        results; phrases with an OOV term are dropped up front (they cannot
+        match). Position semantics identical to search_phrase (exact mode)."""
+        from dhr_spark.functions.analyzer import analyze_positions
+
+        if not self.manifest.get("positional"):
+            raise ValueError(
+                "index was built without positional=True; phrase search "
+                "needs the positions artifact"
+            )
+        rows = (
+            phrases.select("qid", "phrase")
+            .limit(self.MAX_COLLECTED_QUERIES + 1)
+            .collect()
+        )
+        if len(rows) > self.MAX_COLLECTED_QUERIES:
+            raise ValueError(
+                f"phrase set exceeds {self.MAX_COLLECTED_QUERIES} rows"
+            )
+        mode = self.manifest["analyzer_mode"]
+        plans: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:
+            pairs = analyze_positions(mode, r["phrase"] or "")
+            if pairs:
+                base = pairs[0][0]
+                plans[r["qid"]] = [(p - base, t) for p, t in pairs]
+        terms = sorted({t for ps in plans.values() for _, t in ps})
+        if self._tid_cache is not None:
+            tid = {t: self._tid_cache[t][0] for t in terms
+                   if t in self._tid_cache}
+        else:
+            trows = self._tdict.filter(F.col("term").isin(terms)).collect()
+            tid = {r["term"]: int(r["term_id"]) for r in trows}
+        qp = [
+            (qid, j, tid[t], off, len(ps))
+            for qid, ps in plans.items()
+            if all(t in tid for _, t in ps)
+            for j, (off, t) in enumerate(ps)
+        ]
+        empty = self.spark.createDataFrame(
+            [], "qid string, docid long, n_matches long, first_pos long"
+        )
+        if not qp:
+            return empty
+        qp_df = self.spark.createDataFrame(
+            qp, "qid string, j int, term_id long, off int, k int"
+        )
+        pos = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/positions")
+        )
+        needed = sorted({t for _, _, t, _, _ in qp})
+        if len(needed) <= 10_000:
+            pos = pos.filter(F.col("term_id").isin(needed))
+        shifted = F.transform(F.col("positions"), lambda p: p - F.col("off"))
+        matched = pos.join(F.broadcast(qp_df), "term_id").select(
+            "qid", "docid", "k", shifted.alias("shifted")
+        )
+        g = (
+            matched.groupBy("qid", "docid")
+            .agg(
+                F.count("*").alias("nt"),
+                F.first("k").alias("k"),
+                F.collect_list("shifted").alias("arrs"),
+            )
+            .filter(F.col("nt") == F.col("k"))
+        )
+        starts = F.array_sort(
+            F.aggregate(
+                F.slice(F.col("arrs"), F.lit(2), F.greatest(F.size("arrs") - 1, F.lit(1))),
+                F.element_at(F.col("arrs"), 1),
+                lambda acc, a: F.array_intersect(acc, a),
+            )
+        )
+        return (
+            g.select(
+                "qid",
+                "docid",
+                F.size(starts).cast("long").alias("n_matches"),
+                F.try_element_at(starts, F.lit(1)).cast("long").alias("first_pos"),
+            )
+            .filter(F.col("n_matches") > 0)
+        )
+
     def search_proximity(self, terms_raw: list[str], window: int) -> DataFrame:
         """(docid, window_start): docs where ALL terms co-occur within any
         ``window``-token span, served from the positional artifact (the

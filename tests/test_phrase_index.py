@@ -188,3 +188,51 @@ def test_index_proximity_equals_corpus_scan(spark, docs, idx):
 
 def test_index_proximity_oov_returns_empty(spark, idx):
     assert Searcher(spark, idx).search_proximity(["zzyzx", "table"], 5).count() == 0
+
+
+def test_phrase_batch_equals_per_phrase(spark, idx):
+    """search_phrase_batch must equal looping search_phrase, including the
+    OOV-phrase drop, with gapped and repeated-term phrases in the mix."""
+    s = Searcher(spark, idx)
+    phrases = [
+        ("b1", "table hash"),
+        ("b2", "big order scan"),
+        ("b3", "hash"),
+        ("b4", "zzyzx table"),   # OOV -> no rows
+        ("b5", "value value"),   # repeated term
+    ]
+    ph = spark.createDataFrame(phrases, "qid string, phrase string")
+    got = {}
+    for r in s.search_phrase_batch(ph).collect():
+        got.setdefault(r["qid"], {})[r["docid"]] = (r["n_matches"], r["first_pos"])
+    want = {}
+    for qid, p in phrases:
+        try:
+            one = s.search_phrase(p).collect()
+        except ValueError:
+            continue
+        for r in one:
+            want.setdefault(qid, {})[r["docid"]] = (r["n_matches"], r["first_pos"])
+    assert got == want
+    assert "b4" not in got and got.get("b1")
+
+
+def test_phrase_batch_lucene_gaps(spark, tmp_path):
+    """Batch path honors Lucene position increments like search_phrase."""
+    from dhr_spark.index.builder import build_index
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "u", "new the york", None, None),
+         ("c1", 1, "u", "new york", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, tr, d, chunk_bits=6, block_size=16,
+                docid_strategy="window", positional=True)
+    ph = spark.createDataFrame(
+        [("g1", "new york"), ("g2", "new the york")], "qid string, phrase string"
+    )
+    out = {(r["qid"], r["docid"]) for r in
+           Searcher(spark, d).search_phrase_batch(ph).collect()}
+    assert out == {("g1", 1), ("g2", 0)}

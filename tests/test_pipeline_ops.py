@@ -364,3 +364,57 @@ def test_pq_codes_shape(spark, embs):
     assert len(per_vec) == n and all(r["count"] == PQ_M for r in per_vec)
     rng = codes.agg(F.min("cid"), F.max("cid")).collect()[0]
     assert rng[0] >= 0 and rng[1] < PQ_KSUB
+
+
+def _np_aggregate(dense, dims):
+    """Reference Aggretriever aggregate(full=True) replayed in numpy
+    (utils.py:16-44): slice/pad to a multiple of 2*dims, bucket-max, then
+    the signed even/odd pair select."""
+    import numpy as np
+
+    width = 2 * dims
+    vocab = dense.shape[1]
+    rm = vocab % width
+    if rm > 1000:
+        rm -= width
+    if rm >= 0:
+        x = dense[:, rm:]
+    else:
+        x = np.pad(dense, [(0, 0), (0, -rm)])
+    x = x.reshape(dense.shape[0], -1, width)
+    tok = x.max(axis=1)
+    pos, neg = tok[:, 0::2], tok[:, 1::2]
+    return np.where(pos > neg, pos, -neg)
+
+
+@pytest.mark.parametrize("vocab,dims", [(100, 16), (4640, 32)])
+def test_aggregate_pool_matches_reference_semantics(spark, vocab, dims):
+    """aggregate_pool == the reference's dense aggregate() on random sparse
+    fixtures; vocab=4640/dims=32 exercises the rm>1000 negative-pad branch
+    (4640 % 64 = 32 <= 1000 keeps slice; use a vocab forcing rm > 1000)."""
+    import numpy as np
+
+    from dhr_spark.operators.densify import aggregate_pool
+
+    rng = np.random.default_rng(11)
+    n_docs = 6
+    dense = np.zeros((n_docs, vocab))
+    rows = []
+    for d in range(n_docs):
+        for t in rng.choice(vocab, size=min(40, vocab // 2), replace=False):
+            w = round(float(rng.uniform(0.1, 5.0)), 6)
+            dense[d, t] = w
+            rows.append((d, int(t), w))
+    post = spark.createDataFrame(rows, "docid long, term_id long, weight double")
+    got = {
+        (r["docid"], r["slot"]): r["value"]
+        for r in aggregate_pool(post, dims, vocab).collect()
+    }
+    want = _np_aggregate(dense, dims)
+    for (d, s), v in got.items():
+        assert abs(v - round(float(want[d, s]), 6)) < 1e-9, (d, s)
+    # pairs absent from the sparse output must be zero in the dense result
+    for d in range(n_docs):
+        for s in range(dims):
+            if (d, s) not in got:
+                assert want[d, s] == 0.0
