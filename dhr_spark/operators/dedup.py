@@ -398,6 +398,7 @@ def dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, cluster_id): connected components over duplicate pairs —
     cluster_id = smallest member id; docs in no pair are singleton clusters.
@@ -413,6 +414,8 @@ def dup_clusters(
     algorithm with a simpler per-round plan (two joins + one agg). At web
     scale swap the convergence count() for an accumulator check, same shape.
     """
+    # ``stats``, when given, records {"rounds": n} — lets tests assert the
+    # O(log diameter) convergence bound on adversarial chain components.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -424,7 +427,9 @@ def dup_clusters(
     labels = docs.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).cache()
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy("dst")
@@ -466,6 +471,8 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 

@@ -82,13 +82,33 @@ def blob_metadata(docs_with_blob: DataFrame, id_col: str = "doc_id") -> DataFram
     return src.mapInPandas(extract, META_SCHEMA)
 
 
+try:  # optional dependency: real image decode when Pillow is installed
+    from PIL import Image as _PIL_Image
+except ImportError:  # container default: stub path
+    _PIL_Image = None
+
+
 def decode_blob(payload: bytes) -> np.ndarray:
-    """REAL decode goes here (PIL.Image.open / soundfile.read / pyav frame
-    iter). Not available in this container."""
-    raise NotImplementedError(
-        "image/audio decode libs are not installed; use fake=True for the "
-        "deterministic byte-histogram stand-in"
+    """REAL decode: PIL.Image when Pillow is importable — the decoded image
+    is reduced to the same FEATURE_DIM-bin histogram shape as the stand-in
+    (here: 16-bin luminance histogram, L1-normalized), so the feature
+    schema is identical either way. Audio/video decode (soundfile / pyav)
+    stays stubbed. Without Pillow this raises, and callers use ``fake=True``
+    for the deterministic byte-histogram stand-in."""
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "image decode needs Pillow (audio/video libs stay stubbed); use "
+            "fake=True for the deterministic byte-histogram stand-in"
+        )
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype=np.uint8)
+    hist = np.bincount((arr >> 4).ravel(), minlength=FEATURE_DIM).astype(
+        np.float64
     )
+    s = hist.sum()
+    return np.round(hist / s, 6) if s else hist
 
 
 def _fake_features(blobs: pd.Series) -> list[np.ndarray]:

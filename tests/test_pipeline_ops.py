@@ -210,7 +210,17 @@ def test_multimodal_fake_features_deterministic(spark, docs):
         assert abs(sum(f) - 1.0) < 1e-3  # L1-normalized histogram
 
 
-def test_multimodal_real_decode_raises(spark, docs):
+def _pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil(), reason="Pillow installed: real decode active")
+def test_multimodal_real_decode_raises_without_pil(spark, docs):
     from dhr_spark.operators.multimodal import blob_features, with_blob
     from py4j.protocol import Py4JJavaError
 
@@ -219,6 +229,44 @@ def test_multimodal_real_decode_raises(spark, docs):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, Py4JJavaError
     )
+
+
+@pytest.mark.skipif(not _pil(), reason="Pillow not installed")
+def test_multimodal_real_decode_with_pil(spark):
+    """With Pillow present, decode_blob opens a real 2x2 PNG and emits the
+    L1-normalized 16-bin luminance histogram in the stand-in's schema."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from dhr_spark.operators.multimodal import blob_features
+
+    img = Image.fromarray(
+        np.array([[0, 255], [16, 240]], dtype=np.uint8), mode="L"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, blob binary")
+    rows = blob_features(df, fake=False).collect()
+    assert len(rows) == 1
+    f = rows[0]["feature"]
+    assert len(f) == 16 and abs(sum(f) - 1.0) < 1e-3
+    # pixel values 0,16,240,255 land in bins 0,1,15,15
+    assert f[0] == 0.25 and f[1] == 0.25 and f[15] == 0.5
+
+
+def test_multimodal_fake_path_byte_stable(spark):
+    """The stand-in featurizer is a pure function of the bytes — pinned
+    output for a fixed payload, so oracle hashes can never drift."""
+    from dhr_spark.operators.multimodal import blob_features
+
+    df = spark.createDataFrame(
+        [(7, bytearray(bytes(range(32))))], "doc_id long, blob binary"
+    )
+    f = blob_features(df, fake=True).collect()[0]["feature"]
+    assert f[0] == 0.5 and f[1] == 0.5 and sum(f[2:]) == 0.0
 
 
 def test_dup_clusters_chain_converges_fast(spark):
@@ -418,3 +466,27 @@ def test_aggregate_pool_matches_reference_semantics(spark, vocab, dims):
         for s in range(dims):
             if (d, s) not in got:
                 assert want[d, s] == 0.0
+
+
+def test_dup_clusters_10k_chain_logarithmic_rounds(spark):
+    """Adversarial 10k-node path graph (the worst-case near-dup chain):
+    pointer jumping must converge in O(log n) rounds — bound 2*ceil(log2 n)
+    + 2 slack — and still label every node with the component minimum."""
+    import math
+
+    from dhr_spark.operators.dedup import dup_clusters
+
+    n = 10_000
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats = {}
+    out = dup_clusters(docs, pairs, max_iter=40, stats=stats)
+    bound = 2 * math.ceil(math.log2(n)) + 2
+    assert stats["rounds"] <= bound, stats
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cluster_id") == 0).cast("int")).alias("zeros"),
+    ).collect()[0]
+    assert agg["n"] == n and agg["zeros"] == n
