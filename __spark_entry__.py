@@ -1015,6 +1015,130 @@ SELECT qid, vec_id,
 FROM pqsc QUALIFY rank <= 10"""
 
 
+def _ivfpq_sql(
+    n_cent: int = 8, ivf_iters: int = 2, n_probe: int = 2,
+    m: int = 16, ksub: int = 32, pq_iters: int = 2, dim: int = 64,
+) -> str:
+    """IVF-PQ oracle: the IVF probe CTEs (spherical k-means + cell assign,
+    as _ivf_sql) gate which vec_ids each query scores; the PQ CTEs
+    (per-subspace L2 k-means + codes + ADC tables, as _pq_sql) provide the
+    scores. Mirrors operators.pq.cosine_topk_ivfpq bit-for-bit."""
+    d_sub = dim // m
+    norm = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    parts = [
+        f"""u AS (
+  SELECT vec_id, i.i AS i,
+         embedding[CAST(i.i + 1 AS INTEGER)]::DOUBLE / {norm} AS x
+  FROM embeddings, (SELECT unnest(range(0, {dim})) AS i) i
+)""",
+        f"icent0 AS (SELECT vec_id AS cid, i, round(x, 6) AS c FROM u WHERE vec_id < {n_cent})",
+    ]
+    cur = "icent0"
+    for t in range(ivf_iters):
+        parts += [
+            f"""id{t} AS (
+  SELECT u.vec_id, c.cid, round(sum(u.x * c.c), 6) AS dot
+  FROM u JOIN {cur} c USING (i) GROUP BY 1, 2
+)""",
+            f"""ia{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM id{t}) WHERE rn = 1
+)""",
+            f"""im{t} AS (
+  SELECT ia{t}.cid, u.i, round(avg(u.x), 6) AS m
+  FROM u JOIN ia{t} USING (vec_id) GROUP BY 1, 2
+)""",
+            f"in{t} AS (SELECT cid, round(sqrt(sum(m * m)), 6) AS nrm FROM im{t} GROUP BY 1)",
+            f"""icent{t + 1} AS (
+  SELECT im{t}.cid, im{t}.i, round(im{t}.m / in{t}.nrm, 6) AS c
+  FROM im{t} JOIN in{t} USING (cid) WHERE in{t}.nrm > 0
+)""",
+        ]
+        cur = f"icent{t + 1}"
+    parts += [
+        f"""idfin AS (
+  SELECT u.vec_id, c.cid, round(sum(u.x * c.c), 6) AS dot
+  FROM u JOIN {cur} c USING (i) GROUP BY 1, 2
+)""",
+        """iafin AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM idfin) WHERE rn = 1
+)""",
+        f"""iqp AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM idfin WHERE vec_id < 5) WHERE rn <= {n_probe}
+)""",
+        "ivcand AS (SELECT DISTINCT iqp.qid, iafin.vec_id FROM iqp JOIN iafin USING (cid))",
+        # ---- PQ half: subspace rows, L2 k-means, codes, ADC tables ----
+        f"""pu AS (
+  SELECT vec_id, CAST(p.p // {d_sub} AS INTEGER) AS sub, p.p % {d_sub} AS i,
+         embedding[CAST(p.p + 1 AS INTEGER)]::DOUBLE / {norm} AS x
+  FROM embeddings, (SELECT unnest(range(0, {dim})) AS p) p
+)""",
+        f"""pc0 AS (
+  SELECT sub, vec_id AS cid, i, round(x, 6) AS c FROM pu WHERE vec_id < {ksub}
+)""",
+    ]
+    cur = "pc0"
+    for t in range(pq_iters):
+        parts += [
+            f"""pd{t} AS (
+  SELECT pu.vec_id, pu.sub, c.cid,
+         round(sum((pu.x - c.c) * (pu.x - c.c)), 6) AS dist
+  FROM pu JOIN {cur} c USING (sub, i) GROUP BY 1, 2, 3
+)""",
+            f"""pa{t} AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM pd{t}) WHERE rn = 1
+)""",
+            f"""pc{t + 1} AS (
+  SELECT pu.sub, a.cid, pu.i, round(avg(pu.x), 6) AS c
+  FROM pu JOIN pa{t} a USING (vec_id, sub) GROUP BY 1, 2, 3
+)""",
+        ]
+        cur = f"pc{t + 1}"
+    parts += [
+        f"""pdfin AS (
+  SELECT pu.vec_id, pu.sub, c.cid,
+         round(sum((pu.x - c.c) * (pu.x - c.c)), 6) AS dist
+  FROM pu JOIN {cur} c USING (sub, i) GROUP BY 1, 2, 3
+)""",
+        """pcodes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM pdfin) WHERE rn = 1
+)""",
+        f"""ptab AS (
+  SELECT pu.vec_id AS qid, pu.sub, c.cid, round(sum(pu.x * c.c), 6) AS dot
+  FROM pu JOIN {cur} c USING (sub, i) WHERE pu.vec_id < 5 GROUP BY 1, 2, 3
+)""",
+        """ipsc AS (
+  SELECT iv.qid, pcodes.vec_id, round(sum(t.dot), 6) AS adc
+  FROM pcodes
+  JOIN ivcand iv ON iv.vec_id = pcodes.vec_id
+  JOIN ptab t ON t.qid = iv.qid AND t.sub = pcodes.sub AND t.cid = pcodes.cid
+  GROUP BY 1, 2
+)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT qid, vec_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS INTEGER) AS rank,
+       adc
+FROM ipsc QUALIFY rank <= 10"""
+
+
 def _hybrid_sql(lam: float) -> str:
     """λ·dense + lexical BM25 fusion oracle, query-by-example over the
     shared (doc_id == vec_id) id space."""
@@ -1334,6 +1458,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cosine_topk_pq(qs, embs, k=10)
 
+    def ann_ivfpq_q(spark, sf):
+        from dhr_spark.operators.pq import cosine_topk_ivfpq
+
+        embs = _embs(spark, sf)
+        qs = embs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        return cosine_topk_ivfpq(qs, embs, k=10)
+
     def ann_quant_q(spark, sf):
         embs = _embs(spark, sf)
         qs = embs.filter(F.col("vec_id") < 5).select(
@@ -1512,6 +1645,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_matches",
             "first_pos",
         )
+
+    def conv_append_identity_q(spark, sf):
+        # conversation-granularity incremental refresh vs full rebuild:
+        # append turns extending existing convs, tombstone superseded docs,
+        # and assert the (qid, conv_id, score) ranking is identical — the
+        # self-verifying-identity pattern (oracle: SELECT 0)
+        import shutil
+
+        from dhr_spark.index.conv import append_conversations, build_conv_index
+        from dhr_spark.operators.wand import Searcher
+
+        tt = _tturns(spark, sf)
+        base = tt.filter(F.col("turn_idx") < 8)
+        batch = tt.filter(F.col("turn_idx") >= 8)
+        key = hashlib.md5(f"convinc|{sf}".encode()).hexdigest()[:10]
+        inc = f"/tmp/dhr_spark_convinc_{key}"
+        full = f"/tmp/dhr_spark_convfull_{key}"
+        shutil.rmtree(inc, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
+        build_conv_index(spark, base, inc, chunk_bits=8, block_size=32)
+        append_conversations(spark, batch, tt, inc)
+        build_conv_index(spark, tt, full, chunk_bits=8, block_size=32)
+
+        def ranked(idx):
+            res = Searcher(spark, idx).search(_queries_df(spark), k=20)
+            dm = spark.read.parquet(f"{idx}/doc_map").select("docid", "conv_id")
+            return res.join(dm, "docid").select(
+                "qid", "conv_id", F.round("score", 4).alias("score")
+            )
+
+        a, b = ranked(inc), ranked(full)
+        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
     def phrase_match_q(spark, sf):
         docs = _docs(spark, sf)
@@ -1698,6 +1864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": ann_pq_q,
         "phrase_batch": phrase_batch_q,
         "aggpool_vectors": aggpool_q,
+        "conv_append_identity": conv_append_identity_q,
+        "ann_ivfpq": ann_ivfpq_q,
         # -- long-green round-1 entries fill the rest of the driver window --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -1942,6 +2110,7 @@ FROM {topk10} r
 LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
 GROUP BY r.qid""",
         "wand_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
+        "conv_append_identity": "SELECT 0::BIGINT AS mismatches",
         "phrase_match": _phrase_sql(),
         "phrase_batch": _phrase_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),
@@ -2156,6 +2325,7 @@ SELECT id_a, id_b, cosine FROM (
         "ann_lsh": _ANN_LSH_SQL,
         "ann_ivf": _ivf_sql(),
         "ann_pq": _pq_sql(),
+        "ann_ivfpq": _ivfpq_sql(),
         "ann_quantized": _ANN_QUANT_SQL,
         "dedup_embedding_lsh": _EMB_LSH_SQL,
         "ann_bruteforce": """

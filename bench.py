@@ -86,12 +86,33 @@ def _build(spark, n_convs: int, idx: str) -> tuple[float, int]:
     return time.time() - t0, int(man["n_docs"])
 
 
+def _canary_sec() -> float:
+    """Single-core pure-Python CPU canary (~0.5 s nominal): a fixed integer
+    loop whose wall time tracks the VM's effective CPU speed. The sandbox
+    shows multi-minute windows where EVERYTHING (Spark and plain Python
+    alike) runs 2-3x slow (BASELINE.md bisection); the canary makes those
+    windows visible per draw so the efficiency ratio can be computed from
+    clean-window draws and the evidence rides in the bench JSON. Pure
+    Python on purpose — numpy/BLAS would use however many cores taskset
+    grants the leg and stop being comparable across legs."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        x = 0
+        for i in range(2_000_000):
+            x = (x * 1103515245 + i) & 0xFFFFFFFF
+        best = min(best, time.time() - t0)
+    return best
+
+
 def run_leg(cores: int, n_convs: int) -> None:
-    """One isolated scaling leg: warmup build (untimed) + timed build +
-    timed query batch (the north rule scales the build AND query pipeline)."""
+    """One isolated scaling leg: CPU canary + warmup build (untimed) +
+    timed build + timed query batch (the north rule scales the build AND
+    query pipeline)."""
     from dhr_spark.data.synthetic import synth_queries
     from dhr_spark.operators.wand import Searcher
 
+    canary = _canary_sec()
     spark = _spark(cores)
     idx = f"/tmp/dhr_bench_leg_{cores}"
     _build(spark, max(200, n_convs // 20), f"/tmp/dhr_bench_warm_{cores}")
@@ -107,40 +128,46 @@ def run_leg(cores: int, n_convs: int) -> None:
         t0 = time.time()
         searcher.search(queries, k=K).count()
         qdt = min(qdt, time.time() - t0)
+    canary_post = _canary_sec()
     spark.stop()
     print(json.dumps({"cores": cores, "build_sec": round(dt, 2),
                       "n_turns": n_turns,
                       "turns_per_sec": round(n_turns / dt, 1),
                       "query_sec": round(qdt, 2),
-                      "queries_per_sec": round(N_QUERIES / qdt, 2)}))
+                      "queries_per_sec": round(N_QUERIES / qdt, 2),
+                      "canary_sec": round(min(canary, canary_post), 3)}))
 
 
-def _run_leg_subprocess(cores: int, n_convs: int, repeats: int = 1) -> dict:
+def _run_leg_subprocess(cores: int, n_convs: int, repeats: int = 1) -> list[dict]:
     # Pin the leg to exactly `cores` CPUs: local[N] only caps task slots —
     # JVM GC/shuffle/IO threads and Python workers would otherwise spill onto
     # the other cores and flatter the small leg. Affinity makes the leg a
-    # faithful stand-in for an N-core cluster. ``repeats`` takes the best
-    # (peak sustained) throughput per metric — this VM shows ±15% ambient
-    # run-to-run noise that would otherwise alias into the efficiency ratio.
+    # faithful stand-in for an N-core cluster. Returns ALL draws (each with
+    # its CPU canary) — the caller selects clean-window draws and publishes
+    # the full band as in-JSON evidence.
     cmd = [sys.executable, os.path.abspath(__file__), "--leg", str(cores), str(n_convs)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    best: dict = {}
+    draws: list[dict] = []
     for _ in range(repeats):
         out = subprocess.run(
             cmd, capture_output=True, text=True, cwd=REPO, env=os.environ.copy(),
         )
-        leg = json.loads(out.stdout.strip().splitlines()[-1])
-        if not best or leg["turns_per_sec"] > best["turns_per_sec"]:
-            qps = max(leg.get("queries_per_sec", 0),
-                      best.get("queries_per_sec", 0))
-            best = leg
-            best["queries_per_sec"] = qps
-        else:
-            best["queries_per_sec"] = max(
-                best.get("queries_per_sec", 0), leg.get("queries_per_sec", 0)
-            )
-    return best
+        draws.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    return draws
+
+
+def _pick_draw(draws: list[dict], canary_ref: float, tol: float = 1.2) -> dict:
+    """Peak sustained throughput among clean-window draws: prefer draws whose
+    canary ran within ``tol`` of the fastest canary seen across both legs
+    (same-speed CPU windows), falling back to all draws if none qualify."""
+    clean = [d for d in draws if d["canary_sec"] <= canary_ref * tol]
+    pool = clean or draws
+    best = max(pool, key=lambda d: d["turns_per_sec"])
+    out = dict(best)
+    out["queries_per_sec"] = max(d["queries_per_sec"] for d in pool)
+    out["canary_gated"] = bool(clean)
+    return out
 
 
 def main() -> None:
@@ -169,12 +196,23 @@ def main() -> None:
         # corpus ≈ 1M turns at sf0.1 — measured build eff 0.82 / query 0.90
         # there vs 0.77 at 0.5M (fixed-cost fraction still visible).
         n_scale = n_convs * 8
-        # best-of-2 on BOTH legs: a single lucky/unlucky draw on either side
-        # aliases ±15% ambient noise straight into the efficiency ratio
-        # (r01->r02 swung 0.82->0.79 from a fast low-leg draw alone)
-        leg_lo = _run_leg_subprocess(low, n_scale, repeats=2)
-        leg_hi = _run_leg_subprocess(high, n_scale, repeats=2)
+        # three draws per leg, each carrying a single-core CPU canary: the
+        # VM's 2-3x slow windows (code-independent, BASELINE.md bisection)
+        # would otherwise alias straight into the efficiency ratio. The
+        # published ratio uses the peak clean-window draw per leg; ALL draws
+        # plus the resulting min/max efficiency band ride in the JSON so the
+        # committed artifact carries its own noise evidence.
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+        draws_lo = _run_leg_subprocess(low, n_scale, repeats=repeats)
+        draws_hi = _run_leg_subprocess(high, n_scale, repeats=repeats)
+        canary_ref = min(d["canary_sec"] for d in draws_lo + draws_hi)
+        leg_lo = _pick_draw(draws_lo, canary_ref)
+        leg_hi = _pick_draw(draws_hi, canary_ref)
         ratio = high / low
+        tps_lo = [d["turns_per_sec"] for d in draws_lo]
+        tps_hi = [d["turns_per_sec"] for d in draws_hi]
+        qps_lo = [d["queries_per_sec"] for d in draws_lo]
+        qps_hi = [d["queries_per_sec"] for d in draws_hi]
         result["scaling"] = {
             "cores_low": low, "cores_full": high,
             "n_turns": leg_lo["n_turns"],
@@ -193,6 +231,20 @@ def main() -> None:
             "query_efficiency": round(
                 leg_hi["queries_per_sec"] / leg_lo["queries_per_sec"] / ratio, 3
             ) if leg_lo.get("queries_per_sec") else None,
+            # in-JSON noise evidence: every draw + canary, and the band the
+            # draw spread implies for each efficiency metric
+            "draws_low": draws_lo,
+            "draws_high": draws_hi,
+            "canary_ref_sec": canary_ref,
+            "canary_gated": leg_lo["canary_gated"] and leg_hi["canary_gated"],
+            "build_efficiency_band": [
+                round(min(tps_hi) / max(tps_lo) / ratio, 3),
+                round(max(tps_hi) / min(tps_lo) / ratio, 3),
+            ],
+            "query_efficiency_band": [
+                round(min(qps_hi) / max(qps_lo) / ratio, 3),
+                round(max(qps_hi) / min(qps_lo) / ratio, 3),
+            ],
         }
 
     # ---- main leg at full cores (warm JVM via a small untimed build) ----

@@ -195,3 +195,65 @@ def cosine_topk_pq(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("vec_id").alias(id_col), "rank", "adc")
     )
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, vec_id, rank, adc): IVF-PQ — faiss IndexIVFPQ's shape, composed
+    from the two operators this engine already has. The IVF coarse quantizer
+    (operators.ivf) restricts candidates to the queries' probed cells; PQ/ADC
+    scores only those candidates from their m-row codes. At 100 TB this is
+    the served ANN configuration: the corpus is stored as (cid-partitioned
+    codes), probes prune whole partitions, and the float vectors are never
+    read at query time. (HNSW — the reference's other served option,
+    util.py:87-90 — is deliberately not replicated: a per-node graph walk
+    is sequential pointer-chasing over a RAM-resident graph, the opposite
+    of a shardable scan; IVF-PQ trades the same recall knob via n_probe.)"""
+    from dhr_spark.operators.ivf import (
+        IVF_K,
+        IVF_PROBE,
+        _assign,
+        _unit_rows,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    n_centroids = n_centroids or IVF_K
+    n_probe = n_probe or IVF_PROBE
+    dim = len(corpus.select(vec_col).first()[0])
+    cent = ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    cells = ivf_assign(corpus, cent, id_col, vec_col).withColumnRenamed(
+        "cid", "cell"
+    )
+    qprobes = _assign(
+        _unit_rows(queries, qid_col, vec_col), cent, rank_to=n_probe
+    ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
+    cand = (
+        F.broadcast(qprobes).join(cells, "cell").select("qid", "vec_id").distinct()
+    )
+    books = pq_codebooks(corpus, m, ksub, iters, dim, id_col, vec_col)
+    codes = pq_encode(corpus, books, m, dim, id_col, vec_col)
+    tables = adc_tables(queries, books, m, dim, qid_col, vec_col)
+    scored = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(tables), ["qid", "sub", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("dot"), 6).alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vec_id").alias(id_col), "rank", "adc")
+    )

@@ -87,8 +87,16 @@ def _score_chunk(
     b: float,
     block_size: int,
     prune: bool,
+    tombstones: np.ndarray | None = None,
 ):
-    """Returns the cogrouped applyInPandas kernel."""
+    """Returns the cogrouped applyInPandas kernel.
+
+    ``tombstones``: sorted global docids that must never score (deleted /
+    superseded docs from conversation-granularity appends, index/conv.py).
+    They are masked BEFORE top-k selection AND before the theta bootstrap —
+    a dead doc's single-term score must not raise the pruning threshold
+    above the true k-th live score, or live docs could be pruned away
+    (Lucene's liveDocs applied during, not after, collection)."""
 
     def kernel(key, seg: pd.DataFrame, dl: pd.DataFrame) -> pd.DataFrame:
         if seg.empty or dl.empty:
@@ -97,6 +105,13 @@ def _score_chunk(
             )
         base = int(dl["base_docid"].iloc[0])
         dls = np.frombuffer(dl["dls"].iloc[0], dtype=np.int32)
+        dead: np.ndarray | None = None
+        if tombstones is not None and tombstones.size:
+            in_chunk = tombstones[
+                (tombstones >= base) & (tombstones < base + dls.size)
+            ]
+            if in_chunk.size:
+                dead = (in_chunk - base).astype(np.int64)
         term_row = {int(t): i for i, t in enumerate(seg["term_id"].to_numpy())}
         seg_rows = list(seg.itertuples(index=False))
 
@@ -161,6 +176,8 @@ def _score_chunk(
             return hit
 
         def emit(qid: str, scores: np.ndarray, touched: np.ndarray) -> None:
+            if dead is not None:
+                touched[dead] = False
             cand = np.flatnonzero(touched)
             if cand.size == 0:
                 return
@@ -209,8 +226,11 @@ def _score_chunk(
             if len(present) > 1:
                 i_star, w_star = present[order[0]]
                 if int(seg_rows[i_star].n) >= k:
-                    _, wts = get_full(i_star)
-                    theta = float(np.partition(w_star * wts, -k)[-k])
+                    d_loc, wts = get_full(i_star)
+                    if dead is not None:
+                        wts = wts[~np.isin(d_loc, dead)]
+                    if wts.size >= k:
+                        theta = float(np.partition(w_star * wts, -k)[-k])
 
             sumU = float(U.sum())
             for oi in order:
@@ -314,6 +334,23 @@ class Searcher:
             spark.read.parquet(f"{index_dir}/doclens")
         )
         self._tid_cache: dict[str, int] | None = None
+        # conversation-granularity appends tombstone superseded docids
+        # (index/conv.py); the set is driver-resident and masked inside the
+        # scoring kernel. Bounded by MAX_TOMBSTONES — compaction (a rebuild
+        # over live docs) clears it, exactly like a Lucene segment merge.
+        self._tombstones: np.ndarray | None = None
+        n_tomb = int(man.get("tombstones", 0))
+        if n_tomb:
+            if n_tomb > self.MAX_TOMBSTONES:
+                raise ValueError(
+                    f"index carries {n_tomb} tombstones (> "
+                    f"{self.MAX_TOMBSTONES}); compact it (rebuild over live "
+                    "docs) before serving"
+                )
+            rows = spark.read.parquet(f"{index_dir}/tombstones").collect()
+            self._tombstones = np.array(
+                sorted(int(r["docid"]) for r in rows), dtype=np.int64
+            )
         if cache:
             # doclens: one small row per chunk — always worth pinning
             self._dl = self._dl.cache()
@@ -327,6 +364,7 @@ class Searcher:
 
     MAX_COLLECTED_QUERIES = 100_000
     MAX_CHUNK_ISIN = 100_000
+    MAX_TOMBSTONES = 5_000_000
 
     def _prune_to_manifest(self, df: DataFrame) -> DataFrame:
         """Restrict a chunk-partitioned artifact scan to the chunks committed
@@ -344,6 +382,17 @@ class Searcher:
         if len(chunks) <= self.MAX_CHUNK_ISIN:
             return df.filter(F.col("chunk").isin(chunks))
         return df.filter(F.col("chunk") <= max(chunks))
+
+    def _filter_live(self, df: DataFrame) -> DataFrame:
+        """Drop tombstoned docids from a (docid, ...) result frame — the
+        positional/phrase twins of the kernel's dead-doc mask."""
+        if self._tombstones is None or not self._tombstones.size:
+            return df
+        ids = [int(x) for x in self._tombstones]
+        if len(ids) <= 10_000:
+            return df.filter(~F.col("docid").isin(ids))
+        tomb = self.spark.createDataFrame([(i,) for i in ids], "docid long")
+        return df.join(F.broadcast(tomb), "docid", "left_anti")
 
     def _query_info(self, queries: DataFrame, want_qlen: bool = False):
         """Driver-side query prep: the query set is collected into the
@@ -425,7 +474,7 @@ class Searcher:
         man = self.manifest
         kernel = _score_chunk(
             qinfo, k, float(man["avgdl"]), float(man["k1"]), float(man["b"]),
-            int(man["block_size"]), prune,
+            int(man["block_size"]), prune, tombstones=self._tombstones,
         )
         scored = (
             seg.groupBy("chunk")
@@ -629,7 +678,7 @@ class Searcher:
             for j in range(1, len(terms)):
                 starts = F.array_intersect(starts, F.col(f"p{j}"))
         starts = F.array_sort(starts)
-        return (
+        return self._filter_live(
             joined.select(
                 "docid",
                 F.size(starts).cast("long").alias("n_matches"),
@@ -722,7 +771,7 @@ class Searcher:
                 lambda acc, a: F.array_intersect(acc, a),
             )
         )
-        return (
+        return self._filter_live(
             g.select(
                 "qid",
                 "docid",
@@ -774,7 +823,7 @@ class Searcher:
             return ok
 
         valid = F.filter(all_pos, covers)
-        return (
+        return self._filter_live(
             joined.select(
                 "docid",
                 F.try_element_at(valid, F.lit(1)).cast("long").alias("window_start"),
