@@ -43,6 +43,11 @@ def main() -> None:
                    help="also write doc-major term vectors (enables RM3)")
     p.add_argument("--positional", action="store_true",
                    help="also write term positions (enables index-backed phrase search)")
+    p.add_argument("--granularity", default="turn",
+                   choices=["turn", "conversation"],
+                   help="one doc per turn (default) or per conversation "
+                        "(conversation forces --forward-index: the "
+                        "tombstoning refresh path needs doc term vectors)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -65,19 +70,37 @@ def main() -> None:
             fmt="table" if args.format == "iceberg" else "parquet",
         )
 
-    manifest = build_index(
-        spark,
-        transcripts,
-        args.index_dir,
-        analyzer_mode=args.analyzer,
-        chunk_bits=args.chunk_bits,
-        block_size=args.block_size,
-        k1=args.k1,
-        b=args.b,
-        resume=args.resume,
-        forward_index=args.forward_index,
-        positional=args.positional,
-    )
+    if args.granularity == "conversation":
+        from dhr_spark.index.conv import build_conv_index
+
+        if args.resume:
+            p.error("--resume is turn-level only; conversation indexes "
+                    "refresh via append_conversations")
+        manifest = build_conv_index(
+            spark,
+            transcripts,
+            args.index_dir,
+            analyzer_mode=args.analyzer,
+            chunk_bits=args.chunk_bits,
+            block_size=args.block_size,
+            k1=args.k1,
+            b=args.b,
+            positional=args.positional,
+        )
+    else:
+        manifest = build_index(
+            spark,
+            transcripts,
+            args.index_dir,
+            analyzer_mode=args.analyzer,
+            chunk_bits=args.chunk_bits,
+            block_size=args.block_size,
+            k1=args.k1,
+            b=args.b,
+            resume=args.resume,
+            forward_index=args.forward_index,
+            positional=args.positional,
+        )
     print(json.dumps({k: v for k, v in manifest.items() if k != "chunks"}))
     spark.stop()
 
