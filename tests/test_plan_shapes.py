@@ -190,3 +190,39 @@ def test_conv_documents_single_exchange(spark):
 
     plan = _plan(conv_documents(synth_transcripts(spark, 20)))
     assert plan.count("Exchange") <= 2  # initial agg exchange (+AQE read)
+
+
+def test_phrase_batch_single_positions_scan_no_cartesian(spark, tmp_path):
+    """The batch phrase plan must read positions ONCE (no per-phrase scans),
+    broadcast the tiny phrase plan, and contain no cartesian product."""
+    from dhr_spark.operators.wand import Searcher
+
+    d = str(tmp_path / "idx")
+    build_index(spark, synth_transcripts(spark, 30), d, chunk_bits=7,
+                block_size=16, docid_strategy="window", positional=True,
+                analyzer_mode="simple")
+    ph = spark.createDataFrame(
+        [("a", "spark index"), ("b", "merge batch"), ("c", "query")],
+        "qid string, phrase string",
+    )
+    out = Searcher(spark, d).search_phrase_batch(ph)
+    plan = _plan(out)
+    assert plan.count("positions") <= plan.count("Scan parquet") * 2
+    assert plan.lower().count("scan parquet") == 1, plan  # ONE positions scan
+    assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_ivfpq_broadcasts_probes_and_tables(spark):
+    """IVF-PQ: probe table and ADC tables broadcast; no cartesian anywhere —
+    the not-all-pairs contract of the served ANN configuration."""
+    from dhr_spark.operators.pq import cosine_topk_ivfpq
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = cosine_topk_ivfpq(qs, embs, k=5)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
