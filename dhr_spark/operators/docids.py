@@ -84,7 +84,13 @@ def with_docids(
     (conv_id, turn_idx))."""
     if strategy == "window":
         w = Window.orderBy(*[F.col(c).asc() for c in ORDER_COLS])
-        return transcripts.withColumn("docid", F.row_number().over(w) - 1)
+        # cast: row_number is int32, but docid is contractually int64 — the
+        # scalable path emits int64, and an int64 append onto an
+        # int32-built artifact leaves mixed parquet schemas that fail at
+        # read time (PARQUET_COLUMN_DATA_TYPE_MISMATCH)
+        return transcripts.withColumn(
+            "docid", (F.row_number().over(w) - 1).cast("long")
+        )
 
     return with_global_ids(
         transcripts, [F.col(c).asc() for c in ORDER_COLS], "docid",

@@ -30,12 +30,20 @@ def main() -> None:
                    help="disable block-max pruning (debug/verification)")
     p.add_argument("--rm3", action="store_true",
                    help="BM25+RM3 expansion (index must have --forward-index)")
+    p.add_argument("--phrases", action="store_true",
+                   help="treat the query file as (qid, phrase) and run batch "
+                        "EXACT-PHRASE search over the positions artifact "
+                        "(index must have --positional); outputs "
+                        "(qid, docid, n_matches, first_pos)")
     p.add_argument("--fb-docs", type=int, default=10)
     p.add_argument("--fb-terms", type=int, default=10)
     p.add_argument("--rm3-beta", type=float, default=0.5,
                    help="original-query interpolation weight")
     p.add_argument("--master", default=None)
     args = p.parse_args()
+    if args.phrases and args.trec:
+        p.error("--trec needs ranked (qid, docid, rank, score) output; "
+                "--phrases emits (qid, docid, n_matches, first_pos)")
 
     from dhr_spark.session import get_spark
     from dhr_spark.operators.wand import Searcher
@@ -51,7 +59,11 @@ def main() -> None:
 
     t0 = time.time()
     searcher = Searcher(spark, args.index_dir)
-    if args.rm3:
+    if args.phrases:
+        run = searcher.search_phrase_batch(
+            queries.withColumnRenamed("text", "phrase")
+        )
+    elif args.rm3:
         run = searcher.search_rm3(
             queries, k=args.k, fb_docs=args.fb_docs, fb_terms=args.fb_terms,
             orig_weight=args.rm3_beta, prune=not args.no_prune,

@@ -128,3 +128,30 @@ def test_append_allocates_fresh_chunks(spark, tmp_path, corpora):
     after = load_manifest(idx)["chunks"]
     man0 = {c: after[c] for c in before}
     assert all(man0[c]["postings"] > 0 for c in before)
+
+
+def test_append_onto_window_built_index_schema_consistent(spark, tmp_path):
+    """docid must be int64 under BOTH docid strategies: an int64 append onto
+    an int32-built artifact leaves mixed parquet file schemas that fail at
+    read time (observed on the positions artifact)."""
+    from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+    from dhr_spark.index.builder import build_index
+    from dhr_spark.index.incremental import append_to_index
+    from dhr_spark.operators.wand import Searcher
+
+    d = str(tmp_path / "idx")
+    build_index(spark, synth_transcripts(spark, 20), d, chunk_bits=6,
+                block_size=8, docid_strategy="window", positional=True,
+                forward_index=True)
+    batch = synth_transcripts(spark, 4, seed=5).withColumn(
+        "conv_id", F.concat(F.lit("w-"), F.col("conv_id"))
+    )
+    append_to_index(spark, batch, d)
+    # every artifact readable and docid is int64 everywhere
+    for sub in ("segments", "doclens", "positions", "forward", "doc_map"):
+        df = spark.read.parquet(f"{d}/{sub}")
+        df.count()
+        if "docid" in df.columns:
+            assert dict(df.dtypes)["docid"] == "bigint", sub
+    s = Searcher(spark, d)
+    assert s.search(synth_queries(spark, 5), k=5).count() > 0
