@@ -333,9 +333,10 @@ def main() -> None:
     for name in [
         "bm25_topk", "wand_topk", "dedup_exact", "dedup_minhash_lsh",
         "dedup_minhash_verified", "dedup_simhash", "dedup_simhash_pairs",
-        "ann_bruteforce", "ann_quantized", "text_quality", "text_fingerprint",
-        "phrase_match", "text_snippet", "text_repetition", "rm3_topk",
-        "conv_documents", "sample_split",
+        "ann_bruteforce", "ann_quantized", "ann_pq", "ann_ivfpq",
+        "text_quality", "text_fingerprint",
+        "phrase_match", "phrase_batch", "text_snippet", "text_repetition",
+        "rm3_topk", "conv_documents", "sample_split", "aggpool_vectors",
     ]:
         t0 = time.time()
         qmap[name](spark, SF_DIR).count()

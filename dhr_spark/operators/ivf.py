@@ -48,39 +48,65 @@ def _unit_rows(embs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+IVF_TRAIN_SAMPLE = 65_536
+
+
+def _np_units(vecs):
+    import numpy as np
+
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    return vecs / norms[:, None]
+
+
 def ivf_centroids(
     embs: DataFrame,
     k: int = IVF_K,
     iters: int = IVF_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int = IVF_TRAIN_SAMPLE,
 ) -> DataFrame:
     """(cid, i, c): k spherical-k-means centroids in row form.
 
     Seeds = the k smallest ids' unit vectors; each iteration assigns every
     vector to its max-dot centroid (ties: cid ASC) and re-normalizes the
     member mean. All values rounded to 6 decimals per step — the
-    determinism contract that makes the DuckDB twin bit-identical."""
-    comp = _unit_rows(embs, id_col, vec_col)
-    cent = comp.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), "i", F.round(F.col("x"), 6).alias("c")
+    determinism contract that makes the DuckDB twin bit-identical.
+
+    Training is DRIVER-SIDE numpy over the ``train_sample`` lowest ids
+    (faiss practice: train the coarse quantizer on a bounded sample, assign
+    everything) — the same rounded algebra, without |corpus|·k·iters join
+    rows; the row-form result frame is unchanged."""
+    import numpy as np
+
+    rows = (
+        embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .orderBy("vec_id")
+        .limit(train_sample)
+        .collect()
     )
+    ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    U = _np_units(np.array([r["v"] for r in rows], dtype=np.float64))
+    seed_rows = sorted(np.flatnonzero(ids < k), key=lambda r: ids[r])
+    cents = [(int(ids[r]), np.round(U[r], 6)) for r in seed_rows]
     for _ in range(iters):
-        assign = _assign(comp, cent)
-        member_mean = (
-            comp.join(assign, "vec_id")
-            .groupBy("cid", "i")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
-        )
-        norms = member_mean.groupBy("cid").agg(
-            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("nrm")
-        )
-        cent = (
-            member_mean.join(norms, "cid")
-            .filter(F.col("nrm") > 0)
-            .select("cid", "i", F.round(F.col("m") / F.col("nrm"), 6).alias("c"))
-        )
-    return cent
+        C = np.stack([c for _, c in cents])
+        dots = (U @ C.T).round(6)
+        assign = dots.argmax(axis=1)  # first max = smallest cid (sorted)
+        new = []
+        for j, (cid, _) in enumerate(cents):
+            members = U[assign == j]
+            if not len(members):
+                continue
+            m = np.round(members.mean(axis=0), 6)
+            nrm = np.round(np.sqrt((m * m).sum()), 6)
+            if nrm > 0:
+                new.append((cid, np.round(m / nrm, 6)))
+        cents = new
+    out = [
+        (int(cid), i, float(c[i])) for cid, c in cents for i in range(len(c))
+    ]
+    return embs.sparkSession.createDataFrame(out, "cid long, i int, c double")
 
 
 def _assign(comp: DataFrame, cent: DataFrame, rank_to: int = 1) -> DataFrame:
@@ -106,8 +132,41 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, cid): the corpus partition key — write the corpus
-    partitioned by cid so probes prune whole partitions at scale."""
-    return _assign(_unit_rows(embs, id_col, vec_col), cent)
+    partitioned by cid so probes prune whole partitions at scale.
+
+    Vectorized: the (tiny) centroid table ships inside an Arrow-batched
+    pandas UDF; assignment is one numpy matmul per batch — no join, no
+    shuffle, the corpus is scanned once. Same rounded dots / cid-ASC ties
+    as the row-form `_assign` the DuckDB oracle replays."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in cent.collect():
+        by_cid.setdefault(int(r["cid"]), {})[int(r["i"])] = float(r["c"])
+    cids = np.array(sorted(by_cid), dtype=np.int64)
+    dim = max(max(v) for v in by_cid.values()) + 1
+    C = np.zeros((len(cids), dim))
+    for j, cid in enumerate(cids):
+        for i, c in by_cid[int(cid)].items():
+            C[j, i] = c
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = _np_units(np.array(pdf["v"].tolist(), dtype=np.float64))
+            dots = (U @ C.T).round(6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[dots.argmax(axis=1)],
+                }
+            )
+
+    src = embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(assign, "vec_id long, cid long")
 
 
 def cosine_topk_ivf(

