@@ -68,3 +68,36 @@ def test_udf_matches_python(spark):
     got2 = df.select("text", simple_tokens_col(F.col("text")).alias("tok")).collect()
     for row in got2:
         assert row["tok"] == analyze_simple(row["text"]), row["text"]
+
+
+def test_gap_analyzer_properties():
+    """analyze_lucene_gaps must agree with analyze_lucene on the emitted
+    stems, with one slot per tokenizer token and monotone positions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dhr_spark.functions.analyzer import (
+        _TOKEN_RE,
+        analyze_lucene,
+        analyze_lucene_gaps,
+        analyze_positions,
+    )
+
+    texts = st.text(
+        alphabet=st.sampled_from("abcdefgh THE and of 'str.,!?-\n123"),
+        max_size=120,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(texts)
+    def check(t):
+        gaps = analyze_lucene_gaps(t)
+        assert len(gaps) == len(_TOKEN_RE.findall(t))
+        assert [x for x in gaps if x is not None] == analyze_lucene(t)
+        pairs = analyze_positions("lucene", t)
+        assert [p for p, _ in pairs] == sorted({p for p, _ in pairs})
+        assert all(0 <= p < len(gaps) for p, _ in pairs)
+        simple_pairs = analyze_positions("simple", t)
+        assert [p for p, _ in simple_pairs] == list(range(len(simple_pairs)))
+
+    check()
