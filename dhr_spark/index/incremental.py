@@ -74,6 +74,12 @@ def append_to_index(
             "incremental append requires a version>=2 index (stats-free "
             "block bounds); rebuild once with the current builder"
         )
+    if man.get("granularity") == "conversation":
+        raise ValueError(
+            "this index is conversation-granularity: a turn-level append "
+            "would register turns as new documents alongside the existing "
+            "conversation docs; use index.conv.append_conversations"
+        )
     chunk_bits = int(man["chunk_bits"])
     chunk_docs = 1 << chunk_bits
     # new docids start at the next chunk boundary: appends create only

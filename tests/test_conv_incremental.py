@@ -129,3 +129,13 @@ def test_conv_double_append_stays_consistent(spark, corpora, queries,
     )
     # 6 extended + 4 new convs re-emitted twice -> first re-emits tombstoned
     assert man["tombstones"] == 6 + 10
+
+
+def test_turn_append_refuses_conv_index(spark, corpora, tmp_path):
+    from dhr_spark.index.incremental import append_to_index
+
+    d = str(tmp_path / "cidx")
+    build_conv_index(spark, corpora["base"], d, chunk_bits=CHUNK_BITS,
+                     block_size=BLOCK)
+    with pytest.raises(ValueError, match="conversation-granularity"):
+        append_to_index(spark, corpora["batch"], d)
