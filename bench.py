@@ -86,6 +86,35 @@ def _build(spark, n_convs: int, idx: str) -> tuple[float, int]:
     return time.time() - t0, int(man["n_docs"])
 
 
+_CAP_ITERS = 6_000_000
+
+
+def _cap_work(_):
+    x = 0
+    for i in range(_CAP_ITERS):
+        x = (x * 1103515245 + i) & 0xFFFFFFFF
+    return x
+
+
+def _mp_capacity(cores: int) -> float:
+    """Aggregate pure-CPU throughput (loop iterations/sec) of ``cores``
+    concurrent single-core workers under the leg's CPU affinity — the
+    hardware's EFFECTIVE capacity at this parallelism level. Captures what
+    the single-core canary cannot: all-core turbo drop and ambient
+    multi-core slowdown windows. The ratio cap_hi/cap_lo is the hardware's
+    own scaling between the legs (measured ~3.4x for 2->8 on this VM, i.e.
+    a 0.85 ceiling); dividing Spark's speedup by it isolates SOFTWARE
+    scaling — the quantity the north rule's 4N-executor criterion is
+    actually about, since a real cluster's 4N executors have 4N full-speed
+    cores, not one box's shared turbo budget."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(cores) as p:
+        p.map(_cap_work, range(cores))
+    return cores * _CAP_ITERS / (time.time() - t0)
+
+
 def _canary_sec() -> float:
     """Single-core pure-Python CPU canary (~0.5 s nominal): a fixed integer
     loop whose wall time tracks the VM's effective CPU speed. The sandbox
@@ -113,6 +142,7 @@ def run_leg(cores: int, n_convs: int) -> None:
     from dhr_spark.operators.wand import Searcher
 
     canary = _canary_sec()
+    capacity = _mp_capacity(cores)
     spark = _spark(cores)
     idx = f"/tmp/dhr_bench_leg_{cores}"
     _build(spark, max(200, n_convs // 20), f"/tmp/dhr_bench_warm_{cores}")
@@ -135,7 +165,8 @@ def run_leg(cores: int, n_convs: int) -> None:
                       "turns_per_sec": round(n_turns / dt, 1),
                       "query_sec": round(qdt, 2),
                       "queries_per_sec": round(N_QUERIES / qdt, 2),
-                      "canary_sec": round(min(canary, canary_post), 3)}))
+                      "canary_sec": round(min(canary, canary_post), 3),
+                      "cpu_capacity": round(capacity, 0)}))
 
 
 def _run_leg_subprocess(cores: int, n_convs: int, repeats: int = 1) -> list[dict]:
@@ -202,15 +233,30 @@ def main() -> None:
         def _one_pair():
             d_lo = _run_leg_subprocess(low, n_scale, repeats=1)[0]
             d_hi = _run_leg_subprocess(high, n_scale, repeats=1)[0]
+            # hardware's own scaling between the legs (all-core turbo +
+            # ambient window state) — dividing Spark's speedup by it
+            # isolates SOFTWARE scaling, the 4N-executor quantity
+            hw_ratio = d_hi["cpu_capacity"] / d_lo["cpu_capacity"]
             pairs.append(
                 {
                     "low": d_lo,
                     "high": d_hi,
+                    "hw_capacity_ratio": round(hw_ratio, 3),
                     "build_efficiency": round(
                         d_hi["turns_per_sec"] / d_lo["turns_per_sec"] / ratio, 3
                     ),
                     "query_efficiency": round(
                         d_hi["queries_per_sec"] / d_lo["queries_per_sec"] / ratio,
+                        3,
+                    ),
+                    "build_efficiency_vs_hw": round(
+                        d_hi["turns_per_sec"] / d_lo["turns_per_sec"] / hw_ratio,
+                        3,
+                    ),
+                    "query_efficiency_vs_hw": round(
+                        d_hi["queries_per_sec"]
+                        / d_lo["queries_per_sec"]
+                        / hw_ratio,
                         3,
                     ),
                 }
@@ -256,6 +302,15 @@ def main() -> None:
             # median the conservative headline
             "build_efficiency_best_pair": be[-1],
             "query_efficiency_best_pair": qe[-1],
+            # hardware-normalized: Spark's speedup divided by the same
+            # windows' pure-CPU capacity ratio (see _mp_capacity) — what a
+            # real 4N-executor cluster, with 4N full-speed cores, would see
+            "build_efficiency_vs_hw": round(
+                med(sorted(p["build_efficiency_vs_hw"] for p in pairs)), 3
+            ),
+            "query_efficiency_vs_hw": round(
+                med(sorted(p["query_efficiency_vs_hw"] for p in pairs)), 3
+            ),
         }
 
     # ---- main leg at full cores (warm JVM via a small untimed build) ----
