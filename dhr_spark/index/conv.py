@@ -130,7 +130,9 @@ def append_conversations(
     # conversation (previous appends' re-emits included, already-tombstoned
     # rows excluded) ----
     doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
-    tomb_dir = os.path.join(index_dir, "tombstones")
+    # compaction (index/compact.py) clears covered tombstones into a fresh
+    # VERSIONED dir and repoints the manifest; honor the pointer
+    tomb_dir = os.path.join(index_dir, man.get("tombstones_dir", "tombstones"))
     tomb_lazy = doc_map.join(
         F.broadcast(affected), "conv_id", "left_semi"
     ).select("docid")

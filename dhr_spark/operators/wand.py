@@ -347,7 +347,8 @@ class Searcher:
                     f"{self.MAX_TOMBSTONES}); compact it (rebuild over live "
                     "docs) before serving"
                 )
-            rows = spark.read.parquet(f"{index_dir}/tombstones").collect()
+            tomb_dir = man.get("tombstones_dir", "tombstones")
+            rows = spark.read.parquet(f"{index_dir}/{tomb_dir}").collect()
             self._tombstones = np.array(
                 sorted(int(r["docid"]) for r in rows), dtype=np.int64
             )
@@ -381,6 +382,15 @@ class Searcher:
         chunks = [int(c) for c in self.manifest["chunks"]]
         if len(chunks) <= self.MAX_CHUNK_ISIN:
             return df.filter(F.col("chunk").isin(chunks))
+        if self.manifest.get("pending_gc"):
+            # a committed compaction whose GC hasn't finished leaves stale
+            # chunk partitions on disk; the <=max fallback predicate below
+            # cannot exclude them (the dropped chunk ids sit inside the
+            # live range), so exact pruning is mandatory until GC runs
+            raise ValueError(
+                "index has a pending compaction GC and too many chunks for "
+                "exact pruning — run index.compact.gc_index first"
+            )
         return df.filter(F.col("chunk") <= max(chunks))
 
     def _filter_live(self, df: DataFrame) -> DataFrame:
