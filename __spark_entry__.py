@@ -1679,6 +1679,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = a.exceptAll(b).unionAll(b.exceptAll(a))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def compact_identity_q(spark, sf):
+        # chunk compaction (Lucene tiered-merge analogue): base build + two
+        # appends + compact_index must rank identically to a from-scratch
+        # rebuild over the union — postings move, scores don't (oracle:
+        # SELECT 0 mismatches)
+        import shutil
+
+        from dhr_spark.index.builder import build_index
+        from dhr_spark.index.compact import compact_index
+        from dhr_spark.index.incremental import append_to_index
+        from dhr_spark.operators.wand import Searcher
+
+        tt = _tturns(spark, sf)
+        base = tt.filter(F.col("turn_idx") < 6)
+        b1 = tt.filter((F.col("turn_idx") >= 6) & (F.col("turn_idx") < 8))
+        b2 = tt.filter(F.col("turn_idx") >= 8)
+        key = hashlib.md5(f"compact|{sf}".encode()).hexdigest()[:10]
+        inc = f"/tmp/dhr_spark_compact_{key}"
+        full = f"/tmp/dhr_spark_compactfull_{key}"
+        shutil.rmtree(inc, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
+        build_index(spark, base, inc, chunk_bits=8, block_size=32)
+        append_to_index(spark, b1, inc)
+        append_to_index(spark, b2, inc)
+        man = compact_index(spark, inc, fill_threshold=0.95)
+        assert man.get("compactions", 0) >= 1, "compaction did not trigger"
+        build_index(spark, tt, full, chunk_bits=8, block_size=32)
+
+        def ranked(idx):
+            res = Searcher(spark, idx).search(_queries_df(spark), k=20)
+            dm = spark.read.parquet(f"{idx}/doc_map").select(
+                "docid", "conv_id", "turn_idx"
+            )
+            return res.join(dm, "docid").select(
+                "qid", "conv_id", "turn_idx", F.round("score", 4).alias("score")
+            )
+
+        a, b = ranked(inc), ranked(full)
+        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def phrase_match_q(spark, sf):
         docs = _docs(spark, sf)
         out = None
@@ -1866,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggpool_vectors": aggpool_q,
         "conv_append_identity": conv_append_identity_q,
         "ann_ivfpq": ann_ivfpq_q,
+        "compact_identity": compact_identity_q,
         # -- long-green round-1 entries fill the rest of the driver window --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -2111,6 +2153,7 @@ LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
 GROUP BY r.qid""",
         "wand_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
         "conv_append_identity": "SELECT 0::BIGINT AS mismatches",
+        "compact_identity": "SELECT 0::BIGINT AS mismatches",
         "phrase_match": _phrase_sql(),
         "phrase_batch": _phrase_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),

@@ -173,6 +173,7 @@ def refresh_index(
     analyzer_mode: str = "lucene",
     chunk_bits: int = 17,
     block_size: int = 128,
+    compact_fill: float | None = None,
 ) -> dict:
     """INCREMENTAL compaction: fold only the staged batches the index has
     not seen yet (``_batch_id`` > the manifest's compaction watermark) into
@@ -187,6 +188,12 @@ def refresh_index(
 
     First call (no index yet) performs the initial full build. Returns the
     manifest; no-ops (returns it unchanged) when nothing new is staged.
+
+    ``compact_fill``: when set, run a chunk compaction (index/compact.py)
+    after folding — the Lucene background-merge policy for long-running
+    refresh loops, bounding the underfull-chunk tail that per-batch appends
+    accumulate. Score-identical; skipped automatically when fewer than two
+    chunks fall below the fill ratio.
     """
     from dhr_spark.index.builder import load_manifest
     from dhr_spark.index.incremental import append_to_index
@@ -219,7 +226,12 @@ def refresh_index(
             cached = getattr(docs, "_dhr_persisted", None)
             if cached is not None:
                 cached.unpersist()
-    return append_to_index(spark, turns, index_dir, extra_manifest=mark)
+    man2 = append_to_index(spark, turns, index_dir, extra_manifest=mark)
+    if compact_fill:
+        from dhr_spark.index.compact import compact_index
+
+        man2 = compact_index(spark, index_dir, fill_threshold=compact_fill)
+    return man2
 
 
 def refresh_index_conversations(

@@ -255,3 +255,36 @@ def test_conv_compaction_clears_tombstones(spark, tmp_path, queries):
     full = str(tmp_path / "full")
     build_conv_index(spark, union2, full, chunk_bits=6, block_size=8)
     assert ranked(idx) == ranked(full)
+
+
+def test_refresh_loop_with_auto_compaction(spark, tmp_path, queries):
+    """Streaming refresh loop with compact_fill: repeated small folds stay
+    score-identical to a full rebuild AND the chunk tail stays bounded."""
+    from dhr_spark.streaming.ingest import refresh_index, stage_batch
+
+    stg = str(tmp_path / "stg")
+    idx = str(tmp_path / "idx")
+    batches = [
+        _batch(spark, 20, 42, "a-"),
+        _batch(spark, 4, 91, "b-"),
+        _batch(spark, 3, 77, "c-"),
+        _batch(spark, 3, 55, "d-"),
+    ]
+    stage_batch(batches[0], 0, stg)
+    refresh_index(spark, stg, idx, chunk_bits=CHUNK_BITS, block_size=BLOCK)
+    for i, b in enumerate(batches[1:], start=1):
+        stage_batch(b, i, stg)
+        man = refresh_index(
+            spark, stg, idx, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+            compact_fill=0.9,
+        )
+    assert man["compactions"] >= 1
+    # the merged tail: at most one underfull chunk tail survives each merge
+    # wave, instead of one per append
+    full = str(tmp_path / "full")
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    build_index(spark, union, full, chunk_bits=CHUNK_BITS, block_size=BLOCK)
+    assert _results(spark, idx, queries) == _results(spark, full, queries)
+    assert len(man["chunks"]) <= len(load_manifest(full)["chunks"]) + 2
