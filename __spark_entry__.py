@@ -247,10 +247,13 @@ def _wand_index_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _INDEX_CACHE:
         man = load_manifest(idx)
         if man is not None and (
-            int(man.get("version", 1)) < 2 or not man.get("positional")
+            int(man.get("version", 1)) < 2
+            or not man.get("positional")
+            or not man.get("stored")
         ):
             # stale cache from an older build (pre-v2 layout, or built
-            # before the batch-phrase entry needed positions): rebuild
+            # before the batch-phrase/highlight entries needed positions /
+            # stored fields): rebuild
             import shutil
 
             shutil.rmtree(idx, ignore_errors=True)
@@ -261,7 +264,7 @@ def _wand_index_dir(spark: SparkSession, sf_dir: str) -> str:
             )
             build_index_from_docs(
                 spark, docs, idx, analyzer_mode="simple", chunk_bits=10,
-                block_size=64, positional=True,
+                block_size=64, positional=True, stored=True,
             )
         _INDEX_CACHE[key] = idx
     return idx
@@ -591,6 +594,59 @@ best AS (
 SELECT doc_id, s::BIGINT AS start, n_hits,
        array_to_string(toks[s + 1 : s + {SNIPPET_WIDTH}], ' ') AS snippet
 FROM best WHERE r = 1
+"""
+
+
+def _highlight_sql() -> str:
+    """Full oracle for the index-backed highlight: the BM25 top-k SQL joined
+    with a GENERIC per-(qid, doc) best-window snippet (terms come from the
+    query rows, not a fixed list — unlike _snippet_sql's fixed-term form)."""
+    w = SNIPPET_WIDTH
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE},
+top AS (SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}),
+qterm AS (SELECT DISTINCT qid, term FROM q),
+tp AS (
+  SELECT doc_id, u.term AS term, u.p AS p
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(toks, (t, i) ->
+             struct_pack(term := t, p := i - 1))) AS u
+    FROM toks
+    WHERE doc_id IN (SELECT docid FROM top)
+  )
+),
+occ AS (
+  SELECT top.qid, top.docid, tp.term, tp.p
+  FROM top
+  JOIN tp ON tp.doc_id = top.docid
+  JOIN qterm ON qterm.qid = top.qid AND qterm.term = tp.term
+),
+cand AS (SELECT DISTINCT qid, docid, p AS s FROM occ),
+hits AS (
+  SELECT c.qid, c.docid, c.s, count(DISTINCT o.term) AS n_hits
+  FROM cand c
+  JOIN occ o ON o.qid = c.qid AND o.docid = c.docid
+   AND o.p >= c.s AND o.p < c.s + {w}
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT qid, docid, s, n_hits,
+         row_number() OVER (
+           PARTITION BY qid, docid ORDER BY n_hits DESC, s ASC
+         ) AS r
+  FROM hits
+)
+SELECT top.qid, top.docid AS doc_id, top.rank, top.score,
+       b.s::BIGINT AS start,
+       coalesce(b.n_hits, 0)::BIGINT AS n_hits,
+       CASE WHEN b.s IS NOT NULL
+            THEN array_to_string(t.toks[b.s + 1 : b.s + {w}], ' ')
+       END AS snippet
+FROM top
+LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+  ON b.qid = top.qid AND b.docid = top.docid
+JOIN toks t ON t.doc_id = top.docid
 """
 
 
@@ -1679,6 +1735,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = a.exceptAll(b).unionAll(b.exceptAll(a))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def highlight_topk_q(spark, sf):
+        # index-backed highlighting: BM25 top-k + stored-field fetch +
+        # best-window snippet, no corpus scan — full DuckDB oracle (top-k
+        # SQL joined with a generic per-(qid, doc) window-selection SQL)
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        hl = Searcher(spark, idx).highlight(
+            _queries_df(spark), k=TOPK, width=SNIPPET_WIDTH
+        )
+        return hl.select(
+            "qid",
+            F.col("docid").alias("doc_id"),
+            "rank",
+            F.round("score", 4).alias("score"),
+            "start",
+            "n_hits",
+            "snippet",
+        )
+
     def compact_identity_q(spark, sf):
         # chunk compaction (Lucene tiered-merge analogue): base build + two
         # appends + compact_index must rank identically to a from-scratch
@@ -1908,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_append_identity": conv_append_identity_q,
         "ann_ivfpq": ann_ivfpq_q,
         "compact_identity": compact_identity_q,
+        "highlight_topk": highlight_topk_q,
         # -- long-green round-1 entries fill the rest of the driver window --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -2154,6 +2231,7 @@ GROUP BY r.qid""",
         "wand_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
         "conv_append_identity": "SELECT 0::BIGINT AS mismatches",
         "compact_identity": "SELECT 0::BIGINT AS mismatches",
+        "highlight_topk": _highlight_sql(),
         "phrase_match": _phrase_sql(),
         "phrase_batch": _phrase_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),

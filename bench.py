@@ -318,13 +318,29 @@ def main() -> None:
     # ambient run-to-run noise (BASELINE.md §scaling-methodology); a single
     # sample aliases that noise into the round-over-round regression signal
     # (BENCH_r01's 32c build read 28% low on one draw)
+    # adaptive draw count: the VM shows multi-minute windows where EVERYTHING
+    # runs 2-9x slow (measured: back-to-back build draws of 13.7s and 123s,
+    # same code, same data). Two draws both inside such a window would
+    # commit a number that is pure weather; when the spread says the draws
+    # straddled a window, buy extra draws (bounded) and take the min —
+    # steady-state throughput is what a cluster job sees.
+    def _adaptive_runs(fn, lo=2, hi=4, spread=1.3):
+        runs = [fn() for _ in range(lo)]
+        while len(runs) < hi and max(runs) / max(min(runs), 1e-9) > spread:
+            runs.append(fn())
+        return runs
+
     spark = _spark(CPUS)
     idx = f"/tmp/dhr_bench_idx_full{CPUS}"
     _build(spark, 200, f"/tmp/dhr_bench_warm_main")
-    build_runs = []
-    for _ in range(2):
-        t_build_i, n_turns = _build(spark, n_convs, idx)
-        build_runs.append(t_build_i)
+    _n_state = {}
+
+    def _one_build():
+        dt, _n_state["n"] = _build(spark, n_convs, idx)
+        return dt
+
+    build_runs = _adaptive_runs(_one_build)
+    n_turns = _n_state["n"]
     t_build = min(build_runs)
     timings["index_build"] = round(t_build, 2)
     result["build_runs_sec"] = [round(x, 2) for x in build_runs]
@@ -334,11 +350,14 @@ def main() -> None:
     queries.count()
     searcher = Searcher(spark, idx)
     searcher.search(queries.limit(5), k=K).count()  # warm
-    query_runs = []
-    for _ in range(2):
+
+    def _one_batch():
         t0 = time.time()
-        n_out = searcher.search(queries, k=K).count()
-        query_runs.append(time.time() - t0)
+        _n_state["out"] = searcher.search(queries, k=K).count()
+        return time.time() - t0
+
+    query_runs = _adaptive_runs(_one_batch)
+    n_out = _n_state["out"]
     t_batch = min(query_runs)
     timings["wand_batch_200q"] = round(t_batch, 2)
     result["query_runs_sec"] = [round(x, 2) for x in query_runs]
@@ -392,10 +411,16 @@ def main() -> None:
         "text_quality", "text_fingerprint",
         "phrase_match", "phrase_batch", "text_snippet", "text_repetition",
         "rm3_topk", "conv_documents", "sample_split", "aggpool_vectors",
+        "highlight_topk",
     ]:
-        t0 = time.time()
-        qmap[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 2)
+        # best-of-2: each op is 0.2-4s, so the second draw is cheap and
+        # halves the ambient-noise variance in the committed per-op table
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qmap[name](spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 2)
 
     spark.stop()
 

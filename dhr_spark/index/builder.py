@@ -75,6 +75,7 @@ def build_index(
     resume: bool = False,
     forward_index: bool = False,
     positional: bool = False,
+    stored: bool = False,
 ) -> dict:
     """Build (or resume) an index over transcripts (conv_id, turn_idx, ...,
     text): assigns stable docids, then delegates to build_index_from_docs."""
@@ -93,6 +94,7 @@ def build_index(
             doc_map_df=doc_map(docs),
             forward_index=forward_index,
             positional=positional,
+            stored=stored,
         )
     finally:
         # the scalable docid path persists its range-partitioned base so the
@@ -161,6 +163,7 @@ def build_index_from_docs(
     extra_manifest: dict | None = None,
     forward_index: bool = False,
     positional: bool = False,
+    stored: bool = False,
 ) -> dict:
     """Build (or resume) the index over any corpus with (docid long, text).
 
@@ -268,6 +271,33 @@ def build_index_from_docs(
             mode="append" if done_chunks else "overwrite",
         )
 
+    if stored:
+        # stored fields (Lucene parity): the original text, chunk-partitioned
+        # so result rendering fetches only the hit docs' chunks — serving
+        # never rescans the source table. Opt-in: it duplicates the corpus
+        # text into the index (parquet-compressed), exactly like Lucene's
+        # stored-field cost.
+        st_docs = docs
+        if done_chunks:
+            st_docs = docs.filter(
+                ~F.shiftright(F.col("docid"), chunk_bits)
+                .cast("int")
+                .isin(done_ints)
+            )
+        (
+            st_docs.select(
+                F.shiftright(F.col("docid"), chunk_bits)
+                .cast("int")
+                .alias("chunk"),
+                "docid",
+                "text",
+            )
+            .repartition("chunk")
+            .write.mode("append" if done_chunks else "overwrite")
+            .partitionBy("chunk")
+            .parquet(os.path.join(index_dir, "stored"))
+        )
+
     seg = build_segments(post, chunk_bits, block_size)
     seg_path = os.path.join(index_dir, "segments")
     dl_path = os.path.join(index_dir, "doclens")
@@ -338,6 +368,7 @@ def build_index_from_docs(
         "term_dict_dir": "term_dict",
         "forward_index": bool(forward_index),
         "positional": bool(positional),
+        "stored": bool(stored),
         "n_terms": int(n_terms),
         "build_seconds": round(time.time() - t0, 2),
         "resumed_from": sorted(done_chunks) if done_chunks else [],

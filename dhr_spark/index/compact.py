@@ -313,6 +313,8 @@ def compact_index(
         _remap_chunked("positions", ["term_id", "positions"])
     if man.get("forward_index"):
         _remap_chunked("forward", ["term_id", "tf", "dl"])
+    if man.get("stored"):
+        _remap_chunked("stored", ["text"])
 
     # ---- doc_map: new seg_batch partition; stale rows removed by GC so a
     # pre-commit reader still resolves old docids ----
@@ -447,7 +449,7 @@ def gc_index(spark: SparkSession, index_dir: str) -> dict:
                 os.path.join(dm_path, f"seg_batch={b}"), ignore_errors=True
             )
     live = {int(c) for c in man["chunks"]}
-    for art in ("segments", "doclens", "positions", "forward"):
+    for art in ("segments", "doclens", "positions", "forward", "stored"):
         base = os.path.join(index_dir, art)
         if not os.path.isdir(base):
             continue

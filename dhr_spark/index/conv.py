@@ -240,6 +240,21 @@ def append_conversations(
             .partitionBy("chunk")
             .parquet(fwd_dir)
         )
+        if man.get("stored"):
+            (
+                docs.select(
+                    F.shiftright(F.col("docid"), chunk_bits)
+                    .cast("int")
+                    .alias("chunk"),
+                    "docid",
+                    "text",
+                )
+                .repartition("chunk")
+                .write.mode("overwrite")
+                .options(**dyn)
+                .partitionBy("chunk")
+                .parquet(os.path.join(index_dir, "stored"))
+            )
         seg = build_segments(post, chunk_bits, int(man["block_size"]))
         seg.repartition("chunk").write.mode("overwrite").options(
             **dyn

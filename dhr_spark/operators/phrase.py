@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -269,3 +271,46 @@ def best_snippet(
         )
         .filter(F.col("n_hits").isNotNull())
     )
+
+
+def snippet_struct_udf(width: int = 10):
+    """Arrow-batched row kernel twin of ``best_snippet`` for POST-retrieval
+    rendering: (text, query) -> struct(start, n_hits, snippet), identical
+    window-selection semantics (most distinct query terms, ties earliest).
+
+    ``best_snippet`` is the corpus-scan form (zero-shuffle column math,
+    DuckDB-oracled); this kernel exists for the index-backed highlight path
+    (Searcher.highlight), where the input is only the fetched top-k rows —
+    k x |Q| rows total — so a per-row Python loop inside one Arrow batch is
+    the right shape, not a liability. Rows whose text contains none of the
+    query terms get (null, 0, null) instead of being dropped: a BM25 hit
+    can match via stemming while the raw-token window misses (the same
+    analyzer-mismatch Lucene's highlighter has)."""
+
+    @F.pandas_udf("start long, n_hits long, snippet string")
+    def _snip(text: pd.Series, query: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t, q in zip(text, query):
+            toks = _SIMPLE_RE.findall((t or "").lower())
+            terms = list(dict.fromkeys(_SIMPLE_RE.findall((q or "").lower())))
+            occ = {}
+            for i, tok in enumerate(toks):
+                if tok in terms:
+                    occ.setdefault(tok, []).append(i)
+            starts = sorted({i for ps in occ.values() for i in ps})
+            if not starts:
+                rows.append((None, 0, None))
+                continue
+            best = max(
+                ((sum(1 for ps in occ.values()
+                      if any(s <= p < s + width for p in ps)), -s), s)
+                for s in starts
+            )[1]
+            hits = sum(
+                1 for ps in occ.values()
+                if any(best <= p < best + width for p in ps)
+            )
+            rows.append((best, hits, " ".join(toks[best:best + width])))
+        return pd.DataFrame(rows, columns=["start", "n_hits", "snippet"])
+
+    return _snip

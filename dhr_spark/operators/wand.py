@@ -841,6 +841,71 @@ class Searcher:
             .filter(F.col("window_start").isNotNull())
         )
 
+    MAX_FETCH_DOCS = 1_000_000
+
+    def fetch_stored(self, results: DataFrame) -> DataFrame:
+        """Attach the stored original text to a (docid, ...) result frame —
+        Lucene stored-field retrieval. Requires ``build_index(...,
+        stored=True)``.
+
+        Serving shape: the distinct result docids are collected (bounded by
+        MAX_FETCH_DOCS — top-k output is k x |Q|, driver-tiny), their CHUNK
+        set prunes the stored scan to only the hit partitions, and the docid
+        isin predicate pushes into parquet row groups — rendering a page of
+        results reads kilobytes of one chunk file, never the corpus. Beyond
+        the bound it degrades to a full-scan hash join with the results side
+        broadcast (an offline job's shape, still no driver state)."""
+        if not self.manifest.get("stored"):
+            raise ValueError(
+                "index was built without stored fields — rebuild or append "
+                "with stored=True to use fetch_stored/highlight"
+            )
+        chunk_bits = int(self.manifest["chunk_bits"])
+        stored = self.spark.read.parquet(f"{self.index_dir}/stored")
+        ids = [
+            int(r["docid"])
+            for r in results.select("docid")
+            .distinct()
+            .limit(self.MAX_FETCH_DOCS + 1)
+            .collect()
+        ]
+        if len(ids) <= self.MAX_FETCH_DOCS:
+            chunks = sorted({i >> chunk_bits for i in ids})
+            stored = stored.filter(
+                F.col("chunk").isin(chunks) & F.col("docid").isin(ids)
+            )
+        else:
+            stored = self._prune_to_manifest(stored)
+        return results.join(stored.select("docid", "text"), "docid", "left")
+
+    def highlight(
+        self, queries: DataFrame, k: int = 10, width: int = 10
+    ) -> DataFrame:
+        """Index-backed result highlighting: BM25 top-k + stored-field fetch
+        + keyword-in-context snippet, no corpus scan anywhere.
+
+        Returns (qid, docid, rank, score, start, n_hits, snippet) where the
+        snippet is the ``width``-token window of the stored text covering
+        the most distinct query terms (ties earliest) — exactly
+        operators.phrase.best_snippet's selection, computed by its Arrow
+        row-kernel twin over only the k x |Q| fetched rows."""
+        from dhr_spark.operators.phrase import snippet_struct_udf
+
+        res = self.search(queries, k=k)
+        fetched = self.fetch_stored(res)
+        q = queries.select("qid", F.col("text").alias("_qtext"))
+        snip = snippet_struct_udf(width)(F.col("text"), F.col("_qtext"))
+        return (
+            fetched.join(F.broadcast(q), "qid")
+            .withColumn("_s", snip)
+            .select(
+                "qid", "docid", "rank", "score",
+                F.col("_s.start").alias("start"),
+                F.col("_s.n_hits").alias("n_hits"),
+                F.col("_s.snippet").alias("snippet"),
+            )
+        )
+
 
 def search_wand(
     spark: SparkSession,

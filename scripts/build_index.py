@@ -43,6 +43,9 @@ def main() -> None:
                    help="also write doc-major term vectors (enables RM3)")
     p.add_argument("--positional", action="store_true",
                    help="also write term positions (enables index-backed phrase search)")
+    p.add_argument("--stored", action="store_true",
+                   help="also store the original text (enables fetch_stored "
+                        "/ highlight without rescanning the source table)")
     p.add_argument("--granularity", default="turn",
                    choices=["turn", "conversation"],
                    help="one doc per turn (default) or per conversation "
@@ -86,6 +89,7 @@ def main() -> None:
             k1=args.k1,
             b=args.b,
             positional=args.positional,
+            stored=args.stored,
         )
     else:
         manifest = build_index(
@@ -100,6 +104,7 @@ def main() -> None:
             resume=args.resume,
             forward_index=args.forward_index,
             positional=args.positional,
+            stored=args.stored,
         )
     print(json.dumps({k: v for k, v in manifest.items() if k != "chunks"}))
     spark.stop()
