@@ -301,7 +301,16 @@ class Searcher:
         index_dir: str,
         cache: bool = True,
         interactive: bool = False,
+        k1: float | None = None,
+        b: float | None = None,
     ):
+        """``k1``/``b`` override the manifest's BM25 parameters for THIS
+        searcher — Lucene's per-IndexSearcher setSimilarity analogue. The
+        stats-free segment layout makes this sound at query time: segments
+        store raw (tf, dl) with (max_tf, min_dl) block bounds, and
+        w = idf·tf/(tf + k1(1-b+b·dl/avgdl)) stays monotone ↑tf ↓dl for any
+        k1 > 0, 0 <= b <= 1, so the WAND pruning bound remains admissible
+        under the overridden parameters. No reindex, ever."""
         from dhr_spark.functions.analyzer import _ANALYZERS
 
         self.spark = spark
@@ -322,6 +331,14 @@ class Searcher:
                 "rebuild it with the current builder"
             )
         self.manifest = man
+        self.k1 = float(man["k1"]) if k1 is None else float(k1)
+        self.b = float(man["b"]) if b is None else float(b)
+        if self.k1 <= 0 or not (0.0 <= self.b <= 1.0):
+            raise ValueError(
+                f"BM25 override out of range (k1={self.k1}, b={self.b}): "
+                "the block-max bound is admissible only for k1 > 0 and "
+                "0 <= b <= 1"
+            )
         self._analyze = _ANALYZERS[man["analyzer_mode"]]
         td_dir = man.get("term_dict_dir", "term_dict")
         self._tdict = spark.read.parquet(f"{index_dir}/{td_dir}").select(
@@ -483,7 +500,7 @@ class Searcher:
             seg = seg.join(F.broadcast(terms_df), "term_id", "left_semi")
         man = self.manifest
         kernel = _score_chunk(
-            qinfo, k, float(man["avgdl"]), float(man["k1"]), float(man["b"]),
+            qinfo, k, float(man["avgdl"]), self.k1, self.b,
             int(man["block_size"]), prune, tombstones=self._tombstones,
         )
         scored = (

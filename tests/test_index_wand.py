@@ -257,3 +257,45 @@ def test_searcher_ignores_orphan_chunks(spark, built, tmp_path):
     a = _as_map(search_wand(spark, built["idx"], built["queries"], k=10).collect())
     b = _as_map(res.collect())
     assert a == b
+
+
+def test_bm25_parameter_override(spark, built):
+    """Query-time k1/b override (stats-free layout: no reindex): the
+    overridden Searcher must match the slow path recomputed under the same
+    parameters, and differ from the manifest-parameter ranking's scores."""
+    from dhr_spark.operators.wand import Searcher
+
+    k1o, bo = 1.2, 0.75
+    s = Searcher(spark, built["idx"], k1=k1o, b=bo)
+    fast = _as_map(s.search(built["queries"], k=20).collect())
+
+    docs = with_docids(built["tr"], "window")
+    tok = with_tokens(docs, mode="lucene")
+    tfs, dls = term_freqs(tok), doc_lengths(tok)
+    cs = corpus_stats(dls).collect()[0]
+    tdict = term_dictionary(term_stats(tfs, cs["n_docs"]))
+    postings = postings_flat(tfs, dls, tdict, cs["avgdl"], k1=k1o, b=bo)
+    qtok = with_tokens(built["queries"], mode="lucene")
+    qtfs = query_term_freqs(qtok.select("qid", "tokens")).join(
+        tdict.select("term", "term_id"), "term"
+    )
+    slow = _as_map(search_slow_path(qtfs, postings, k=20).collect())
+
+    assert set(fast) == set(slow)
+    for qid in slow:
+        assert [x[0] for x in slow[qid]] == [x[0] for x in fast[qid]], qid
+        for (d1, r1, s1), (d2, r2, s2) in zip(slow[qid], fast[qid]):
+            assert r1 == r2 and abs(s1 - s2) <= 1e-6
+
+    default = _as_map(
+        Searcher(spark, built["idx"]).search(built["queries"], k=20).collect()
+    )
+    qid = next(iter(fast))
+    assert fast[qid] != default[qid]  # the override actually changed scores
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="admissible"):
+        Searcher(spark, built["idx"], k1=0.0)
+    with _pytest.raises(ValueError, match="admissible"):
+        Searcher(spark, built["idx"], b=1.5)
