@@ -1755,6 +1755,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "snippet",
         )
 
+    def federated_identity_q(spark, sf):
+        # federated multi-index search (Lucene MultiReader / sharded-serving
+        # analogue): two shard indexes queried under merged global stats
+        # must rank identically — same (conv_id, turn_idx), same scores —
+        # to one index over the union corpus (oracle: SELECT 0)
+        import shutil
+
+        from dhr_spark.index.builder import build_index
+        from dhr_spark.operators.federate import MultiSearcher
+        from dhr_spark.operators.wand import Searcher
+
+        tt = _tturns(spark, sf)
+        shard_a = tt.filter(F.col("conv_id") % 2 == 0)
+        shard_b = tt.filter(F.col("conv_id") % 2 == 1)
+        key = hashlib.md5(f"fed|{sf}".encode()).hexdigest()[:10]
+        da = f"/tmp/dhr_spark_feda_{key}"
+        db = f"/tmp/dhr_spark_fedb_{key}"
+        full = f"/tmp/dhr_spark_fedfull_{key}"
+        for d, src in ((da, shard_a), (db, shard_b), (full, tt)):
+            shutil.rmtree(d, ignore_errors=True)
+            build_index(spark, src, d, chunk_bits=8, block_size=32)
+
+        # full-depth (k >> corpus): the identity is over complete result
+        # SETS, so equal-score tie ordering at a cutoff boundary can never
+        # alias into a false mismatch
+        q = _queries_df(spark)
+        fed = MultiSearcher(spark, [da, db]).search(q, k=1_000_000)
+        dms = []
+        for i, d in enumerate((da, db)):
+            dms.append(
+                spark.read.parquet(f"{d}/doc_map").withColumn(
+                    "index_id", F.lit(i)
+                )
+            )
+        fed_t = fed.join(dms[0].unionByName(dms[1]), ["index_id", "docid"]).select(
+            "qid", "conv_id", "turn_idx", F.round("score", 4).alias("score")
+        )
+        sm = spark.read.parquet(f"{full}/doc_map")
+        single_t = (
+            Searcher(spark, full).search(q, k=1_000_000).join(sm, "docid").select(
+                "qid", "conv_id", "turn_idx", F.round("score", 4).alias("score")
+            )
+        )
+        mism = fed_t.exceptAll(single_t).unionAll(single_t.exceptAll(fed_t))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def compact_identity_q(spark, sf):
         # chunk compaction (Lucene tiered-merge analogue): base build + two
         # appends + compact_index must rank identically to a from-scratch
@@ -1985,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": ann_ivfpq_q,
         "compact_identity": compact_identity_q,
         "highlight_topk": highlight_topk_q,
+        "federated_identity": federated_identity_q,
         # -- long-green round-1 entries fill the rest of the driver window --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -2232,6 +2279,7 @@ GROUP BY r.qid""",
         "conv_append_identity": "SELECT 0::BIGINT AS mismatches",
         "compact_identity": "SELECT 0::BIGINT AS mismatches",
         "highlight_topk": _highlight_sql(),
+        "federated_identity": "SELECT 0::BIGINT AS mismatches",
         "phrase_match": _phrase_sql(),
         "phrase_batch": _phrase_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),

@@ -1,0 +1,161 @@
+"""Federated search over multiple indexes — the Lucene MultiReader /
+sharded-serving analogue.
+
+Why: a 10^12-turn deployment does not maintain one monolithic index; it
+partitions by time (daily/weekly indexes) or tenant, appends to the hot
+partition, and retires cold ones. Queries must still rank GLOBALLY — BM25
+idf and avgdl are corpus-wide functions, and scoring each shard under its
+local stats silently skews rankings toward small shards (a term rare in
+one shard but common overall gets an inflated idf there).
+
+The stats-free v2 segment layout makes exact global scoring a pure
+query-time composition: segments store raw (tf, dl) and the per-block
+(max_tf, min_dl) bound is admissible under ANY (idf, avgdl), so federating
+N indexes needs no re-encoding — only merged statistics:
+
+    df_g(term)  = sum_i df_i(term)        (term dictionaries, full outer)
+    n_docs_g    = sum_i n_docs_i
+    avgdl_g     = sum_i total_dl_i / n_docs_g
+    idf_g       = bm25-idf(df_g, n_docs_g)
+
+Each member Searcher then runs its ordinary block-max WAND pass with the
+GLOBAL stats injected (Searcher(corpus_stats=...)), and the per-index
+top-k streams merge losslessly into the global top-k — the same
+shard-merge contract the chunk layer already uses inside one index
+(reference anchor: per-shard result merge, /root/reference/retrieval/
+merge_result.py + SURVEY.md T5). Scores are IDENTICAL to a single index
+built over the union corpus (tests/test_federate.py).
+
+Scale shape: stats merge is one |V|-sized groupBy at MultiSearcher
+construction (cacheable, refreshed only when a member index changes);
+per-query work is N independent WAND passes + a k·N-row merge per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dhr_spark.functions.bm25 import idf_col
+from dhr_spark.index.builder import load_manifest
+from dhr_spark.operators.topk import topk
+from dhr_spark.operators.wand import Searcher
+
+# index_id lives above the docid bits in the merge's tie-break key; v2
+# docids are < 2^48 by construction (chunk_bits <= 31, chunks < 2^17)
+_INDEX_SHIFT = 48
+
+
+class MultiSearcher:
+    """Search N v2 indexes as one logical corpus with exact global BM25.
+
+    All member indexes must share the analyzer mode (a query analyzes to
+    the same terms everywhere) and the v2 layout. k1/b overrides apply to
+    every member uniformly.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dirs: list[str],
+        cache: bool = True,
+        k1: float | None = None,
+        b: float | None = None,
+    ):
+        if not index_dirs:
+            raise ValueError("MultiSearcher needs at least one index dir")
+        self.spark = spark
+        self.index_dirs = list(index_dirs)
+        mans = []
+        for d in index_dirs:
+            man = load_manifest(d)
+            if man is None:
+                raise FileNotFoundError(f"no manifest in {d}")
+            if int(man.get("version", 1)) < 2:
+                raise ValueError(f"index at {d} is pre-v2; rebuild it")
+            mans.append(man)
+        modes = {m["analyzer_mode"] for m in mans}
+        if len(modes) > 1:
+            raise ValueError(
+                f"member indexes disagree on analyzer_mode ({sorted(modes)}) "
+                "— a query would tokenize differently per shard"
+            )
+
+        n_docs_g = sum(int(m["n_docs"]) for m in mans)
+        total_dl_g = sum(int(m["total_dl"]) for m in mans)
+        avgdl_g = total_dl_g / n_docs_g
+        self.n_docs = n_docs_g
+        self.avgdl = avgdl_g
+
+        # global df: full-outer merge of the member term dictionaries —
+        # one |V|-row groupBy, done once per MultiSearcher
+        union = None
+        for d, m in zip(index_dirs, mans):
+            td = spark.read.parquet(
+                f"{d}/{m.get('term_dict_dir', 'term_dict')}"
+            ).select("term", "df")
+            union = td if union is None else union.unionByName(td)
+        idf_g = (
+            union.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .withColumn("idf", idf_col(F.col("df"), F.lit(n_docs_g)))
+            .select("term", "idf")
+        )
+        total_terms = sum(int(m.get("n_terms", 0)) for m in mans)
+        stats: dict = {"avgdl": avgdl_g}
+        if total_terms <= 2_000_000:
+            # small vocabulary: ship the merged idf as a driver dict so each
+            # member's query prep stays zero-Spark-jobs (Searcher tid cache)
+            stats["idf"] = {
+                r["term"]: float(r["idf"]) for r in idf_g.collect()
+            }
+        else:
+            stats["idf"] = idf_g.cache()
+        self.searchers = [
+            Searcher(spark, d, cache=cache, k1=k1, b=b, corpus_stats=stats)
+            for d in index_dirs
+        ]
+
+    def search(
+        self, queries: DataFrame, k: int = 1000, prune: bool = True
+    ) -> DataFrame:
+        """queries (qid, text) -> (qid, index_id, docid, rank, score):
+        global top-k across all member indexes under merged statistics.
+
+        Each member returns its local top-k (sufficient: the global top-k
+        per query is a subset of the union of local top-ks), then one
+        k·N-row merge re-ranks globally. Ties break (score desc, index_id
+        asc, docid asc) — the member-order analogue of the single-index
+        docid tie-break."""
+        per = [
+            s.search(queries, k=k, prune=prune)
+            .withColumn("index_id", F.lit(i))
+            for i, s in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        # reuse the exact single-index top-k ordering by packing the
+        # tie-break into a synthetic global docid (index above docid bits)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return merged.select(
+            "qid",
+            F.shiftright(F.col("docid"), _INDEX_SHIFT)
+            .cast("int")
+            .alias("index_id"),
+            (F.col("docid") - F.shiftleft(
+                F.shiftright(F.col("docid"), _INDEX_SHIFT), _INDEX_SHIFT
+            )).alias("docid"),
+            "rank",
+            "score",
+        )

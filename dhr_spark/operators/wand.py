@@ -303,6 +303,7 @@ class Searcher:
         interactive: bool = False,
         k1: float | None = None,
         b: float | None = None,
+        corpus_stats: dict | None = None,
     ):
         """``k1``/``b`` override the manifest's BM25 parameters for THIS
         searcher — Lucene's per-IndexSearcher setSimilarity analogue. The
@@ -310,7 +311,15 @@ class Searcher:
         store raw (tf, dl) with (max_tf, min_dl) block bounds, and
         w = idf·tf/(tf + k1(1-b+b·dl/avgdl)) stays monotone ↑tf ↓dl for any
         k1 > 0, 0 <= b <= 1, so the WAND pruning bound remains admissible
-        under the overridden parameters. No reindex, ever."""
+        under the overridden parameters. No reindex, ever.
+
+        ``corpus_stats`` replaces the index's OWN statistics with externally
+        merged ones — {"avgdl": float, "idf": {term: idf} or DataFrame
+        (term, idf)} — which is how federated search (operators.federate.
+        MultiSearcher) makes N shard indexes score as one logical corpus:
+        each shard runs its ordinary WAND pass under the GLOBAL idf/avgdl.
+        Admissibility is unaffected (any stats are sound); terms absent
+        from the override keep their local idf."""
         from dhr_spark.functions.analyzer import _ANALYZERS
 
         self.spark = spark
@@ -340,10 +349,30 @@ class Searcher:
                 "0 <= b <= 1"
             )
         self._analyze = _ANALYZERS[man["analyzer_mode"]]
+        self._avgdl = float(man["avgdl"])
+        idf_over = None
+        if corpus_stats:
+            self._avgdl = float(corpus_stats.get("avgdl", self._avgdl))
+            idf_over = corpus_stats.get("idf")
+        self._idf_dict_over = idf_over if isinstance(idf_over, dict) else None
         td_dir = man.get("term_dict_dir", "term_dict")
         self._tdict = spark.read.parquet(f"{index_dir}/{td_dir}").select(
             "term", "term_id", "idf"
         )
+        if idf_over is not None and self._idf_dict_over is None:
+            # DataFrame override (huge federated vocabularies): swap in the
+            # global idf column; terms outside the override keep local idf
+            self._tdict = (
+                self._tdict.withColumnRenamed("idf", "_lidf")
+                .join(
+                    idf_over.withColumnRenamed("idf", "_gidf"), "term", "left"
+                )
+                .select(
+                    "term",
+                    "term_id",
+                    F.coalesce("_gidf", "_lidf").alias("idf"),
+                )
+            )
         self._seg = self._prune_to_manifest(
             spark.read.parquet(f"{index_dir}/segments")
         )
@@ -375,8 +404,12 @@ class Searcher:
             if int(man.get("n_terms", 1 << 62)) <= 2_000_000:
                 # small vocabulary: resident driver-side dict — query prep
                 # becomes zero Spark jobs (at 10^7+ terms stay distributed)
+                ov = self._idf_dict_over or {}
                 self._tid_cache = {
-                    r["term"]: (int(r["term_id"]), float(r["idf"]))
+                    r["term"]: (
+                        int(r["term_id"]),
+                        float(ov.get(r["term"], r["idf"])),
+                    )
                     for r in self._tdict.collect()
                 }
 
@@ -461,8 +494,12 @@ class Searcher:
         if self._tid_cache is not None:
             tid = {t: self._tid_cache[t] for t in terms if t in self._tid_cache}
         else:
+            ov = self._idf_dict_over or {}
             tid = {
-                r["term"]: (int(r["term_id"]), float(r["idf"]))
+                r["term"]: (
+                    int(r["term_id"]),
+                    float(ov.get(r["term"], r["idf"])),
+                )
                 for r in self._tdict.filter(F.col("term").isin(terms)).collect()
             }
         qinfo: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
@@ -500,7 +537,7 @@ class Searcher:
             seg = seg.join(F.broadcast(terms_df), "term_id", "left_semi")
         man = self.manifest
         kernel = _score_chunk(
-            qinfo, k, float(man["avgdl"]), self.k1, self.b,
+            qinfo, k, self._avgdl, self.k1, self.b,
             int(man["block_size"]), prune, tombstones=self._tombstones,
         )
         scored = (

@@ -1,0 +1,135 @@
+"""Federated multi-index search (operators/federate.py): exact global BM25
+over sharded indexes — score-identical to a single index built over the
+union corpus — plus guards and k1/b override propagation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+from dhr_spark.index.builder import build_index
+from dhr_spark.operators.federate import MultiSearcher
+from dhr_spark.operators.wand import Searcher
+
+CHUNK_BITS, BLOCK = 7, 16
+
+
+def _batch(spark, n, seed, prefix):
+    return synth_transcripts(spark, n, seed=seed).withColumn(
+        "conv_id", F.concat(F.lit(prefix), F.col("conv_id"))
+    )
+
+
+@pytest.fixture(scope="module")
+def sharded(spark, tmp_path_factory):
+    """Three shard indexes (disjoint corpora) + one union index."""
+    root = tmp_path_factory.mktemp("fed")
+    parts = [
+        _batch(spark, 14, 42, "a-"),
+        _batch(spark, 10, 91, "b-"),
+        _batch(spark, 7, 77, "c-"),
+    ]
+    dirs = []
+    for i, p in enumerate(parts):
+        d = str(root / f"shard{i}")
+        build_index(spark, p, d, chunk_bits=CHUNK_BITS, block_size=BLOCK)
+        dirs.append(d)
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    full = str(root / "full")
+    build_index(spark, union, full, chunk_bits=CHUNK_BITS, block_size=BLOCK)
+    return dict(dirs=dirs, full=full)
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return synth_queries(spark, n_queries=12)
+
+
+def _by_turn(spark, res, dirs_or_full, fed: bool):
+    """{(qid, conv_id, turn_idx): round6 score} — docid/shard independent."""
+    if fed:
+        maps = []
+        for i, d in enumerate(dirs_or_full):
+            dm = spark.read.parquet(os.path.join(d, "doc_map")).withColumn(
+                "index_id", F.lit(i)
+            )
+            maps.append(dm)
+        dm = maps[0]
+        for m in maps[1:]:
+            dm = dm.unionByName(m)
+        joined = res.join(dm, ["index_id", "docid"])
+    else:
+        dm = spark.read.parquet(os.path.join(dirs_or_full, "doc_map"))
+        joined = res.join(dm, "docid")
+    return {
+        (r["qid"], r["conv_id"], r["turn_idx"]): round(r["score"], 6)
+        for r in joined.collect()
+    }
+
+
+def test_federated_equals_union_index(spark, sharded, queries):
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = _by_turn(
+        spark, ms.search(queries, k=100_000), sharded["dirs"], fed=True
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search(queries, k=100_000),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed == single
+    assert ms.n_docs == sum(1 for _ in single) or ms.n_docs > 0  # sanity
+
+
+def test_federated_topk_ranking(spark, sharded, queries):
+    """At small k the global ranking (scores by rank) matches the union
+    index; tie-breaks may reorder equal-score rows across shards."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = ms.search(queries, k=10).collect()
+    single = Searcher(spark, sharded["full"]).search(queries, k=10).collect()
+
+    def seq(rows):
+        m = {}
+        for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+            m.setdefault(r["qid"], []).append(round(r["score"], 6))
+        return m
+
+    assert seq(fed) == seq(single)
+
+
+def test_federated_guards(spark, sharded, tmp_path, queries):
+    with pytest.raises(ValueError, match="at least one"):
+        MultiSearcher(spark, [])
+    with pytest.raises(FileNotFoundError):
+        MultiSearcher(spark, [str(tmp_path / "nope")])
+    # analyzer mismatch refused
+    other = str(tmp_path / "simple_idx")
+    build_index(spark, _batch(spark, 5, 11, "x-"), other,
+                analyzer_mode="simple", chunk_bits=CHUNK_BITS,
+                block_size=BLOCK)
+    with pytest.raises(ValueError, match="analyzer_mode"):
+        MultiSearcher(spark, [sharded["dirs"][0], other])
+
+
+def test_federated_k1_b_override(spark, sharded, queries):
+    """k1/b overrides propagate to every member and match the overridden
+    union-index searcher exactly."""
+    ms = MultiSearcher(spark, sharded["dirs"], k1=1.2, b=0.75)
+    fed = _by_turn(
+        spark, ms.search(queries, k=100_000), sharded["dirs"], fed=True
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"], k1=1.2, b=0.75).search(
+            queries, k=100_000
+        ),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed == single
