@@ -1,9 +1,14 @@
-"""spark-submit entry: run top-k queries against a built index.
+"""spark-submit entry: run top-k queries against one or more built indexes.
 
     spark-submit --py-files dhr_spark.zip scripts/run_queries.py \\
         --index-dir s3://bucket/index \\
         --queries queries.tsv --k 1000 \\
         --output s3://bucket/run --trec
+
+Repeat --index-dir to FEDERATE shard indexes (time/tenant partitions)
+under exact merged global BM25 stats; --k1/--b override the similarity at
+query time (no reindex); --rm3 / --phrases / --highlight select the
+expansion, batch-phrase, and stored-field snippet modes.
 
 Local sandbox: python scripts/run_queries.py --index-dir /tmp/idx --synthetic 50
 """
@@ -20,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--index-dir", required=True)
+    p.add_argument("--index-dir", required=True, action="append",
+                   dest="index_dirs",
+                   help="index directory; repeat the flag to federate "
+                        "multiple shard indexes under merged global BM25 "
+                        "stats (operators/federate.py)")
     p.add_argument("--queries", help="TSV qid\\ttext")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--k", type=int, default=1000)
@@ -39,11 +48,24 @@ def main() -> None:
     p.add_argument("--fb-terms", type=int, default=10)
     p.add_argument("--rm3-beta", type=float, default=0.5,
                    help="original-query interpolation weight")
+    p.add_argument("--highlight", action="store_true",
+                   help="attach keyword-in-context snippets from the stored "
+                        "fields (index must have --stored); outputs "
+                        "(qid, docid, rank, score, start, n_hits, snippet)")
+    p.add_argument("--width", type=int, default=10,
+                   help="snippet window width in tokens (--highlight)")
+    p.add_argument("--k1", type=float, default=None,
+                   help="query-time BM25 k1 override (no reindex)")
+    p.add_argument("--b", type=float, default=None,
+                   help="query-time BM25 b override (no reindex)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
     if args.phrases and args.trec:
         p.error("--trec needs ranked (qid, docid, rank, score) output; "
                 "--phrases emits (qid, docid, n_matches, first_pos)")
+    if len(args.index_dirs) > 1 and (args.phrases or args.rm3 or args.highlight):
+        p.error("federated (multiple --index-dir) currently serves ranked "
+                "search only; run --phrases/--rm3/--highlight per shard")
 
     from dhr_spark.session import get_spark
     from dhr_spark.operators.wand import Searcher
@@ -58,18 +80,30 @@ def main() -> None:
         queries = read_tsv_queries(spark, args.queries)
 
     t0 = time.time()
-    searcher = Searcher(spark, args.index_dir)
-    if args.phrases:
-        run = searcher.search_phrase_batch(
-            queries.withColumnRenamed("text", "phrase")
-        )
-    elif args.rm3:
-        run = searcher.search_rm3(
-            queries, k=args.k, fb_docs=args.fb_docs, fb_terms=args.fb_terms,
-            orig_weight=args.rm3_beta, prune=not args.no_prune,
-        )
+    if len(args.index_dirs) > 1:
+        from dhr_spark.operators.federate import MultiSearcher
+
+        run = MultiSearcher(
+            spark, args.index_dirs, k1=args.k1, b=args.b
+        ).search(queries, k=args.k, prune=not args.no_prune)
     else:
-        run = searcher.search(queries, k=args.k, prune=not args.no_prune)
+        searcher = Searcher(
+            spark, args.index_dirs[0], k1=args.k1, b=args.b
+        )
+        if args.phrases:
+            run = searcher.search_phrase_batch(
+                queries.withColumnRenamed("text", "phrase")
+            )
+        elif args.rm3:
+            run = searcher.search_rm3(
+                queries, k=args.k, fb_docs=args.fb_docs,
+                fb_terms=args.fb_terms, orig_weight=args.rm3_beta,
+                prune=not args.no_prune,
+            )
+        elif args.highlight:
+            run = searcher.highlight(queries, k=args.k, width=args.width)
+        else:
+            run = searcher.search(queries, k=args.k, prune=not args.no_prune)
     if args.output:
         if args.trec:
             write_trec_run(run, args.output)
