@@ -38,6 +38,7 @@ from dhr_spark.operators import boolquery as BQ
 from dhr_spark.operators import conversations as CV
 from dhr_spark.operators import phrase as PH
 from dhr_spark.operators import rm3 as R3
+from dhr_spark.operators.expand import wildcard_to_regex
 from dhr_spark.operators.topk import score_all, topk, two_stage_topk
 from dhr_spark.sources.io import trec_run_lines
 
@@ -62,6 +63,37 @@ RM3_FB_DOCS, RM3_FB_TERMS, RM3_BETA = 5, 10, 0.5
 
 SNIPPET_TERMS = ["table", "hash", "merge"]
 SNIPPET_WIDTH = 8
+
+# multi-term rewrite query sets (matching + cap-binding + no-match patterns)
+PREFIX_QUERIES: list[tuple[str, str]] = [
+    ("pf1", "s"),    # scan/small/slow/sort/spark/stream — cap binds (6 > 4)
+    ("pf2", "qu"),   # query
+    ("pf3", "c"),    # customer/column
+    ("pf4", "zzz"),  # no match
+]
+PREFIX_MAXEXP = 4
+WILDCARD_QUERIES: list[tuple[str, str]] = [
+    ("wc1", "*ow"),   # row/slow/window
+    ("wc2", "gr?up"), # group
+    ("wc3", "s*"),    # cap binds (6 > 4)
+    ("wc4", "*zz*"),  # no match
+]
+WILDCARD_MAXEXP = 4
+FUZZY_QUERIES: list[tuple[str, str]] = [
+    ("fz1", "tabel"),  # table (transposition = 2 plain-Levenshtein edits)
+    ("fz2", "sow"),    # slow + sort (multi-expansion)
+    ("fz3", "quary"),  # query
+    ("fz4", "xyzzy"),  # no match
+]
+FUZZY_MAX_EDITS, FUZZY_PREFIX_LEN = 2, 1
+FUZZY_MAXEXP = 50  # Lucene FuzzyQuery maxExpansions default
+MLT_SEEDS: list[tuple[str, int]] = [("m1", 7), ("m2", 23)]
+MLT_MAX_TERMS = 10
+# BM25F pseudo-conversation view of the documents corpus: conv = doc_id//5,
+# role = doc_id%3. Weights are exact binary fractions (see operators/fielded)
+BM25F_CONV_SIZE = 5
+BM25F_ROLES = ["user", "assistant", "tool"]
+BM25F_WEIGHTS = {"user": 2.0, "assistant": 1.0, "tool": 0.5}
 
 # ---------------------------------------------------------------- query set
 # Fixed reference query set (vocabulary drawn from the documents corpus,
@@ -250,10 +282,11 @@ def _wand_index_dir(spark: SparkSession, sf_dir: str) -> str:
             int(man.get("version", 1)) < 2
             or not man.get("positional")
             or not man.get("stored")
+            or not man.get("forward_index")
         ):
             # stale cache from an older build (pre-v2 layout, or built
-            # before the batch-phrase/highlight entries needed positions /
-            # stored fields): rebuild
+            # before the batch-phrase/highlight/more-like-this entries
+            # needed positions / stored fields / forward index): rebuild
             import shutil
 
             shutil.rmtree(idx, ignore_errors=True)
@@ -265,6 +298,7 @@ def _wand_index_dir(spark: SparkSession, sf_dir: str) -> str:
             build_index_from_docs(
                 spark, docs, idx, analyzer_mode="simple", chunk_bits=10,
                 block_size=64, positional=True, stored=True,
+                forward_index=True,
             )
         _INDEX_CACHE[key] = idx
     return idx
@@ -340,6 +374,133 @@ qlist AS (SELECT DISTINCT qid FROM q)
 """
 
 _STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(LUCENE_STOPWORDS)) + "]"
+
+
+def _expand_topk_sql(
+    pairs: list[tuple[str, str]], pred_tmpl, max_exp: int
+) -> str:
+    """Oracle for the multi-term rewrites (operators/expand.py + the
+    Searcher.search_prefix/wildcard/fuzzy index paths): per-pattern dictionary
+    match -> cap at max_expansions by (df DESC, term ASC) -> qtf=1
+    SHOULD-of-terms scored through the standard BM25 plan."""
+    union = " UNION ALL ".join(
+        f"SELECT '{qid}' AS qid, term, df FROM ts WHERE {pred_tmpl(pat)}"
+        for qid, pat in pairs
+    )
+    exp = f"""
+matched AS ({union}),
+q AS (
+  SELECT qid, term, 1::BIGINT AS qtf FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY df DESC, term ASC) AS _r
+    FROM matched
+  ) WHERE _r <= {max_exp}
+)"""
+    # decimal-true double round: Spark's F.round works on the SHORTEST
+    # decimal repr of the double (0.710750 -> "0.71075" -> 0.7108) while
+    # DuckDB's round sees the exact float64 (0.71074999... -> 0.7107).
+    # Routing the 6-decimal value through DECIMAL(18,6) makes DuckDB round
+    # the exact 6-decimal number, matching Spark at 4-decimal midpoints.
+    final = f"""
+final AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)"""
+    return (
+        f"WITH {_TOKS_CTE}, {exp}, {_SCORED_CTE}, {final} "
+        f"SELECT qid, docid, rank, score FROM final WHERE rank <= {TOPK}"
+    )
+
+
+def _mlt_sql(seeds: list[tuple[str, int]], max_terms: int) -> str:
+    """Oracle for MoreLikeThis (Searcher.search_like / expand.mlt_seed_terms):
+    seed doc's terms ranked by round(tf*idf, 6) DESC, term ASC -> top
+    max_terms as a qtf=1 query; the seed doc is excluded before ranking."""
+    vals = ", ".join(f"('{q}', {int(d)})" for q, d in seeds)
+    idf = "ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))"
+    return f"""WITH {_TOKS_CTE},
+seeds(qid, sdoc) AS (VALUES {vals}),
+q AS (
+  SELECT qid, term, 1::BIGINT AS qtf FROM (
+    SELECT s.qid, tf.term,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY round(tf.tf * {idf}, 6) DESC, tf.term ASC
+           ) AS _r
+    FROM seeds s
+    JOIN tf ON tf.doc_id = s.sdoc
+    JOIN ts USING (term) CROSS JOIN cs
+  ) WHERE _r <= {max_terms}
+),
+scored AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         sum(q.qtf * {_W_EXPR}) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN ts USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT scored.* FROM scored
+  LEFT JOIN seeds s ON s.qid = scored.qid AND s.sdoc = scored.docid
+  WHERE s.qid IS NULL
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM kept
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
+def _bm25f_sql() -> str:
+    """Oracle for BM25F (operators/fielded.py) over the pseudo-conversation
+    view of documents: conv = doc_id // BM25F_CONV_SIZE, field weight by
+    doc_id % 3 (user=2.0, assistant=1.0, tool=0.5 — exact binary fractions,
+    so weighted sums are order-independent in float64)."""
+    w_case = (
+        "CASE (doc_id % 3) WHEN 0 THEN 2.0 WHEN 1 THEN 1.0 ELSE 0.5 END"
+    )
+    idf = "ln(1 + (cs2.n_docs - ts2.df + 0.5) / (ts2.df + 0.5))"
+    return f"""WITH {_TOKS_CTE}, {_q_values()},
+turns AS (
+  SELECT doc_id // {BM25F_CONV_SIZE} AS conv_id, {w_case} AS w, toks
+  FROM toks
+),
+occ AS (SELECT conv_id, w, unnest(toks) AS term FROM turns),
+wtf AS (SELECT conv_id, term, sum(w) AS wtf FROM occ GROUP BY 1, 2),
+wdl AS (SELECT conv_id, sum(w * len(toks)) AS wdl FROM turns GROUP BY 1),
+cs2 AS (SELECT count(*)::BIGINT AS n_docs, avg(wdl) AS avgwdl FROM wdl),
+ts2 AS (SELECT term, count(*)::BIGINT AS df FROM wtf GROUP BY 1),
+scored AS (
+  SELECT q.qid, wtf.conv_id AS docid,
+         sum(q.qtf * {idf} * wtf.wtf
+             / (wtf.wtf + 0.9 * (0.6 + 0.4 * wdl.wdl / cs2.avgwdl))) AS score
+  FROM q
+  JOIN wtf USING (term)
+  JOIN ts2 USING (term)
+  JOIN wdl ON wdl.conv_id = wtf.conv_id
+  CROSS JOIN cs2
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
 
 
 def _lang_sql() -> str:
@@ -1989,6 +2150,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), ["table", "hash"], facet_col="source"
         )
 
+    def _searcher(spark, sf):
+        from dhr_spark.operators.wand import Searcher
+
+        return Searcher(spark, _wand_index_dir(spark, sf))
+
+    def prefix_topk_q(spark, sf):
+        return _round4(
+            _searcher(spark, sf).search_prefix(
+                PREFIX_QUERIES, k=TOPK, max_expansions=PREFIX_MAXEXP
+            )
+        )
+
+    def wildcard_topk_q(spark, sf):
+        return _round4(
+            _searcher(spark, sf).search_wildcard(
+                WILDCARD_QUERIES, k=TOPK, max_expansions=WILDCARD_MAXEXP
+            )
+        )
+
+    def fuzzy_topk_q(spark, sf):
+        return _round4(
+            _searcher(spark, sf).search_fuzzy(
+                FUZZY_QUERIES, k=TOPK,
+                max_edits=FUZZY_MAX_EDITS, prefix_len=FUZZY_PREFIX_LEN,
+            )
+        )
+
+    def mlt_topk_q(spark, sf):
+        return _round4(
+            _searcher(spark, sf).search_like(
+                MLT_SEEDS, k=TOPK, max_query_terms=MLT_MAX_TERMS
+            )
+        )
+
+    def bm25f_topk_q(spark, sf):
+        from dhr_spark.operators.fielded import bm25f_topk
+
+        turns = _docs_tok(spark, sf).select(
+            F.expr(f"doc_id DIV {BM25F_CONV_SIZE}").alias("conv_id"),
+            F.element_at(
+                F.array(*[F.lit(r) for r in BM25F_ROLES]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("role"),
+            "tokens",
+        )
+        return _round4(
+            bm25f_topk(_qtfs(spark), turns, BM25F_WEIGHTS, k=TOPK)
+        )
+
     # NOTE on ordering: the external correctness driver checks the FIRST 50
     # entries of this dict only (CORRECTNESS_r02.json stopped at exactly 50
     # keys).  Entries that have never had a driver row — the round-2 query
@@ -2032,6 +2242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_identity": compact_identity_q,
         "highlight_topk": highlight_topk_q,
         "federated_identity": federated_identity_q,
+        "prefix_topk": prefix_topk_q,
+        "wildcard_topk": wildcard_topk_q,
+        "fuzzy_topk": fuzzy_topk_q,
+        "mlt_topk": mlt_topk_q,
+        "bm25f_topk": bm25f_topk_q,
         # -- long-green round-1 entries fill the rest of the driver window --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -2280,6 +2495,29 @@ GROUP BY r.qid""",
         "compact_identity": "SELECT 0::BIGINT AS mismatches",
         "highlight_topk": _highlight_sql(),
         "federated_identity": "SELECT 0::BIGINT AS mismatches",
+        "prefix_topk": _expand_topk_sql(
+            PREFIX_QUERIES, lambda p: f"term LIKE '{p}%'", PREFIX_MAXEXP
+        ),
+        "wildcard_topk": _expand_topk_sql(
+            WILDCARD_QUERIES,
+            lambda p: f"regexp_matches(term, '{wildcard_to_regex(p)}')",
+            WILDCARD_MAXEXP,
+        ),
+        "fuzzy_topk": _expand_topk_sql(
+            FUZZY_QUERIES,
+            lambda p: (
+                f"levenshtein(term, '{p}') <= {FUZZY_MAX_EDITS}"
+                + (
+                    f" AND substr(term, 1, {FUZZY_PREFIX_LEN})"
+                    f" = '{p[:FUZZY_PREFIX_LEN]}'"
+                    if FUZZY_PREFIX_LEN
+                    else ""
+                )
+            ),
+            FUZZY_MAXEXP,
+        ),
+        "mlt_topk": _mlt_sql(MLT_SEEDS, MLT_MAX_TERMS),
+        "bm25f_topk": _bm25f_sql(),
         "phrase_match": _phrase_sql(),
         "phrase_batch": _phrase_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),

@@ -32,6 +32,8 @@ local top-k); the merge moves only n_chunks * k * |Q| tiny rows.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -662,6 +664,185 @@ class Searcher:
             {int(t) for tids, _, _ in qinfo2.values() for t in tids}
         )
         return self._search_prepared(qinfo2, all_terms2, k, prune)
+
+    # ------------------------------------------------- multi-term rewrites
+    # Lucene PrefixQuery / WildcardQuery / FuzzyQuery / MoreLikeThis over the
+    # index: expand against the term DICTIONARY, cap at max_expansions
+    # keeping highest-df terms (== lowest idf; the stored idf is strictly
+    # decreasing in df, so (idf ASC, term ASC) is exactly Lucene's
+    # top-terms-by-docFreq rewrite order), then score the expansion as an
+    # ordinary SHOULD-of-terms query (qtf=1 per term) through the same WAND
+    # kernel. Semantics twin: operators/expand.py (the DataFrame slow path
+    # the DuckDB oracles check). NOTE under a federated corpus_stats idf
+    # override the cap orders by the OVERRIDDEN (global) idf — that is the
+    # correct federation behavior (all shards cap identically).
+
+    def _expanded_qinfo(
+        self, pairs: list[tuple[str, str]], match_py, match_col, max_expansions: int
+    ) -> tuple[dict, list[int]]:
+        qinfo: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for qid, pat in pairs:
+            if self._tid_cache is not None:
+                hits = [
+                    (idf, t, tid)
+                    for t, (tid, idf) in self._tid_cache.items()
+                    if match_py(pat, t)
+                ]
+                hits.sort(key=lambda x: (x[0], x[1]))
+                trips = [(tid, 1.0, idf) for idf, _, tid in hits[:max_expansions]]
+            else:
+                rows = (
+                    self._tdict.filter(match_col(pat))
+                    .orderBy(F.col("idf").asc(), F.col("term").asc())
+                    .limit(max_expansions)
+                    .collect()
+                )
+                trips = [(int(r["term_id"]), 1.0, float(r["idf"])) for r in rows]
+            if trips:
+                trips.sort()
+                qinfo[qid] = (
+                    np.array([t for t, _, _ in trips], dtype=np.int64),
+                    np.array([q for _, q, _ in trips], dtype=np.float64),
+                    np.array([i for _, _, i in trips], dtype=np.float64),
+                )
+        all_terms = sorted({int(t) for tids, _, _ in qinfo.values() for t in tids})
+        return qinfo, all_terms
+
+    def search_prefix(
+        self,
+        pairs: list[tuple[str, str]],
+        k: int = 1000,
+        max_expansions: int = 1024,
+        prune: bool = True,
+    ) -> DataFrame:
+        """PrefixQuery: ``pairs`` = [(qid, prefix)] -> (qid, docid, rank,
+        score) top-k over terms starting with each prefix."""
+        qinfo, all_terms = self._expanded_qinfo(
+            pairs,
+            lambda p, t: t.startswith(p),
+            lambda p: F.col("term").startswith(p),
+            max_expansions,
+        )
+        return self._search_prepared(qinfo, all_terms, k, prune)
+
+    def search_wildcard(
+        self,
+        pairs: list[tuple[str, str]],
+        k: int = 1000,
+        max_expansions: int = 1024,
+        prune: bool = True,
+    ) -> DataFrame:
+        """WildcardQuery (* = any run, ? = one char). A leading wildcard
+        scans the whole dictionary (as in Lucene) — still |V|, never the
+        corpus."""
+        from dhr_spark.operators.expand import wildcard_to_regex
+
+        def py(p, t, _c={}):
+            rx = _c.get(p)
+            if rx is None:
+                rx = _c[p] = re.compile(wildcard_to_regex(p))
+            return rx.match(t) is not None
+
+        qinfo, all_terms = self._expanded_qinfo(
+            pairs,
+            py,
+            lambda p: F.col("term").rlike(wildcard_to_regex(p)),
+            max_expansions,
+        )
+        return self._search_prepared(qinfo, all_terms, k, prune)
+
+    def search_fuzzy(
+        self,
+        pairs: list[tuple[str, str]],
+        k: int = 1000,
+        max_edits: int = 2,
+        prefix_len: int = 1,
+        max_expansions: int = 50,
+        prune: bool = True,
+    ) -> DataFrame:
+        """FuzzyQuery: plain Levenshtein <= max_edits with an exact
+        ``prefix_len``-char prefix gate (Lucene prefixLength; it is also the
+        scan bound a sorted term dictionary would use). maxExpansions=50 is
+        Lucene's default."""
+        from dhr_spark.operators.expand import levenshtein_py
+
+        def py(p, t):
+            if prefix_len and t[:prefix_len] != p[:prefix_len]:
+                return False
+            if abs(len(t) - len(p)) > max_edits:
+                return False
+            return levenshtein_py(p, t) <= max_edits
+
+        def col(p):
+            c = F.levenshtein(F.col("term"), F.lit(p)) <= max_edits
+            if prefix_len:
+                c = c & (
+                    F.substring(F.col("term"), 1, prefix_len) == p[:prefix_len]
+                )
+            return c
+
+        qinfo, all_terms = self._expanded_qinfo(pairs, py, col, max_expansions)
+        return self._search_prepared(qinfo, all_terms, k, prune)
+
+    def search_like(
+        self,
+        seeds: list[tuple[str, int]],
+        k: int = 1000,
+        max_query_terms: int = 10,
+        prune: bool = True,
+    ) -> DataFrame:
+        """MoreLikeThis: ``seeds`` = [(qid, seed_docid)] -> top-k documents
+        similar to each seed, the seed itself excluded BEFORE ranking.
+
+        Query construction reads the seed documents' term vectors from the
+        FORWARD index (build with ``forward_index=True``; docid isin prunes
+        to the seeds' chunks), ranks terms by round(tf·idf, 6) DESC then term
+        ASC (Lucene MoreLikeThis interestingness order, made
+        engine-deterministic by the rounding), keeps ``max_query_terms``, and
+        scores them as a SHOULD-of-terms query (qtf=1). Searches k+1 deep so
+        dropping the seed still yields k dense ranks."""
+        from dhr_spark.operators.expand import exclude_seeds_and_rank
+
+        if not self.manifest.get("forward_index"):
+            raise ValueError(
+                "index was built without forward_index=True; MoreLikeThis "
+                "needs the doc-major term vectors (rebuild or append with "
+                "the flag)"
+            )
+        ids = sorted({int(d) for _, d in seeds})
+        fwd = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/forward")
+        )
+        vec_rows = (
+            F.broadcast(fwd.filter(F.col("docid").isin(ids)))
+            .join(self._tdict, "term_id")
+            .select("docid", "term", "term_id", "idf", "tf")
+            .collect()
+        )
+        by_doc: dict[int, list] = {}
+        for r in vec_rows:
+            by_doc.setdefault(int(r["docid"]), []).append(r)
+        qinfo: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for qid, d in seeds:
+            rows = by_doc.get(int(d), [])
+            ranked = sorted(
+                rows,
+                key=lambda r: (-round(r["tf"] * r["idf"], 6), r["term"]),
+            )[:max_query_terms]
+            trips = sorted(
+                (int(r["term_id"]), 1.0, float(r["idf"])) for r in ranked
+            )
+            if trips:
+                qinfo[qid] = (
+                    np.array([t for t, _, _ in trips], dtype=np.int64),
+                    np.array([q for _, q, _ in trips], dtype=np.float64),
+                    np.array([i for _, _, i in trips], dtype=np.float64),
+                )
+        all_terms = sorted({int(t) for tids, _, _ in qinfo.values() for t in tids})
+        res = self._search_prepared(qinfo, all_terms, k + 1, prune)
+        return exclude_seeds_and_rank(
+            res.select("qid", "docid", "score"), seeds, k
+        )
 
     def search_phrase(self, phrase: str, slop: int = 0) -> DataFrame:
         """(docid, n_matches, first_pos): phrase matches served from the

@@ -8,7 +8,9 @@
 Repeat --index-dir to FEDERATE shard indexes (time/tenant partitions)
 under exact merged global BM25 stats; --k1/--b override the similarity at
 query time (no reindex); --rm3 / --phrases / --highlight select the
-expansion, batch-phrase, and stored-field snippet modes.
+expansion, batch-phrase, and stored-field snippet modes; --rewrite runs
+the multi-term rewrites (prefix/wildcard/fuzzy patterns, or mlt with the
+query text holding the seed docid).
 
 Local sandbox: python scripts/run_queries.py --index-dir /tmp/idx --synthetic 50
 """
@@ -54,6 +56,18 @@ def main() -> None:
                         "(qid, docid, rank, score, start, n_hits, snippet)")
     p.add_argument("--width", type=int, default=10,
                    help="snippet window width in tokens (--highlight)")
+    p.add_argument("--rewrite", choices=["prefix", "wildcard", "fuzzy", "mlt"],
+                   help="multi-term rewrite mode: the query text column "
+                        "carries the pattern (prefix/wildcard/fuzzy) or the "
+                        "seed docid (mlt; needs --forward-index at build)")
+    p.add_argument("--max-expansions", type=int, default=None,
+                   help="rewrite expansion cap (default: 1024, fuzzy 50)")
+    p.add_argument("--max-edits", type=int, default=2,
+                   help="fuzzy edit-distance bound")
+    p.add_argument("--prefix-len", type=int, default=1,
+                   help="fuzzy exact-prefix gate length")
+    p.add_argument("--mlt-terms", type=int, default=10,
+                   help="MoreLikeThis max query terms")
     p.add_argument("--k1", type=float, default=None,
                    help="query-time BM25 k1 override (no reindex)")
     p.add_argument("--b", type=float, default=None,
@@ -63,9 +77,12 @@ def main() -> None:
     if args.phrases and args.trec:
         p.error("--trec needs ranked (qid, docid, rank, score) output; "
                 "--phrases emits (qid, docid, n_matches, first_pos)")
-    if len(args.index_dirs) > 1 and (args.phrases or args.rm3 or args.highlight):
+    if len(args.index_dirs) > 1 and (
+        args.phrases or args.rm3 or args.highlight or args.rewrite
+    ):
         p.error("federated (multiple --index-dir) currently serves ranked "
-                "search only; run --phrases/--rm3/--highlight per shard")
+                "search only; run --phrases/--rm3/--highlight/--rewrite "
+                "per shard")
 
     from dhr_spark.session import get_spark
     from dhr_spark.operators.wand import Searcher
@@ -102,6 +119,26 @@ def main() -> None:
             )
         elif args.highlight:
             run = searcher.highlight(queries, k=args.k, width=args.width)
+        elif args.rewrite:
+            pairs = [(r["qid"], r["text"]) for r in queries.collect()]
+            prune = not args.no_prune
+            if args.rewrite == "mlt":
+                run = searcher.search_like(
+                    [(q, int(t)) for q, t in pairs], k=args.k,
+                    max_query_terms=args.mlt_terms, prune=prune,
+                )
+            elif args.rewrite == "fuzzy":
+                run = searcher.search_fuzzy(
+                    pairs, k=args.k, max_edits=args.max_edits,
+                    prefix_len=args.prefix_len,
+                    max_expansions=args.max_expansions or 50, prune=prune,
+                )
+            else:
+                fn = (searcher.search_prefix if args.rewrite == "prefix"
+                      else searcher.search_wildcard)
+                run = fn(pairs, k=args.k,
+                         max_expansions=args.max_expansions or 1024,
+                         prune=prune)
         else:
             run = searcher.search(queries, k=args.k, prune=not args.no_prune)
     if args.output:

@@ -228,3 +228,32 @@ def test_ivfpq_broadcasts_probes_and_tables(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_expansion_touches_dictionary_not_corpus(spark, idx):
+    """Query-rewrite expansion (prefix/wildcard/fuzzy) is a |V|-row
+    dictionary scan with a per-qid window cap — no corpus/postings read and
+    no cartesian anywhere in the expansion subplan."""
+    from dhr_spark.operators.expand import expand_prefix
+
+    tdict = spark.read.parquet(f"{idx}/term_dict")
+    out = expand_prefix(tdict, [("q1", "a"), ("q2", "b")], max_expansions=4)
+    plan = _plan(out)
+    assert plan.lower().count("scan parquet") == 2  # one per pattern, dict only
+    assert "segments" not in plan and "Cartesian" not in plan
+
+
+def test_bm25f_single_tf_shuffle_and_broadcast_df(spark):
+    """BM25F adds NO shuffle over plain term-frequency extraction: one
+    explode -> groupBy((conv,term)) exchange (+ wdl agg + df agg), with the
+    tiny per-term df joined broadcast."""
+    from dhr_spark.operators.fielded import bm25f_postings
+
+    turns = spark.createDataFrame(
+        [(0, "user", ["a", "b"]), (0, "tool", ["b", "c"]), (1, "user", ["c"])],
+        "conv_id long, role string, tokens array<string>",
+    )
+    out = bm25f_postings(turns, {"user": 2.0, "tool": 0.5})
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
