@@ -524,6 +524,104 @@ class Searcher:
         qinfo, all_terms = self._query_info(queries)
         return self._search_prepared(qinfo, all_terms, k, prune)
 
+    def explain(self, queries: DataFrame, results: DataFrame) -> DataFrame:
+        """Per-term BM25 score breakdown for each (qid, docid) hit — the
+        Lucene ``IndexSearcher.explain`` analogue, flattened relationally:
+        one row per matching query term with every scoring input exposed.
+
+        Returns (qid, docid, term, qtf, tf, dl, idf, weight) where
+        weight = qtf · idf · tf/(tf + k1(1-b+b·dl/avgdl)) under THIS
+        searcher's k1/b/avgdl (overrides included), so
+        sum(weight) GROUP BY (qid, docid) reproduces ``search`` scores
+        exactly. Non-matching query terms emit no row (Lucene's "no match
+        on required clause" leaf is an absence here).
+
+        Serving shape: term vectors come from the FORWARD index (build with
+        ``forward_index=True``); the result docids' chunk set prunes the
+        scan to hit partitions and the docid isin pushes into row groups —
+        explaining a page of hits reads kilobytes. Query analysis and term
+        lookup reuse the resident dictionary (zero extra jobs); beyond
+        MAX_FETCH_DOCS distinct docids it degrades to a broadcast hash join
+        over the manifest-pruned forward scan (offline-audit shape)."""
+        if not self.manifest.get("forward_index"):
+            raise ValueError(
+                "index was built without forward_index=True; explain needs "
+                "the doc-major term vectors (rebuild or append with the flag)"
+            )
+        qinfo, _ = self._query_info(queries)
+        id2term = (
+            {tid: t for t, (tid, _) in self._tid_cache.items()}
+            if self._tid_cache is not None
+            else None
+        )
+        qrows = []
+        for qid, (tids, qtfs, idfs) in qinfo.items():
+            for tid, qtf, idf in zip(tids, qtfs, idfs):
+                qrows.append((qid, int(tid), float(qtf), float(idf)))
+        if not qrows:
+            return self.spark.createDataFrame(
+                [], "qid string, docid long, term string, qtf long, "
+                    "tf long, dl long, idf double, weight double"
+            )
+        qterms = self.spark.createDataFrame(
+            qrows, "qid string, term_id long, qtf double, idf double"
+        )
+        if id2term is not None:
+            term_of = {tid: id2term[tid] for _, tid, _, _ in qrows}
+            qterms = qterms.withColumn(
+                "term",
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for kv in term_of.items() for x in kv]
+                    ),
+                    F.col("term_id"),
+                ),
+            )
+        else:
+            qterms = qterms.join(
+                self._tdict.select("term_id", "term"), "term_id"
+            )
+        chunk_bits = int(self.manifest["chunk_bits"])
+        fwd = self.spark.read.parquet(f"{self.index_dir}/forward")
+        # search never returns tombstoned docs; keep explain consistent
+        pairs = self._filter_live(results.select("qid", "docid").distinct())
+        ids = [
+            int(r["docid"])
+            for r in pairs.select("docid")
+            .distinct()
+            .limit(self.MAX_FETCH_DOCS + 1)
+            .collect()
+        ]
+        if len(ids) <= self.MAX_FETCH_DOCS:
+            chunks = sorted({i >> chunk_bits for i in ids})
+            fwd = fwd.filter(
+                F.col("chunk").isin(chunks) & F.col("docid").isin(ids)
+            )
+        else:
+            fwd = self._prune_to_manifest(fwd)
+        from dhr_spark.functions.bm25 import bm25_weight_col
+
+        return (
+            fwd.join(F.broadcast(pairs), "docid")
+            .join(F.broadcast(qterms), ["qid", "term_id"])
+            .select(
+                "qid",
+                "docid",
+                "term",
+                F.col("qtf").cast("long").alias("qtf"),
+                F.col("tf").cast("long").alias("tf"),
+                F.col("dl").cast("long").alias("dl"),
+                "idf",
+                (
+                    F.col("qtf")
+                    * bm25_weight_col(
+                        F.col("tf"), F.col("dl"), F.col("idf"),
+                        F.lit(self._avgdl), self.k1, self.b,
+                    )
+                ).alias("weight"),
+            )
+        )
+
     def _search_prepared(
         self, qinfo: dict, all_terms: list[int], k: int, prune: bool
     ) -> DataFrame:

@@ -68,21 +68,27 @@ def main() -> None:
                    help="fuzzy exact-prefix gate length")
     p.add_argument("--mlt-terms", type=int, default=10,
                    help="MoreLikeThis max query terms")
+    p.add_argument("--explain", action="store_true",
+                   help="emit the per-term score breakdown of the top-k "
+                        "hits instead of the run (Lucene explain; index "
+                        "must have --forward-index): (qid, docid, term, "
+                        "qtf, tf, dl, idf, weight)")
     p.add_argument("--k1", type=float, default=None,
                    help="query-time BM25 k1 override (no reindex)")
     p.add_argument("--b", type=float, default=None,
                    help="query-time BM25 b override (no reindex)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
-    if args.phrases and args.trec:
+    if (args.phrases or args.explain) and args.trec:
         p.error("--trec needs ranked (qid, docid, rank, score) output; "
-                "--phrases emits (qid, docid, n_matches, first_pos)")
+                "--phrases/--explain emit diagnostic row shapes")
     if len(args.index_dirs) > 1 and (
         args.phrases or args.rm3 or args.highlight or args.rewrite
+        or args.explain
     ):
         p.error("federated (multiple --index-dir) currently serves ranked "
-                "search only; run --phrases/--rm3/--highlight/--rewrite "
-                "per shard")
+                "search only; run --phrases/--rm3/--highlight/--rewrite/"
+                "--explain per shard")
 
     from dhr_spark.session import get_spark
     from dhr_spark.operators.wand import Searcher
@@ -139,6 +145,11 @@ def main() -> None:
                 run = fn(pairs, k=args.k,
                          max_expansions=args.max_expansions or 1024,
                          prune=prune)
+        elif args.explain:
+            run = searcher.explain(
+                queries, searcher.search(queries, k=args.k,
+                                         prune=not args.no_prune)
+            )
         else:
             run = searcher.search(queries, k=args.k, prune=not args.no_prune)
     if args.output:
