@@ -64,6 +64,9 @@ RM3_FB_DOCS, RM3_FB_TERMS, RM3_BETA = 5, 10, 0.5
 SNIPPET_TERMS = ["table", "hash", "merge"]
 SNIPPET_WIDTH = 8
 EXPLAIN_K = 5
+TV_DOCIDS = [3, 57, 101]  # term-vector fixture docs
+SUGGEST_TERMS = ["tabel", "quary", "sow", "zzzzzzz"]
+SUGGEST_N, SUGGEST_EDITS, SUGGEST_PREFIX = 5, 2, 1
 
 # multi-term rewrite query sets (matching + cap-binding + no-match patterns)
 PREFIX_QUERIES: list[tuple[str, str]] = [
@@ -528,6 +531,55 @@ SELECT qid, docid, term, qtf, tf, dl,
        round(CAST(round(idf, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS idf_r,
        round(CAST(round(weight, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS weight_r
 FROM expl"""
+
+
+def _term_vectors_sql() -> str:
+    """Oracle for Searcher.term_vectors: the fixture docs' analyzed term
+    vectors re-derived from the corpus."""
+    ids = ", ".join(str(i) for i in TV_DOCIDS)
+    return f"""WITH {_TOKS_CTE}
+SELECT tf.doc_id AS docid, tf.term, tf.tf, dl.dl
+FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+WHERE tf.doc_id IN ({ids})"""
+
+
+def _suggest_sql() -> str:
+    """Oracle for Searcher.suggest: dictionary terms within plain
+    Levenshtein SUGGEST_EDITS sharing the first SUGGEST_PREFIX chars,
+    ranked df DESC then term ASC (the engine ranks idf ASC — identical
+    order), input term itself excluded."""
+    vals = ", ".join(f"('{t}')" for t in SUGGEST_TERMS)
+    return f"""WITH {_TOKS_CTE},
+inp(input) AS (VALUES {vals}),
+cand AS (
+  SELECT inp.input, ts.term AS suggestion,
+         levenshtein(ts.term, inp.input)::INTEGER AS dist, ts.df
+  FROM ts CROSS JOIN inp
+  WHERE levenshtein(ts.term, inp.input) <= {SUGGEST_EDITS}
+    AND ts.term <> inp.input
+    AND substr(ts.term, 1, {SUGGEST_PREFIX}) = substr(inp.input, 1, {SUGGEST_PREFIX})
+)
+SELECT input, suggestion, dist, rank FROM (
+  SELECT input, suggestion, dist,
+         CAST(row_number() OVER (
+           PARTITION BY input ORDER BY df DESC, suggestion ASC
+         ) AS INTEGER) AS rank
+  FROM cand
+) WHERE rank <= {SUGGEST_N}"""
+
+
+def _index_stats_sql() -> str:
+    """Oracle for Searcher.stats_df: every statistic re-derived from the
+    corpus. n_chunks relies on the entry index's dense 0-based docids
+    (docid == doc_id) and chunk_bits=10."""
+    return f"""WITH {_TOKS_CTE}
+SELECT cs.n_docs,
+       (SELECT count(*) FROM ts)::BIGINT AS n_terms,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_dl,
+       round(CAST(round(cs.avgdl, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS avgdl_r,
+       (SELECT count(*) FROM tf)::BIGINT AS total_postings,
+       ((SELECT max(doc_id) FROM dl) // 1024 + 1)::BIGINT AS n_chunks
+FROM cs"""
 
 
 def _lang_sql() -> str:
@@ -2226,6 +2278,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bm25f_topk(_qtfs(spark), turns, BM25F_WEIGHTS, k=TOPK)
         )
 
+    def term_vectors_q(spark, sf):
+        # Lucene getTermVector analogue: forward-index read, chunk-pruned
+        return _searcher(spark, sf).term_vectors(TV_DOCIDS)
+
+    def term_suggest_q(spark, sf):
+        # Lucene DirectSpellChecker analogue: dictionary-only candidates
+        return _searcher(spark, sf).suggest(
+            SUGGEST_TERMS, max_edits=SUGGEST_EDITS,
+            prefix_len=SUGGEST_PREFIX, n=SUGGEST_N,
+        )
+
+    def index_stats_q(spark, sf):
+        # CheckIndex-style one-row stats; avgdl double-rounded for parity
+        return _searcher(spark, sf).stats_df().select(
+            "n_docs", "n_terms", "total_dl",
+            F.round(F.round("avgdl", 6), 4).alias("avgdl_r"),
+            "total_postings", "n_chunks",
+        )
+
     def explain_scores_q(spark, sf):
         # Lucene IndexSearcher.explain analogue: per-term score breakdown
         # for each top-EXPLAIN_K hit, served from the forward index
@@ -2287,6 +2358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": mlt_topk_q,
         "bm25f_topk": bm25f_topk_q,
         "explain_scores": explain_scores_q,
+        "term_vectors": term_vectors_q,
+        "term_suggest": term_suggest_q,
+        "index_stats": index_stats_q,
         # -- long-green round-1 entries fill the rest of the driver window --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -2559,6 +2633,9 @@ GROUP BY r.qid""",
         "mlt_topk": _mlt_sql(MLT_SEEDS, MLT_MAX_TERMS),
         "bm25f_topk": _bm25f_sql(),
         "explain_scores": _explain_sql(),
+        "term_vectors": _term_vectors_sql(),
+        "term_suggest": _suggest_sql(),
+        "index_stats": _index_stats_sql(),
         "phrase_match": _phrase_sql(),
         "phrase_batch": _phrase_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),

@@ -1176,6 +1176,133 @@ class Searcher:
 
     MAX_FETCH_DOCS = 1_000_000
 
+    def term_vectors(self, docids: list[int] | DataFrame) -> DataFrame:
+        """(docid, term, tf, dl): a document's analyzed term vector — the
+        Lucene ``IndexReader.getTermVector`` analogue, served from the
+        forward index (build with ``forward_index=True``).
+
+        A literal docid list prunes to the docids' chunk partitions with
+        row-group isin pushdown (kilobytes read per doc); a DataFrame
+        argument (offline audits) broadcast-semi-joins the manifest-pruned
+        forward scan instead. Tombstoned docids emit no rows."""
+        if not self.manifest.get("forward_index"):
+            raise ValueError(
+                "index was built without forward_index=True; term_vectors "
+                "reads the doc-major vectors (rebuild or append with the flag)"
+            )
+        fwd = self.spark.read.parquet(f"{self.index_dir}/forward")
+        if isinstance(docids, DataFrame):
+            fwd = self._prune_to_manifest(fwd).join(
+                F.broadcast(docids.select("docid").distinct()),
+                "docid",
+                "left_semi",
+            )
+        else:
+            ids = sorted({int(d) for d in docids})
+            chunk_bits = int(self.manifest["chunk_bits"])
+            chunks = sorted({i >> chunk_bits for i in ids})
+            fwd = fwd.filter(
+                F.col("chunk").isin(chunks) & F.col("docid").isin(ids)
+            )
+        out = fwd.join(
+            F.broadcast(self._tdict.select("term_id", "term")), "term_id"
+        ).select("docid", "term", "tf", "dl")
+        return self._filter_live(out)
+
+    def suggest(
+        self,
+        terms: list[str],
+        max_edits: int = 2,
+        prefix_len: int = 1,
+        n: int = 5,
+    ) -> DataFrame:
+        """(input, suggestion, dist, rank): spell suggestions per input term
+        — the Lucene DirectSpellChecker shape. Candidates are dictionary
+        terms within plain Levenshtein ``max_edits`` sharing an exact
+        ``prefix_len``-char prefix, ranked by document frequency DESC (idf
+        ASC) then term ASC, top ``n`` kept; the input term itself (dist 0)
+        is never suggested. Touches only the |V|-row dictionary."""
+        from dhr_spark.operators.expand import levenshtein_py
+
+        rows = []
+        if self._tid_cache is not None:
+            for inp in terms:
+                cands = []
+                for t, (_, idf) in self._tid_cache.items():
+                    if prefix_len and t[:prefix_len] != inp[:prefix_len]:
+                        continue
+                    if abs(len(t) - len(inp)) > max_edits or t == inp:
+                        continue
+                    d = levenshtein_py(inp, t)
+                    if d <= max_edits:
+                        cands.append((idf, t, d))
+                cands.sort(key=lambda x: (x[0], x[1]))
+                rows += [
+                    (inp, t, d, r + 1)
+                    for r, (_, t, d) in enumerate(cands[:n])
+                ]
+            return self.spark.createDataFrame(
+                rows, "input string, suggestion string, dist int, rank int"
+            )
+        # huge-vocabulary fallback: distributed dictionary scan per batch
+        inp_df = self.spark.createDataFrame(
+            [(t,) for t in terms], "input string"
+        )
+        cand = (
+            self._tdict.crossJoin(F.broadcast(inp_df))
+            .filter(
+                (F.levenshtein(F.col("term"), F.col("input")) <= max_edits)
+                & (F.col("term") != F.col("input"))
+                & (
+                    F.substring(F.col("term"), 1, prefix_len)
+                    == F.substring(F.col("input"), 1, prefix_len)
+                    if prefix_len
+                    else F.lit(True)
+                )
+            )
+            .select(
+                "input",
+                F.col("term").alias("suggestion"),
+                F.levenshtein(F.col("term"), F.col("input"))
+                .cast("int")
+                .alias("dist"),
+                "idf",
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("input").orderBy(
+            F.col("idf").asc(), F.col("suggestion").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= n)
+            .drop("idf")
+        )
+
+    def stats_df(self) -> DataFrame:
+        """One-row index statistics — the Lucene CheckIndex/IndexReader
+        stats surface: (n_docs, n_terms, total_dl, avgdl, total_postings,
+        n_chunks). Counts come from the manifest (the atomic commit record);
+        total_postings sums the per-(chunk, term) posting counts stored in
+        the segment rows — no posting decode."""
+        man = self.manifest
+        tp = self._seg.agg(F.sum("n").alias("tp")).collect()[0]["tp"]
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(man["n_docs"]),
+                    int(man["n_terms"]),
+                    int(man["total_dl"]),
+                    float(man["total_dl"]) / int(man["n_docs"]),
+                    int(tp),
+                    len(man["chunks"]),
+                )
+            ],
+            "n_docs long, n_terms long, total_dl long, avgdl double, "
+            "total_postings long, n_chunks long",
+        )
+
     def fetch_stored(self, results: DataFrame) -> DataFrame:
         """Attach the stored original text to a (docid, ...) result frame —
         Lucene stored-field retrieval. Requires ``build_index(...,

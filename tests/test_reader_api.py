@@ -1,0 +1,101 @@
+"""Index-reader surfaces: term_vectors / suggest / stats_df.
+
+Contracts: term vectors round-trip the analyzed corpus exactly (tf/dl per
+(docid, term) equal the tokenizer's counts); suggest's resident-dict and
+distributed paths are identical; stats_df agrees with a direct recount.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.data.synthetic import synth_transcripts
+from dhr_spark.index.builder import build_index
+from dhr_spark.operators.docids import with_docids
+from dhr_spark.operators.termfreq import doc_lengths, term_freqs, with_tokens
+from dhr_spark.operators.wand import Searcher
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("reader_idx") / "idx")
+    tr = synth_transcripts(spark, 40)
+    build_index(
+        spark, tr, idx, chunk_bits=6, block_size=8,
+        docid_strategy="window", forward_index=True,
+    )
+    tok = with_tokens(with_docids(tr, "window"), mode="lucene")
+    return dict(
+        idx=idx,
+        searcher=Searcher(spark, idx),
+        tfs=term_freqs(tok),
+        dls=doc_lengths(tok),
+    )
+
+
+def test_term_vectors_roundtrip_corpus(spark, env):
+    ids = [1, 7, 23]
+    got = {
+        (r["docid"], r["term"]): (r["tf"], r["dl"])
+        for r in env["searcher"].term_vectors(ids).collect()
+    }
+    exp_tf = env["tfs"].filter(F.col("docid").isin(ids)).collect()
+    exp_dl = {
+        r["docid"]: r["dl"]
+        for r in env["dls"].filter(F.col("docid").isin(ids)).collect()
+    }
+    assert got and len(got) == len(exp_tf)
+    for r in exp_tf:
+        assert got[(r["docid"], r["term"])] == (r["tf"], exp_dl[r["docid"]])
+
+
+def test_term_vectors_dataframe_arg_matches_list(spark, env):
+    ids = [2, 9]
+    df_arg = spark.createDataFrame([(i,) for i in ids], "docid long")
+    a = sorted(map(tuple, env["searcher"].term_vectors(ids).collect()))
+    b = sorted(map(tuple, env["searcher"].term_vectors(df_arg).collect()))
+    assert a == b and a
+
+
+def test_term_vectors_requires_forward_index(spark, tmp_path):
+    idx = str(tmp_path / "nofwd")
+    build_index(spark, synth_transcripts(spark, 8), idx, chunk_bits=6,
+                block_size=8, docid_strategy="window")
+    with pytest.raises(ValueError, match="forward_index"):
+        Searcher(spark, idx).term_vectors([0])
+
+
+def test_suggest_resident_equals_distributed(spark, env):
+    s = env["searcher"]
+    terms = ["tabel", "quary", "xqzwv", "sow"]
+    fast = sorted(map(tuple, s.suggest(terms, n=4).collect()))
+    assert s._tid_cache is not None
+    saved = s._tid_cache
+    try:
+        s._tid_cache = None
+        slow = sorted(map(tuple, s.suggest(terms, n=4).collect()))
+    finally:
+        s._tid_cache = saved
+    assert fast == slow and fast
+    # never suggests the input itself; respects rank bounds
+    for inp, sug, dist, rank in fast:
+        assert sug != inp and 1 <= rank <= 4 and 1 <= dist <= 2
+
+
+def test_suggest_no_candidates(spark, env):
+    assert env["searcher"].suggest(["zzzzzzz"]).count() == 0
+
+
+def test_stats_df_matches_recount(spark, env):
+    row = env["searcher"].stats_df().collect()[0]
+    n_docs = env["dls"].count()
+    total_dl = env["dls"].agg(F.sum("dl")).collect()[0][0]
+    n_terms = env["tfs"].select("term").distinct().count()
+    postings = env["tfs"].count()
+    assert row["n_docs"] == n_docs
+    assert row["total_dl"] == total_dl
+    assert row["n_terms"] == n_terms
+    assert row["total_postings"] == postings
+    assert row["avgdl"] == pytest.approx(total_dl / n_docs)
+    assert row["n_chunks"] >= 1
