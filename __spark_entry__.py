@@ -65,6 +65,7 @@ SNIPPET_TERMS = ["table", "hash", "merge"]
 SNIPPET_WIDTH = 8
 EXPLAIN_K = 5
 TV_DOCIDS = [3, 57, 101]  # term-vector fixture docs
+PAGE_SIZE = 5  # searchAfter page size
 SUGGEST_TERMS = ["tabel", "quary", "sow", "zzzzzzz"]
 SUGGEST_N, SUGGEST_EDITS, SUGGEST_PREFIX = 5, 2, 1
 
@@ -531,6 +532,25 @@ SELECT qid, docid, term, qtf, tf, dl,
        round(CAST(round(idf, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS idf_r,
        round(CAST(round(weight, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS weight_r
 FROM expl"""
+
+
+def _hit_counts_sql() -> str:
+    """Oracle for Searcher.count: distinct docs matching ANY query term."""
+    return f"""WITH {_TOKS_CTE}, {_q_values()}
+SELECT q.qid, count(DISTINCT tf.doc_id)::BIGINT AS n
+FROM (SELECT DISTINCT qid, term FROM q) q
+JOIN tf USING (term)
+GROUP BY q.qid"""
+
+
+def _search_after_sql() -> str:
+    """Oracle for Searcher.search_after: ranks PAGE_SIZE+1..2*PAGE_SIZE of
+    the full ranking, re-numbered page-locally. Queries with <= PAGE_SIZE
+    hits fall out of the window — matching the entry's no-cursor exclusion."""
+    return f"""WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE}
+SELECT qid, docid, (rank - {PAGE_SIZE})::INTEGER AS rank, score
+FROM ranked
+WHERE rank > {PAGE_SIZE} AND rank <= {2 * PAGE_SIZE}"""
 
 
 def _term_vectors_sql() -> str:
@@ -2297,6 +2317,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "total_postings", "n_chunks",
         )
 
+    def hit_counts_q(spark, sf):
+        # TotalHitCountCollector analogue: docid-blocks-only decode
+        return _searcher(spark, sf).count(_queries_df(spark))
+
+    def search_after_q(spark, sf):
+        # searchAfter page 2 (size PAGE_SIZE): cursor = last hit of page 1;
+        # queries with <= PAGE_SIZE total hits have no cursor and emit
+        # nothing — exactly the oracle's empty rank-(PAGE_SIZE+1..2*PAGE_SIZE)
+        # window for those qids
+        s = _searcher(spark, sf)
+        q = _queries_df(spark)
+        p1 = s.search(q, k=PAGE_SIZE)
+        cursors = {
+            r["qid"]: (r["score"], r["docid"])
+            for r in p1.filter(F.col("rank") == PAGE_SIZE).collect()
+        }
+        q2 = q.filter(F.col("qid").isin(list(cursors.keys())))
+        return _round4(s.search_after(q2, cursors, size=PAGE_SIZE))
+
     def explain_scores_q(spark, sf):
         # Lucene IndexSearcher.explain analogue: per-term score breakdown
         # for each top-EXPLAIN_K hit, served from the forward index
@@ -2358,6 +2397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": mlt_topk_q,
         "bm25f_topk": bm25f_topk_q,
         "explain_scores": explain_scores_q,
+        "hit_counts": hit_counts_q,
+        "search_after_page": search_after_q,
         "term_vectors": term_vectors_q,
         "term_suggest": term_suggest_q,
         "index_stats": index_stats_q,
@@ -2633,6 +2674,8 @@ GROUP BY r.qid""",
         "mlt_topk": _mlt_sql(MLT_SEEDS, MLT_MAX_TERMS),
         "bm25f_topk": _bm25f_sql(),
         "explain_scores": _explain_sql(),
+        "hit_counts": _hit_counts_sql(),
+        "search_after_page": _search_after_sql(),
         "term_vectors": _term_vectors_sql(),
         "term_suggest": _suggest_sql(),
         "index_stats": _index_stats_sql(),

@@ -148,6 +148,10 @@ class MultiSearcher:
             ),
             k,
         )
+        return self._unpack(merged)
+
+    @staticmethod
+    def _unpack(merged: DataFrame) -> DataFrame:
         return merged.select(
             "qid",
             F.shiftright(F.col("docid"), _INDEX_SHIFT)
@@ -159,3 +163,57 @@ class MultiSearcher:
             "rank",
             "score",
         )
+
+    def count(self, queries: DataFrame) -> DataFrame:
+        """(qid, n): exact global hit count — member shards hold disjoint
+        documents, so the federation total is the per-shard sum."""
+        u = self.searchers[0].count(queries)
+        for s in self.searchers[1:]:
+            u = u.unionByName(s.count(queries))
+        return u.groupBy("qid").agg(F.sum("n").alias("n"))
+
+    def search_after(
+        self,
+        queries: DataFrame,
+        after: dict[str, tuple[float, int, int]],
+        size: int = 10,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Federated searchAfter. ``after`` maps qid -> (score, index_id,
+        docid) — the last hit of the previous page as ``search`` emitted it.
+        The global order is (score DESC, index_id ASC, docid ASC); each
+        member gets the cursor translated into its LOCAL (score, docid)
+        form: shards before the cursor shard keep only strictly-lower
+        scores, the cursor shard resumes at its docid, later shards may
+        repeat the score from any docid. The size-per-shard merge then
+        reproduces the exact global page."""
+        per = []
+        for i, s in enumerate(self.searchers):
+            aft_i = {}
+            for qid, (cs, ci, cd) in after.items():
+                if i < int(ci):
+                    local = (float(cs), 1 << 62)  # only scores < cs survive
+                elif i == int(ci):
+                    local = (float(cs), int(cd))
+                else:
+                    local = (float(cs), -1)  # ties at cs survive from doc 0
+                aft_i[qid] = local
+            per.append(
+                s.search_after(queries, aft_i, size=size, prune=prune)
+                .withColumn("index_id", F.lit(i))
+            )
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            size,
+        )
+        return self._unpack(merged)

@@ -1,0 +1,128 @@
+"""Lucene classic-query-syntax parser + exact index-backed execution.
+
+The reference serves plain-text queries (its eval sets are natural-language
+passages), but the Lucene/Anserini stack underneath it accepts the classic
+query syntax; a drop-in user expects `+hash -merge "nested loop"~1 tab*`
+to work. This module parses the flat-clause subset and executes it EXACTLY
+against a v2 index by composing the existing surfaces:
+
+  syntax            clause kind        execution
+  ------------------------------------------------------------------
+  term              TERM               BM25 weight via the scoring kernel
+  term*  t?rm       WILDCARD           dictionary expansion (operators/
+  term~N            FUZZY              expand.py cap rules), qtf=1 each
+  "a b c"           PHRASE (slop 0)    positional artifact; scored with
+  "a b c"~N         PHRASE (slop N)    Lucene's sloppy-freq BM25: tf :=
+                                       n_matches, df := docs matching
+  +clause           MUST               must match; still contributes score
+  -clause           MUST_NOT           must not match; contributes nothing
+
+Scoring-boolean semantics (Lucene BooleanQuery): a doc's score is the sum
+of every matching positive clause's BM25 contribution; MUST clauses gate
+membership, MUST_NOT clauses remove docs. Default operator is OR (SHOULD),
+Lucene's default.
+
+Exactness over speed for the boolean path: positive clauses are scored
+with the kernel's NO-PRUNE exhaustive mode (chunk-local cut at the full
+chunk width), because a MUST/MUST_NOT filter applied after a pruned top-k
+would leave holes where excluded docs should have been back-filled.
+Pure-SHOULD term queries take the ordinary block-max WAND path untouched.
+
+Scale shape: everything stays term_id-pushdown reads + one |Q|-bounded
+driver parse; phrase clauses read only their terms' position rows. The
+MUST/MUST_NOT masks ride the same chunk partitioning as scoring, so the
+combine is a chunk-colocated join, never a corpus shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
+TERM, PHRASE, WILDCARD, FUZZY = "TERM", "PHRASE", "WILDCARD", "FUZZY"
+
+# one clause: optional +/- prefix, then a quoted phrase (optional ~slop)
+# or a bare token (optional ~edits); bare tokens may carry * and ?
+_CLAUSE_RE = re.compile(
+    r"""\s*(?P<occur>[+-])?
+        (?:
+          "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+        | (?P<token>[^\s"]+)
+        )""",
+    re.VERBOSE,
+)
+_FUZZY_RE = re.compile(r"^(?P<body>.+?)~(?P<edits>\d*)$")
+
+
+@dataclass(frozen=True)
+class Clause:
+    occur: str  # SHOULD | MUST | MUST_NOT
+    kind: str  # TERM | PHRASE | WILDCARD | FUZZY
+    text: str  # raw body (unanalyzed)
+    slop: int = 0  # PHRASE only
+    edits: int = 2  # FUZZY only
+
+
+@dataclass(frozen=True)
+class ParsedQuery:
+    clauses: tuple[Clause, ...] = field(default_factory=tuple)
+
+    @property
+    def pure_should_terms(self) -> bool:
+        return all(
+            c.occur == SHOULD and c.kind == TERM for c in self.clauses
+        )
+
+
+def parse_query(s: str) -> ParsedQuery:
+    """Parse the flat Lucene classic subset. Unsupported syntax (field
+    prefixes, parentheses, AND/OR/NOT keywords, boosts) raises ValueError
+    rather than silently mis-ranking."""
+    for bad, what in (
+        ("(", "grouping"), (")", "grouping"),
+        ("^", "boost"),
+    ):
+        if bad in s:
+            raise ValueError(
+                f"unsupported query syntax ({what} {bad!r}) in: {s!r}"
+            )
+    if re.search(r"\b(AND|OR|NOT)\b", s):
+        raise ValueError(
+            f"unsupported boolean keyword in: {s!r} — use +term / -term"
+        )
+    if re.search(r"(?<!\\):", s):
+        raise ValueError(f"unsupported field prefix in: {s!r}")
+    clauses: list[Clause] = []
+    pos = 0
+    while pos < len(s):
+        m = _CLAUSE_RE.match(s, pos)
+        if m is None or m.end() == pos:
+            if s[pos:].strip():
+                raise ValueError(f"cannot parse query at: {s[pos:]!r}")
+            break
+        pos = m.end()
+        occur = {"+": MUST, "-": MUST_NOT, None: SHOULD}[m.group("occur")]
+        if m.group("phrase") is not None:
+            body = m.group("phrase")
+            if not body.strip():
+                continue
+            clauses.append(
+                Clause(occur, PHRASE, body, slop=int(m.group("slop") or 0))
+            )
+            continue
+        tok = m.group("token")
+        fz = _FUZZY_RE.match(tok)
+        if fz and "*" not in tok and "?" not in tok:
+            edits = fz.group("edits")
+            clauses.append(
+                Clause(
+                    occur, FUZZY, fz.group("body"),
+                    edits=int(edits) if edits else 2,
+                )
+            )
+        elif "*" in tok or "?" in tok:
+            clauses.append(Clause(occur, WILDCARD, tok))
+        else:
+            clauses.append(Clause(occur, TERM, tok))
+    return ParsedQuery(tuple(clauses))

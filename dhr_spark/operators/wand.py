@@ -81,6 +81,143 @@ def _decode_selected(
     return vals.astype(np.int64), sel_lens
 
 
+def _count_chunk(
+    qinfo: dict,
+    block_size: int,
+    chunk_bits: int,
+    tombstones: np.ndarray | None = None,
+):
+    """Per-chunk exact hit counting (OR semantics) — the TotalHitCount
+    collector's shape: decode ONLY the docid blocks of the query terms
+    (tfs never touched, nothing scored), union per query, mask dead docs,
+    emit one (qid, n) row per chunk. Docids are chunk-partitioned, so the
+    global distinct count is the plain SUM of chunk counts."""
+
+    def kernel(key, seg: pd.DataFrame) -> pd.DataFrame:
+        if seg.empty:
+            return pd.DataFrame({"qid": [], "n": []}).astype(
+                {"qid": "str", "n": "int64"}
+            )
+        chunk = int(key[0])
+        base = chunk << chunk_bits
+        chunk_docs = 1 << chunk_bits
+        dead: np.ndarray | None = None
+        if tombstones is not None and tombstones.size:
+            in_chunk = tombstones[
+                (tombstones >= base) & (tombstones < base + chunk_docs)
+            ]
+            if in_chunk.size:
+                dead = (in_chunk - base).astype(np.int64)
+        term_row = {int(t): i for i, t in enumerate(seg["term_id"].to_numpy())}
+        seg_rows = list(seg.itertuples(index=False))
+        doc_cache: dict[int, np.ndarray] = {}
+
+        def docs_of(row_i: int) -> np.ndarray:
+            hit = doc_cache.get(row_i)
+            if hit is None:
+                r = seg_rows[row_i]
+                lens = _block_lens(int(r.n), block_size)
+                docids, _ = _decode_selected(
+                    bytes(r.doc_gaps),
+                    np.asarray(r.block_doc_off, dtype=np.int64),
+                    lens, np.arange(lens.size), restarts=True,
+                )
+                hit = doc_cache[row_i] = docids - base
+            return hit
+
+        qids, ns = [], []
+        for qid, (tids, _qtfs, _idfs) in qinfo.items():
+            rows = [term_row[int(t)] for t in tids if int(t) in term_row]
+            if not rows:
+                continue
+            touched = np.zeros(chunk_docs, dtype=bool)
+            for i in rows:
+                touched[docs_of(i)] = True
+            if dead is not None:
+                touched[dead] = False
+            n = int(touched.sum())
+            if n:
+                qids.append(qid)
+                ns.append(n)
+        return pd.DataFrame({"qid": qids, "n": np.array(ns, dtype=np.int64)})
+
+    return kernel
+
+
+def _presence_chunk(
+    qsets: dict,
+    block_size: int,
+    chunk_bits: int,
+    tombstones: np.ndarray | None = None,
+):
+    """Per-chunk term-presence counting for boolean masks: ``qsets`` maps
+    qid -> np.ndarray of term_ids; emits one (qid, docid, n_hit) row per
+    doc containing >= 1 of the qid's terms, n_hit = how many of them.
+    Same docid-blocks-only decode as _count_chunk (no tf bytes, no
+    scores)."""
+
+    def kernel(key, seg: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "docid": [], "n_hit": []}).astype(
+            {"qid": "str", "docid": "int64", "n_hit": "int64"}
+        )
+        if seg.empty:
+            return empty
+        chunk = int(key[0])
+        base = chunk << chunk_bits
+        chunk_docs = 1 << chunk_bits
+        dead: np.ndarray | None = None
+        if tombstones is not None and tombstones.size:
+            in_chunk = tombstones[
+                (tombstones >= base) & (tombstones < base + chunk_docs)
+            ]
+            if in_chunk.size:
+                dead = (in_chunk - base).astype(np.int64)
+        term_row = {int(t): i for i, t in enumerate(seg["term_id"].to_numpy())}
+        seg_rows = list(seg.itertuples(index=False))
+        doc_cache: dict[int, np.ndarray] = {}
+
+        def docs_of(row_i: int) -> np.ndarray:
+            hit = doc_cache.get(row_i)
+            if hit is None:
+                r = seg_rows[row_i]
+                lens = _block_lens(int(r.n), block_size)
+                docids, _ = _decode_selected(
+                    bytes(r.doc_gaps),
+                    np.asarray(r.block_doc_off, dtype=np.int64),
+                    lens, np.arange(lens.size), restarts=True,
+                )
+                hit = doc_cache[row_i] = docids - base
+            return hit
+
+        out_qid, out_doc, out_n = [], [], []
+        for qid, tids in qsets.items():
+            rows = [term_row[int(t)] for t in tids if int(t) in term_row]
+            if not rows:
+                continue
+            counts = np.zeros(chunk_docs, dtype=np.int64)
+            for i in rows:
+                counts[docs_of(i)] += 1
+            if dead is not None:
+                counts[dead] = 0
+            nz = np.flatnonzero(counts)
+            if nz.size:
+                out_qid.append(qid)
+                out_doc.append(nz + base)
+                out_n.append(counts[nz])
+        if not out_qid:
+            return empty
+        reps = [len(d) for d in out_doc]
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(out_qid, reps),
+                "docid": np.concatenate(out_doc).astype(np.int64),
+                "n_hit": np.concatenate(out_n).astype(np.int64),
+            }
+        )
+
+    return kernel
+
+
 def _score_chunk(
     qinfo: dict,
     k: int,
@@ -90,6 +227,7 @@ def _score_chunk(
     block_size: int,
     prune: bool,
     tombstones: np.ndarray | None = None,
+    after: dict | None = None,
 ):
     """Returns the cogrouped applyInPandas kernel.
 
@@ -98,7 +236,15 @@ def _score_chunk(
     They are masked BEFORE top-k selection AND before the theta bootstrap —
     a dead doc's single-term score must not raise the pruning threshold
     above the true k-th live score, or live docs could be pruned away
-    (Lucene's liveDocs applied during, not after, collection)."""
+    (Lucene's liveDocs applied during, not after, collection).
+
+    ``after``: {qid: (round6_score, docid)} pagination cursors
+    (searchAfter). A doc survives iff it sorts strictly after the cursor in
+    (round6 DESC, docid ASC) order. Cursor queries SKIP the theta bootstrap:
+    theta derives from single-term scores of arbitrary docs, and a
+    pre-cursor doc's score could push it above the k-th AFTER-cursor total,
+    pruning blocks that hold page members — so they decode all their terms'
+    blocks (what Lucene's searchAfter re-collection pays too)."""
 
     def kernel(key, seg: pd.DataFrame, dl: pd.DataFrame) -> pd.DataFrame:
         if seg.empty or dl.empty:
@@ -184,6 +330,16 @@ def _score_chunk(
             if cand.size == 0:
                 return
             cs = scores[cand]
+            aft = after.get(qid) if after else None
+            if aft is not None:
+                a_score, a_doc = float(aft[0]), int(aft[1])
+                cs6 = np.round(cs, 6)
+                keep = (cs6 < a_score) | (
+                    (cs6 == a_score) & (cand + base > a_doc)
+                )
+                cand, cs = cand[keep], cs[keep]
+                if cand.size == 0:
+                    return
             if cand.size > k:
                 # deterministic cut: round6 score DESC, docid ASC — matches
                 # the global merge's tie-break so ties at the kth slot never
@@ -225,7 +381,7 @@ def _score_chunk(
 
             theta = -np.inf
             order = np.argsort(-U)
-            if len(present) > 1:
+            if len(present) > 1 and not (after and qid in after):
                 i_star, w_star = present[order[0]]
                 if int(seg_rows[i_star].n) >= k:
                     d_loc, wts = get_full(i_star)
@@ -524,6 +680,376 @@ class Searcher:
         qinfo, all_terms = self._query_info(queries)
         return self._search_prepared(qinfo, all_terms, k, prune)
 
+    def count(self, queries: DataFrame) -> DataFrame:
+        """(qid, n): EXACT total hit count per query under OR semantics —
+        Lucene ``IndexSearcher.count`` / TotalHitCountCollector. Decodes
+        only the query terms' docid blocks (tf bytes never read, nothing
+        scored); chunk partitioning makes the global distinct count a plain
+        sum of per-chunk counts — one tiny shuffle of |Q|·n_chunks rows.
+        Queries with zero hits (or all-OOV / empty text) emit no row."""
+        qinfo, all_terms = self._query_info(queries)
+        seg = self._seg_for_terms(all_terms)
+        kernel = _count_chunk(
+            qinfo,
+            int(self.manifest["block_size"]),
+            int(self.manifest["chunk_bits"]),
+            tombstones=self._tombstones,
+        )
+        counted = seg.groupBy("chunk").applyInPandas(
+            kernel, "qid string, n long"
+        )
+        return counted.groupBy("qid").agg(F.sum("n").alias("n"))
+
+    def search_after(
+        self,
+        queries: DataFrame,
+        after: dict[str, tuple[float, int]],
+        size: int = 10,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Cursor pagination — Lucene ``IndexSearcher.searchAfter``.
+        ``after`` maps qid -> (score, docid) of the LAST hit of the previous
+        page, exactly as ``search`` emitted it (scores are round-6). Returns
+        the next ``size`` hits strictly after each cursor in (score DESC,
+        docid ASC) order, with page-local ranks 1..size; qids without a
+        cursor start at page one. Deterministic across page walks because
+        ranking ties are pinned the same way everywhere (topk round-6 +
+        docid tie-break) — no shifting results between pages.
+
+        Cost shape: cursor queries skip the block-pruning bootstrap (see
+        _score_chunk) so they decode all their terms' postings — the price
+        Lucene's searchAfter re-collection pays as well; the term_id
+        pushdown and chunk-local top-size merge are unchanged."""
+        aft = {
+            q: (float(s), int(d)) for q, (s, d) in after.items()
+        }
+        qinfo, all_terms = self._query_info(queries)
+        return self._search_prepared(qinfo, all_terms, size, prune, after=aft)
+
+    def doc_lengths_frame(self, chunks: list[int] | None = None) -> DataFrame:
+        """(docid, dl): per-document lengths exploded from the packed
+        doclens arrays, optionally restricted to a chunk list (partition
+        pruning). Holes (docs with no postings) are skipped."""
+        dl = self._dl
+        if chunks is not None:
+            dl = dl.filter(F.col("chunk").isin([int(c) for c in chunks]))
+
+        def gen(it):
+            for pdf in it:
+                for _, row in pdf.iterrows():
+                    arr = np.frombuffer(row["dls"], dtype=np.int32)
+                    nz = np.flatnonzero(arr)
+                    yield pd.DataFrame(
+                        {
+                            "docid": nz + int(row["base_docid"]),
+                            "dl": arr[nz].astype(np.int64),
+                        }
+                    )
+
+        return dl.mapInPandas(gen, "docid long, dl long")
+
+    def _lookup_tid(self, term: str) -> tuple[int, float] | None:
+        if self._tid_cache is not None:
+            return self._tid_cache.get(term)
+        rows = self._tdict.filter(F.col("term") == term).collect()
+        return (
+            (int(rows[0]["term_id"]), float(rows[0]["idf"])) if rows else None
+        )
+
+    def _expand_clause(
+        self, kind: str, body: str, max_expansions: int, prefix_len: int
+    ) -> list[tuple[int, float]]:
+        """Dictionary expansions of a WILDCARD/FUZZY clause body, capped by
+        (df DESC, term ASC) — the operators/expand.py cap rules."""
+        from dhr_spark.operators.expand import (
+            levenshtein_py,
+            wildcard_to_regex,
+        )
+        from dhr_spark.operators.queryparser import FUZZY
+
+        if self._tid_cache is not None:
+            if kind == FUZZY:
+                body_t, edits = body
+                hits = [
+                    (idf, t, tid)
+                    for t, (tid, idf) in self._tid_cache.items()
+                    if (
+                        (not prefix_len or t[: prefix_len] == body_t[: prefix_len])
+                        and abs(len(t) - len(body_t)) <= edits
+                        and levenshtein_py(body_t, t) <= edits
+                    )
+                ]
+                cap = 50
+            else:
+                rx = re.compile(wildcard_to_regex(body))
+                hits = [
+                    (idf, t, tid)
+                    for t, (tid, idf) in self._tid_cache.items()
+                    if rx.match(t)
+                ]
+                cap = max_expansions
+            hits.sort(key=lambda x: (x[0], x[1]))
+            return [(tid, idf) for idf, _, tid in hits[:cap]]
+        if kind == FUZZY:
+            body_t, edits = body
+            cond = F.levenshtein(F.col("term"), F.lit(body_t)) <= edits
+            if prefix_len:
+                cond = cond & (
+                    F.substring(F.col("term"), 1, prefix_len)
+                    == body_t[:prefix_len]
+                )
+            cap = 50
+        else:
+            cond = F.col("term").rlike(wildcard_to_regex(body))
+            cap = max_expansions
+        rows = (
+            self._tdict.filter(cond)
+            .orderBy(F.col("idf").asc(), F.col("term").asc())
+            .limit(cap)
+            .collect()
+        )
+        return [(int(r["term_id"]), float(r["idf"])) for r in rows]
+
+    def search_syntax(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        max_expansions: int = 1024,
+        fuzzy_prefix_len: int = 1,
+    ) -> DataFrame:
+        """Execute Lucene classic-syntax query strings EXACTLY —
+        (qid, docid, rank, score) under scoring-boolean semantics
+        (operators/queryparser.py documents the supported subset and the
+        execution plan; docstring contract: a pure SHOULD-of-terms string
+        is routed to the ordinary block-max WAND path and is
+        score-identical to ``search``).
+
+        Clause scoring: TERM via BM25 (duplicate terms accumulate qtf);
+        WILDCARD/FUZZY via capped dictionary expansion at qtf=1 each;
+        PHRASE via Lucene's sloppy-freq BM25 (tf := n_matches from the
+        positional artifact, df := matching-doc count). MUST gates
+        membership but still scores; MUST_NOT only filters. An
+        unsatisfiable MUST (OOV term, no-match phrase) empties its query,
+        as in Lucene."""
+        from dhr_spark.operators import queryparser as QP
+
+        qrows = (
+            queries.select("qid", "text")
+            .limit(self.MAX_COLLECTED_QUERIES + 1)
+            .collect()
+        )
+        if len(qrows) > self.MAX_COLLECTED_QUERIES:
+            raise ValueError(
+                f"query set exceeds {self.MAX_COLLECTED_QUERIES} rows; "
+                "parse+plan is driver-side — split the batch"
+            )
+        parsed = {r["qid"]: QP.parse_query(r["text"] or "") for r in qrows}
+        if all(p.pure_should_terms for p in parsed.values()):
+            return self.search(queries, k=k)
+
+        pos: dict[str, dict[int, tuple[float, float]]] = {}
+        must_sets: dict[str, np.ndarray] = {}  # per-clause pseudo-qid
+        n_must: dict[str, int] = {}
+        not_sets: dict[str, set[int]] = {}
+        phrase_jobs: list[tuple[str, str, str, int]] = []  # qid, occur, body, slop
+
+        def add_pos(qid: str, tid: int, idf: float, qtf: float) -> None:
+            slot = pos.setdefault(qid, {})
+            old = slot.get(tid)
+            slot[tid] = (qtf + (old[0] if old else 0.0), idf)
+
+        for qid, pq in parsed.items():
+            ci = 0
+            for c in pq.clauses:
+                if c.kind == QP.PHRASE:
+                    phrase_jobs.append((qid, c.occur, c.text, c.slop))
+                    if c.occur == QP.MUST:
+                        n_must[qid] = n_must.get(qid, 0) + 1
+                    continue
+                if c.kind == QP.TERM:
+                    toks = self._analyze(c.text)
+                    groups = [[t] for t in toks]  # each token its own clause
+                else:
+                    groups = [[c]]  # expanded below
+                for g in groups:
+                    if c.kind == QP.TERM:
+                        hit = self._lookup_tid(g[0])
+                        exp = [hit] if hit else []
+                    elif c.kind == QP.WILDCARD:
+                        # Lucene analyzes multi-term bodies minimally
+                        # (lowercase only — no stemming, no stop removal)
+                        exp = self._expand_clause(
+                            c.kind, c.text.lower(), max_expansions, 0
+                        )
+                    else:  # FUZZY
+                        exp = self._expand_clause(
+                            c.kind, (c.text.lower(), c.edits), max_expansions,
+                            fuzzy_prefix_len,
+                        )
+                    if c.occur in (QP.SHOULD, QP.MUST):
+                        for tid, idf in exp:
+                            add_pos(qid, tid, idf, 1.0)
+                    if c.occur == QP.MUST:
+                        n_must[qid] = n_must.get(qid, 0) + 1
+                        must_sets[f"{qid}\x01{ci}"] = np.array(
+                            [t for t, _ in exp], dtype=np.int64
+                        )
+                        ci += 1
+                    elif c.occur == QP.MUST_NOT:
+                        not_sets.setdefault(qid, set()).update(
+                            t for t, _ in exp
+                        )
+
+        # ---- positive term scoring (exhaustive: boolean filters must see
+        # every matching doc, so no chunk-local pruning/cutoff) ----
+        qinfo: dict[str, tuple] = {}
+        for qid, slot in pos.items():
+            trips = sorted((tid, q, i) for tid, (q, i) in slot.items())
+            if trips:
+                qinfo[qid] = (
+                    np.array([t for t, _, _ in trips], dtype=np.int64),
+                    np.array([q for _, q, _ in trips], dtype=np.float64),
+                    np.array([i for _, _, i in trips], dtype=np.float64),
+                )
+        all_terms = sorted(
+            {int(t) for tids, _, _ in qinfo.values() for t in tids}
+        )
+        chunk_docs = 1 << int(self.manifest["chunk_bits"])
+        frames = []
+        if qinfo:
+            frames.append(
+                self._scored_frame(qinfo, all_terms, chunk_docs, prune=False)
+            )
+
+        # ---- phrase clauses: sloppy-freq BM25 + membership frames ----
+        n_docs = int(self.manifest["n_docs"])
+        must_frames: list[DataFrame] = []
+        not_frames: list[DataFrame] = []
+        cb = int(self.manifest["chunk_bits"])
+        for pj, (qid, occur, body, slop) in enumerate(phrase_jobs):
+            hits = self.search_phrase(body, slop=slop).cache()
+            df_p = hits.count()
+            if df_p == 0:
+                # SHOULD: no contribution. MUST: unsatisfiable — n_must
+                # already counts this clause and no membership frame will
+                # ever satisfy it, so the qid naturally empties. MUST_NOT:
+                # no-op.
+                continue
+            member = hits.select(F.lit(qid).alias("qid"), "docid")
+            if occur == QP.MUST_NOT:
+                not_frames.append(member)
+                continue
+            if occur == QP.MUST:
+                must_frames.append(
+                    member.withColumn("clause", F.lit(f"ph\x01{pj}"))
+                )
+            idf_p = float(np.log(1.0 + (n_docs - df_p + 0.5) / (df_p + 0.5)))
+            chs = [
+                int(r[0])
+                for r in hits.select(
+                    F.shiftright("docid", cb).alias("c")
+                ).distinct().limit(self.MAX_CHUNK_ISIN + 1).collect()
+            ]
+            dlf = self.doc_lengths_frame(
+                chs if len(chs) <= self.MAX_CHUNK_ISIN else None
+            )
+            nm = F.col("n_matches").cast("double")
+            norm = F.lit(self.k1) * (
+                F.lit(1.0 - self.b)
+                + F.lit(self.b) * F.col("dl").cast("double") / F.lit(self._avgdl)
+            )
+            frames.append(
+                hits.join(dlf, "docid").select(
+                    F.lit(qid).alias("qid"),
+                    "docid",
+                    (F.lit(idf_p) * nm / (nm + norm)).alias("score"),
+                )
+            )
+
+        if not frames:
+            return self.spark.createDataFrame(
+                [], "qid string, docid long, rank int, score double"
+            )
+        scored = frames[0]
+        for fr in frames[1:]:
+            scored = scored.unionByName(fr)
+        scored = scored.groupBy("qid", "docid").agg(
+            F.sum("score").alias("score")
+        )
+
+        # ---- MUST membership: each clause satisfied by >=1 of its terms
+        # (or its phrase); a doc survives iff it satisfies ALL clauses ----
+        if must_sets:
+            kern = _presence_chunk(
+                must_sets, int(self.manifest["block_size"]), cb,
+                tombstones=self._tombstones,
+            )
+            seg = self._seg_for_terms(
+                sorted({int(t) for s in must_sets.values() for t in s})
+            )
+            pres = seg.groupBy("chunk").applyInPandas(
+                kern, "qid string, docid long, n_hit long"
+            )
+            must_frames.append(
+                pres.select(
+                    F.split_part(F.col("qid"), F.lit("\x01"), F.lit(1)).alias(
+                        "qid"
+                    ),
+                    "docid",
+                    F.col("qid").alias("clause"),
+                )
+            )
+        if n_must:
+            if must_frames:
+                mf = must_frames[0]
+                for fr in must_frames[1:]:
+                    mf = mf.unionByName(fr)
+                sat = (
+                    mf.distinct()
+                    .groupBy("qid", "docid")
+                    .agg(F.count("*").alias("n_sat"))
+                )
+            else:
+                sat = self.spark.createDataFrame(
+                    [], "qid string, docid long, n_sat long"
+                )
+            req = self.spark.createDataFrame(
+                list(n_must.items()), "qid string, n_req long"
+            )
+            scored = (
+                scored.join(sat, ["qid", "docid"], "left")
+                .join(F.broadcast(req), "qid", "left")
+                .filter(
+                    F.coalesce(F.col("n_req"), F.lit(0))
+                    == F.coalesce(F.col("n_sat"), F.lit(0))
+                )
+                .select("qid", "docid", "score")
+            )
+
+        # ---- MUST_NOT exclusion ----
+        if not_sets:
+            kern = _presence_chunk(
+                {q: np.array(sorted(s), dtype=np.int64)
+                 for q, s in not_sets.items()},
+                int(self.manifest["block_size"]), cb,
+                tombstones=self._tombstones,
+            )
+            seg = self._seg_for_terms(
+                sorted({int(t) for s in not_sets.values() for t in s})
+            )
+            not_frames.append(
+                seg.groupBy("chunk")
+                .applyInPandas(kern, "qid string, docid long, n_hit long")
+                .select("qid", "docid")
+            )
+        if not_frames:
+            nf = not_frames[0]
+            for fr in not_frames[1:]:
+                nf = nf.unionByName(fr)
+            scored = scored.join(nf.distinct(), ["qid", "docid"], "left_anti")
+
+        return topk(scored, k)
+
     def explain(self, queries: DataFrame, results: DataFrame) -> DataFrame:
         """Per-term BM25 score breakdown for each (qid, docid) hit — the
         Lucene ``IndexSearcher.explain`` analogue, flattened relationally:
@@ -622,30 +1148,50 @@ class Searcher:
             )
         )
 
-    def _search_prepared(
-        self, qinfo: dict, all_terms: list[int], k: int, prune: bool
-    ) -> DataFrame:
-        seg = self._seg
+    def _seg_for_terms(self, all_terms: list[int]) -> DataFrame:
         # literal isin list -> parquet row-group pushdown on term_id; for
         # huge query sets switch to a broadcast semi-join instead
         if len(all_terms) <= 10_000:
-            seg = seg.filter(F.col("term_id").isin(all_terms))
-        else:
-            terms_df = self.spark.createDataFrame(
-                [(t,) for t in all_terms], "term_id long"
-            )
-            seg = seg.join(F.broadcast(terms_df), "term_id", "left_semi")
+            return self._seg.filter(F.col("term_id").isin(all_terms))
+        terms_df = self.spark.createDataFrame(
+            [(t,) for t in all_terms], "term_id long"
+        )
+        return self._seg.join(F.broadcast(terms_df), "term_id", "left_semi")
+
+    def _scored_frame(
+        self,
+        qinfo: dict,
+        all_terms: list[int],
+        k: int,
+        prune: bool,
+        after: dict | None = None,
+    ) -> DataFrame:
+        """Raw per-chunk scored candidates (pre-merge): (qid, docid, score)
+        with at most k rows per (chunk, qid)."""
+        seg = self._seg_for_terms(all_terms)
         man = self.manifest
         kernel = _score_chunk(
             qinfo, k, self._avgdl, self.k1, self.b,
             int(man["block_size"]), prune, tombstones=self._tombstones,
+            after=after,
         )
-        scored = (
+        return (
             seg.groupBy("chunk")
             .cogroup(self._dl.groupBy("chunk"))
             .applyInPandas(kernel, RESULT_SCHEMA)
         )
-        return topk(scored, k)
+
+    def _search_prepared(
+        self,
+        qinfo: dict,
+        all_terms: list[int],
+        k: int,
+        prune: bool,
+        after: dict | None = None,
+    ) -> DataFrame:
+        return topk(
+            self._scored_frame(qinfo, all_terms, k, prune, after=after), k
+        )
 
     def search_rm3(
         self,

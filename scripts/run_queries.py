@@ -68,6 +68,15 @@ def main() -> None:
                    help="fuzzy exact-prefix gate length")
     p.add_argument("--mlt-terms", type=int, default=10,
                    help="MoreLikeThis max query terms")
+    p.add_argument("--syntax", action="store_true",
+                   help="parse the query text as Lucene classic syntax "
+                        "(+must -not \"phrase\"~slop wild* fuzzy~edits) and "
+                        "execute exactly; pure term queries still take the "
+                        "WAND fast path")
+    p.add_argument("--count", action="store_true",
+                   help="emit exact total hit counts (qid, n) instead of "
+                        "ranked results (Lucene count(); docid-blocks-only "
+                        "decode, nothing scored)")
     p.add_argument("--explain", action="store_true",
                    help="emit the per-term score breakdown of the top-k "
                         "hits instead of the run (Lucene explain; index "
@@ -79,16 +88,16 @@ def main() -> None:
                    help="query-time BM25 b override (no reindex)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
-    if (args.phrases or args.explain) and args.trec:
+    if (args.phrases or args.explain or args.count) and args.trec:
         p.error("--trec needs ranked (qid, docid, rank, score) output; "
-                "--phrases/--explain emit diagnostic row shapes")
+                "--phrases/--explain/--count emit diagnostic row shapes")
     if len(args.index_dirs) > 1 and (
         args.phrases or args.rm3 or args.highlight or args.rewrite
-        or args.explain
+        or args.explain or args.count or args.syntax
     ):
         p.error("federated (multiple --index-dir) currently serves ranked "
                 "search only; run --phrases/--rm3/--highlight/--rewrite/"
-                "--explain per shard")
+                "--explain/--count per shard")
 
     from dhr_spark.session import get_spark
     from dhr_spark.operators.wand import Searcher
@@ -145,6 +154,10 @@ def main() -> None:
                 run = fn(pairs, k=args.k,
                          max_expansions=args.max_expansions or 1024,
                          prune=prune)
+        elif args.syntax:
+            run = searcher.search_syntax(queries, k=args.k)
+        elif args.count:
+            run = searcher.count(queries)
         elif args.explain:
             run = searcher.explain(
                 queries, searcher.search(queries, k=args.k,

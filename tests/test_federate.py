@@ -133,3 +133,47 @@ def test_federated_k1_b_override(spark, sharded, queries):
         fed=False,
     )
     assert fed == single
+
+
+def test_federated_count_sums_shards(spark, sharded, queries):
+    ms = MultiSearcher(spark, sharded["dirs"])
+    full = Searcher(spark, sharded["full"])
+    got = {r["qid"]: r["n"] for r in ms.count(queries).collect()}
+    exp = {r["qid"]: r["n"] for r in full.count(queries).collect()}
+    assert got == exp and got
+
+
+def test_federated_page_walk_reconstructs_search(spark, sharded, queries):
+    """searchAfter across shards: walking size-4 pages reproduces the
+    federated search(k=12) ranking exactly, cursors carrying index_id."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    k, size = 12, 4
+    want = {}
+    for r in ms.search(queries, k=k).collect():
+        want.setdefault(r["qid"], []).append(
+            (r["rank"], r["index_id"], r["docid"], r["score"])
+        )
+    got: dict[str, list] = {q: [] for q in want}
+    cursors: dict[str, tuple[float, int, int]] = {}
+    qdf = queries
+    for page in range(k // size):
+        res = (
+            ms.search(qdf, k=size)
+            if page == 0
+            else ms.search_after(qdf, cursors, size=size)
+        )
+        rows = res.collect()
+        if not rows:
+            break
+        last: dict[str, tuple[float, int, int]] = {}
+        for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+            got[r["qid"]].append(
+                (page * size + r["rank"], r["index_id"], r["docid"],
+                 r["score"])
+            )
+            last[r["qid"]] = (r["score"], r["index_id"], r["docid"])
+        cursors = last
+        qdf = queries.filter(F.col("qid").isin(list(last.keys())))
+        if not last:
+            break
+    assert got == want

@@ -1,0 +1,235 @@
+"""Lucene classic query syntax: parser unit tests + exact execution
+identities against the engine's own primitive surfaces.
+
+Contracts: a pure SHOULD-of-terms string is score-identical to ``search``;
+single-clause wildcard/fuzzy strings are score-identical to
+``search_wildcard``/``search_fuzzy``; +term/-term filters equal a
+corpus-recomputed membership filter over the unbounded search; a phrase
+clause scores with sloppy-freq BM25 recomputed from ``search_phrase`` and
+the doclens; unsatisfiable MUST clauses empty the query.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+from dhr_spark.index.builder import build_index
+from dhr_spark.operators.docids import with_docids
+from dhr_spark.operators.queryparser import (
+    FUZZY,
+    MUST,
+    MUST_NOT,
+    PHRASE,
+    SHOULD,
+    TERM,
+    WILDCARD,
+    parse_query,
+)
+from dhr_spark.operators.termfreq import with_tokens
+from dhr_spark.operators.wand import Searcher
+
+
+# ------------------------------------------------------------------ parser
+
+def test_parse_flat_clauses():
+    p = parse_query('+alpha -beta gamma "delta epsilon"~2 wild* fu?z zeta~1 eta~')
+    kinds = [(c.occur, c.kind, c.text) for c in p.clauses]
+    assert kinds == [
+        (MUST, TERM, "alpha"),
+        (MUST_NOT, TERM, "beta"),
+        (SHOULD, TERM, "gamma"),
+        (SHOULD, PHRASE, "delta epsilon"),
+        (SHOULD, WILDCARD, "wild*"),
+        (SHOULD, WILDCARD, "fu?z"),
+        (SHOULD, FUZZY, "zeta"),
+        (SHOULD, FUZZY, "eta"),
+    ]
+    assert p.clauses[3].slop == 2
+    assert p.clauses[6].edits == 1 and p.clauses[7].edits == 2
+
+
+def test_parse_rejects_unsupported():
+    for bad in ["(a b)", "a^2", "title:x", "a AND b", "a OR b", "NOT a"]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_parse_pure_should():
+    assert parse_query("a b c").pure_should_terms
+    assert not parse_query("+a b").pure_should_terms
+    assert not parse_query('"a b"').pure_should_terms
+
+
+# --------------------------------------------------------------- execution
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("syntax_idx") / "idx")
+    tr = synth_transcripts(spark, 40)
+    build_index(spark, tr, idx, chunk_bits=6, block_size=8,
+                docid_strategy="window", positional=True)
+    s = Searcher(spark, idx)
+    tok = with_tokens(with_docids(tr, "window"), mode="lucene")
+    # derive a phrase guaranteed to exist: two adjacent raw words of some
+    # doc that each analyze to one non-stop token
+    phrase = None
+    docs = with_docids(tr, "window").select("text").limit(50).collect()
+    for row in docs:
+        ws = (row["text"] or "").split()
+        for a, b in zip(ws, ws[1:]):
+            if len(s._analyze(a)) == 1 and len(s._analyze(b)) == 1:
+                cand = f"{a} {b}"
+                if s.search_phrase(cand).count() > 0:
+                    phrase = cand
+                    break
+        if phrase:
+            break
+    assert phrase, "no analyzable adjacent word pair found in fixture"
+    return dict(searcher=s, tok=tok, phrase=phrase)
+
+
+def _rows(df):
+    return sorted(
+        (r["qid"], r["docid"], r["rank"], round(r["score"], 6))
+        for r in df.collect()
+    )
+
+
+def _docs_with(env, term):
+    return {
+        r["docid"]
+        for r in env["tok"]
+        .filter(F.array_contains("tokens", term))
+        .select("docid")
+        .collect()
+    }
+
+
+def test_pure_should_routes_to_wand(spark, env):
+    q = synth_queries(spark, 6)
+    assert _rows(env["searcher"].search_syntax(q, k=15)) == _rows(
+        env["searcher"].search(q, k=15)
+    )
+
+
+def test_single_wildcard_equals_search_wildcard(spark, env):
+    q = spark.createDataFrame([("w1", "tab*")], "qid string, text string")
+    got = _rows(env["searcher"].search_syntax(q, k=10, max_expansions=8))
+    want = _rows(
+        env["searcher"].search_wildcard([("w1", "tab*")], k=10,
+                                        max_expansions=8)
+    )
+    assert got == want and got
+
+
+def test_single_fuzzy_equals_search_fuzzy(spark, env):
+    q = spark.createDataFrame([("f1", "tabel~2")], "qid string, text string")
+    got = _rows(env["searcher"].search_syntax(q, k=10))
+    want = _rows(env["searcher"].search_fuzzy([("f1", "tabel")], k=10))
+    assert got == want and got
+
+
+def test_must_and_not_filter_membership(spark, env):
+    s = env["searcher"]
+    # pick two corpus terms (post-analysis) present in the fixture
+    base = spark.createDataFrame(
+        [("q", "table merge slow")], "qid string, text string"
+    )
+    full = {r["docid"]: r["score"]
+            for r in s.search(base, k=1_000_000, prune=False).collect()}
+    must, forbidden = "tabl", "merg"  # lucene-analyzed stems
+    got = s.search_syntax(
+        spark.createDataFrame(
+            [("q", "+table merge slow -nonexistentzz")],
+            "qid string, text string",
+        ),
+        k=1_000_000,
+    ).collect()
+    have_must = _docs_with(env, must)
+    assert got
+    for r in got:
+        assert r["docid"] in have_must
+        assert round(full[r["docid"]], 6) == pytest.approx(r["score"], abs=1e-6)
+    # and -term actually removes
+    got2 = {
+        r["docid"]
+        for r in s.search_syntax(
+            spark.createDataFrame(
+                [("q", "+table merge slow -merge")],
+                "qid string, text string",
+            ),
+            k=1_000_000,
+        ).collect()
+    }
+    have_not = _docs_with(env, forbidden)
+    assert got2 and not (got2 & have_not)
+    assert got2 == {d for r in got if (d := r["docid"]) not in have_not}
+
+
+def test_phrase_clause_sloppy_freq_bm25(spark, env):
+    s = env["searcher"]
+    phrase = env["phrase"]
+    hits = {r["docid"]: r["n_matches"]
+            for r in s.search_phrase(phrase).collect()}
+    q = spark.createDataFrame(
+        [("p", f'"{phrase}"')], "qid string, text string"
+    )
+    got = {r["docid"]: r["score"] for r in s.search_syntax(q, k=100).collect()}
+    man = s.manifest
+    dlmap = {r["docid"]: r["dl"]
+             for r in s.doc_lengths_frame().collect()}
+    n, df_p = int(man["n_docs"]), len(hits)
+    idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+    assert set(got) == set(hits)
+    for d, nm in hits.items():
+        w = idf * nm / (nm + s.k1 * (1 - s.b + s.b * dlmap[d] / s._avgdl))
+        assert got[d] == pytest.approx(round(w, 6), abs=1e-6)
+
+
+def test_must_phrase_gates_and_scores(spark, env):
+    s = env["searcher"]
+    phrase = env["phrase"]
+    hits = {r["docid"] for r in s.search_phrase(phrase).collect()}
+    q = spark.createDataFrame(
+        [("p", f'+"{phrase}" table')], "qid string, text string"
+    )
+    got = {r["docid"] for r in s.search_syntax(q, k=1_000_000).collect()}
+    assert got == hits  # gated to phrase matches, scored with table added
+
+
+def test_unsatisfiable_must_empties_query(spark, env):
+    s = env["searcher"]
+    for qs in ["+zzzznotaword table", '+"zzzz qqqq" table']:
+        q = spark.createDataFrame([("q", qs)], "qid string, text string")
+        assert s.search_syntax(q, k=10).count() == 0
+
+
+def test_mixed_batch_isolates_queries(spark, env):
+    """A boolean query and a plain query in one batch don't cross-talk."""
+    s = env["searcher"]
+    q = spark.createDataFrame(
+        [("a", "table merge"), ("b", "+table -merge slow")],
+        "qid string, text string",
+    )
+    res = s.search_syntax(q, k=10).collect()
+    plain = _rows(
+        s.search(
+            spark.createDataFrame([("a", "table merge")],
+                                  "qid string, text string"),
+            k=10,
+        )
+    )
+    assert _rows_of(res, "a") == [(d, r, sc) for (_, d, r, sc) in plain]
+    assert all(r["qid"] in ("a", "b") for r in res)
+
+
+def _rows_of(rows, qid):
+    return sorted(
+        (r["docid"], r["rank"], round(r["score"], 6))
+        for r in rows
+        if r["qid"] == qid
+    )
