@@ -66,6 +66,16 @@ SNIPPET_WIDTH = 8
 EXPLAIN_K = 5
 TV_DOCIDS = [3, 57, 101]  # term-vector fixture docs
 PAGE_SIZE = 5  # searchAfter page size
+# Lucene classic-syntax query set: MUST gate, MUST_NOT exclusion,
+# wildcard expansion under a binding cap, and an unsatisfiable MUST
+SX_QUERIES: list[tuple[str, str]] = [
+    ("sx1", "+table merge sort"),
+    ("sx2", "table -merge"),
+    ("sx3", "s* +query"),
+    ("sx4", "+zzzznotaword table"),  # OOV MUST -> empty
+]
+SX_MAXEXP = 4
+DISMAX_TIE = 0.5  # exact binary fraction (cross-engine float determinism)
 SUGGEST_TERMS = ["tabel", "quary", "sow", "zzzzzzz"]
 SUGGEST_N, SUGGEST_EDITS, SUGGEST_PREFIX = 5, 2, 1
 
@@ -532,6 +542,105 @@ SELECT qid, docid, term, qtf, tf, dl,
        round(CAST(round(idf, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS idf_r,
        round(CAST(round(weight, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS weight_r
 FROM expl"""
+
+
+def _dismax_sql() -> str:
+    """Oracle for dismax_topk over the pseudo-conversation view: each
+    (doc_id % 3) field partition is its own BM25 sub-index (per-field df /
+    docCount / dl / avgdl); combine = max + tie * (sum - max)."""
+    return f"""WITH {_TOKS_CTE}, {_q_values()},
+fld AS (
+  SELECT doc_id // {BM25F_CONV_SIZE} AS cid, doc_id % 3 AS f, toks
+  FROM toks
+),
+ftok AS (SELECT cid, f, unnest(toks) AS term FROM fld),
+ftf AS (SELECT f, cid, term, count(*)::BIGINT AS tf FROM ftok GROUP BY 1, 2, 3),
+fdl AS (
+  SELECT f, cid, sum(len(toks))::BIGINT AS dl FROM fld
+  GROUP BY 1, 2 HAVING sum(len(toks)) > 0
+),
+fstat AS (SELECT f, count(*)::BIGINT AS nd, avg(dl) AS ad FROM fdl GROUP BY 1),
+fts AS (SELECT f, term, count(*)::BIGINT AS df FROM ftf GROUP BY 1, 2),
+sper AS (
+  SELECT q.qid, ftf.cid AS docid, ftf.f,
+         sum(q.qtf * ln(1 + (fstat.nd - fts.df + 0.5) / (fts.df + 0.5))
+             * ftf.tf / (ftf.tf + 0.9 * (0.6 + 0.4 * fdl.dl / fstat.ad))
+         ) AS s
+  FROM q
+  JOIN ftf USING (term)
+  JOIN fts ON fts.f = ftf.f AND fts.term = ftf.term
+  JOIN fdl ON fdl.f = ftf.f AND fdl.cid = ftf.cid
+  JOIN fstat ON fstat.f = ftf.f
+  GROUP BY 1, 2, 3
+),
+comb AS (
+  SELECT qid, docid,
+         max(s) + {DISMAX_TIE} * (sum(s) - max(s)) AS score
+  FROM sper GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM comb
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
+def _syntax_sql() -> str:
+    """Oracle for Searcher.search_syntax over SX_QUERIES (simple analyzer:
+    clause text lowercases to itself). Scoring-boolean re-derivation:
+    positive clauses (SHOULD+MUST) sum BM25 contributions, each MUST
+    clause gates via EXISTS over its expansion set, MUST_NOT via NOT
+    EXISTS; sx4's OOV MUST makes it empty by construction (omitted)."""
+    w = _W_EXPR
+
+    def scored(pos_cte: str) -> str:
+        return (
+            f"SELECT tf.doc_id AS docid, sum(q.qtf * {w}) AS score "
+            f"FROM {pos_cte} q JOIN tf USING (term) JOIN ts USING (term) "
+            f"JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs "
+            f"GROUP BY tf.doc_id"
+        )
+
+    has = "EXISTS (SELECT 1 FROM tf t2 WHERE t2.doc_id = s{i}.docid AND t2.term {pred})"
+    return f"""WITH {_TOKS_CTE},
+p1(term, qtf) AS (VALUES ('table', 1::BIGINT), ('merge', 1), ('sort', 1)),
+p2(term, qtf) AS (VALUES ('table', 1::BIGINT)),
+exp3 AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS _r
+    FROM ts WHERE term LIKE 's%'
+  ) WHERE _r <= {SX_MAXEXP}
+),
+p3(term, qtf) AS (
+  SELECT term, 1::BIGINT FROM exp3
+  UNION ALL SELECT 'query', 1::BIGINT
+),
+s1 AS ({scored('p1')}),
+s2 AS ({scored('p2')}),
+s3 AS ({scored('p3')}),
+f AS (
+  SELECT 'sx1' AS qid, s1.docid, s1.score FROM s1
+  WHERE {has.format(i=1, pred="= 'table'")}
+  UNION ALL
+  SELECT 'sx2', s2.docid, s2.score FROM s2
+  WHERE NOT {has.format(i=2, pred="= 'merge'")}
+  UNION ALL
+  SELECT 'sx3', s3.docid, s3.score FROM s3
+  WHERE {has.format(i=3, pred="= 'query'")}
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM f
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
 
 
 def _hit_counts_sql() -> str:
@@ -2317,6 +2426,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "total_postings", "n_chunks",
         )
 
+    def dismax_topk_q(spark, sf):
+        # Lucene DisjunctionMaxQuery over the pseudo-conversation fields:
+        # each role is its own BM25 sub-index, best field wins + tie rest
+        from dhr_spark.operators.fielded import dismax_topk
+
+        turns = _docs_tok(spark, sf).select(
+            F.expr(f"doc_id DIV {BM25F_CONV_SIZE}").alias("conv_id"),
+            F.element_at(
+                F.array(*[F.lit(r) for r in BM25F_ROLES]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("role"),
+            "tokens",
+        )
+        return _round4(
+            dismax_topk(_qtfs(spark), turns, tie=DISMAX_TIE, k=TOPK)
+        )
+
+    def syntax_topk_q(spark, sf):
+        # Lucene classic syntax through the index: scoring-boolean
+        # semantics, wildcard cap df DESC/term ASC at SX_MAXEXP
+        q = spark.createDataFrame(SX_QUERIES, "qid string, text string")
+        return _round4(
+            _searcher(spark, sf).search_syntax(
+                q, k=TOPK, max_expansions=SX_MAXEXP
+            )
+        )
+
     def hit_counts_q(spark, sf):
         # TotalHitCountCollector analogue: docid-blocks-only decode
         return _searcher(spark, sf).count(_queries_df(spark))
@@ -2396,7 +2532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": fuzzy_topk_q,
         "mlt_topk": mlt_topk_q,
         "bm25f_topk": bm25f_topk_q,
+        "dismax_topk": dismax_topk_q,
         "explain_scores": explain_scores_q,
+        "syntax_topk": syntax_topk_q,
         "hit_counts": hit_counts_q,
         "search_after_page": search_after_q,
         "term_vectors": term_vectors_q,
@@ -2673,7 +2811,9 @@ GROUP BY r.qid""",
         ),
         "mlt_topk": _mlt_sql(MLT_SEEDS, MLT_MAX_TERMS),
         "bm25f_topk": _bm25f_sql(),
+        "dismax_topk": _dismax_sql(),
         "explain_scores": _explain_sql(),
+        "syntax_topk": _syntax_sql(),
         "hit_counts": _hit_counts_sql(),
         "search_after_page": _search_after_sql(),
         "term_vectors": _term_vectors_sql(),

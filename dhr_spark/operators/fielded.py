@@ -124,3 +124,81 @@ def bm25f_topk(
         tokens_col=tokens_col, k1=k1, b=b,
     ).withColumnRenamed(id_col, "docid")
     return topk(score_all(qtfs, post, on="term"), k)
+
+
+def dismax_topk(
+    qtfs: DataFrame,
+    turns_tok: DataFrame,
+    tie: float = 0.0,
+    k: int = 1000,
+    id_col: str = "conv_id",
+    field_col: str = "role",
+    tokens_col: str = "tokens",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(qid, docid, rank, score): Lucene DisjunctionMaxQuery across fields —
+
+        score(q, d) = max_f s_f(q, d) + tie * sum_{f' != best} s_f'(q, d)
+
+    where each field scores as its OWN BM25 sub-index (per-field df,
+    docCount, dl, avgdl — Lucene's per-field statistics), the standard
+    dis-max shape for "best matching field wins, others tie-break"
+    (tie = tieBreakerMultiplier; 0 = pure max, 1 = plain sum).
+
+    Plan shape: ONE explode + groupBy((field, id, term)) builds every
+    field's postings simultaneously (no per-field pass); per-field stats
+    are a |fields|-row broadcast; scoring is the usual broadcast-qtf join;
+    the dis-max combine is a second tiny agg over (qid, id) — rows bounded
+    by matching (qid, id, field) triples. Use exact binary ``tie``
+    fractions (0.5, 0.25) for cross-engine float determinism.
+    """
+    from dhr_spark.operators.topk import topk
+
+    occ = turns_tok.select(
+        F.col(id_col).alias("_id"),
+        F.col(field_col).alias("_f"),
+        F.explode(tokens_col).alias("term"),
+    )
+    tf = occ.groupBy("_f", "_id", "term").agg(F.count("*").alias("tf"))
+    dl = (
+        turns_tok.select(
+            F.col(id_col).alias("_id"),
+            F.col(field_col).alias("_f"),
+            F.size(tokens_col).alias("_l"),
+        )
+        .groupBy("_f", "_id")
+        .agg(F.sum("_l").alias("dl"))
+        .filter(F.col("dl") > 0)
+    )
+    fstats = dl.groupBy("_f").agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    ts = tf.groupBy("_f", "term").agg(F.count("*").alias("df"))
+    post = (
+        tf.join(dl, ["_f", "_id"])
+        .join(F.broadcast(ts), ["_f", "term"])
+        .join(F.broadcast(fstats), "_f")
+        .select(
+            "_f",
+            F.col("_id").alias("docid"),
+            "term",
+            bm25_weight_col(
+                F.col("tf"), F.col("dl"),
+                idf_col(F.col("df"), F.col("n_docs")), F.col("avgdl"),
+                k1, b,
+            ).alias("weight"),
+        )
+    )
+    per_field = (
+        F.broadcast(qtfs)
+        .join(post, "term")
+        .groupBy("qid", "docid", "_f")
+        .agg(F.sum(F.col("qtf") * F.col("weight")).alias("s"))
+    )
+    combined = per_field.groupBy("qid", "docid").agg(
+        (
+            F.max("s") + F.lit(float(tie)) * (F.sum("s") - F.max("s"))
+        ).alias("score")
+    )
+    return topk(combined, k)

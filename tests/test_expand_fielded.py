@@ -284,3 +284,41 @@ def test_bm25f_empty_field_doc_survives(spark):
     )
     rows = bm25f_topk(qtfs, turns, {"user": 1.0}, k=5).collect()
     assert [r["docid"] for r in rows] == [0]
+
+
+# --------------------------------------------------------------- dis-max
+
+def test_dismax_single_field_equals_plain_bm25(env):
+    """With every turn in ONE field, dis-max degenerates to plain BM25
+    over the concatenated per-conv text for ANY tie value (max == sum ==
+    the only field's score, and that field's stats are the corpus stats)."""
+    from dhr_spark.operators.fielded import dismax_topk
+
+    turns, qtfs = _turns_and_queries(env)
+    mono = turns.withColumn("role", F.lit("user"))
+    docs = turns.groupBy("conv_id").agg(
+        F.flatten(F.collect_list("tokens")).alias("tokens")
+    ).withColumnRenamed("conv_id", "docid")
+    tfs, dls = term_freqs(docs), doc_lengths(docs)
+    cs = corpus_stats(dls).collect()[0]
+    tdict = term_dictionary(term_stats(tfs, cs["n_docs"]))
+    post = postings_flat(tfs, dls, tdict, cs["avgdl"])
+    qtid = qtfs.join(tdict.select("term", "term_id"), "term")
+    want = _rows(topk(score_all(qtid, post, on="term_id"), K))
+    for tie in (0.0, 0.5, 1.0):
+        assert _rows(dismax_topk(qtfs, mono, tie=tie, k=K)) == want
+
+
+def test_dismax_tie_monotone(env):
+    """Per-(qid, docid) dis-max scores are nondecreasing in tie, and a doc
+    matching in >= 2 fields strictly gains from tie > 0."""
+    from dhr_spark.operators.fielded import dismax_topk
+
+    turns, qtfs = _turns_and_queries(env)
+    s0 = {(r["qid"], r["docid"]): r["score"]
+          for r in dismax_topk(qtfs, turns, tie=0.0, k=10**6).collect()}
+    s5 = {(r["qid"], r["docid"]): r["score"]
+          for r in dismax_topk(qtfs, turns, tie=0.5, k=10**6).collect()}
+    assert set(s0) == set(s5) and s0
+    assert all(s5[key] >= s0[key] - 1e-9 for key in s0)
+    assert any(s5[key] > s0[key] + 1e-6 for key in s0)
