@@ -257,3 +257,48 @@ def test_bm25f_single_tf_shuffle_and_broadcast_df(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_count_scan_pushes_term_filter_and_prunes_tf_bytes(spark, idx):
+    """Searcher.count reads only the query terms' segment rows; the count
+    kernel never touches the tfs byte column... but column pruning happens
+    at the scan for the KERNEL'S declared input, so assert the term_id
+    pushdown (the I/O win) and that no cartesian/shuffle-heavy shape
+    appears — the kernel itself decodes doc_gaps only (unit-tested)."""
+    from dhr_spark.data.synthetic import synth_queries
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, idx)
+    out = s.count(synth_queries(spark, 4))
+    plan = _plan(out)
+    assert "PushedFilters" in plan and "term_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_search_after_keeps_term_pushdown(spark, idx):
+    from dhr_spark.data.synthetic import synth_queries
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, idx)
+    q = synth_queries(spark, 2)
+    qid = q.collect()[0]["qid"]
+    out = s.search_after(q, {qid: (1.0, 5)}, size=3)
+    plan = _plan(out)
+    assert "PushedFilters" in plan and "term_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_syntax_boolean_path_no_cartesian_and_broadcast_req(spark, idx):
+    """The boolean syntax plan: membership gates join on (qid, docid)
+    without any cartesian product, and the per-qid MUST-count table is
+    broadcast."""
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, idx)
+    q = spark.createDataFrame(
+        [("b", "+table merge -slow")], "qid string, text string"
+    )
+    out = s.search_syntax(q, k=5)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
