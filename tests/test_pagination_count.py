@@ -97,3 +97,30 @@ def test_page2_disjoint_from_page1(spark, env):
     for r in p2.collect():
         assert (r["qid"], r["docid"]) not in seen1
         assert 1 <= r["rank"] <= 5
+
+
+def test_interactive_broadcast_path_identical(spark, env, tmp_path):
+    """The interactive doclens-broadcast fast path (Searcher._dl_bc) must be
+    score- and rank-identical to the cogrouped plan, for search AND
+    search_after."""
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        s0 = env["searcher"]
+        si = Searcher(spark, s0.index_dir, interactive=True)
+        assert si._dl_bc is not None  # gate admits the tiny fixture
+        q = env["queries"]
+        a = sorted(map(tuple, s0.search(q, k=10).collect()))
+        b = sorted(map(tuple, si.search(q, k=10).collect()))
+        assert a == b and a
+        cursors = {
+            r["qid"]: (r["score"], r["docid"])
+            for r in s0.search(q, k=3).filter(F.col("rank") == 3).collect()
+        }
+        q2 = q.filter(F.col("qid").isin(list(cursors.keys())))
+        a2 = sorted(map(tuple, s0.search_after(q2, cursors, size=3).collect()))
+        b2 = sorted(map(tuple, si.search_after(q2, cursors, size=3).collect()))
+        assert a2 == b2 and a2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
