@@ -298,22 +298,26 @@ def _wand_index_dir(spark: SparkSession, sf_dir: str) -> str:
             or not man.get("positional")
             or not man.get("stored")
             or not man.get("forward_index")
+            or not man.get("docvalues")
         ):
             # stale cache from an older build (pre-v2 layout, or built
-            # before the batch-phrase/highlight/more-like-this entries
-            # needed positions / stored fields / forward index): rebuild
+            # before the batch-phrase/highlight/more-like-this/docvalues
+            # entries needed positions / stored / forward / doc_map): rebuild
             import shutil
 
             shutil.rmtree(idx, ignore_errors=True)
             man = None
         if man is None:
             docs = _docs(spark, sf_dir).select(
-                F.col("doc_id").alias("docid"), "text"
+                F.col("doc_id").alias("docid"), "text",
+                "lang", "source", "n_chars",
             )
             build_index_from_docs(
                 spark, docs, idx, analyzer_mode="simple", chunk_bits=10,
                 block_size=64, positional=True, stored=True,
                 forward_index=True,
+                doc_map_df=docs.select("docid", "lang", "source", "n_chars"),
+                docvalues=["lang", "source", "n_chars"],
             )
         _INDEX_CACHE[key] = idx
     return idx
@@ -587,6 +591,37 @@ ranked AS (
   FROM comb
 )
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
+def _matched_cte() -> str:
+    """(qid, docid) of docs matching ANY query term — the OR-match set."""
+    return """matched AS (
+  SELECT DISTINCT q.qid, tf.doc_id AS docid
+  FROM (SELECT DISTINCT qid, term FROM q) q
+  JOIN tf USING (term)
+)"""
+
+
+def _sorted_hits_sql() -> str:
+    """Oracle for Searcher.search_sorted: OR-matching docs ranked by the
+    n_chars docvalue DESC, docid ASC."""
+    return f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()}
+SELECT qid, docid, rank, n_chars FROM (
+  SELECT m.qid, m.docid, d.n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY m.qid ORDER BY d.n_chars DESC, m.docid ASC
+         ) AS INTEGER) AS rank
+  FROM matched m JOIN documents d ON d.doc_id = m.docid
+) WHERE rank <= {TOPK}"""
+
+
+def _facet_hits_sql() -> str:
+    """Oracle for Searcher.result_facets: lang counts over each query's
+    OR-match set."""
+    return f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()}
+SELECT m.qid, d.lang, count(*)::BIGINT AS n
+FROM matched m JOIN documents d ON d.doc_id = m.docid
+GROUP BY m.qid, d.lang"""
 
 
 def _syntax_sql() -> str:
@@ -2457,6 +2492,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TotalHitCountCollector analogue: docid-blocks-only decode
         return _searcher(spark, sf).count(_queries_df(spark))
 
+    def sorted_hits_q(spark, sf):
+        # Lucene Sort(SortField): matching docs ranked by a docvalues
+        # column (n_chars DESC), docid tie-break — no scoring anywhere
+        return _searcher(spark, sf).search_sorted(
+            _queries_df(spark), by="n_chars", k=TOPK
+        )
+
+    def facet_hits_q(spark, sf):
+        # Lucene faceting over the HITS (not the corpus): lang counts of
+        # each query's matching documents
+        return _searcher(spark, sf).result_facets(_queries_df(spark), "lang")
+
     def search_after_q(spark, sf):
         # searchAfter page 2 (size PAGE_SIZE): cursor = last hit of page 1;
         # queries with <= PAGE_SIZE total hits have no cursor and emit
@@ -2536,6 +2583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_scores": explain_scores_q,
         "syntax_topk": syntax_topk_q,
         "hit_counts": hit_counts_q,
+        "sorted_hits": sorted_hits_q,
+        "facet_hits": facet_hits_q,
         "search_after_page": search_after_q,
         "term_vectors": term_vectors_q,
         "term_suggest": term_suggest_q,
@@ -2815,6 +2864,8 @@ GROUP BY r.qid""",
         "explain_scores": _explain_sql(),
         "syntax_topk": _syntax_sql(),
         "hit_counts": _hit_counts_sql(),
+        "sorted_hits": _sorted_hits_sql(),
+        "facet_hits": _facet_hits_sql(),
         "search_after_page": _search_after_sql(),
         "term_vectors": _term_vectors_sql(),
         "term_suggest": _suggest_sql(),

@@ -76,9 +76,14 @@ def build_index(
     forward_index: bool = False,
     positional: bool = False,
     stored: bool = False,
+    docvalues: tuple[str, ...] | list[str] = (),
 ) -> dict:
     """Build (or resume) an index over transcripts (conv_id, turn_idx, ...,
-    text): assigns stable docids, then delegates to build_index_from_docs."""
+    text): assigns stable docids, then delegates to build_index_from_docs.
+
+    ``docvalues``: transcript columns (e.g. role, ts) carried into doc_map
+    as per-doc columnar fields — the Lucene DocValues analogue backing
+    Searcher.search_sorted / result_facets."""
     docs = with_docids(transcripts, docid_strategy)
     try:
         return build_index_from_docs(
@@ -91,10 +96,11 @@ def build_index(
             k1=k1,
             b=b,
             resume=resume,
-            doc_map_df=doc_map(docs),
+            doc_map_df=doc_map(docs, docvalues),
             forward_index=forward_index,
             positional=positional,
             stored=stored,
+            docvalues=docvalues,
         )
     finally:
         # the scalable docid path persists its range-partitioned base so the
@@ -164,6 +170,7 @@ def build_index_from_docs(
     forward_index: bool = False,
     positional: bool = False,
     stored: bool = False,
+    docvalues: tuple[str, ...] | list[str] = (),
 ) -> dict:
     """Build (or resume) the index over any corpus with (docid long, text).
 
@@ -370,6 +377,7 @@ def build_index_from_docs(
         "positional": bool(positional),
         "stored": bool(stored),
         "n_terms": int(n_terms),
+        "docvalues": list(docvalues),
         "build_seconds": round(time.time() - t0, 2),
         "resumed_from": sorted(done_chunks) if done_chunks else [],
         "chunks": chunks,

@@ -217,7 +217,7 @@ def _append_docs(
     build_doclens(dls, chunk_bits).write.mode("overwrite").options(
         **dyn
     ).partitionBy("chunk").parquet(dl_path)
-    docs.select("docid", *ORDER_COLS).withColumn(
+    docs.select("docid", *ORDER_COLS, *man.get("docvalues", [])).withColumn(
         "seg_batch", F.lit(append_no)
     ).write.mode("overwrite").options(**dyn).partitionBy("seg_batch").parquet(
         os.path.join(index_dir, "doc_map")

@@ -98,7 +98,9 @@ def with_docids(
     )
 
 
-def doc_map(docs: DataFrame) -> DataFrame:
-    """(docid, conv_id, turn_idx) dimension table — the positional docid
-    lookup of the reference (gip_retrieval.py:336-341) as a broadcastable dim."""
-    return docs.select("docid", *ORDER_COLS)
+def doc_map(docs: DataFrame, extra: tuple[str, ...] | list[str] = ()) -> DataFrame:
+    """(docid, conv_id, turn_idx, *extra) dimension table — the positional
+    docid lookup of the reference (gip_retrieval.py:336-341) as a
+    broadcastable dim. ``extra`` columns are DOCVALUES (Lucene's columnar
+    per-doc fields): carried for sort-by-field and result faceting."""
+    return docs.select("docid", *ORDER_COLS, *extra)

@@ -776,6 +776,82 @@ class Searcher:
         qinfo, all_terms = self._query_info(queries)
         return self._search_prepared(qinfo, all_terms, size, prune, after=aft)
 
+    def _matched_docs(self, queries: DataFrame) -> DataFrame:
+        """(qid, docid): every live document matching >= 1 query term (OR
+        semantics) — docid-blocks-only decode, nothing scored."""
+        qinfo, all_terms = self._query_info(queries)
+        qsets = {qid: tids for qid, (tids, _, _) in qinfo.items()}
+        kern = _presence_chunk(
+            qsets, int(self.manifest["block_size"]),
+            int(self.manifest["chunk_bits"]), tombstones=self._tombstones,
+        )
+        return (
+            self._seg_for_terms(all_terms)
+            .groupBy("chunk")
+            .applyInPandas(kern, "qid string, docid long, n_hit long")
+            .select("qid", "docid")
+        )
+
+    def docvalues_frame(self, fields: list[str]) -> DataFrame:
+        """(docid, *fields) from the doc_map docvalues columns (Lucene
+        DocValues). Fields must have been declared at build time
+        (build_index(docvalues=[...]))."""
+        import os
+
+        if not os.path.isdir(os.path.join(self.index_dir, "doc_map")):
+            raise ValueError(
+                "index has no doc_map artifact — build with a doc_map_df "
+                "(build_index writes one automatically) to use docvalues"
+            )
+        dm = self.spark.read.parquet(f"{self.index_dir}/doc_map")
+        have = set(dm.columns) - {"docid", "seg_batch"}
+        missing = [f for f in fields if f not in have]
+        if missing:
+            raise ValueError(
+                f"docvalues {missing} not in this index's doc_map (has "
+                f"{sorted(have)}); rebuild with build_index(docvalues=[...])"
+            )
+        return dm.select("docid", *fields)
+
+    def search_sorted(
+        self,
+        queries: DataFrame,
+        by: str,
+        k: int = 100,
+        ascending: bool = False,
+    ) -> DataFrame:
+        """(qid, docid, rank, <by>): the top-k MATCHING docs ordered by a
+        docvalues field instead of score — Lucene's Sort(SortField). Exact:
+        every matching doc is enumerated (docid-blocks-only decode, no
+        scoring work), joined to the columnar field, and ranked per query
+        with docid as the deterministic tie-break. Lucene pays the same
+        visit-all-matches cost unless the whole index is pre-sorted."""
+        from pyspark.sql import Window
+
+        dv = self.docvalues_frame([by])
+        order = F.col(by).asc() if ascending else F.col(by).desc()
+        w = Window.partitionBy("qid").orderBy(order, F.col("docid").asc())
+        return (
+            self._matched_docs(queries)
+            .join(dv, "docid")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "docid", "rank", by)
+        )
+
+    def result_facets(self, queries: DataFrame, field: str) -> DataFrame:
+        """(qid, <field>, n): facet counts over the MATCHING documents of
+        each query (Lucene faceting on hits, not the corpus): exact OR-match
+        enumeration joined to the docvalues column, one count per distinct
+        field value per query."""
+        dv = self.docvalues_frame([field])
+        return (
+            self._matched_docs(queries)
+            .join(dv, "docid")
+            .groupBy("qid", field)
+            .agg(F.count("*").alias("n"))
+        )
+
     def doc_lengths_frame(self, chunks: list[int] | None = None) -> DataFrame:
         """(docid, dl): per-document lengths exploded from the packed
         doclens arrays, optionally restricted to a chunk list (partition

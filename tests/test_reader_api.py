@@ -99,3 +99,54 @@ def test_stats_df_matches_recount(spark, env):
     assert row["total_postings"] == postings
     assert row["avgdl"] == pytest.approx(total_dl / n_docs)
     assert row["n_chunks"] >= 1
+
+
+# --------------------------------------------------------------- docvalues
+
+def test_docvalues_sort_and_facets(spark, tmp_path):
+    """DocValues on a transcripts index: search_sorted orders matching docs
+    by the field exactly; result_facets counts match a corpus recount; an
+    append carries the docvalues columns through."""
+    from dhr_spark.data.synthetic import synth_queries
+    from dhr_spark.index.incremental import append_to_index
+    from dhr_spark.operators.docids import with_docids
+
+    idx = str(tmp_path / "dv_idx")
+    tr = synth_transcripts(spark, 30)
+    build_index(spark, tr, idx, chunk_bits=6, block_size=8,
+                docid_strategy="window", docvalues=["role", "ts"])
+    s = Searcher(spark, idx)
+    q = synth_queries(spark, 4)
+
+    matched = {(r["qid"], r["docid"])
+               for r in s._matched_docs(q).collect()}
+    assert matched
+
+    rows = s.search_sorted(q, by="ts", k=10, ascending=True).collect()
+    assert rows
+    by_q: dict = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        assert (r["qid"], r["docid"]) in matched
+        by_q.setdefault(r["qid"], []).append((r["ts"], r["docid"]))
+    for seq in by_q.values():
+        assert seq == sorted(seq)
+
+    fac = {(r["qid"], r["role"]): r["n"]
+           for r in s.result_facets(q, "role").collect()}
+    roles = {r["docid"]: r["role"]
+             for r in with_docids(tr, "window").select("docid", "role").collect()}
+    from collections import Counter
+    want = Counter((qid, roles[d]) for qid, d in matched)
+    assert fac == dict(want)
+
+    with pytest.raises(ValueError, match="docvalues"):
+        s.search_sorted(q, by="nonexistent_field", k=5)
+
+    # append: docvalues ride the new seg_batch partition
+    extra = synth_transcripts(spark, 6, seed=99).withColumn(
+        "conv_id", F.concat(F.lit("x-"), F.col("conv_id"))
+    )
+    append_to_index(spark, extra, idx)
+    s2 = Searcher(spark, idx)
+    dv = s2.docvalues_frame(["role", "ts"])
+    assert dv.count() == s2.stats_df().collect()[0]["n_docs"]
