@@ -76,6 +76,14 @@ SX_QUERIES: list[tuple[str, str]] = [
 ]
 SX_MAXEXP = 4
 DISMAX_TIE = 0.5  # exact binary fraction (cross-engine float determinism)
+# benchmark decontamination fixture: eval-set strings to screen the corpus
+# against (3-gram overlap at this tiny scale; production uses n=13)
+DECON_BENCH: list[tuple[str, str]] = [
+    ("b1", "key agg row scan slow"),
+    ("b2", "batch window spark order data"),
+    ("b3", "zzqq wwee rrtt yyuu"),  # no overlap
+]
+DECON_N, DECON_MIN_HITS = 3, 1
 SUGGEST_TERMS = ["tabel", "quary", "sow", "zzzzzzz"]
 SUGGEST_N, SUGGEST_EDITS, SUGGEST_PREFIX = 5, 2, 1
 
@@ -600,6 +608,58 @@ def _matched_cte() -> str:
   FROM (SELECT DISTINCT qid, term FROM q) q
   JOIN tf USING (term)
 )"""
+
+
+def _collapse_sql() -> str:
+    """Oracle for Searcher.search_collapse: full BM25 scoring, best doc per
+    (qid, lang), survivors re-ranked per qid."""
+    return f"""WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE},
+joined AS (
+  SELECT s.qid, s.docid, round(s.score, 6) AS s6, d.lang
+  FROM scored s JOIN documents d ON d.doc_id = s.docid
+),
+grp AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid, lang ORDER BY s6 DESC, docid ASC
+  ) AS _g FROM joined
+),
+rk AS (
+  SELECT qid, docid, s6, lang,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY s6 DESC, docid ASC
+         ) AS INTEGER) AS rank
+  FROM grp WHERE _g = 1
+)
+SELECT qid, docid, rank, round(s6, 4) AS score, lang
+FROM rk WHERE rank <= {TOPK}"""
+
+
+def _decontaminate_sql() -> str:
+    """Oracle for dedup.decontaminate: distinct 3-gram overlap between each
+    document and the benchmark strings, tokenized identically."""
+    vals = ", ".join(f"('{t}')" for _, t in DECON_BENCH)
+    tri = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len({c}) - 1, 1)), "
+        "j -> array_to_string(array_slice({c}, j, j + 2), ' ')))"
+    )
+    return f"""WITH {_TOKS_CTE},
+dsh AS (
+  SELECT doc_id, unnest({tri.format(c='toks')}) AS shingle FROM toks
+),
+bt AS (
+  SELECT list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                     x -> x <> '') AS btoks
+  FROM (VALUES {vals}) v(t)
+),
+bsh AS (SELECT DISTINCT unnest({tri.format(c='btoks')}) AS shingle FROM bt),
+hits AS (
+  SELECT doc_id, count(DISTINCT dsh.shingle)::BIGINT AS n_hits
+  FROM dsh JOIN bsh USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) >= {DECON_MIN_HITS} AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)"""
 
 
 def _sorted_hits_sql() -> str:
@@ -2492,6 +2552,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TotalHitCountCollector analogue: docid-blocks-only decode
         return _searcher(spark, sf).count(_queries_df(spark))
 
+    def collapse_hits_q(spark, sf):
+        # Lucene CollapsingTopDocsCollector: best doc per lang per query
+        return _round4(
+            _searcher(spark, sf).search_collapse(
+                _queries_df(spark), "lang", k=TOPK, group_limit=1
+            )
+        )
+
+    def decontaminate_q(spark, sf):
+        # pretraining hygiene: flag docs sharing n-grams with the eval set
+        from dhr_spark.operators.dedup import decontaminate
+
+        bench = spark.createDataFrame(DECON_BENCH, "doc_id string, text string")
+        return decontaminate(
+            _docs(spark, sf), bench, n=DECON_N, min_hits=DECON_MIN_HITS
+        )
+
     def sorted_hits_q(spark, sf):
         # Lucene Sort(SortField): matching docs ranked by a docvalues
         # column (n_chars DESC), docid tie-break — no scoring anywhere
@@ -2585,6 +2662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_counts": hit_counts_q,
         "sorted_hits": sorted_hits_q,
         "facet_hits": facet_hits_q,
+        "collapse_hits": collapse_hits_q,
+        "decontaminate": decontaminate_q,
         "search_after_page": search_after_q,
         "term_vectors": term_vectors_q,
         "term_suggest": term_suggest_q,
@@ -2866,6 +2945,8 @@ GROUP BY r.qid""",
         "hit_counts": _hit_counts_sql(),
         "sorted_hits": _sorted_hits_sql(),
         "facet_hits": _facet_hits_sql(),
+        "collapse_hits": _collapse_sql(),
+        "decontaminate": _decontaminate_sql(),
         "search_after_page": _search_after_sql(),
         "term_vectors": _term_vectors_sql(),
         "term_suggest": _suggest_sql(),

@@ -582,3 +582,45 @@ def embedding_dup_pairs_lsh(
         .groupBy("id_a", "id_b")  # a pair can collide in several tables
         .agg(F.first("cosine").alias("cosine"))
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """(id, n_hits, contaminated): benchmark decontamination — flag training
+    documents sharing >= ``min_hits`` distinct word n-grams with ANY row of
+    a benchmark/eval set (both sides (doc_id, text); simple tokenization —
+    rename the benchmark id to doc_id before calling). The
+    standard pretraining-hygiene op (n=13 is the usual contamination
+    n-gram); run before training, drop contaminated=true.
+
+    Plan shape: the benchmark shingle set is tiny next to the corpus —
+    distinct + broadcast, so the corpus-side shingle stream semi-joins
+    map-side with NO shuffle of corpus data; the per-doc hit count is the
+    only aggregation. ``broadcast_bench=False`` for benchmark sets beyond
+    broadcast range (shuffle hash join on the shingle key, still linear).
+    Docs shorter than n tokens have no shingles -> n_hits 0, never flagged.
+    """
+    doc_sh = shingle_sets(docs, n, id_col)
+    bench_sh = shingle_sets(bench, n, "doc_id").select("shingle").distinct()
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    hits = (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -852,6 +852,42 @@ class Searcher:
             .agg(F.count("*").alias("n"))
         )
 
+    def search_collapse(
+        self,
+        queries: DataFrame,
+        field: str,
+        k: int = 100,
+        group_limit: int = 1,
+    ) -> DataFrame:
+        """(qid, docid, rank, score, <field>): BM25 top-k collapsed to at
+        most ``group_limit`` best docs per value of a docvalues field —
+        Lucene's CollapsingTopDocsCollector (SERP-style one-hit-per-group).
+
+        Exact: scoring is exhaustive (no chunk-local cutoff — a pruned
+        top-k could starve a group whose best doc hides below another
+        group's flood), then a per-(qid, field) window keeps each group's
+        best ``group_limit`` docs and a per-qid window ranks the
+        survivors. Lucene's collapsing collector visits every hit too."""
+        from pyspark.sql import Window
+
+        qinfo, all_terms = self._query_info(queries)
+        chunk_docs = 1 << int(self.manifest["chunk_bits"])
+        scored = self._scored_frame(qinfo, all_terms, chunk_docs, prune=False)
+        dv = self.docvalues_frame([field])
+        r6 = F.round(F.col("score"), 6)
+        wg = Window.partitionBy("qid", field).orderBy(
+            r6.desc(), F.col("docid").asc()
+        )
+        wq = Window.partitionBy("qid").orderBy(r6.desc(), F.col("docid").asc())
+        return (
+            scored.join(dv, "docid")
+            .withColumn("_g", F.row_number().over(wg))
+            .filter(F.col("_g") <= group_limit)
+            .withColumn("rank", F.row_number().over(wq).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "docid", "rank", r6.alias("score"), field)
+        )
+
     def doc_lengths_frame(self, chunks: list[int] | None = None) -> DataFrame:
         """(docid, dl): per-document lengths exploded from the packed
         doclens arrays, optionally restricted to a chunk list (partition

@@ -490,3 +490,22 @@ def test_dup_clusters_10k_chain_logarithmic_rounds(spark):
         F.sum((F.col("cluster_id") == 0).cast("int")).alias("zeros"),
     ).collect()[0]
     assert agg["n"] == n and agg["zeros"] == n
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from dhr_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w"), (3, "q a b c x"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", "a b c"), ("b2", "c d e f")], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(docs, bench, n=3, min_hits=1).collect()}
+    # doc1 shares "a b c" and "c d e"; doc3 shares "a b c"; doc4 too short
+    assert got == {1: (2, True), 2: (0, False), 3: (1, True), 4: (0, False)}
+    strict = {r["doc_id"]: r["contaminated"]
+              for r in decontaminate(docs, bench, n=3, min_hits=2).collect()}
+    assert strict == {1: True, 2: False, 3: False, 4: False}

@@ -150,3 +150,42 @@ def test_docvalues_sort_and_facets(spark, tmp_path):
     s2 = Searcher(spark, idx)
     dv = s2.docvalues_frame(["role", "ts"])
     assert dv.count() == s2.stats_df().collect()[0]["n_docs"]
+
+
+def test_search_collapse_group_limit(spark, tmp_path):
+    """Collapse keeps at most group_limit docs per (qid, field) and ranks
+    survivors exactly as an ordinary search restricted to them."""
+    from dhr_spark.data.synthetic import synth_queries
+
+    idx = str(tmp_path / "col_idx")
+    tr = synth_transcripts(spark, 25)
+    build_index(spark, tr, idx, chunk_bits=6, block_size=8,
+                docid_strategy="window", docvalues=["role"])
+    s = Searcher(spark, idx)
+    q = synth_queries(spark, 4)
+    rows = s.search_collapse(q, "role", k=8, group_limit=2).collect()
+    assert rows
+    from collections import Counter
+    per_group = Counter((r["qid"], r["role"]) for r in rows)
+    assert max(per_group.values()) <= 2
+    # survivors are ordered by (round6 score desc, docid) with dense ranks
+    by_q: dict = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        by_q.setdefault(r["qid"], []).append((-r["score"], r["docid"], r["rank"]))
+    for seq in by_q.values():
+        assert [x[2] for x in seq] == list(range(1, len(seq) + 1))
+        assert seq == sorted(seq, key=lambda x: (x[0], x[1]))
+    # group_limit=1: each group appears once, and every kept doc is its
+    # group's best from the full search
+    full = s.search(q, k=1_000_000, prune=False)
+    dv = s.docvalues_frame(["role"])
+    best = {}
+    for r in full.join(dv, "docid").collect():
+        key = (r["qid"], r["role"])
+        cand = (-round(r["score"], 6), r["docid"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    c1 = s.search_collapse(q, "role", k=100, group_limit=1).collect()
+    assert c1
+    for r in c1:
+        assert best[(r["qid"], r["role"])][1] == r["docid"]
