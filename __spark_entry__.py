@@ -86,6 +86,11 @@ DECON_BENCH: list[tuple[str, str]] = [
 DECON_N, DECON_MIN_HITS = 3, 1
 SUGGEST_TERMS = ["tabel", "quary", "sow", "zzzzzzz"]
 SUGGEST_N, SUGGEST_EDITS, SUGGEST_PREFIX = 5, 2, 1
+# docvalues range filter (search_filtered): mid-length docs only (~60% of
+# the corpus at sf0.01 — selective enough to reorder every query's top-k)
+RANGE_LO, RANGE_HI = 150, 300
+# explicit-delete fixture: sources removed by deleteDocuments(Term)
+DELETE_SOURCES = ["src3", "src11"]
 
 # multi-term rewrite query sets (matching + cap-binding + no-match patterns)
 PREFIX_QUERIES: list[tuple[str, str]] = [
@@ -386,6 +391,34 @@ ranked AS (
 """
 
 _TOPK_SQL = f"WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE} SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"
+
+# Searcher.search_filtered oracle: the standard scored set gated by the
+# docvalues range BEFORE the per-qid ranking window (filter never scores)
+_RANGE_TOPK_SQL = f"""WITH {_TOKS_CTE}, {_q_values()},
+scored AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         sum(q.qtf * {_W_EXPR}) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN ts USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+  GROUP BY 1, 2
+),
+flt AS (
+  SELECT doc_id FROM documents
+  WHERE n_chars BETWEEN {RANGE_LO} AND {RANGE_HI}
+),
+ranked AS (
+  SELECT qid, scored.docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, scored.docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM scored
+  JOIN flt ON flt.doc_id = scored.docid
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
 
 _QRELS_CTE = f"""
 qsize AS (SELECT qid, count(DISTINCT term) AS nt FROM q GROUP BY 1),
@@ -2521,6 +2554,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "total_postings", "n_chunks",
         )
 
+    def range_topk_q(spark, sf):
+        # Lucene FILTER-clause range query over DocValues: BM25 top-k
+        # restricted to docs with n_chars in [RANGE_LO, RANGE_HI]; global
+        # (unfiltered) stats, exhaustive scoring (no WAND theta under a
+        # filter), docvalues predicate pushed into the doc_map scan
+        return _round4(
+            _searcher(spark, sf).search_filtered(
+                _queries_df(spark), "n_chars",
+                lo=RANGE_LO, hi=RANGE_HI, k=TOPK,
+            )
+        )
+
+    def delete_identity_q(spark, sf):
+        # explicit deletion (IndexWriter.deleteDocuments(Term) analogue):
+        # exact-stats delete by docvalues match must rank identically —
+        # same docids, same scores — to a fresh build over the corpus minus
+        # the deleted docs (oracle: SELECT 0 mismatches). Full-depth result
+        # SETS, so tie ordering at a cutoff can never alias the identity.
+        import shutil
+
+        from dhr_spark.index.builder import build_index_from_docs
+        from dhr_spark.index.delete import delete_docs
+        from dhr_spark.operators.wand import Searcher
+
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "text", "source"
+        )
+        key = hashlib.md5(f"del|{sf}".encode()).hexdigest()[:10]
+        deld = f"/tmp/dhr_spark_del_{key}"
+        full = f"/tmp/dhr_spark_delfull_{key}"
+        kept = docs.filter(~F.col("source").isin(DELETE_SOURCES))
+        for d, src in ((deld, docs), (full, kept)):
+            shutil.rmtree(d, ignore_errors=True)
+            build_index_from_docs(
+                spark, src.select("docid", "text"), d,
+                analyzer_mode="simple", chunk_bits=8, block_size=32,
+                forward_index=True,
+                doc_map_df=src.select("docid", "source"),
+                docvalues=["source"],
+            )
+        delete_docs(
+            spark, deld, match=("source", DELETE_SOURCES), exact_stats=True
+        )
+
+        def ranked(idx):
+            return Searcher(spark, idx).search(
+                _queries_df(spark), k=1_000_000
+            ).select("qid", "docid", F.round("score", 4).alias("score"))
+
+        a, b = ranked(deld), ranked(full)
+        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def dismax_topk_q(spark, sf):
         # Lucene DisjunctionMaxQuery over the pseudo-conversation fields:
         # each role is its own BM25 sub-index, best field wins + tie rest
@@ -2668,6 +2754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": term_vectors_q,
         "term_suggest": term_suggest_q,
         "index_stats": index_stats_q,
+        "range_topk": range_topk_q,
+        "delete_identity": delete_identity_q,
         # -- long-green round-1 entries fill the rest of the driver window --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -2914,6 +3002,8 @@ GROUP BY r.qid""",
         "wand_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
         "conv_append_identity": "SELECT 0::BIGINT AS mismatches",
         "compact_identity": "SELECT 0::BIGINT AS mismatches",
+        "delete_identity": "SELECT 0::BIGINT AS mismatches",
+        "range_topk": _RANGE_TOPK_SQL,
         "highlight_topk": _highlight_sql(),
         "federated_identity": "SELECT 0::BIGINT AS mismatches",
         "prefix_topk": _expand_topk_sql(

@@ -62,6 +62,37 @@ def _write_manifest(index_dir: str, m: dict) -> None:
     os.replace(tmp, _manifest_path(index_dir))  # atomic commit
 
 
+def read_tombstones(
+    spark: SparkSession, index_dir: str, manifest: dict
+) -> DataFrame | None:
+    """COMMITTED tombstoned docids as a (docid) DataFrame, or None when the
+    manifest records none.
+
+    Tombstone dirs are ``tomb_batch``-partitioned and every mutating op
+    (conversation append, explicit delete) writes its partition BEFORE the
+    manifest commit — so a crash between the two leaves an orphan
+    ``tomb_batch`` partition on disk whose docids were never accounted for
+    in the manifest's stats. Reading the whole dir would mask those docs
+    while their df/dl contributions still count (score drift), and a
+    retried op that anti-joins "prior tombstones" would silently skip
+    re-deriving them. The manifest is the commit point, so committed ⇔
+    ``tomb_batch <= manifest["appends"]`` (compaction carries survivors as
+    batch 0 in a fresh versioned dir): the partition-column filter prunes
+    orphans without listing their files.
+    """
+    if not int(manifest.get("tombstones", 0)):
+        return None
+    tomb_dir = os.path.join(
+        index_dir, manifest.get("tombstones_dir", "tombstones")
+    )
+    committed = int(manifest.get("appends", 0))
+    return (
+        spark.read.parquet(tomb_dir)
+        .filter(F.col("tomb_batch") <= committed)
+        .select("docid")
+    )
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -74,7 +74,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dhr_spark.index.builder import _write_manifest, load_manifest
+from dhr_spark.index.builder import (
+    _write_manifest,
+    load_manifest,
+    read_tombstones,
+)
 from dhr_spark.index.segments import build_doclens, build_segments
 from dhr_spark.index.codec import segmented_cumsum_decode, varint_decode
 from dhr_spark.operators.docids import with_global_ids
@@ -194,13 +198,10 @@ def compact_index(
     # tombstoned docs are dead weight: they count as zero fill, and the
     # rewrite below drops them (the "merge clears deletes" contract)
     tomb: np.ndarray | None = None
-    if int(man.get("tombstones", 0)):
-        tomb_dir = os.path.join(index_dir, man.get("tombstones_dir", "tombstones"))
+    tomb_df = read_tombstones(spark, index_dir, man)
+    if tomb_df is not None:
         tomb = np.array(
-            sorted(
-                int(r["docid"])
-                for r in spark.read.parquet(tomb_dir).collect()
-            ),
+            sorted(int(r["docid"]) for r in tomb_df.collect()),
             dtype=np.int64,
         )
     live_rows = dl_all.select("chunk", "n_docs").collect()

@@ -46,6 +46,7 @@ from dhr_spark.index.builder import (
     _write_manifest,
     build_index_from_docs,
     load_manifest,
+    read_tombstones,
     write_positions,
 )
 from dhr_spark.index.segments import build_doclens, build_segments
@@ -136,8 +137,11 @@ def append_conversations(
     tomb_lazy = doc_map.join(
         F.broadcast(affected), "conv_id", "left_semi"
     ).select("docid")
-    if int(man.get("tombstones", 0)):
-        prior_tombs = spark.read.parquet(tomb_dir).select("docid")
+    prior_tombs = read_tombstones(spark, index_dir, man)
+    if prior_tombs is not None:
+        # committed batches only: an orphan partition from a crashed op was
+        # never stats-accounted, so the retry must re-derive (and then
+        # dynamic-overwrite) it rather than skip it (builder.read_tombstones)
         tomb_lazy = tomb_lazy.join(prior_tombs, "docid", "left_anti")
     # SNAPSHOT to the driver, not .cache(): tomb_new reads doc_map, and this
     # append REWRITES doc_map below — a lazy (or evicted-cache) re-evaluation

@@ -577,8 +577,9 @@ class Searcher:
                     f"{self.MAX_TOMBSTONES}); compact it (rebuild over live "
                     "docs) before serving"
                 )
-            tomb_dir = man.get("tombstones_dir", "tombstones")
-            rows = spark.read.parquet(f"{index_dir}/{tomb_dir}").collect()
+            from dhr_spark.index.builder import read_tombstones
+
+            rows = read_tombstones(spark, index_dir, man).collect()
             self._tombstones = np.array(
                 sorted(int(r["docid"]) for r in rows), dtype=np.int64
             )
@@ -887,6 +888,46 @@ class Searcher:
             .filter(F.col("rank") <= k)
             .select("qid", "docid", "rank", r6.alias("score"), field)
         )
+
+    def search_filtered(
+        self,
+        queries: DataFrame,
+        field: str,
+        lo=None,
+        hi=None,
+        values: list | None = None,
+        k: int = 1000,
+    ) -> DataFrame:
+        """(qid, docid, rank, score): BM25 top-k restricted to docs whose
+        docvalues ``field`` passes a range ([lo, hi], either bound may be
+        None) or a value set — Lucene's FILTER-clause
+        RangeQuery/TermInSetQuery over DocValues
+        (IndexOrDocValuesQuery; the reference's Anserini layer exposes it
+        as filtered search).
+
+        Exact by construction: scoring is exhaustive (prune=False — WAND's
+        theta reflects the UNFILTERED score distribution, so chunk-local
+        pruning could starve in-filter docs ranked below out-of-filter
+        flood), then the docvalues predicate — pushed down into the
+        doc_map parquet scan — gates the hits before the per-qid ranking
+        window. Lucene instead leapfrogs the filter iterator against the
+        scorer; the Spark twin is this join, which AQE demotes to a
+        broadcast when the filter is selective. BM25 stats are the global
+        (unfiltered) ones, matching Lucene: a filter clause never
+        contributes to scoring."""
+        if values is None and lo is None and hi is None:
+            raise ValueError("pass values=, lo=, and/or hi=")
+        dv = self.docvalues_frame([field])
+        if values is not None:
+            dv = dv.filter(F.col(field).isin(list(values)))
+        if lo is not None:
+            dv = dv.filter(F.col(field) >= lo)
+        if hi is not None:
+            dv = dv.filter(F.col(field) <= hi)
+        qinfo, all_terms = self._query_info(queries)
+        chunk_docs = 1 << int(self.manifest["chunk_bits"])
+        scored = self._scored_frame(qinfo, all_terms, chunk_docs, False)
+        return topk(scored.join(dv.select("docid"), "docid"), k)
 
     def doc_lengths_frame(self, chunks: list[int] | None = None) -> DataFrame:
         """(docid, dl): per-document lengths exploded from the packed

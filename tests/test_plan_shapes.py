@@ -302,3 +302,21 @@ def test_syntax_boolean_path_no_cartesian_and_broadcast_req(spark, idx):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_search_filtered_pushes_docvalues_predicate(spark, idx):
+    """The docvalues range predicate of Searcher.search_filtered reaches the
+    doc_map parquet scan as a pushed filter (partition-level row-group skip
+    at scale), and the hit-gating join is not a cartesian."""
+    from dhr_spark.data.synthetic import synth_queries
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, idx)
+    df = s.search_filtered(synth_queries(spark, 3), "turn_idx", lo=2, hi=8, k=5)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
+    pushed = [
+        seg[:300] for seg in plan.split("PushedFilters")[1:]
+    ]
+    assert any("turn_idx" in p for p in pushed), plan[:2000]

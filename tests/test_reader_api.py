@@ -189,3 +189,48 @@ def test_search_collapse_group_limit(spark, tmp_path):
     assert c1
     for r in c1:
         assert best[(r["qid"], r["role"])][1] == r["docid"]
+
+
+def test_search_filtered_range_and_values(spark, tmp_path):
+    """search_filtered == full-depth search restricted to the in-filter
+    docs and re-ranked densely; the filter never changes a survivor's
+    score (global stats, Lucene FILTER-clause semantics)."""
+    from dhr_spark.data.synthetic import synth_queries
+
+    idx = str(tmp_path / "flt_idx")
+    tr = synth_transcripts(spark, 30)
+    # turn_idx is a base doc_map column — usable as a docvalue without
+    # declaring it; role is an extra carried via docvalues=
+    build_index(spark, tr, idx, chunk_bits=6, block_size=8,
+                docid_strategy="window", docvalues=["role"])
+    s = Searcher(spark, idx)
+    q = synth_queries(spark, 5)
+
+    lo, hi = 2, 9
+    got = s.search_filtered(q, "turn_idx", lo=lo, hi=hi, k=1_000_000)
+    rows = sorted(
+        ((r["qid"], r["docid"], r["rank"], r["score"]) for r in got.collect()),
+    )
+    dv = {r["docid"]: r["turn_idx"]
+          for r in s.docvalues_frame(["turn_idx"]).collect()}
+    full = s.search(q, k=1_000_000).collect()
+    by_q: dict = {}
+    for r in sorted(full, key=lambda r: (r["qid"], r["rank"])):
+        if lo <= dv[r["docid"]] <= hi:
+            by_q.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+    want = sorted(
+        (qid, d, i + 1, sc)
+        for qid, seq in by_q.items()
+        for i, (d, sc) in enumerate(seq)
+    )
+    assert rows and rows == want
+
+    # values= mode on a string field agrees with the range machinery
+    gv = s.search_filtered(q, "role", values=["user"], k=50)
+    roles = {r["docid"]: r["role"]
+             for r in s.docvalues_frame(["role"]).collect()}
+    got_v = gv.collect()
+    assert got_v and all(roles[r["docid"]] == "user" for r in got_v)
+
+    with pytest.raises(ValueError, match="values=, lo=, and/or hi="):
+        s.search_filtered(q, "role")
