@@ -73,6 +73,7 @@ SX_QUERIES: list[tuple[str, str]] = [
     ("sx2", "table -merge"),
     ("sx3", "s* +query"),
     ("sx4", "+zzzznotaword table"),  # OOV MUST -> empty
+    ("sx5", "table^2 merge^0.5"),    # BoostQuery (exact binary fractions)
 ]
 SX_MAXEXP = 4
 DISMAX_TIE = 0.5  # exact binary fraction (cross-engine float determinism)
@@ -747,9 +748,11 @@ p3(term, qtf) AS (
   SELECT term, 1::BIGINT FROM exp3
   UNION ALL SELECT 'query', 1::BIGINT
 ),
+p5(term, qtf) AS (VALUES ('table', 2.0), ('merge', 0.5)),
 s1 AS ({scored('p1')}),
 s2 AS ({scored('p2')}),
 s3 AS ({scored('p3')}),
+s5 AS ({scored('p5')}),
 f AS (
   SELECT 'sx1' AS qid, s1.docid, s1.score FROM s1
   WHERE {has.format(i=1, pred="= 'table'")}
@@ -759,6 +762,8 @@ f AS (
   UNION ALL
   SELECT 'sx3', s3.docid, s3.score FROM s3
   WHERE {has.format(i=3, pred="= 'query'")}
+  UNION ALL
+  SELECT 'sx5', s5.docid, s5.score FROM s5
 ),
 ranked AS (
   SELECT qid, docid,

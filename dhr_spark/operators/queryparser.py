@@ -16,6 +16,8 @@ against a v2 index by composing the existing surfaces:
                                        n_matches, df := docs matching
   +clause           MUST               must match; still contributes score
   -clause           MUST_NOT           must not match; contributes nothing
+  clause^2.5        BOOST              multiplies the clause's score
+                                       contribution (Lucene BoostQuery)
 
 Scoring-boolean semantics (Lucene BooleanQuery): a doc's score is the sum
 of every matching positive clause's BM25 contribution; MUST clauses gate
@@ -43,16 +45,19 @@ SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
 TERM, PHRASE, WILDCARD, FUZZY = "TERM", "PHRASE", "WILDCARD", "FUZZY"
 
 # one clause: optional +/- prefix, then a quoted phrase (optional ~slop)
-# or a bare token (optional ~edits); bare tokens may carry * and ?
+# or a bare token (optional ~edits); bare tokens may carry * and ?;
+# either form may close with ^boost (Lucene BoostQuery)
 _CLAUSE_RE = re.compile(
     r"""\s*(?P<occur>[+-])?
         (?:
           "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+          (?:\^(?P<pboost>\d+(?:\.\d+)?))?
         | (?P<token>[^\s"]+)
         )""",
     re.VERBOSE,
 )
 _FUZZY_RE = re.compile(r"^(?P<body>.+?)~(?P<edits>\d*)$")
+_BOOST_RE = re.compile(r"^(?P<body>.+?)\^(?P<boost>\d+(?:\.\d+)?)$")
 
 
 @dataclass(frozen=True)
@@ -62,6 +67,7 @@ class Clause:
     text: str  # raw body (unanalyzed)
     slop: int = 0  # PHRASE only
     edits: int = 2  # FUZZY only
+    boost: float = 1.0  # score multiplier (Lucene BoostQuery)
 
 
 @dataclass(frozen=True)
@@ -71,17 +77,17 @@ class ParsedQuery:
     @property
     def pure_should_terms(self) -> bool:
         return all(
-            c.occur == SHOULD and c.kind == TERM for c in self.clauses
+            c.occur == SHOULD and c.kind == TERM and c.boost == 1.0
+            for c in self.clauses
         )
 
 
 def parse_query(s: str) -> ParsedQuery:
     """Parse the flat Lucene classic subset. Unsupported syntax (field
-    prefixes, parentheses, AND/OR/NOT keywords, boosts) raises ValueError
-    rather than silently mis-ranking."""
+    prefixes, parentheses, AND/OR/NOT keywords) raises ValueError rather
+    than silently mis-ranking."""
     for bad, what in (
         ("(", "grouping"), (")", "grouping"),
-        ("^", "boost"),
     ):
         if bad in s:
             raise ValueError(
@@ -108,21 +114,33 @@ def parse_query(s: str) -> ParsedQuery:
             if not body.strip():
                 continue
             clauses.append(
-                Clause(occur, PHRASE, body, slop=int(m.group("slop") or 0))
+                Clause(
+                    occur, PHRASE, body, slop=int(m.group("slop") or 0),
+                    boost=float(m.group("pboost") or 1.0),
+                )
             )
             continue
         tok = m.group("token")
+        boost = 1.0
+        bm = _BOOST_RE.match(tok)
+        if bm:
+            boost = float(bm.group("boost"))
+            tok = bm.group("body")
+        if "^" in tok:
+            raise ValueError(
+                f"malformed boost in: {tok!r} — use clause^number"
+            )
         fz = _FUZZY_RE.match(tok)
         if fz and "*" not in tok and "?" not in tok:
             edits = fz.group("edits")
             clauses.append(
                 Clause(
                     occur, FUZZY, fz.group("body"),
-                    edits=int(edits) if edits else 2,
+                    edits=int(edits) if edits else 2, boost=boost,
                 )
             )
         elif "*" in tok or "?" in tok:
-            clauses.append(Clause(occur, WILDCARD, tok))
+            clauses.append(Clause(occur, WILDCARD, tok, boost=boost))
         else:
-            clauses.append(Clause(occur, TERM, tok))
+            clauses.append(Clause(occur, TERM, tok, boost=boost))
     return ParsedQuery(tuple(clauses))

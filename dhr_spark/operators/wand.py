@@ -1054,7 +1054,7 @@ class Searcher:
         must_sets: dict[str, np.ndarray] = {}  # per-clause pseudo-qid
         n_must: dict[str, int] = {}
         not_sets: dict[str, set[int]] = {}
-        phrase_jobs: list[tuple[str, str, str, int]] = []  # qid, occur, body, slop
+        phrase_jobs: list[tuple[str, str, str, int, float]] = []  # qid, occur, body, slop, boost
 
         def add_pos(qid: str, tid: int, idf: float, qtf: float) -> None:
             slot = pos.setdefault(qid, {})
@@ -1065,7 +1065,9 @@ class Searcher:
             ci = 0
             for c in pq.clauses:
                 if c.kind == QP.PHRASE:
-                    phrase_jobs.append((qid, c.occur, c.text, c.slop))
+                    phrase_jobs.append(
+                        (qid, c.occur, c.text, c.slop, c.boost)
+                    )
                     if c.occur == QP.MUST:
                         n_must[qid] = n_must.get(qid, 0) + 1
                     continue
@@ -1090,8 +1092,10 @@ class Searcher:
                             fuzzy_prefix_len,
                         )
                     if c.occur in (QP.SHOULD, QP.MUST):
+                        # clause boost folds into qtf: BM25 contribution is
+                        # qtf-linear, so qtf *= boost IS Lucene BoostQuery
                         for tid, idf in exp:
-                            add_pos(qid, tid, idf, 1.0)
+                            add_pos(qid, tid, idf, c.boost)
                     if c.occur == QP.MUST:
                         n_must[qid] = n_must.get(qid, 0) + 1
                         must_sets[f"{qid}\x01{ci}"] = np.array(
@@ -1129,7 +1133,7 @@ class Searcher:
         must_frames: list[DataFrame] = []
         not_frames: list[DataFrame] = []
         cb = int(self.manifest["chunk_bits"])
-        for pj, (qid, occur, body, slop) in enumerate(phrase_jobs):
+        for pj, (qid, occur, body, slop, boost) in enumerate(phrase_jobs):
             hits = self.search_phrase(body, slop=slop).cache()
             df_p = hits.count()
             if df_p == 0:
@@ -1165,7 +1169,9 @@ class Searcher:
                 hits.join(dlf, "docid").select(
                     F.lit(qid).alias("qid"),
                     "docid",
-                    (F.lit(idf_p) * nm / (nm + norm)).alias("score"),
+                    (F.lit(boost) * F.lit(idf_p) * nm / (nm + norm)).alias(
+                        "score"
+                    ),
                 )
             )
 

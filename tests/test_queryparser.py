@@ -53,15 +53,31 @@ def test_parse_flat_clauses():
 
 
 def test_parse_rejects_unsupported():
-    for bad in ["(a b)", "a^2", "title:x", "a AND b", "a OR b", "NOT a"]:
+    for bad in ["(a b)", "a^x", "a^", "title:x", "a AND b", "a OR b", "NOT a"]:
         with pytest.raises(ValueError):
             parse_query(bad)
+
+
+def test_parse_boosts():
+    p = parse_query('alpha^2 +beta^0.5 wild*^3 zeta~1^1.5 "a b"~2^4 plain')
+    got = [(c.kind, c.text, c.boost) for c in p.clauses]
+    assert got == [
+        (TERM, "alpha", 2.0),
+        (TERM, "beta", 0.5),
+        (WILDCARD, "wild*", 3.0),
+        (FUZZY, "zeta", 1.5),
+        (PHRASE, "a b", 4.0),
+        (TERM, "plain", 1.0),
+    ]
+    assert p.clauses[3].edits == 1 and p.clauses[4].slop == 2
+    assert not p.pure_should_terms  # boosted strings leave the fast path
 
 
 def test_parse_pure_should():
     assert parse_query("a b c").pure_should_terms
     assert not parse_query("+a b").pure_should_terms
     assert not parse_query('"a b"').pure_should_terms
+    assert not parse_query("a^2 b").pure_should_terms
 
 
 # --------------------------------------------------------------- execution
@@ -233,3 +249,34 @@ def _rows_of(rows, qid):
         for r in rows
         if r["qid"] == qid
     )
+
+
+def test_boost_scales_contributions_exactly(spark, env):
+    """score(t1^2 t2^0.5) == 2*score(t1) + 0.5*score(t2) per doc — the
+    qtf-fold IS Lucene BoostQuery because BM25 is qtf-linear; boosted
+    phrase clauses scale their sloppy-freq contribution the same way."""
+    s = env["searcher"]
+    toks = env["phrase"].split()
+    t1, t2 = toks[0], toks[1]
+
+    def scores(text):
+        q = spark.createDataFrame([("x", text)], "qid string, text string")
+        return {
+            r["docid"]: r["score"]
+            for r in s.search_syntax(q, k=1_000_000).collect()
+        }
+
+    a, b_ = scores(t1 + " zzznotaword"), scores(t2 + " zzznotaword")
+    got = scores(f"{t1}^2 {t2}^0.5")
+    want = {}
+    for d, v in a.items():
+        want[d] = want.get(d, 0.0) + 2.0 * v
+    for d, v in b_.items():
+        want[d] = want.get(d, 0.0) + 0.5 * v
+    assert got and set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=2e-6)
+
+    # boosted MUST_NOT is legal and contributes nothing
+    gate = scores(f"{t1} -{t2}^9")
+    assert set(gate) == set(a) - set(b_)
