@@ -280,3 +280,95 @@ def test_boost_scales_contributions_exactly(spark, env):
     # boosted MUST_NOT is legal and contributes nothing
     gate = scores(f"{t1} -{t2}^9")
     assert set(gate) == set(a) - set(b_)
+
+
+# ------------------------------------------------------- property (parser)
+
+def test_parser_never_crashes_property():
+    """parse_query on arbitrary printable strings either returns a
+    ParsedQuery or raises ValueError — never any other exception — and
+    every structured clause it does build round-trips its modifiers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F
+        ),
+        min_size=1, max_size=8,
+    )
+    clause = st.one_of(
+        word,
+        word.map(lambda w: f"+{w}"),
+        word.map(lambda w: f"-{w}"),
+        word.map(lambda w: f"{w}*"),
+        st.tuples(word, st.integers(0, 3)).map(lambda t: f"{t[0]}~{t[1]}"),
+        st.tuples(word, word).map(lambda t: f'"{t[0]} {t[1]}"'),
+        st.tuples(word, st.integers(0, 9)).map(lambda t: f'"{t[0]}"~{t[1]}'),
+        st.tuples(word, st.floats(0.1, 9.9).map(lambda f: round(f, 2))).map(
+            lambda t: f"{t[0]}^{t[1]}"
+        ),
+    )
+    structured = st.lists(clause, min_size=0, max_size=5).map(" ".join)
+    arbitrary = st.text(max_size=40)
+
+    @given(st.one_of(structured, arbitrary))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        try:
+            p = parse_query(s)
+        except ValueError:
+            return
+        for c in p.clauses:
+            assert c.occur in (SHOULD, MUST, MUST_NOT)
+            assert c.kind in (TERM, PHRASE, WILDCARD, FUZZY)
+            assert c.boost > 0 and c.slop >= 0 and c.edits >= 0
+            # doubled modifiers ("--a") keep the inner char in the body —
+            # the analyzer strips punctuation downstream, matching Lucene's
+            # lenient handling; the body is never empty though
+            assert c.text
+
+    check()
+
+
+def test_parser_structured_roundtrip_property():
+    """Structured single-clause strings parse to exactly the clause that
+    generated them (kind, body, slop/edits/boost)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+
+    @given(
+        word,
+        st.sampled_from(["", "+", "-"]),
+        st.sampled_from(["term", "wild", "fuzzy", "phrase"]),
+        st.integers(0, 5),
+        st.one_of(st.none(), st.floats(0.5, 8.0).map(lambda f: round(f, 1))),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(w, occ, kind, num, boost):
+        if kind == "term":
+            body = w
+        elif kind == "wild":
+            body = w + "*"
+        elif kind == "fuzzy":
+            body = f"{w}~{num % 3}"
+        else:
+            body = f'"{w} {w}"~{num}'
+        s = occ + body + (f"^{boost}" if boost is not None else "")
+        p = parse_query(s)
+        assert len(p.clauses) == 1
+        c = p.clauses[0]
+        assert c.occur == {"": SHOULD, "+": MUST, "-": MUST_NOT}[occ]
+        assert c.boost == (boost if boost is not None else 1.0)
+        if kind == "term":
+            assert c.kind == TERM and c.text == w
+        elif kind == "wild":
+            assert c.kind == WILDCARD and c.text == w + "*"
+        elif kind == "fuzzy":
+            assert c.kind == FUZZY and c.text == w and c.edits == num % 3
+        else:
+            assert c.kind == PHRASE and c.text == f"{w} {w}" and c.slop == num
+
+    check()
