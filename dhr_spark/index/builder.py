@@ -62,6 +62,26 @@ def _write_manifest(index_dir: str, m: dict) -> None:
     os.replace(tmp, _manifest_path(index_dir))  # atomic commit
 
 
+def auto_chunk_bits(
+    docid_space: int, cores: int, chunks_per_core: int = 4
+) -> int:
+    """Pick chunk_bits so the index has ~``chunks_per_core`` chunks per
+    core (bounded to [10, 22] bits, i.e. 1k-4M docs per chunk).
+
+    Why it matters (measured, BASELINE.md round-3 corpus-scale section): the
+    batch query kernel parallelizes per chunk and the global top-k merge
+    moves n_chunks * k * |Q| rows — a 9.3M-doc corpus built at
+    chunk_bits=12 (2,278 chunks) answered the 200-query batch at 3-4 q/s,
+    the same corpus at chunk_bits=17 (72 chunks) is the intended shape.
+    Too FEW chunks starves parallelism and bloats per-chunk decode memory.
+    At real cluster scale pass total executor cores, not one node's."""
+    import math
+
+    target = max(32, cores * chunks_per_core)
+    bits = math.ceil(math.log2(max(1.0, docid_space / target)))
+    return max(10, min(22, bits))
+
+
 def read_tombstones(
     spark: SparkSession, index_dir: str, manifest: dict
 ) -> DataFrame | None:
@@ -98,7 +118,7 @@ def build_index(
     transcripts: DataFrame,
     index_dir: str,
     analyzer_mode: str = "lucene",
-    chunk_bits: int = 17,
+    chunk_bits: int | str = 17,
     block_size: int = 128,
     k1: float = K1,
     b: float = B,
@@ -191,7 +211,7 @@ def build_index_from_docs(
     docs: DataFrame,
     index_dir: str,
     analyzer_mode: str = "lucene",
-    chunk_bits: int = 17,
+    chunk_bits: int | str = 17,
     block_size: int = 128,
     k1: float = K1,
     b: float = B,
@@ -232,6 +252,25 @@ def build_index_from_docs(
         )
     n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
     total_dl, max_docid = int(cs["total_dl"]), int(cs["max_docid"])
+
+    # chunk sizing: "auto" targets ~4 chunks/core over the docid space
+    # (auto_chunk_bits documents why); a resume MUST keep the prior build's
+    # bits — done_chunks skip and all partition layouts key on them
+    if chunk_bits == "auto":
+        chunk_bits = (
+            int(prior["chunk_bits"])
+            if prior is not None
+            else auto_chunk_bits(
+                max_docid + 1, spark.sparkContext.defaultParallelism
+            )
+        )
+    if prior is not None and int(prior["chunk_bits"]) != chunk_bits:
+        raise ValueError(
+            f"resume=True with chunk_bits={chunk_bits} but the prior build "
+            f"used {prior['chunk_bits']} — the chunk skip-list and every "
+            "partition layout key on it; pass the same value (or 'auto', "
+            "which adopts the prior's)"
+        )
 
     if prior is not None and (
         int(prior["n_docs"]) != n_docs

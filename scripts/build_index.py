@@ -34,7 +34,13 @@ def main() -> None:
                    help="generate N synthetic conversations instead of --input")
     p.add_argument("--index-dir", required=True)
     p.add_argument("--analyzer", default="lucene", choices=["lucene", "simple"])
-    p.add_argument("--chunk-bits", type=int, default=17)
+    p.add_argument(
+        "--chunk-bits",
+        type=lambda v: v if v == "auto" else int(v),
+        default=17,
+        help="docs-per-chunk exponent, or 'auto' (~4 chunks/core over the "
+             "docid space — builder.auto_chunk_bits documents the sizing)",
+    )
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument("--k1", type=float, default=0.9)
     p.add_argument("--b", type=float, default=0.4)

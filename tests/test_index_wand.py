@@ -299,3 +299,44 @@ def test_bm25_parameter_override(spark, built):
         Searcher(spark, built["idx"], k1=0.0)
     with _pytest.raises(ValueError, match="admissible"):
         Searcher(spark, built["idx"], b=1.5)
+
+
+def test_auto_chunk_bits_sizing():
+    from dhr_spark.index.builder import auto_chunk_bits
+
+    # 9.3M docs / 32 cores -> 128 target chunks -> 2^17-doc chunks
+    assert auto_chunk_bits(9_329_082, 32) == 17
+    # small corpora clamp at the 10-bit floor
+    assert auto_chunk_bits(1_300, 8) == 10
+    assert auto_chunk_bits(0, 8) == 10
+    # huge docid spaces clamp at 22 bits (4M docs/chunk)
+    assert auto_chunk_bits(10**12, 8) == 22
+    # more cores -> more, smaller chunks
+    assert auto_chunk_bits(10**8, 512) > 0
+    assert auto_chunk_bits(10**8, 512) < auto_chunk_bits(10**8, 8)
+
+
+def test_auto_chunk_bits_build_and_resume_guard(spark, tmp_path):
+    """chunk_bits='auto' resolves from the docid space; resume with a
+    DIFFERENT explicit chunk_bits refuses (the skip-list and partition
+    layouts key on it); resume with 'auto' adopts the prior's."""
+    import pytest as _pytest
+
+    from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+    from dhr_spark.index.builder import build_index, load_manifest
+    from dhr_spark.operators.wand import search_wand
+
+    d = str(tmp_path / "auto_idx")
+    tr = synth_transcripts(spark, 30)
+    man = build_index(spark, tr, d, chunk_bits="auto", block_size=16,
+                      docid_strategy="window")
+    assert man["chunk_bits"] == 10  # tiny corpus -> floor
+    assert search_wand(spark, d, synth_queries(spark, 4), k=5).count() > 0
+
+    with _pytest.raises(ValueError, match="prior build"):
+        build_index(spark, tr, d, chunk_bits=12, block_size=16,
+                    docid_strategy="window", resume=True)
+    man2 = build_index(spark, tr, d, chunk_bits="auto", block_size=16,
+                       docid_strategy="window", resume=True)
+    assert man2["chunk_bits"] == 10
+    assert load_manifest(d)["n_docs"] == man["n_docs"]
