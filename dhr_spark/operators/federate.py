@@ -164,6 +164,42 @@ class MultiSearcher:
             "score",
         )
 
+    def search_filtered(
+        self,
+        queries: DataFrame,
+        field: str,
+        lo=None,
+        hi=None,
+        values: list | None = None,
+        k: int = 1000,
+    ) -> DataFrame:
+        """Federated docvalues-filtered search (Searcher.search_filtered):
+        each member scores exhaustively under the merged global stats and
+        gates by its own doc_map column, so the union of local filtered
+        top-ks contains the global filtered top-k — the same subset
+        argument as ``search``, and score-identical to a union-corpus
+        index (tests/test_federate.py)."""
+        per = [
+            s.search_filtered(queries, field, lo=lo, hi=hi, values=values, k=k)
+            .withColumn("index_id", F.lit(i))
+            for i, s in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)
+
     def count(self, queries: DataFrame) -> DataFrame:
         """(qid, n): exact global hit count — member shards hold disjoint
         documents, so the federation total is the per-shard sum."""

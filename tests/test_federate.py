@@ -177,3 +177,27 @@ def test_federated_page_walk_reconstructs_search(spark, sharded, queries):
         if not last:
             break
     assert got == want
+
+
+def test_federated_filtered_equals_union_index(spark, sharded, queries):
+    """search_filtered across shards == the union-corpus index's filtered
+    search — full-depth sets, same docvalues predicate on the base
+    turn_idx doc_map column."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    lo, hi = 2, 9
+    fed = _by_turn(
+        spark,
+        ms.search_filtered(queries, "turn_idx", lo=lo, hi=hi, k=100_000),
+        sharded["dirs"],
+        fed=True,
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search_filtered(
+            queries, "turn_idx", lo=lo, hi=hi, k=100_000
+        ),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed and fed == single
+    assert all(lo <= t <= hi for (_, _, t) in fed)
