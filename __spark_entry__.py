@@ -74,6 +74,7 @@ SX_QUERIES: list[tuple[str, str]] = [
     ("sx3", "s* +query"),
     ("sx4", "+zzzznotaword table"),  # OOV MUST -> empty
     ("sx5", "table^2 merge^0.5"),    # BoostQuery (exact binary fractions)
+    ("sx6", "table merge lang:de -source:src3"),  # docvalues filter context
 ]
 SX_MAXEXP = 4
 DISMAX_TIE = 0.5  # exact binary fraction (cross-engine float determinism)
@@ -749,10 +750,15 @@ p3(term, qtf) AS (
   UNION ALL SELECT 'query', 1::BIGINT
 ),
 p5(term, qtf) AS (VALUES ('table', 2.0), ('merge', 0.5)),
+p6(term, qtf) AS (VALUES ('table', 1::BIGINT), ('merge', 1)),
 s1 AS ({scored('p1')}),
 s2 AS ({scored('p2')}),
 s3 AS ({scored('p3')}),
 s5 AS ({scored('p5')}),
+s6 AS ({scored('p6')}),
+f6 AS (
+  SELECT doc_id FROM documents WHERE lang = 'de' AND source <> 'src3'
+),
 f AS (
   SELECT 'sx1' AS qid, s1.docid, s1.score FROM s1
   WHERE {has.format(i=1, pred="= 'table'")}
@@ -764,6 +770,9 @@ f AS (
   WHERE {has.format(i=3, pred="= 'query'")}
   UNION ALL
   SELECT 'sx5', s5.docid, s5.score FROM s5
+  UNION ALL
+  SELECT 'sx6', s6.docid, s6.score FROM s6
+  WHERE s6.docid IN (SELECT doc_id FROM f6)
 ),
 ranked AS (
   SELECT qid, docid,

@@ -413,7 +413,7 @@ def main() -> None:
         "rm3_topk", "conv_documents", "sample_split", "aggpool_vectors",
         "highlight_topk", "syntax_topk", "hit_counts", "search_after_page",
         "dismax_topk", "explain_scores", "term_suggest", "mlt_topk",
-        "fuzzy_topk",
+        "fuzzy_topk", "range_topk", "collapse_hits", "decontaminate",
     ]:
         # best-of-2: each op is 0.2-4s, so the second draw is cheap and
         # halves the ambient-noise variance in the committed per-op table

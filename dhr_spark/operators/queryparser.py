@@ -18,6 +18,10 @@ against a v2 index by composing the existing surfaces:
   -clause           MUST_NOT           must not match; contributes nothing
   clause^2.5        BOOST              multiplies the clause's score
                                        contribution (Lucene BoostQuery)
+  field:value       FIELD              filter-context match on a doc_map
+                                       docvalues column (role:user) —
+                                       gates membership, never scores
+                                       (Lucene keyword-field filter usage)
 
 Scoring-boolean semantics (Lucene BooleanQuery): a doc's score is the sum
 of every matching positive clause's BM25 contribution; MUST clauses gate
@@ -42,7 +46,9 @@ import re
 from dataclasses import dataclass, field
 
 SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
-TERM, PHRASE, WILDCARD, FUZZY = "TERM", "PHRASE", "WILDCARD", "FUZZY"
+TERM, PHRASE, WILDCARD, FUZZY, FIELD = (
+    "TERM", "PHRASE", "WILDCARD", "FUZZY", "FIELD",
+)
 
 # one clause: optional +/- prefix, then a quoted phrase (optional ~slop)
 # or a bare token (optional ~edits); bare tokens may carry * and ?;
@@ -58,16 +64,20 @@ _CLAUSE_RE = re.compile(
 )
 _FUZZY_RE = re.compile(r"^(?P<body>.+?)~(?P<edits>\d*)$")
 _BOOST_RE = re.compile(r"^(?P<body>.+?)\^(?P<boost>\d+(?:\.\d+)?)$")
+# field:value — identifier-shaped field names only, so time-like tokens
+# ("12:30") fall through to TERM (the analyzer strips the colon anyway)
+_FIELD_RE = re.compile(r"^(?P<field>[A-Za-z_][A-Za-z0-9_]*):(?P<value>.*)$")
 
 
 @dataclass(frozen=True)
 class Clause:
     occur: str  # SHOULD | MUST | MUST_NOT
-    kind: str  # TERM | PHRASE | WILDCARD | FUZZY
-    text: str  # raw body (unanalyzed)
+    kind: str  # TERM | PHRASE | WILDCARD | FUZZY | FIELD
+    text: str  # raw body (unanalyzed); FIELD: the value to match
     slop: int = 0  # PHRASE only
     edits: int = 2  # FUZZY only
     boost: float = 1.0  # score multiplier (Lucene BoostQuery)
+    field_name: str = ""  # FIELD only: the doc_map docvalues column
 
 
 @dataclass(frozen=True)
@@ -97,8 +107,6 @@ def parse_query(s: str) -> ParsedQuery:
         raise ValueError(
             f"unsupported boolean keyword in: {s!r} — use +term / -term"
         )
-    if re.search(r"(?<!\\):", s):
-        raise ValueError(f"unsupported field prefix in: {s!r}")
     clauses: list[Clause] = []
     pos = 0
     while pos < len(s):
@@ -130,6 +138,25 @@ def parse_query(s: str) -> ParsedQuery:
             raise ValueError(
                 f"malformed boost in: {tok!r} — use clause^number"
             )
+        fm = _FIELD_RE.match(tok)
+        if fm:
+            val = fm.group("value")
+            if not val:
+                raise ValueError(f"empty field clause: {tok!r}")
+            if any(ch in val for ch in '*?~"'):
+                raise ValueError(
+                    f"field clauses match docvalues exactly — no "
+                    f"wildcard/fuzzy/phrase bodies: {tok!r}"
+                )
+            if boost != 1.0:
+                raise ValueError(
+                    f"field clauses are filter-context (never score) — "
+                    f"boost is meaningless: {tok!r}"
+                )
+            clauses.append(
+                Clause(occur, FIELD, val, field_name=fm.group("field"))
+            )
+            continue
         fz = _FUZZY_RE.match(tok)
         if fz and "*" not in tok and "?" not in tok:
             edits = fz.group("edits")

@@ -1033,7 +1033,10 @@ class Searcher:
         positional artifact, df := matching-doc count). MUST gates
         membership but still scores; MUST_NOT only filters. An
         unsatisfiable MUST (OOV term, no-match phrase) empties its query,
-        as in Lucene."""
+        as in Lucene. FIELD clauses (role:user) are filter-context over
+        doc_map docvalues columns — they gate (or, with -, exclude) and
+        never score; a query made ONLY of field clauses therefore returns
+        no rows (use search_filtered / boolean_match for pure filtering)."""
         from dhr_spark.operators import queryparser as QP
 
         qrows = (
@@ -1055,6 +1058,8 @@ class Searcher:
         n_must: dict[str, int] = {}
         not_sets: dict[str, set[int]] = {}
         phrase_jobs: list[tuple[str, str, str, int, float]] = []  # qid, occur, body, slop, boost
+        must_frames: list[DataFrame] = []
+        not_frames: list[DataFrame] = []
 
         def add_pos(qid: str, tid: int, idf: float, qtf: float) -> None:
             slot = pos.setdefault(qid, {})
@@ -1064,6 +1069,29 @@ class Searcher:
         for qid, pq in parsed.items():
             ci = 0
             for c in pq.clauses:
+                if c.kind == QP.FIELD:
+                    # filter-context docvalues match (never scores):
+                    # SHOULD/MUST both gate — a bare role:user is how
+                    # Lucene users write keyword filters — MUST_NOT
+                    # excludes. The docvalues read is a pushed-down
+                    # doc_map column scan; equality casts the literal to
+                    # the column's type (so turn_idx:3 works).
+                    member = (
+                        self.docvalues_frame([c.field_name])
+                        .filter(F.col(c.field_name) == c.text)
+                        .select(F.lit(qid).alias("qid"), "docid")
+                    )
+                    if c.occur == QP.MUST_NOT:
+                        not_frames.append(member)
+                    else:
+                        n_must[qid] = n_must.get(qid, 0) + 1
+                        must_frames.append(
+                            member.withColumn(
+                                "clause", F.lit(f"fd\x01{ci}")
+                            )
+                        )
+                        ci += 1
+                    continue
                 if c.kind == QP.PHRASE:
                     phrase_jobs.append(
                         (qid, c.occur, c.text, c.slop, c.boost)
@@ -1130,8 +1158,6 @@ class Searcher:
 
         # ---- phrase clauses: sloppy-freq BM25 + membership frames ----
         n_docs = int(self.manifest["n_docs"])
-        must_frames: list[DataFrame] = []
-        not_frames: list[DataFrame] = []
         cb = int(self.manifest["chunk_bits"])
         for pj, (qid, occur, body, slop, boost) in enumerate(phrase_jobs):
             hits = self.search_phrase(body, slop=slop).cache()

@@ -53,7 +53,7 @@ def test_parse_flat_clauses():
 
 
 def test_parse_rejects_unsupported():
-    for bad in ["(a b)", "a^x", "a^", "title:x", "a AND b", "a OR b", "NOT a"]:
+    for bad in ["(a b)", "a^x", "a^", "a AND b", "a OR b", "NOT a"]:
         with pytest.raises(ValueError):
             parse_query(bad)
 
@@ -87,7 +87,8 @@ def env(spark, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("syntax_idx") / "idx")
     tr = synth_transcripts(spark, 40)
     build_index(spark, tr, idx, chunk_bits=6, block_size=8,
-                docid_strategy="window", positional=True)
+                docid_strategy="window", positional=True,
+                docvalues=["role"])
     s = Searcher(spark, idx)
     tok = with_tokens(with_docids(tr, "window"), mode="lucene")
     # derive a phrase guaranteed to exist: two adjacent raw words of some
@@ -372,3 +373,69 @@ def test_parser_structured_roundtrip_property():
             assert c.kind == PHRASE and c.text == f"{w} {w}" and c.slop == num
 
     check()
+
+
+def test_parse_field_clauses():
+    from dhr_spark.operators.queryparser import FIELD
+
+    p = parse_query("role:user +lang:de -tool:bash table turn_idx:3")
+    got = [(c.occur, c.kind, c.field_name, c.text) for c in p.clauses]
+    assert got == [
+        (SHOULD, FIELD, "role", "user"),
+        (MUST, FIELD, "lang", "de"),
+        (MUST_NOT, FIELD, "tool", "bash"),
+        (SHOULD, TERM, "", "table"),
+        (SHOULD, FIELD, "turn_idx", "3"),
+    ]
+    assert not p.pure_should_terms
+    # time-like tokens are NOT field clauses (non-identifier prefix)
+    assert parse_query("12:30").clauses[0].kind == TERM
+    for bad in ["role:", 'role:"a b"', "role:us*", "role:user^2", "role:u~1"]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_field_clause_filters_not_scores(spark, env):
+    """role:user gates hits to user turns without touching scores;
+    -role:user excludes them; a MUST term + field filter equals the
+    search_filtered composition; field-only queries return nothing."""
+    s = env["searcher"]
+    base = spark.createDataFrame(
+        [("q", "table merge")], "qid string, text string"
+    )
+    full = {r["docid"]: r["score"]
+            for r in s.search(base, k=1_000_000, prune=False).collect()}
+    roles = {r["docid"]: r["role"]
+             for r in s.docvalues_frame(["role"]).collect()}
+
+    got = {r["docid"]: r["score"] for r in s.search_syntax(
+        spark.createDataFrame([("q", "table merge role:user")],
+                              "qid string, text string"),
+        k=1_000_000,
+    ).collect()}
+    want = {d: v for d, v in full.items() if roles[d] == "user"}
+    assert got and set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(round(want[d], 6), abs=1e-6)
+
+    neg = {r["docid"] for r in s.search_syntax(
+        spark.createDataFrame([("q", "table merge -role:user")],
+                              "qid string, text string"),
+        k=1_000_000,
+    ).collect()}
+    assert neg and neg == {d for d in full if roles[d] != "user"}
+
+    # equals the search_filtered composition on the same predicate
+    sf = {r["docid"]: r["score"] for r in s.search_filtered(
+        base, "role", values=["user"], k=1_000_000
+    ).collect()}
+    assert set(sf) == set(got)
+    for d in got:
+        assert got[d] == pytest.approx(sf[d], abs=1e-6)
+
+    only = s.search_syntax(
+        spark.createDataFrame([("q", "role:user")],
+                              "qid string, text string"),
+        k=10,
+    )
+    assert only.count() == 0
