@@ -719,6 +719,29 @@ FROM matched m JOIN documents d ON d.doc_id = m.docid
 GROUP BY m.qid, d.lang"""
 
 
+FACET_BOUNDS = [0, 150, 300, 450, 600]  # n_chars histogram buckets
+
+
+def _facet_ranges_sql() -> str:
+    """Oracle for Searcher.result_facet_ranges: half-open n_chars buckets
+    over each query's OR-match set; values outside [b0, bm) uncounted."""
+    m = len(FACET_BOUNDS) - 1
+    case = "CASE " + " ".join(
+        f"WHEN d.n_chars < {FACET_BOUNDS[i + 1]} THEN {i}"
+        for i in range(m)
+    ) + " END"
+    lows = ", ".join(str(x) for x in FACET_BOUNDS[:-1])
+    highs = ", ".join(str(x) for x in FACET_BOUNDS[1:])
+    return f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()}
+SELECT m.qid, ({case})::INTEGER AS bucket,
+       ([{lows}])[{case} + 1] AS lo,
+       ([{highs}])[{case} + 1] AS hi,
+       count(*)::BIGINT AS n
+FROM matched m JOIN documents d ON d.doc_id = m.docid
+WHERE d.n_chars >= {FACET_BOUNDS[0]} AND d.n_chars < {FACET_BOUNDS[-1]}
+GROUP BY 1, 2, 3, 4"""
+
+
 def _syntax_sql() -> str:
     """Oracle for Searcher.search_syntax over SX_QUERIES (simple analyzer:
     clause text lowercases to itself). Scoring-boolean re-derivation:
@@ -2681,6 +2704,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each query's matching documents
         return _searcher(spark, sf).result_facets(_queries_df(spark), "lang")
 
+    def facet_ranges_q(spark, sf):
+        # Lucene RangeFacetCounts: n_chars histogram over each query's
+        # matching documents (half-open buckets, out-of-range uncounted)
+        return _searcher(spark, sf).result_facet_ranges(
+            _queries_df(spark), "n_chars", FACET_BOUNDS
+        )
+
     def search_after_q(spark, sf):
         # searchAfter page 2 (size PAGE_SIZE): cursor = last hit of page 1;
         # queries with <= PAGE_SIZE total hits have no cursor and emit
@@ -2770,7 +2800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": index_stats_q,
         "range_topk": range_topk_q,
         "delete_identity": delete_identity_q,
-        # -- long-green round-1 entries fill the rest of the driver window --
+        # -- past the driver's 50-entry window: pytest-oracled only --
+        "facet_ranges": facet_ranges_q,
+        # -- long-green round-1 entries --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
         "term_stats": term_stats_q,
@@ -3049,6 +3081,7 @@ GROUP BY r.qid""",
         "hit_counts": _hit_counts_sql(),
         "sorted_hits": _sorted_hits_sql(),
         "facet_hits": _facet_hits_sql(),
+        "facet_ranges": _facet_ranges_sql(),
         "collapse_hits": _collapse_sql(),
         "decontaminate": _decontaminate_sql(),
         "search_after_page": _search_after_sql(),

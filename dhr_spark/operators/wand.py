@@ -853,6 +853,47 @@ class Searcher:
             .agg(F.count("*").alias("n"))
         )
 
+    def result_facet_ranges(
+        self,
+        queries: DataFrame,
+        field: str,
+        bounds: list,
+    ) -> DataFrame:
+        """(qid, bucket, lo, hi, n): histogram facets over the MATCHING
+        documents of each query — Lucene RangeFacetCounts. ``bounds``
+        [b0, b1, ..., bm] defines m half-open buckets [b_i, b_{i+1});
+        values outside [b0, bm) are not counted (Lucene ranges are
+        explicit too). Same plan shape as result_facets: exact OR-match
+        enumeration (docid blocks only, nothing scored) joined to the
+        pushed-down docvalues column, then a codegen'd bucket expression —
+        empty buckets emit no row."""
+        if len(bounds) < 2 or sorted(bounds) != list(bounds):
+            raise ValueError("bounds must be >= 2 ascending values")
+        dv = self.docvalues_frame([field]).filter(
+            (F.col(field) >= bounds[0]) & (F.col(field) < bounds[-1])
+        )
+        # bucket index via half-open comparison chain — m is user-tiny, the
+        # CASE chain stays whole-stage-codegen
+        b = F.lit(len(bounds) - 2)
+        for i in range(len(bounds) - 2, -1, -1):
+            b = F.when(F.col(field) < bounds[i + 1], F.lit(i)).otherwise(b)
+        lows = F.array(*[F.lit(x) for x in bounds[:-1]])
+        highs = F.array(*[F.lit(x) for x in bounds[1:]])
+        return (
+            self._matched_docs(queries)
+            .join(dv, "docid")
+            .withColumn("bucket", b.cast("int"))
+            .groupBy("qid", "bucket")
+            .agg(F.count("*").alias("n"))
+            .select(
+                "qid",
+                "bucket",
+                F.element_at(lows, F.col("bucket") + 1).alias("lo"),
+                F.element_at(highs, F.col("bucket") + 1).alias("hi"),
+                "n",
+            )
+        )
+
     def search_collapse(
         self,
         queries: DataFrame,
@@ -1019,6 +1060,7 @@ class Searcher:
         k: int = 1000,
         max_expansions: int = 1024,
         fuzzy_prefix_len: int = 1,
+        min_should_match: int = 0,
     ) -> DataFrame:
         """Execute Lucene classic-syntax query strings EXACTLY —
         (qid, docid, rank, score) under scoring-boolean semantics
@@ -1036,7 +1078,15 @@ class Searcher:
         as in Lucene. FIELD clauses (role:user) are filter-context over
         doc_map docvalues columns — they gate (or, with -, exclude) and
         never score; a query made ONLY of field clauses therefore returns
-        no rows (use search_filtered / boolean_match for pure filtering)."""
+        no rows (use search_filtered / boolean_match for pure filtering).
+
+        ``min_should_match``: Lucene BooleanQuery's
+        minimumNumberShouldMatch — a doc must satisfy at least this many
+        distinct SHOULD scoring clauses (each analyzed token of a TERM is
+        its own clause, as in Lucene; an OOV SHOULD clause counts toward
+        the requirement but can never be satisfied; FIELD filter-context
+        clauses never count). Queries with no SHOULD clauses ignore it;
+        a requirement above a query's SHOULD count empties that query."""
         from dhr_spark.operators import queryparser as QP
 
         qrows = (
@@ -1050,7 +1100,10 @@ class Searcher:
                 "parse+plan is driver-side — split the batch"
             )
         parsed = {r["qid"]: QP.parse_query(r["text"] or "") for r in qrows}
-        if all(p.pure_should_terms for p in parsed.values()):
+        # msm<=1 keeps the fast path: every OR hit satisfies >=1 clause
+        if min_should_match <= 1 and all(
+            p.pure_should_terms for p in parsed.values()
+        ):
             return self.search(queries, k=k)
 
         pos: dict[str, dict[int, tuple[float, float]]] = {}
@@ -1060,6 +1113,9 @@ class Searcher:
         phrase_jobs: list[tuple[str, str, str, int, float]] = []  # qid, occur, body, slop, boost
         must_frames: list[DataFrame] = []
         not_frames: list[DataFrame] = []
+        msm_sets: dict[str, np.ndarray] = {}  # SHOULD-clause pseudo-qids
+        msm_frames: list[DataFrame] = []  # SHOULD phrase memberships
+        n_should: dict[str, int] = {}
 
         def add_pos(qid: str, tid: int, idf: float, qtf: float) -> None:
             slot = pos.setdefault(qid, {})
@@ -1098,6 +1154,10 @@ class Searcher:
                     )
                     if c.occur == QP.MUST:
                         n_must[qid] = n_must.get(qid, 0) + 1
+                    elif (
+                        c.occur == QP.SHOULD and min_should_match > 0
+                    ):
+                        n_should[qid] = n_should.get(qid, 0) + 1
                     continue
                 if c.kind == QP.TERM:
                     toks = self._analyze(c.text)
@@ -1134,6 +1194,12 @@ class Searcher:
                         not_sets.setdefault(qid, set()).update(
                             t for t, _ in exp
                         )
+                    elif min_should_match > 0:  # SHOULD, msm active
+                        n_should[qid] = n_should.get(qid, 0) + 1
+                        msm_sets[f"{qid}\x01{ci}"] = np.array(
+                            [t for t, _ in exp], dtype=np.int64
+                        )
+                        ci += 1
 
         # ---- positive term scoring (exhaustive: boolean filters must see
         # every matching doc, so no chunk-local pruning/cutoff) ----
@@ -1175,6 +1241,10 @@ class Searcher:
             if occur == QP.MUST:
                 must_frames.append(
                     member.withColumn("clause", F.lit(f"ph\x01{pj}"))
+                )
+            elif min_should_match > 0:  # SHOULD phrase counts toward msm
+                msm_frames.append(
+                    member.withColumn("clause", F.lit(f"mp\x01{pj}"))
                 )
             idf_p = float(np.log(1.0 + (n_docs - df_p + 0.5) / (df_p + 0.5)))
             chs = [
@@ -1282,6 +1352,55 @@ class Searcher:
             for fr in not_frames[1:]:
                 nf = nf.unionByName(fr)
             scored = scored.join(nf.distinct(), ["qid", "docid"], "left_anti")
+
+        # ---- minimumNumberShouldMatch: >= msm distinct SHOULD clauses ----
+        if min_should_match > 0 and n_should:
+            if msm_sets:
+                kern = _presence_chunk(
+                    msm_sets, int(self.manifest["block_size"]), cb,
+                    tombstones=self._tombstones,
+                )
+                seg = self._seg_for_terms(
+                    sorted({int(t) for s in msm_sets.values() for t in s})
+                )
+                msm_frames.append(
+                    seg.groupBy("chunk")
+                    .applyInPandas(kern, "qid string, docid long, n_hit long")
+                    .select(
+                        F.split_part(
+                            F.col("qid"), F.lit("\x01"), F.lit(1)
+                        ).alias("qid"),
+                        "docid",
+                        F.col("qid").alias("clause"),
+                    )
+                )
+            if msm_frames:
+                sf_ = msm_frames[0]
+                for fr in msm_frames[1:]:
+                    sf_ = sf_.unionByName(fr)
+                sat_s = (
+                    sf_.distinct()
+                    .groupBy("qid", "docid")
+                    .agg(F.count("*").alias("n_sat_s"))
+                )
+            else:
+                sat_s = self.spark.createDataFrame(
+                    [], "qid string, docid long, n_sat_s long"
+                )
+            # qids with SHOULD clauses require msm; others are untouched
+            req_s = self.spark.createDataFrame(
+                [(q, min_should_match) for q in n_should],
+                "qid string, n_req_s long",
+            )
+            scored = (
+                scored.join(sat_s, ["qid", "docid"], "left")
+                .join(F.broadcast(req_s), "qid", "left")
+                .filter(
+                    F.coalesce(F.col("n_sat_s"), F.lit(0))
+                    >= F.coalesce(F.col("n_req_s"), F.lit(0))
+                )
+                .select("qid", "docid", "score")
+            )
 
         return topk(scored, k)
 

@@ -68,6 +68,10 @@ def main() -> None:
                    help="fuzzy exact-prefix gate length")
     p.add_argument("--mlt-terms", type=int, default=10,
                    help="MoreLikeThis max query terms")
+    p.add_argument("--min-should-match", type=int, default=0,
+                   help="with --syntax: docs must satisfy at least this "
+                        "many SHOULD clauses (Lucene "
+                        "minimumNumberShouldMatch)")
     p.add_argument("--syntax", action="store_true",
                    help="parse the query text as Lucene classic syntax "
                         "(+must -not \"phrase\"~slop wild* fuzzy~edits) and "
@@ -155,7 +159,10 @@ def main() -> None:
                          max_expansions=args.max_expansions or 1024,
                          prune=prune)
         elif args.syntax:
-            run = searcher.search_syntax(queries, k=args.k)
+            run = searcher.search_syntax(
+                queries, k=args.k,
+                min_should_match=args.min_should_match,
+            )
         elif args.count:
             run = searcher.count(queries)
         elif args.explain:

@@ -439,3 +439,43 @@ def test_field_clause_filters_not_scores(spark, env):
         k=10,
     )
     assert only.count() == 0
+
+
+def test_minimum_should_match(spark, env):
+    """min_should_match=m keeps docs satisfying >= m distinct SHOULD
+    clauses (corpus-recomputed); m above the clause count empties the
+    query; MUST clauses still gate independently; m<=1 is a no-op."""
+    s = env["searcher"]
+    q = spark.createDataFrame(
+        [("q", "table merge slow")], "qid string, text string"
+    )
+    toks = ["tabl", "merg", "slow"]  # lucene-analyzed clause tokens
+    have = {t: _docs_with(env, t) for t in toks}
+
+    base = {r["docid"]: r["score"]
+            for r in s.search(q, k=1_000_000, prune=False).collect()}
+    m1 = {r["docid"]: r["score"]
+          for r in s.search_syntax(q, k=1_000_000,
+                                   min_should_match=1).collect()}
+    assert m1 == {d: round(v, 6) for d, v in base.items()} or set(m1) == set(base)
+
+    m2 = {r["docid"] for r in s.search_syntax(
+        q, k=1_000_000, min_should_match=2
+    ).collect()}
+    want2 = {d for d in base
+             if sum(d in have[t] for t in toks) >= 2}
+    assert m2 and m2 == want2
+
+    m9 = s.search_syntax(q, k=10, min_should_match=9)
+    assert m9.count() == 0
+
+    # MUST gates independently of the SHOULD requirement
+    qm = spark.createDataFrame(
+        [("q", "+table merge slow")], "qid string, text string"
+    )
+    got = {r["docid"] for r in s.search_syntax(
+        qm, k=1_000_000, min_should_match=1
+    ).collect()}
+    want = {d for d in base
+            if d in have["tabl"] and (d in have["merg"] or d in have["slow"])}
+    assert got and got == want
