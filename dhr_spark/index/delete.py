@@ -1,8 +1,11 @@
 """Explicit document deletion — Lucene ``IndexWriter.deleteDocuments``.
 
 The reference serves Lucene/FAISS indexes that support deleting documents
-without a rebuild (Anserini's underlying Lucene ``IndexWriter`` deletes by
-Term/Query; segment merges later purge them). At 10^12-turn scale the same
+without a rebuild (its Lucene backend — the index that
+/root/reference/densify/output_vector.py:24-31 reads BM25 vectors from —
+carries Lucene's liveDocs deleted-docs semantics; Anserini's underlying
+``IndexWriter`` deletes by Term/Query and segment merges later purge
+them). At 10^12-turn scale the same
 need is GDPR-shaped: "remove these conversations from retrieval NOW" cannot
 wait for a full rebuild over the source table. This module gives any
 dhr_spark index (turn- or conversation-granularity) that operation, reusing
