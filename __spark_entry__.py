@@ -37,7 +37,9 @@ from dhr_spark.operators.termfreq import (
 from dhr_spark.operators import boolquery as BQ
 from dhr_spark.operators import conversations as CV
 from dhr_spark.operators import phrase as PH
+from dhr_spark.operators import qld as QL
 from dhr_spark.operators import rm3 as R3
+from dhr_spark.operators import rocchio as RC
 from dhr_spark.operators.expand import wildcard_to_regex
 from dhr_spark.operators.topk import score_all, topk, two_stage_topk
 from dhr_spark.sources.io import trec_run_lines
@@ -117,6 +119,28 @@ FUZZY_QUERIES: list[tuple[str, str]] = [
 ]
 FUZZY_MAX_EDITS, FUZZY_PREFIX_LEN = 2, 1
 FUZZY_MAXEXP = 50  # Lucene FuzzyQuery maxExpansions default
+# RegexpQuery patterns (Java/RE2-common core only — see expand.expand_regexp)
+REGEXP_QUERIES: list[tuple[str, str]] = [
+    ("rx1", "sc.n|sl.w"),     # scan, slow (alternation + dot)
+    ("rx2", "qu(ery|ary)"),   # query (grouping)
+    ("rx3", "[jh](oin|ash)"), # join, hash (char class)
+    ("rx4", "s.*"),           # cap binds (s-terms > 4)
+    ("rx5", "zz+q"),          # no match
+]
+REGEXP_MAXEXP = 4
+# SpanFirstQuery: (sid, phrase, end) — span must end at position <= end
+SPAN_FIRST_QUERIES: list[tuple[str, str, int]] = [
+    ("sp1", "table", 6),
+    ("sp2", "slow hash", 14),
+    ("sp3", "zzyzx", 5),      # no match
+]
+QLD_MU = 1000.0  # Lucene/Pyserini set_qld default
+# Rocchio PRF (gamma > 0 exercises the negative-feedback arm)
+ROCCHIO_FB_DOCS, ROCCHIO_FB_TERMS = 5, 10
+ROCCHIO_ALPHA, ROCCHIO_BETA, ROCCHIO_GAMMA = 1.0, 0.75, 0.15
+ROCCHIO_BOTTOM = 5
+# block-join: parent conversation = doc_id // 10 (same reshape as tturns)
+BLOCKJOIN_PARENT_SIZE = 10
 MLT_SEEDS: list[tuple[str, int]] = [("m1", 7), ("m2", 23)]
 MLT_MAX_TERMS = 10
 # BM25F pseudo-conversation view of the documents corpus: conv = doc_id//5,
@@ -1061,6 +1085,193 @@ ranked2 AS (
 )
 SELECT qid, docid, rank, score FROM ranked2 WHERE rank <= {TOPK}
 """
+
+
+def _qld_topk_sql(mu: float = QLD_MU) -> str:
+    """LM-Dirichlet (operators/qld.py) oracle: Lucene LMDirichletSimilarity
+    with the per-term >= 0 clamp; P(t|C) = ctf/collection length."""
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+coll AS (SELECT sum(dl)::DOUBLE AS cl FROM dl),
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.term, tf.doc_id AS docid,
+         round(greatest(
+           ln(1 + tf.tf / ({mu} * (ctf.ctf / coll.cl)))
+           + ln({mu} / (dl.dl + {mu})), 0.0), 6) AS weight
+  FROM tf JOIN ctf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN coll
+),
+scored AS (
+  SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
+  FROM q JOIN w USING (term)
+  WHERE w.weight > 0
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
+def _rocchio_ctes() -> str:
+    """Rocchio PRF CTEs (assume _TOKS_CTE + q + _SCORED_CTE's ranked).
+
+    Mirrors operators/rocchio.py exactly: integer-micros centroids so the
+    per-query normalizing sums are order-independent across engines."""
+    a, b, g = ROCCHIO_ALPHA, ROCCHIO_BETA, ROCCHIO_GAMMA
+    return f"""
+fp AS (SELECT qid, docid, rank FROM ranked WHERE rank <= {TOPK}),
+rpos AS (SELECT qid, docid FROM fp WHERE rank <= {ROCCHIO_FB_DOCS}),
+rnpos AS (SELECT qid, count(*)::BIGINT AS n_fb FROM rpos GROUP BY 1),
+rpc AS (
+  SELECT rpos.qid, tf.term, tf.tf::DOUBLE / dl.dl / rnpos.n_fb AS c
+  FROM rpos JOIN rnpos USING (qid)
+  JOIN tf ON tf.doc_id = rpos.docid JOIN dl ON dl.doc_id = rpos.docid
+),
+rcpraw AS (
+  SELECT qid, term, CAST(round(round(sum(c), 6) * 1e6) AS BIGINT) AS cent_i
+  FROM rpc GROUP BY 1, 2
+),
+rcptop AS (
+  SELECT qid, term, cent_i FROM (
+    SELECT qid, term, cent_i,
+           row_number() OVER (PARTITION BY qid ORDER BY cent_i DESC, term ASC) AS r
+    FROM rcpraw
+  ) WHERE r <= {ROCCHIO_FB_TERMS} AND cent_i > 0
+),
+rcpn AS (
+  SELECT qid, term,
+         cent_i::DOUBLE / sum(cent_i) OVER (PARTITION BY qid) AS cpos
+  FROM rcptop
+),
+rqm AS (
+  SELECT qid, term, qtf::DOUBLE / sum(qtf) OVER (PARTITION BY qid) AS pq
+  FROM q
+),
+rwpos AS (
+  SELECT coalesce(rqm.qid, rcpn.qid) AS qid,
+         coalesce(rqm.term, rcpn.term) AS term,
+         {a} * coalesce(pq, 0) + {b} * coalesce(cpos, 0) AS w_pos
+  FROM rqm FULL OUTER JOIN rcpn
+    ON rqm.qid = rcpn.qid AND rqm.term = rcpn.term
+),
+rmr AS (SELECT qid, max(rank) AS max_rank FROM fp GROUP BY 1),
+rneg AS (
+  SELECT fp.qid, fp.docid FROM fp JOIN rmr USING (qid)
+  WHERE fp.rank > rmr.max_rank - {ROCCHIO_BOTTOM}
+),
+rnneg AS (SELECT qid, count(*)::BIGINT AS n_neg FROM rneg GROUP BY 1),
+rnc AS (
+  SELECT rneg.qid, tf.term, tf.tf::DOUBLE / dl.dl / rnneg.n_neg AS c
+  FROM rneg JOIN rnneg USING (qid)
+  JOIN tf ON tf.doc_id = rneg.docid JOIN dl ON dl.doc_id = rneg.docid
+),
+rcnraw AS (
+  SELECT qid, term, CAST(round(round(sum(c), 6) * 1e6) AS BIGINT) AS cent_i
+  FROM rnc GROUP BY 1, 2
+),
+rcnn AS (
+  SELECT qid, term,
+         cent_i::DOUBLE / sum(cent_i) OVER (PARTITION BY qid) AS cneg
+  FROM rcnraw WHERE cent_i > 0
+),
+rexp AS (
+  SELECT coalesce(rwpos.qid, rcnn.qid) AS qid,
+         coalesce(rwpos.term, rcnn.term) AS term,
+         round(coalesce(w_pos, 0) - {g} * coalesce(cneg, 0), 6) AS weight
+  FROM rwpos FULL OUTER JOIN rcnn
+    ON rwpos.qid = rcnn.qid AND rwpos.term = rcnn.term
+)
+"""
+
+
+def _rocchio_expansion_sql() -> str:
+    return (
+        f"WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE}, {_rocchio_ctes()} "
+        "SELECT qid, term, weight FROM rexp WHERE weight > 0"
+    )
+
+
+def _rocchio_topk_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE}, {_rocchio_ctes()},
+scored2 AS (
+  SELECT e.qid, tf.doc_id AS docid, sum(e.weight * {_W_EXPR}) AS score
+  FROM rexp e
+  JOIN tf ON tf.term = e.term
+  JOIN ts ON ts.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+  WHERE e.weight > 0
+  GROUP BY 1, 2
+),
+ranked2 AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored2
+)
+SELECT qid, docid, rank, score FROM ranked2 WHERE rank <= {TOPK}
+"""
+
+
+def _span_first_sql() -> str:
+    """SpanFirstQuery oracle: phrase starts (same machinery as _phrase_sql)
+    filtered to start <= end - n_terms (span end exclusive <= end)."""
+    selects = []
+    for sid, p, end in SPAN_FIRST_QUERIES:
+        terms = analyze_simple(p)
+        expr = _pos_list(terms[0])
+        for i, t in enumerate(terms[1:], start=1):
+            expr = (
+                f"list_intersect({expr}, "
+                f"list_transform({_pos_list(t)}, p -> p - {i}))"
+            )
+        limit = end - len(terms)
+        expr = f"list_filter({expr}, s -> s <= {limit})"
+        selects.append(
+            f"SELECT '{sid}' AS span_id, doc_id, "
+            "len(starts)::BIGINT AS n_matches, "
+            "list_sort(starts)[1]::BIGINT AS first_pos "
+            f"FROM (SELECT doc_id, {expr} AS starts FROM toks) "
+            "WHERE len(starts) > 0"
+        )
+    return f"WITH {_TOKS_CTE} " + " UNION ALL ".join(selects)
+
+
+def _blockjoin_sql() -> str:
+    """ToParentBlockJoin oracle: child BM25 scores (6-rounded) rolled up to
+    parent = doc_id // BLOCKJOIN_PARENT_SIZE under ScoreMode.Max."""
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+cscored AS (
+  SELECT q.qid, tf.doc_id AS docid, round(sum(q.qtf * {_W_EXPR}), 6) AS score
+  FROM q JOIN tf USING (term) JOIN ts USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs
+  GROUP BY 1, 2
+),
+pscored AS (
+  SELECT qid, (docid // {BLOCKJOIN_PARENT_SIZE})::BIGINT AS docid,
+         round(max(score), 6) AS score
+  FROM cscored GROUP BY 1, 2
+),
+pranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM pscored
+)
+SELECT qid, docid, rank, score FROM pranked WHERE rank <= {TOPK}"""
 
 
 # transcript-shaped view of the documents table: a deterministic pure-column
@@ -2428,6 +2639,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         post, _, _ = _postings(spark, sf)
         return _round4(R3.rm3_topk(_rm3_expanded(spark, sf), post, k=TOPK, on="term"))
 
+    def _rocchio_expanded(spark, sf):
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return RC.rocchio_expand(
+            _qtfs(spark),
+            _bm25_topk(spark, sf),
+            term_freqs(tok),
+            doc_lengths(tok),
+            fb_docs=ROCCHIO_FB_DOCS,
+            fb_terms=ROCCHIO_FB_TERMS,
+            alpha=ROCCHIO_ALPHA,
+            beta=ROCCHIO_BETA,
+            gamma=ROCCHIO_GAMMA,
+            bottom_docs=ROCCHIO_BOTTOM,
+        )
+
+    def rocchio_expansion_q(spark, sf):
+        return _rocchio_expanded(spark, sf)
+
+    def rocchio_topk_q(spark, sf):
+        post, _, _ = _postings(spark, sf)
+        return _round4(
+            RC.rocchio_topk(_rocchio_expanded(spark, sf), post, k=TOPK, on="term")
+        )
+
+    def qld_topk_q(spark, sf):
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return _round4(
+            QL.qld_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok), k=TOPK, mu=QLD_MU
+            )
+        )
+
+    def span_first_q(spark, sf):
+        docs = _docs(spark, sf)
+        out = None
+        for sid, p, end in SPAN_FIRST_QUERIES:
+            m = PH.span_first_match(docs, p, end).withColumn("span_id", F.lit(sid))
+            out = m if out is None else out.unionByName(m)
+        return out.select("span_id", "doc_id", "n_matches", "first_pos")
+
+    def blockjoin_topk_q(spark, sf):
+        post, _, _ = _postings(spark, sf)
+        child = score_all(_qtfs(spark), post, on="term").select(
+            "qid", "docid", F.round("score", 6).alias("score")
+        )
+        parents = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            F.floor(F.col("doc_id") / BLOCKJOIN_PARENT_SIZE)
+            .cast("long")
+            .alias("parent"),
+        )
+        return _round4(
+            CV.block_join_topk(child, parents, k=TOPK, score_mode="max")
+        )
+
     def _tturns(spark, sf):
         # transcript-shaped reshape of documents (same math as _TTURNS_CTE)
         d = _docs(spark, sf)
@@ -2539,6 +2805,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round4(
             _searcher(spark, sf).search_wildcard(
                 WILDCARD_QUERIES, k=TOPK, max_expansions=WILDCARD_MAXEXP
+            )
+        )
+
+    def regexp_topk_q(spark, sf):
+        return _round4(
+            _searcher(spark, sf).search_regexp(
+                REGEXP_QUERIES, k=TOPK, max_expansions=REGEXP_MAXEXP
             )
         )
 
@@ -2854,6 +3127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": mm_frames_q,
         "multimodal_features": mm_features_q,
         "multimodal_resize": mm_resize_q,
+        # round-3 late additions (registered past the driver's 50-entry
+        # window this round; pytest test_entry_oracle.py checks them now,
+        # the window rotation next round makes them driver-visible)
+        "qld_topk": qld_topk_q,
+        "rocchio_expansion": rocchio_expansion_q,
+        "rocchio_topk": rocchio_topk_q,
+        "regexp_topk": regexp_topk_q,
+        "span_first": span_first_q,
+        "blockjoin_topk": blockjoin_topk_q,
     }
 
 
@@ -3389,6 +3671,16 @@ WITH t AS (
 )
 SELECT doc_id, frame_idx, frame_idx * 64 AS byte_offset
 FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
+        "qld_topk": _qld_topk_sql(),
+        "rocchio_expansion": _rocchio_expansion_sql(),
+        "rocchio_topk": _rocchio_topk_sql(),
+        "regexp_topk": _expand_topk_sql(
+            REGEXP_QUERIES,
+            lambda p: f"regexp_matches(term, '^(?:{p})$')",
+            REGEXP_MAXEXP,
+        ),
+        "span_first": _span_first_sql(),
+        "blockjoin_topk": _blockjoin_sql(),
         # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
         # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only
     }

@@ -87,3 +87,52 @@ def tool_usage(turns: DataFrame) -> DataFrame:
             F.countDistinct("conv_id").cast("long").alias("n_convs"),
         )
     )
+
+
+_BLOCK_JOIN_AGGS = {
+    "max": F.max,
+    "total": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+}
+
+
+def block_join_topk(
+    child_scores: DataFrame,
+    child_parent: DataFrame,
+    k: int = 1000,
+    score_mode: str = "max",
+) -> DataFrame:
+    """(qid, docid=parent, rank, score): Lucene ToParentBlockJoinQuery.
+
+    Turns (children) are scored by any ranking plan — BM25 slow path, the
+    WAND index, QLD — and hits roll up to their parent conversation under a
+    Lucene ``ScoreMode``: max | total | avg | min
+    (org.apache.lucene.search.join.ScoreMode). ``child_scores`` is
+    (qid, docid, score) at child granularity; ``child_parent`` maps
+    (docid, parent). Parents with no matching child never appear (Lucene
+    block-join semantics: the parent filter intersects matching children).
+
+    Scale: the child scoring plan is untouched; the rollup adds ONE
+    (qid, parent) hash aggregation over the hit set (|hits|, not corpus).
+    When parent ids are arithmetic in the docid (conv_id = docid // turns),
+    pass a projected mapping built from the hit set itself — the join then
+    broadcasts. Scores are rounded to 6 decimals before ranking (same
+    determinism contract as topk.SCORE_DECIMALS: avg division order and
+    float sum order vary across engines; the round pins ties identically).
+    """
+    from dhr_spark.operators.topk import topk
+
+    try:
+        agg = _BLOCK_JOIN_AGGS[score_mode]
+    except KeyError:
+        raise ValueError(
+            f"score_mode {score_mode!r} not one of {sorted(_BLOCK_JOIN_AGGS)}"
+        )
+    scored = (
+        child_scores.join(child_parent, "docid")
+        .groupBy("qid", "parent")
+        .agg(F.round(agg("score"), 6).alias("score"))
+        .select("qid", F.col("parent").alias("docid"), "score")
+    )
+    return topk(scored, k)

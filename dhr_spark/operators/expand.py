@@ -114,6 +114,30 @@ def expand_wildcard(
     )
 
 
+def expand_regexp(
+    tstats: DataFrame, pairs: list[tuple[str, str]], max_expansions: int = 1024
+) -> DataFrame:
+    """(qid, term, qtf=1): RegexpQuery expansion — Lucene's RegexpQuery
+    rewrite against the term dictionary, same top-df cap as the other
+    multi-term rewrites. The pattern is anchored to the whole term (Lucene
+    RegexpQuery semantics: the automaton must accept the entire term).
+
+    Regex dialect caveat, documented deliberately: Lucene compiles its own
+    ``RegExp`` subset; here the pattern is evaluated by the engine's regex
+    (Java regex in Spark, RE2 in the DuckDB oracle). The common core —
+    literals, character classes, ``.``, ``*``, ``+``, ``?``, alternation,
+    grouping — behaves identically in all three; Lucene extensions like
+    ``~`` (complement) and ``<n-m>`` (numeric ranges) are not supported and
+    Java-only constructs (lookaround, backrefs) must be avoided for
+    oracle-parity."""
+    return _expand(
+        tstats,
+        pairs,
+        lambda p: F.col("term").rlike("^(?:" + p + ")$"),
+        max_expansions,
+    )
+
+
 def expand_fuzzy(
     tstats: DataFrame,
     pairs: list[tuple[str, str]],

@@ -120,6 +120,32 @@ def phrase_match(
     )
 
 
+def span_first_match(
+    docs: DataFrame,
+    phrase: str,
+    end: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_matches, first_pos): Lucene SpanFirstQuery — the phrase (or
+    single term) must END at position <= ``end``. A span starting at s over
+    an n-term phrase ends at s+n (Lucene span end is exclusive), so the
+    accept condition is start <= end - n. Zero-shuffle column math over the
+    same phrase_starts machinery as exact phrase match."""
+    terms = _phrase_terms(phrase)
+    limit = int(end) - len(terms)
+    toks = simple_tokens_col(F.col(text_col))
+    starts = F.filter(phrase_starts(toks, terms), lambda s: s <= F.lit(limit))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(starts).cast("long").alias("n_matches"),
+            F.try_element_at(starts, F.lit(1)).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
 def proximity_match(
     docs: DataFrame,
     terms_raw: list[str],

@@ -11,6 +11,9 @@ against a v2 index by composing the existing surfaces:
   term              TERM               BM25 weight via the scoring kernel
   term*  t?rm       WILDCARD           dictionary expansion (operators/
   term~N            FUZZY              expand.py cap rules), qtf=1 each
+  /regex/           REGEXP             whole-term-anchored dictionary
+                                       expansion (Lucene RegexpQuery);
+                                       body verbatim, never analyzed
   "a b c"           PHRASE (slop 0)    positional artifact; scored with
   "a b c"~N         PHRASE (slop N)    Lucene's sloppy-freq BM25: tf :=
                                        n_matches, df := docs matching
@@ -46,8 +49,8 @@ import re
 from dataclasses import dataclass, field
 
 SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
-TERM, PHRASE, WILDCARD, FUZZY, FIELD = (
-    "TERM", "PHRASE", "WILDCARD", "FUZZY", "FIELD",
+TERM, PHRASE, WILDCARD, FUZZY, FIELD, REGEXP = (
+    "TERM", "PHRASE", "WILDCARD", "FUZZY", "FIELD", "REGEXP",
 )
 
 # one clause: optional +/- prefix, then a quoted phrase (optional ~slop)
@@ -96,14 +99,17 @@ def parse_query(s: str) -> ParsedQuery:
     """Parse the flat Lucene classic subset. Unsupported syntax (field
     prefixes, parentheses, AND/OR/NOT keywords) raises ValueError rather
     than silently mis-ranking."""
+    # the grouping / boolean-keyword guards must not look inside /regex/
+    # clause bodies (parens and uppercase words are legal regex there)
+    masked = re.sub(r'(?<!\S)[+-]?/[^\s"]*/(?:\^\d+(?:\.\d+)?)?(?!\S)', " ", s)
     for bad, what in (
         ("(", "grouping"), (")", "grouping"),
     ):
-        if bad in s:
+        if bad in masked:
             raise ValueError(
                 f"unsupported query syntax ({what} {bad!r}) in: {s!r}"
             )
-    if re.search(r"\b(AND|OR|NOT)\b", s):
+    if re.search(r"\b(AND|OR|NOT)\b", masked):
         raise ValueError(
             f"unsupported boolean keyword in: {s!r} — use +term / -term"
         )
@@ -156,6 +162,16 @@ def parse_query(s: str) -> ParsedQuery:
             clauses.append(
                 Clause(occur, FIELD, val, field_name=fm.group("field"))
             )
+            continue
+        if tok.startswith("/") and tok.endswith("/") and len(tok) >= 2:
+            body = tok[1:-1]
+            if not body:
+                raise ValueError(f"empty regexp clause: {tok!r}")
+            # Lucene RegexpQuery via the classic /pattern/ syntax. The body
+            # is NOT analyzed or lowercased (Lucene parses regex bodies
+            # verbatim); the dictionary is lowercase, so patterns should be
+            # written lowercase. Dialect caveats: expand.expand_regexp.
+            clauses.append(Clause(occur, REGEXP, body, boost=boost))
             continue
         fz = _FUZZY_RE.match(tok)
         if fz and "*" not in tok and "?" not in tok:

@@ -1003,13 +1003,18 @@ class Searcher:
     def _expand_clause(
         self, kind: str, body: str, max_expansions: int, prefix_len: int
     ) -> list[tuple[int, float]]:
-        """Dictionary expansions of a WILDCARD/FUZZY clause body, capped by
-        (df DESC, term ASC) — the operators/expand.py cap rules."""
+        """Dictionary expansions of a WILDCARD/FUZZY/REGEXP clause body,
+        capped by (df DESC, term ASC) — the operators/expand.py cap rules."""
         from dhr_spark.operators.expand import (
             levenshtein_py,
             wildcard_to_regex,
         )
-        from dhr_spark.operators.queryparser import FUZZY
+        from dhr_spark.operators.queryparser import FUZZY, REGEXP
+
+        def _rx_pattern(b: str) -> str:
+            # REGEXP: whole-term anchor around the verbatim body (Lucene
+            # RegexpQuery); WILDCARD: translated * / ? pattern (pre-anchored)
+            return f"^(?:{b})$" if kind == REGEXP else wildcard_to_regex(b)
 
         if self._tid_cache is not None:
             if kind == FUZZY:
@@ -1025,7 +1030,7 @@ class Searcher:
                 ]
                 cap = 50
             else:
-                rx = re.compile(wildcard_to_regex(body))
+                rx = re.compile(_rx_pattern(body))
                 hits = [
                     (idf, t, tid)
                     for t, (tid, idf) in self._tid_cache.items()
@@ -1044,7 +1049,7 @@ class Searcher:
                 )
             cap = 50
         else:
-            cond = F.col("term").rlike(wildcard_to_regex(body))
+            cond = F.col("term").rlike(_rx_pattern(body))
             cap = max_expansions
         rows = (
             self._tdict.filter(cond)
@@ -1168,11 +1173,15 @@ class Searcher:
                     if c.kind == QP.TERM:
                         hit = self._lookup_tid(g[0])
                         exp = [hit] if hit else []
-                    elif c.kind == QP.WILDCARD:
-                        # Lucene analyzes multi-term bodies minimally
-                        # (lowercase only — no stemming, no stop removal)
+                    elif c.kind in (QP.WILDCARD, QP.REGEXP):
+                        # Lucene analyzes wildcard bodies minimally
+                        # (lowercase only — no stemming, no stop removal);
+                        # regex bodies pass verbatim (never analyzed)
+                        body = (
+                            c.text.lower() if c.kind == QP.WILDCARD else c.text
+                        )
                         exp = self._expand_clause(
-                            c.kind, c.text.lower(), max_expansions, 0
+                            c.kind, body, max_expansions, 0
                         )
                     else:  # FUZZY
                         exp = self._expand_clause(
@@ -1665,6 +1674,153 @@ class Searcher:
         )
         return self._search_prepared(qinfo2, all_terms2, k, prune)
 
+    def search_rocchio(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        fb_docs: int = 10,
+        fb_terms: int = 10,
+        alpha: float = 1.0,
+        beta: float = 0.75,
+        gamma: float = 0.0,
+        bottom_docs: int = 10,
+        fb_depth: int = 50,
+        prune: bool = True,
+    ) -> DataFrame:
+        """BM25 + Rocchio pseudo-relevance feedback over the index (the
+        reference searcher's other PRF switch — Pyserini
+        ``SimpleSearcher.set_rocchio``; semantics =
+        operators/rocchio.rocchio_expand, including the optional
+        negative-feedback arm when ``gamma > 0``).
+
+        Same fully distributed dataflow as ``search_rm3``: first pass (WAND
+        top-``fb_depth``) → broadcast the feedback set into the FORWARD
+        index scan → centroid + vector update as DataFrame algebra with
+        integer-micros arithmetic → second WAND pass. FB⁺ = the top
+        ``fb_docs`` of the first pass; FB⁻ = the bottom ``bottom_docs`` of
+        the same ``fb_depth``-deep ranked list (Anserini's use_negative
+        convention). Forward-index rows are never collected; the only
+        driver funnel is the final expanded model (≤ |Q|·(fb_terms+|q|))."""
+        from pyspark.sql import Window
+
+        man = self.manifest
+        if not man.get("forward_index"):
+            raise ValueError(
+                "index was built without forward_index=True; Rocchio needs "
+                "the doc-major term vectors (rebuild or append with the flag)"
+            )
+        qinfo, all_terms, qlen = self._query_info(queries, want_qlen=True)
+        first = self._search_prepared(qinfo, all_terms, fb_depth, prune)
+        fwd = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/forward")
+        )
+
+        def _centroid(fb, n_col):
+            # mean of P(t|d) over the feedback docs, integer-micros
+            ptd = fwd.join(F.broadcast(fb), "docid").select(
+                "qid",
+                "term_id",
+                (F.col("tf") / F.col("dl") / F.col(n_col)).alias("contrib"),
+            )
+            return (
+                ptd.groupBy("qid", "term_id")
+                .agg(
+                    F.round(F.round(F.sum("contrib"), 6) * 1e6)
+                    .cast("long")
+                    .alias("cent_i")
+                )
+                .filter(F.col("cent_i") > 0)
+            )
+
+        pos = first.filter(F.col("rank") <= fb_docs).select("qid", "docid")
+        n_pos = pos.groupBy("qid").agg(F.count("*").alias("n_fb"))
+        cent = _centroid(pos.join(n_pos, "qid"), "n_fb")
+        # term string (cut tie order) + idf from the dictionary; the
+        # centroid table is tiny, so it broadcasts against the |V|-row scan
+        cent = self._tdict.join(F.broadcast(cent), "term_id")
+        w_cut = Window.partitionBy("qid").orderBy(
+            F.col("cent_i").desc(), F.col("term").asc()
+        )
+        cent_norm = (
+            cent.withColumn("_r", F.row_number().over(w_cut))
+            .filter(F.col("_r") <= fb_terms)
+            .withColumn(
+                "cpos",
+                F.col("cent_i")
+                / F.sum("cent_i").over(Window.partitionBy("qid")),
+            )
+            .select("qid", "term_id", "cpos", F.col("idf").alias("idf_fb"))
+        )
+        qm_rows = [
+            (qid, int(t), float(c) / qlen[qid], float(i))
+            for qid, (tids, qtfs, idfs) in qinfo.items()
+            for t, c, i in zip(tids, qtfs, idfs)
+        ]
+        qmodel = self.spark.createDataFrame(
+            qm_rows, "qid string, term_id long, pq double, idf double"
+        )
+        a, b = F.lit(float(alpha)), F.lit(float(beta))
+        expanded = qmodel.join(cent_norm, ["qid", "term_id"], "full_outer").select(
+            "qid",
+            "term_id",
+            (
+                a * F.coalesce(F.col("pq"), F.lit(0.0))
+                + b * F.coalesce(F.col("cpos"), F.lit(0.0))
+            ).alias("w_pos"),
+            F.coalesce(F.col("idf"), F.col("idf_fb")).alias("idf_q"),
+        )
+        if gamma > 0.0:
+            w_max = first.groupBy("qid").agg(F.max("rank").alias("max_rank"))
+            neg = (
+                first.join(w_max, "qid")
+                .filter(F.col("rank") > F.col("max_rank") - bottom_docs)
+                .select("qid", "docid")
+            )
+            n_neg = neg.groupBy("qid").agg(F.count("*").alias("n_neg"))
+            cent_n = self._tdict.join(
+                F.broadcast(_centroid(neg.join(n_neg, "qid"), "n_neg")),
+                "term_id",
+            )
+            neg_norm = cent_n.withColumn(
+                "cneg",
+                F.col("cent_i")
+                / F.sum("cent_i").over(Window.partitionBy("qid")),
+            ).select("qid", "term_id", "cneg", F.col("idf").alias("idf_neg"))
+            expanded = expanded.join(
+                neg_norm, ["qid", "term_id"], "full_outer"
+            ).select(
+                "qid",
+                "term_id",
+                (
+                    F.coalesce(F.col("w_pos"), F.lit(0.0))
+                    - F.lit(float(gamma)) * F.coalesce(F.col("cneg"), F.lit(0.0))
+                ).alias("w_pos"),
+                F.coalesce(F.col("idf_q"), F.col("idf_neg")).alias("idf_q"),
+            )
+        expanded = expanded.select(
+            "qid",
+            "term_id",
+            F.round(F.col("w_pos"), 6).alias("weight"),
+            "idf_q",
+        ).filter(F.col("weight") > 0)
+        qinfo2: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        by_q: dict[str, list[tuple[int, float, float]]] = {}
+        for r in expanded.collect():
+            by_q.setdefault(r["qid"], []).append(
+                (int(r["term_id"]), float(r["weight"]), float(r["idf_q"]))
+            )
+        for qid, trips in by_q.items():
+            trips.sort()
+            qinfo2[qid] = (
+                np.array([t for t, _, _ in trips], dtype=np.int64),
+                np.array([w for _, w, _ in trips], dtype=np.float64),
+                np.array([i for _, _, i in trips], dtype=np.float64),
+            )
+        all_terms2 = sorted(
+            {int(t) for tids, _, _ in qinfo2.values() for t in tids}
+        )
+        return self._search_prepared(qinfo2, all_terms2, k, prune)
+
     # ------------------------------------------------- multi-term rewrites
     # Lucene PrefixQuery / WildcardQuery / FuzzyQuery / MoreLikeThis over the
     # index: expand against the term DICTIONARY, cap at max_expansions
@@ -1747,6 +1903,32 @@ class Searcher:
             pairs,
             py,
             lambda p: F.col("term").rlike(wildcard_to_regex(p)),
+            max_expansions,
+        )
+        return self._search_prepared(qinfo, all_terms, k, prune)
+
+    def search_regexp(
+        self,
+        pairs: list[tuple[str, str]],
+        k: int = 1000,
+        max_expansions: int = 1024,
+        prune: bool = True,
+    ) -> DataFrame:
+        """RegexpQuery: pattern anchored to the whole term (Lucene's
+        automaton-accepts-entire-term semantics). Dialect caveat documented
+        at operators/expand.py expand_regexp — keep to the Java/RE2-common
+        regex core for oracle parity."""
+
+        def py(p, t, _c={}):
+            rx = _c.get(p)
+            if rx is None:
+                rx = _c[p] = re.compile("(?:" + p + ")")
+            return rx.fullmatch(t) is not None
+
+        qinfo, all_terms = self._expanded_qinfo(
+            pairs,
+            py,
+            lambda p: F.col("term").rlike("^(?:" + p + ")$"),
             max_expansions,
         )
         return self._search_prepared(qinfo, all_terms, k, prune)

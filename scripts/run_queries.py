@@ -9,7 +9,7 @@ Repeat --index-dir to FEDERATE shard indexes (time/tenant partitions)
 under exact merged global BM25 stats; --k1/--b override the similarity at
 query time (no reindex); --rm3 / --phrases / --highlight select the
 expansion, batch-phrase, and stored-field snippet modes; --rewrite runs
-the multi-term rewrites (prefix/wildcard/fuzzy patterns, or mlt with the
+the multi-term rewrites (prefix/wildcard/fuzzy/regexp patterns, or mlt with the
 query text holding the seed docid).
 
 Local sandbox: python scripts/run_queries.py --index-dir /tmp/idx --synthetic 50
@@ -39,6 +39,16 @@ def main() -> None:
     p.add_argument("--trec", action="store_true")
     p.add_argument("--no-prune", action="store_true",
                    help="disable block-max pruning (debug/verification)")
+    p.add_argument("--rocchio", action="store_true",
+                   help="Rocchio PRF second pass (forward index required); "
+                        "--fb-docs/--fb-terms set the positive arm, "
+                        "--rocchio-gamma > 0 enables negative feedback")
+    p.add_argument("--rocchio-alpha", type=float, default=1.0)
+    p.add_argument("--rocchio-beta", type=float, default=0.75)
+    p.add_argument("--rocchio-gamma", type=float, default=0.0)
+    p.add_argument("--bottom-docs", type=int, default=10)
+    p.add_argument("--fb-depth", type=int, default=50,
+                   help="first-pass depth the feedback arms draw from")
     p.add_argument("--rm3", action="store_true",
                    help="BM25+RM3 expansion (index must have --forward-index)")
     p.add_argument("--phrases", action="store_true",
@@ -56,7 +66,8 @@ def main() -> None:
                         "(qid, docid, rank, score, start, n_hits, snippet)")
     p.add_argument("--width", type=int, default=10,
                    help="snippet window width in tokens (--highlight)")
-    p.add_argument("--rewrite", choices=["prefix", "wildcard", "fuzzy", "mlt"],
+    p.add_argument("--rewrite",
+                   choices=["prefix", "wildcard", "fuzzy", "regexp", "mlt"],
                    help="multi-term rewrite mode: the query text column "
                         "carries the pattern (prefix/wildcard/fuzzy) or the "
                         "seed docid (mlt; needs --forward-index at build)")
@@ -96,12 +107,12 @@ def main() -> None:
         p.error("--trec needs ranked (qid, docid, rank, score) output; "
                 "--phrases/--explain/--count emit diagnostic row shapes")
     if len(args.index_dirs) > 1 and (
-        args.phrases or args.rm3 or args.highlight or args.rewrite
-        or args.explain or args.count or args.syntax
+        args.phrases or args.rm3 or args.rocchio or args.highlight
+        or args.rewrite or args.explain or args.count or args.syntax
     ):
         p.error("federated (multiple --index-dir) currently serves ranked "
-                "search only; run --phrases/--rm3/--highlight/--rewrite/"
-                "--explain/--count per shard")
+                "search only; run --phrases/--rm3/--rocchio/--highlight/"
+                "--rewrite/--explain/--count per shard")
 
     from dhr_spark.session import get_spark
     from dhr_spark.operators.wand import Searcher
@@ -130,6 +141,14 @@ def main() -> None:
             run = searcher.search_phrase_batch(
                 queries.withColumnRenamed("text", "phrase")
             )
+        elif args.rocchio:
+            run = searcher.search_rocchio(
+                queries, k=args.k, fb_docs=args.fb_docs,
+                fb_terms=args.fb_terms, alpha=args.rocchio_alpha,
+                beta=args.rocchio_beta, gamma=args.rocchio_gamma,
+                bottom_docs=args.bottom_docs, fb_depth=args.fb_depth,
+                prune=not args.no_prune,
+            )
         elif args.rm3:
             run = searcher.search_rm3(
                 queries, k=args.k, fb_docs=args.fb_docs,
@@ -153,8 +172,9 @@ def main() -> None:
                     max_expansions=args.max_expansions or 50, prune=prune,
                 )
             else:
-                fn = (searcher.search_prefix if args.rewrite == "prefix"
-                      else searcher.search_wildcard)
+                fn = {"prefix": searcher.search_prefix,
+                      "wildcard": searcher.search_wildcard,
+                      "regexp": searcher.search_regexp}[args.rewrite]
                 run = fn(pairs, k=args.k,
                          max_expansions=args.max_expansions or 1024,
                          prune=prune)

@@ -20,6 +20,7 @@ from dhr_spark.operators.docids import with_docids
 from dhr_spark.operators.expand import (
     expand_fuzzy,
     expand_prefix,
+    expand_regexp,
     expand_wildcard,
     exclude_seeds_and_rank,
     levenshtein_py,
@@ -142,6 +143,35 @@ def test_wildcard_index_matches_slow(env):
     fast = _rows(env["searcher"].search_wildcard(pairs, k=K, max_expansions=4))
     slow = _slow(env, expand_wildcard(env["tdict"], pairs, max_expansions=4))
     assert fast == slow and fast
+
+
+def test_regexp_index_matches_slow(env):
+    terms = [r["term"] for r in env["tdict"].orderBy("term").limit(20).collect()]
+    t = next(t for t in terms if len(t) >= 3)
+    pairs = [
+        ("r1", f"{t[0]}.*"),                # cap binds
+        ("r2", f"{t[:2]}[a-z0-9]*"),        # char class
+        ("r3", f"{t}|zzzznomatch"),         # alternation
+        ("r4", "zz+qq+"),                   # no match
+    ]
+    fast = _rows(env["searcher"].search_regexp(pairs, k=K, max_expansions=4))
+    slow = _slow(env, expand_regexp(env["tdict"], pairs, max_expansions=4))
+    assert fast == slow and fast
+    assert not any(q == "r4" for q, *_ in fast)
+
+
+def test_regexp_anchored_whole_term(env):
+    # Lucene RegexpQuery: the automaton must accept the ENTIRE term — a
+    # pattern matching only a substring must expand to nothing.
+    terms = [r["term"] for r in env["tdict"].orderBy("term").limit(20).collect()]
+    t = next(t for t in terms if len(t) >= 4)
+    inner = t[1:-1]  # substring of a real term, not a full term... unless
+    full_terms = {r["term"] for r in env["tdict"].select("term").collect()}
+    exp = expand_regexp(env["tdict"], [("r1", inner)], max_expansions=100)
+    got = {r["term"] for r in exp.collect()}
+    # every expansion must BE the pattern (full-match semantics): the only
+    # way `inner` matches is if `inner` itself is a dictionary term
+    assert got <= ({inner} & full_terms)
 
 
 def test_fuzzy_index_matches_slow(env):

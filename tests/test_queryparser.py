@@ -143,6 +143,35 @@ def test_single_wildcard_equals_search_wildcard(spark, env):
     assert got == want and got
 
 
+def test_parse_regexp_clauses():
+    from dhr_spark.operators.queryparser import REGEXP
+
+    p = parse_query('+/sc.n|sl.w/ table -/zz+q/ /qu(ery|ary)/^2.5')
+    kinds = [(c.occur, c.kind, c.text, c.boost) for c in p.clauses]
+    assert kinds == [
+        (MUST, REGEXP, "sc.n|sl.w", 1.0),
+        (SHOULD, TERM, "table", 1.0),
+        (MUST_NOT, REGEXP, "zz+q", 1.0),
+        (SHOULD, REGEXP, "qu(ery|ary)", 2.5),
+    ]
+    with pytest.raises(ValueError):
+        parse_query("//")  # empty regex body
+    with pytest.raises(ValueError):
+        parse_query("(a b)")  # grouping still rejected outside regexes
+    # a slash-bearing bare token is NOT a regex clause
+    assert parse_query("path/to/file").clauses[0].kind == TERM
+
+
+def test_single_regexp_equals_search_regexp(spark, env):
+    q = spark.createDataFrame([("r1", "/tab.*/")], "qid string, text string")
+    got = _rows(env["searcher"].search_syntax(q, k=10, max_expansions=8))
+    want = _rows(
+        env["searcher"].search_regexp([("r1", "tab.*")], k=10,
+                                      max_expansions=8)
+    )
+    assert got == want and got
+
+
 def test_single_fuzzy_equals_search_fuzzy(spark, env):
     q = spark.createDataFrame([("f1", "tabel~2")], "qid string, text string")
     got = _rows(env["searcher"].search_syntax(q, k=10))
@@ -320,9 +349,11 @@ def test_parser_never_crashes_property():
             p = parse_query(s)
         except ValueError:
             return
+        from dhr_spark.operators.queryparser import FIELD, REGEXP
+
         for c in p.clauses:
             assert c.occur in (SHOULD, MUST, MUST_NOT)
-            assert c.kind in (TERM, PHRASE, WILDCARD, FUZZY)
+            assert c.kind in (TERM, PHRASE, WILDCARD, FUZZY, FIELD, REGEXP)
             assert c.boost > 0 and c.slop >= 0 and c.edits >= 0
             # doubled modifiers ("--a") keep the inner char in the body —
             # the analyzer strips punctuation downstream, matching Lucene's
