@@ -332,12 +332,21 @@ def _wand_index_dir(spark: SparkSession, sf_dir: str) -> str:
     idx = f"/tmp/dhr_spark_idx_{key}"
     if key not in _INDEX_CACHE:
         man = load_manifest(idx)
+        if man is not None:
+            # dictionaries written before the ctf column (QLD support) are
+            # also stale — sniff the parquet schema, the manifest predates it
+            try:
+                td = man.get("term_dict_dir", "term_dict")
+                has_ctf = "ctf" in spark.read.parquet(f"{idx}/{td}").columns
+            except Exception:
+                has_ctf = False
         if man is not None and (
             int(man.get("version", 1)) < 2
             or not man.get("positional")
             or not man.get("stored")
             or not man.get("forward_index")
             or not man.get("docvalues")
+            or not has_ctf
         ):
             # stale cache from an older build (pre-v2 layout, or built
             # before the batch-phrase/highlight/more-like-this/docvalues
@@ -2431,6 +2440,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def qld_vs_slow_q(spark, sf):
+        # same self-check shape for the pluggable similarity: the QLD WAND
+        # pass over the index (ctf dictionary column, clamp-aware block
+        # bounds) must equal the DataFrame QLD slow path exactly
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        fast = _round4(
+            Searcher(spark, idx).search_qld(_queries_df(spark), k=TOPK, mu=QLD_MU)
+        )
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        slow = _round4(
+            QL.qld_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok), k=TOPK, mu=QLD_MU
+            )
+        )
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def phrase_batch_q(spark, sf):
         # index-backed BATCH phrase search: all phrases answered from ONE
         # positions scan (union term_id pushdown); same oracle as the
@@ -3136,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_topk": regexp_topk_q,
         "span_first": span_first_q,
         "blockjoin_topk": blockjoin_topk_q,
+        "qld_vs_slow_identity": qld_vs_slow_q,
     }
 
 
@@ -3681,6 +3710,7 @@ FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
         ),
         "span_first": _span_first_sql(),
         "blockjoin_topk": _blockjoin_sql(),
+        "qld_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
         # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
         # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only
     }

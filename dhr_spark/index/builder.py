@@ -288,7 +288,12 @@ def build_index_from_docs(
     tfs = fused.filter(F.col("term").isNotNull())
     dls = fused.filter(F.col("first")).select("docid", "dl")
 
-    tdict = term_dictionary(term_stats(tfs, n_docs)).cache()
+    # ctf (collection term frequency) rides in the dictionary so query-time
+    # similarities beyond BM25 — LM-Dirichlet needs P(t|C) = ctf/total_dl
+    # (Searcher.search_qld) — stay one dictionary lookup, never a postings
+    # decode. Additive under append, subtractive under exact-stats delete.
+    ctfs = tfs.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    tdict = term_dictionary(term_stats(tfs, n_docs)).join(ctfs, "term").cache()
     if tdict.limit(1).count() == 0:
         fused.unpersist()
         tdict.unpersist()

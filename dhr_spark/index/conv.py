@@ -158,7 +158,10 @@ def append_conversations(
     fwd_dir = os.path.join(index_dir, "forward")
     fwd = spark.read.parquet(fwd_dir)
     removed = fwd.join(F.broadcast(tomb_new), "docid")
-    rm_df = removed.groupBy("term_id").agg(F.count("*").alias("df_rm"))
+    rm_df = removed.groupBy("term_id").agg(
+        F.count("*").alias("df_rm"),
+        F.sum("tf").cast("long").alias("ctf_rm"),
+    )
     rm_dl = (
         removed.select("docid", "dl")
         .distinct()
@@ -186,36 +189,57 @@ def append_conversations(
 
         # ---- dictionary merge: df - removed + batch; fresh ids for new
         # terms; idf recomputed for ALL terms under the live n_docs ----
-        old = spark.read.parquet(
+        old_raw = spark.read.parquet(
             os.path.join(index_dir, man.get("term_dict_dir", "term_dict"))
-        ).select("term", "term_id", "df")
-        batch_df = tfs.groupBy("term").agg(F.count("*").alias("df_b"))
+        )
+        has_ctf = "ctf" in old_raw.columns  # legacy dicts stay legacy
+        old = old_raw.select(
+            *(["term", "term_id", "df"] + (["ctf"] if has_ctf else []))
+        )
+        batch_df = tfs.groupBy("term").agg(
+            F.count("*").alias("df_b"),
+            F.sum("tf").cast("long").alias("ctf_b"),
+        )
         joined = old.join(batch_df, "term", "full_outer").join(
             rm_df.withColumnRenamed("term_id", "_rm_tid"),
             F.col("term_id") == F.col("_rm_tid"),
             "left",
         )
-        known = joined.filter(F.col("term_id").isNotNull()).select(
-            "term",
-            "term_id",
+        known_cols = [
+            F.col("term"),
+            F.col("term_id"),
             (
                 F.coalesce(F.col("df"), F.lit(0))
                 - F.coalesce(F.col("df_rm"), F.lit(0))
                 + F.coalesce(F.col("df_b"), F.lit(0))
             ).alias("df"),
-        )
+        ]
+        if has_ctf:
+            known_cols.append(
+                (
+                    F.coalesce(F.col("ctf"), F.lit(0))
+                    - F.coalesce(F.col("ctf_rm"), F.lit(0))
+                    + F.coalesce(F.col("ctf_b"), F.lit(0))
+                ).cast("long").alias("ctf")
+            )
+        known = joined.filter(F.col("term_id").isNotNull()).select(*known_cols)
         fresh_base = with_global_ids(
-            joined.filter(F.col("term_id").isNull()).select("term", "df_b"),
+            joined.filter(F.col("term_id").isNull()).select(
+                "term", "df_b", "ctf_b"
+            ),
             [F.col("df_b").desc(), F.col("term").asc()],
             "_new_id",
         )
-        fresh = fresh_base.select(
-            "term",
+        fresh_cols = [
+            F.col("term"),
             (F.col("_new_id") + F.lit(int(man["n_terms"]))).cast("long").alias(
                 "term_id"
             ),
             F.col("df_b").alias("df"),
-        )
+        ]
+        if has_ctf:
+            fresh_cols.append(F.col("ctf_b").cast("long").alias("ctf"))
+        fresh = fresh_base.select(*fresh_cols)
         tdict = (
             known.unionByName(fresh)
             .withColumn("idf", idf_col(F.col("df"), F.lit(n_docs)))

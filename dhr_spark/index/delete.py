@@ -149,7 +149,10 @@ def delete_docs(
     if exact_stats:
         fwd = spark.read.parquet(os.path.join(index_dir, "forward"))
         removed = fwd.join(F.broadcast(tomb_new), "docid")
-        rm_df = removed.groupBy("term_id").agg(F.count("*").alias("df_rm"))
+        rm_df = removed.groupBy("term_id").agg(
+            F.count("*").alias("df_rm"),
+            F.sum("tf").cast("long").alias("ctf_rm"),
+        )
         rm_dl = int(
             removed.select("docid", "dl")
             .distinct()
@@ -159,18 +162,26 @@ def delete_docs(
         total_dl = int(man["total_dl"]) - rm_dl
         # dictionary rows are KEPT at df=0 (Lucene keeps the term in the
         # dict until merge); idf of EVERY term moves because n_docs did
-        old = spark.read.parquet(
+        old_raw = spark.read.parquet(
             os.path.join(index_dir, man.get("term_dict_dir", "term_dict"))
-        ).select("term", "term_id", "df")
+        )
+        has_ctf = "ctf" in old_raw.columns
+        old = old_raw.select(
+            *(["term", "term_id", "df"] + (["ctf"] if has_ctf else []))
+        )
+        del_cols = [
+            F.col("term"),
+            F.col("term_id"),
+            (F.col("df") - F.coalesce(F.col("df_rm"), F.lit(0))).alias("df"),
+        ]
+        if has_ctf:
+            del_cols.append(
+                (F.col("ctf") - F.coalesce(F.col("ctf_rm"), F.lit(0)))
+                .cast("long").alias("ctf")
+            )
         tdict = (
             old.join(rm_df, "term_id", "left")
-            .select(
-                "term",
-                "term_id",
-                (
-                    F.col("df") - F.coalesce(F.col("df_rm"), F.lit(0))
-                ).alias("df"),
-            )
+            .select(*del_cols)
             .withColumn("idf", idf_col(F.col("df"), F.lit(n_docs_live)))
         )
         td_dir = f"term_dict_v{op_no}"

@@ -129,31 +129,50 @@ def _append_docs(
 
     # --- term dictionary merge: stable ids for known terms, fresh ids after
     # the old maximum for new ones (df_batch DESC, term ASC — deterministic)
-    old = spark.read.parquet(
+    old_raw = spark.read.parquet(
         os.path.join(index_dir, man.get("term_dict_dir", "term_dict"))
-    ).select("term", "term_id", "df")
-    batch_df = tfs.groupBy("term").agg(F.count("*").alias("df_b"))
+    )
+    # ctf is carried only when the prior dictionary has it (indexes built
+    # before the column existed stay legacy — QLD raises a clear error there
+    # rather than scoring from a half-populated column)
+    has_ctf = "ctf" in old_raw.columns
+    old_cols = ["term", "term_id", "df"] + (["ctf"] if has_ctf else [])
+    old = old_raw.select(*old_cols)
+    batch_df = tfs.groupBy("term").agg(
+        F.count("*").alias("df_b"), F.sum("tf").cast("long").alias("ctf_b")
+    )
     joined = old.join(batch_df, "term", "full_outer")
-    known = joined.filter(F.col("term_id").isNotNull()).select(
-        "term",
-        "term_id",
+    known_cols = [
+        F.col("term"),
+        F.col("term_id"),
         (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("df_b"), F.lit(0)))
         .alias("df"),
-    )
+    ]
+    if has_ctf:
+        known_cols.append(
+            (
+                F.coalesce(F.col("ctf"), F.lit(0))
+                + F.coalesce(F.col("ctf_b"), F.lit(0))
+            ).cast("long").alias("ctf")
+        )
+    known = joined.filter(F.col("term_id").isNotNull()).select(*known_cols)
     # fresh ids via the scalable two-phase scheme (no single-partition
     # global-sort window): a batch can introduce a large new-term tail
     fresh_base = with_global_ids(
-        joined.filter(F.col("term_id").isNull()).select("term", "df_b"),
+        joined.filter(F.col("term_id").isNull()).select("term", "df_b", "ctf_b"),
         [F.col("df_b").desc(), F.col("term").asc()],
         "_new_id",
     )
-    fresh = fresh_base.select(
-        "term",
+    fresh_cols = [
+        F.col("term"),
         (F.col("_new_id") + F.lit(int(man["n_terms"]))).cast("long").alias(
             "term_id"
         ),
         F.col("df_b").alias("df"),
-    )
+    ]
+    if has_ctf:
+        fresh_cols.append(F.col("ctf_b").cast("long").alias("ctf"))
+    fresh = fresh_base.select(*fresh_cols)
     tdict = (
         known.unionByName(fresh)
         .withColumn("idf", idf_col(F.col("df"), F.lit(n_docs)))

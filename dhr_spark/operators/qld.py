@@ -23,13 +23,14 @@ scoring join never shuffles the postings (query side broadcast). Weights
 are rounded to 6 decimals before ranking for cross-engine determinism
 (same contract as topk.SCORE_DECIMALS).
 
-Index-backed QLD (future work, deliberately not in this round): the WAND
-kernel's block bound idf·f(max_tf, min_dl) generalizes — the QLD weight is
-also monotone ↑tf ↓dl, so max(0, log(1 + max_tf/(mu·P(t|C))) +
-log(mu/(min_dl + mu))) is an admissible block bound over the SAME
-stats-free segments. What's missing is ctf in the term dictionary (one
-extra sum at build; additive under append, subtractive under exact-stats
-delete). Until that column lands, this DataFrame path is the QLD surface.
+Index-backed twin: ``Searcher.search_qld`` (operators/wand.py) runs QLD
+through the block-max WAND kernel over the SAME stats-free segments — the
+QLD weight is also monotone ↑tf ↓dl, so max(0, log(1 + max_tf/(mu·P(t|C)))
++ log(mu/(min_dl + mu))) is an admissible block bound. P(t|C) comes from
+the dictionary's ctf column (written at build, additive under append,
+subtractive under exact-stats delete); this module is the oracle-checked
+slow path the index path is pytest-pinned against (entry
+qld_vs_slow_identity counts disagreements; oracle pins 0).
 """
 
 from __future__ import annotations

@@ -229,6 +229,8 @@ def _score_chunk(
     tombstones: np.ndarray | None = None,
     after: dict | None = None,
     dl_bc=None,
+    sim: str = "bm25",
+    mu: float = 1000.0,
 ):
     """Returns the scoring applyInPandas kernel — cogrouped with the
     doclens frame by default, or single-frame when ``dl_bc`` (a Spark
@@ -251,7 +253,42 @@ def _score_chunk(
     theta derives from single-term scores of arbitrary docs, and a
     pre-cursor doc's score could push it above the k-th AFTER-cursor total,
     pruning blocks that hold page members — so they decode all their terms'
-    blocks (what Lucene's searchAfter re-collection pays too)."""
+    blocks (what Lucene's searchAfter re-collection pays too).
+
+    ``sim``: the similarity. "bm25" (default) scores idf·tf/(tf + k1(1-b +
+    b·dl/avgdl)) with the per-term stat = idf. "qld" scores Lucene
+    LMDirichletSimilarity max(0, log(1 + tf/(mu·p)) + log(mu/(dl + mu)))
+    with the per-term stat = P(t|C) (collection probability, threaded in
+    qinfo's third slot where BM25 carries idf). QLD unit weights round to
+    6 decimals (matching operators/qld.qld_weights bit-for-bit, modulo the
+    measure-zero np-vs-JVM midpoint case); the block bound adds 5e-7 so it
+    stays admissible over the rounded weights. Both weight functions are
+    monotone ↑tf ↓dl, so the (max_tf, min_dl) stats-free block bound is
+    admissible for either — one index serves both ranking models."""
+
+    # drop_zero: QLD's clamp yields weight-0 matches, which are NON-matches
+    # (qld_weights filters them; Lucene never surfaces a zero-scoring
+    # term-only hit) — mask them out of decoded postings so a doc matched
+    # only by clamped terms is never emitted. BM25 weights are always > 0.
+    drop_zero = sim == "qld"
+    if sim == "qld":
+
+        def _unit_w(tfs_a, dls_a, stat):
+            raw = np.log1p(tfs_a / (mu * stat)) + np.log(mu / (dls_a + mu))
+            return np.round(np.maximum(raw, 0.0), 6)
+
+        def _bound(tf_b, dl_b, stat):
+            raw = np.log1p(tf_b / (mu * stat)) + np.log(mu / (dl_b + mu))
+            return np.maximum(raw, 0.0) + 5e-7
+    elif sim == "bm25":
+
+        def _unit_w(tfs_a, dls_a, stat):
+            return bm25_weights_np(tfs_a, dls_a, stat, avgdl, k1, b)
+
+        def _bound(tf_b, dl_b, stat):
+            return stat * tf_b / (tf_b + k1 * (1.0 - b + b * dl_b / avgdl))
+    else:
+        raise ValueError(f"unknown similarity {sim!r} (bm25 | qld)")
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame({"qid": [], "docid": [], "score": []}).astype(
@@ -316,9 +353,7 @@ def _score_chunk(
                 r = seg_rows[row_i]
                 tf_b = np.asarray(r.block_max_tf, dtype=np.float64)
                 dl_b = np.asarray(r.block_min_dl, dtype=np.float64)
-                hit = bound_cache[row_i] = row_idf[row_i] * tf_b / (
-                    tf_b + k1 * (1.0 - b + b * dl_b / avgdl)
-                )
+                hit = bound_cache[row_i] = _bound(tf_b, dl_b, row_idf[row_i])
             return hit
 
         def decode_term(row_i: int, sel: np.ndarray | None):
@@ -343,9 +378,10 @@ def _score_chunk(
             hit = full_cache.get(row_i)
             if hit is None:
                 d_loc, tfs = decode_term(row_i, None)
-                wts = bm25_weights_np(
-                    tfs, dls[d_loc], row_idf[row_i], avgdl, k1, b
-                )
+                wts = _unit_w(tfs, dls[d_loc], row_idf[row_i])
+                if drop_zero and wts.size:
+                    keep = wts > 0
+                    d_loc, wts = d_loc[keep], wts[keep]
                 hit = full_cache[row_i] = (d_loc, wts)
             return hit
 
@@ -436,9 +472,13 @@ def _score_chunk(
                 d_loc, tfs = decode_term(i, sel_arg)
                 if d_loc.size == 0:
                     continue
-                scores[d_loc] += w * bm25_weights_np(
-                    tfs, dls[d_loc], row_idf[i], avgdl, k1, b
-                )
+                wts_i = _unit_w(tfs, dls[d_loc], row_idf[i])
+                if drop_zero:
+                    keep = wts_i > 0
+                    d_loc, wts_i = d_loc[keep], wts_i[keep]
+                    if d_loc.size == 0:
+                        continue
+                scores[d_loc] += w * wts_i
                 touched[d_loc] = True
 
             emit(qid, scores, touched)
@@ -534,6 +574,7 @@ class Searcher:
             )
         self._analyze = _ANALYZERS[man["analyzer_mode"]]
         self._avgdl = float(man["avgdl"])
+        self._stats_override = bool(corpus_stats)
         idf_over = None
         if corpus_stats:
             self._avgdl = float(corpus_stats.get("avgdl", self._avgdl))
@@ -730,6 +771,70 @@ class Searcher:
         """queries (qid, text) -> (qid, docid, rank, score) top-k."""
         qinfo, all_terms = self._query_info(queries)
         return self._search_prepared(qinfo, all_terms, k, prune)
+
+    def search_qld(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        mu: float = 1000.0,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Query-likelihood Dirichlet top-k over the SAME index — the
+        reference searcher's other ranking model (Pyserini
+        ``SimpleSearcher.set_qld``; semantics = operators/qld.qld_weights,
+        Lucene LMDirichletSimilarity with the per-term >= 0 clamp).
+
+        The stats-free segment layout makes the similarity pluggable at
+        query time: segments store raw (tf, dl) with (max_tf, min_dl)
+        block bounds, and the QLD weight is monotone ↑tf ↓dl, so the same
+        block-max pruning applies under an admissible QLD bound — no
+        reindex to switch models. P(t|C) = ctf/total_dl comes from the
+        dictionary's ctf column (written by current builds, maintained
+        additively by appends and subtractively by exact-stats deletes);
+        pre-ctf indexes raise with a rebuild hint. total_dl is the LIVE
+        manifest value, so appends/deletes shift the collection LM exactly
+        as they shift idf/avgdl for BM25."""
+        if mu <= 0:
+            raise ValueError(f"mu must be > 0, got {mu}")
+        if self._stats_override:
+            raise ValueError(
+                "search_qld under a federated corpus_stats override is not "
+                "supported yet — the override carries global idf/avgdl but "
+                "not global ctf/total_dl; run QLD per shard or against a "
+                "union index"
+            )
+        td_dir = self.manifest.get("term_dict_dir", "term_dict")
+        dict_df = self.spark.read.parquet(f"{self.index_dir}/{td_dir}")
+        if "ctf" not in dict_df.columns:
+            raise ValueError(
+                "index dictionary has no ctf column (built before QLD "
+                "support) — rebuild the index to materialize collection "
+                "term frequencies (appends keep a legacy dictionary legacy "
+                "by design; only a rebuild adds the column)"
+            )
+        qinfo, all_terms = self._query_info(queries)
+        if not all_terms:
+            return self._search_prepared({}, [], k, prune)
+        rows = (
+            dict_df.filter(
+                F.col("term_id").isin([int(t) for t in all_terms])
+            )
+            .select("term_id", "ctf")
+            .collect()
+        )
+        ctf = {int(r["term_id"]): int(r["ctf"]) for r in rows}
+        cl = float(self.manifest["total_dl"])
+        qinfo2 = {
+            qid: (
+                tids,
+                qtfs,
+                np.array([ctf[int(t)] / cl for t in tids], dtype=np.float64),
+            )
+            for qid, (tids, qtfs, _idfs) in qinfo.items()
+        }
+        return self._search_prepared(
+            qinfo2, all_terms, k, prune, sim="qld", mu=mu
+        )
 
     def count(self, queries: DataFrame) -> DataFrame:
         """(qid, n): EXACT total hit count per query under OR semantics —
@@ -1528,6 +1633,8 @@ class Searcher:
         k: int,
         prune: bool,
         after: dict | None = None,
+        sim: str = "bm25",
+        mu: float = 1000.0,
     ) -> DataFrame:
         """Raw per-chunk scored candidates (pre-merge): (qid, docid, score)
         with at most k rows per (chunk, qid)."""
@@ -1536,7 +1643,7 @@ class Searcher:
         kernel = _score_chunk(
             qinfo, k, self._avgdl, self.k1, self.b,
             int(man["block_size"]), prune, tombstones=self._tombstones,
-            after=after, dl_bc=self._dl_bc,
+            after=after, dl_bc=self._dl_bc, sim=sim, mu=mu,
         )
         if self._dl_bc is not None:
             return seg.groupBy("chunk").applyInPandas(kernel, RESULT_SCHEMA)
@@ -1553,9 +1660,14 @@ class Searcher:
         k: int,
         prune: bool,
         after: dict | None = None,
+        sim: str = "bm25",
+        mu: float = 1000.0,
     ) -> DataFrame:
         return topk(
-            self._scored_frame(qinfo, all_terms, k, prune, after=after), k
+            self._scored_frame(
+                qinfo, all_terms, k, prune, after=after, sim=sim, mu=mu
+            ),
+            k,
         )
 
     def search_rm3(

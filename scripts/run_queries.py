@@ -39,6 +39,13 @@ def main() -> None:
     p.add_argument("--trec", action="store_true")
     p.add_argument("--no-prune", action="store_true",
                    help="disable block-max pruning (debug/verification)")
+    p.add_argument("--qld", action="store_true",
+                   help="rank with query-likelihood Dirichlet smoothing "
+                        "(Lucene LMDirichletSimilarity) instead of BM25 — "
+                        "same index, pluggable similarity")
+    p.add_argument("--mu", type=float, default=1000.0,
+                   help="QLD Dirichlet mu (default 1000, the Lucene/"
+                        "Pyserini default)")
     p.add_argument("--rocchio", action="store_true",
                    help="Rocchio PRF second pass (forward index required); "
                         "--fb-docs/--fb-terms set the positive arm, "
@@ -107,7 +114,8 @@ def main() -> None:
         p.error("--trec needs ranked (qid, docid, rank, score) output; "
                 "--phrases/--explain/--count emit diagnostic row shapes")
     if len(args.index_dirs) > 1 and (
-        args.phrases or args.rm3 or args.rocchio or args.highlight
+        args.phrases or args.rm3 or args.rocchio or args.qld
+        or args.highlight
         or args.rewrite or args.explain or args.count or args.syntax
     ):
         p.error("federated (multiple --index-dir) currently serves ranked "
@@ -140,6 +148,10 @@ def main() -> None:
         if args.phrases:
             run = searcher.search_phrase_batch(
                 queries.withColumnRenamed("text", "phrase")
+            )
+        elif args.qld:
+            run = searcher.search_qld(
+                queries, k=args.k, mu=args.mu, prune=not args.no_prune,
             )
         elif args.rocchio:
             run = searcher.search_rocchio(

@@ -357,3 +357,120 @@ def test_search_rocchio_requires_forward_index(spark, sfdocs,
     )
     with pytest.raises(ValueError, match="forward_index"):
         Searcher(spark, d).search_rocchio(rocchio_queries)
+
+
+# ---------------------------------------------- index-backed QLD identity
+
+def _slow_qld(spark, docs, queries, k, mu):
+    from dhr_spark.operators.termfreq import query_term_freqs
+
+    tok = with_tokens(docs, mode="simple")
+    qtfs = query_term_freqs(with_tokens(queries, mode="simple"))
+    return qld_topk(qtfs, term_freqs(tok), doc_lengths(tok), k=k, mu=mu)
+
+
+@pytest.mark.parametrize("mu", [1000.0, 300.0])
+def test_search_qld_equals_slow_path(spark, sfdocs, rocchio_idx,
+                                     rocchio_queries, mu):
+    from dhr_spark.operators.wand import Searcher
+
+    fast = Searcher(spark, rocchio_idx).search_qld(rocchio_queries, k=20, mu=mu)
+    slow = _slow_qld(spark, sfdocs, rocchio_queries, k=20, mu=mu)
+    assert _as_map(fast.collect()) == _as_map(slow.collect())
+
+
+def test_search_qld_prune_matches_noprune(spark, rocchio_idx, rocchio_queries):
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, rocchio_idx)
+    a = s.search_qld(rocchio_queries, k=15, prune=True)
+    b = s.search_qld(rocchio_queries, k=15, prune=False)
+    assert _as_map(a.collect()) == _as_map(b.collect())
+
+
+def test_search_qld_guards(spark, sfdocs, rocchio_idx, rocchio_queries,
+                           tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dhr_spark.operators.wand import Searcher
+
+    with pytest.raises(ValueError, match="mu"):
+        Searcher(spark, rocchio_idx).search_qld(rocchio_queries, mu=0.0)
+    with pytest.raises(ValueError, match="corpus_stats"):
+        Searcher(spark, rocchio_idx, corpus_stats={"avgdl": 5.0}).search_qld(
+            rocchio_queries
+        )
+    # legacy dictionary (no ctf column) -> rebuild hint
+    d = str(tmp_path / "legacy")
+    shutil.copytree(rocchio_idx, d)
+    td = spark.read.parquet(f"{d}/term_dict").drop("ctf").toPandas()
+    shutil.rmtree(f"{d}/term_dict")
+    spark.createDataFrame(td).write.parquet(f"{d}/term_dict")
+    with pytest.raises(ValueError, match="ctf"):
+        Searcher(spark, d).search_qld(rocchio_queries)
+
+
+def test_qld_ctf_survives_append_and_delete(spark, sfdocs, rocchio_idx,
+                                            rocchio_queries, tmp_path):
+    """ctf stays an exact collection recount across the index lifecycle:
+    after an append (additive merge) and an exact-stats delete
+    (subtractive), the dictionary's ctf equals sum(tf) over the LIVE
+    forward index, and search_qld == the slow path fed from that same
+    forward index."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dhr_spark.index.delete import delete_docs
+    from dhr_spark.index.incremental import append_to_index
+    from dhr_spark.operators.termfreq import query_term_freqs
+    from dhr_spark.operators.wand import Searcher
+
+    d = str(tmp_path / "life")
+    shutil.copytree(rocchio_idx, d)
+    extra = spark.createDataFrame(
+        [
+            ("x-1", 0, "u", "spark table scan spark table spark", None, None),
+            ("x-2", 0, "u", "hash window query merge", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    man = append_to_index(spark, extra, d)
+    victim = int(
+        spark.read.parquet(f"{d}/doc_map").agg(F.min("docid")).collect()[0][0]
+    )
+    man = delete_docs(spark, d, docids=[victim])
+
+    s = Searcher(spark, d)
+    tdict = spark.read.parquet(f"{d}/{man['term_dict_dir']}")
+    fwd = spark.read.parquet(f"{d}/forward")
+    live = fwd.join(
+        spark.createDataFrame([(victim,)], "docid long"), "docid", "left_anti"
+    )
+    # dictionary ctf == live forward recount (terms fully deleted keep a
+    # row at ctf 0, Lucene keeps dict entries until merge)
+    recount = live.groupBy("term_id").agg(F.sum("tf").alias("ctf_live"))
+    bad = (
+        tdict.join(recount, "term_id", "left")
+        .filter(
+            F.col("ctf") != F.coalesce(F.col("ctf_live"), F.lit(0))
+        )
+        .count()
+    )
+    assert bad == 0
+    assert int(man["total_dl"]) == int(
+        live.select("docid", "dl").distinct().agg(F.sum("dl")).collect()[0][0]
+    )
+    # search identity through an independent data path: slow QLD fed from
+    # the live forward index (term strings via the dictionary)
+    tfs = live.join(
+        F.broadcast(tdict.select("term_id", "term")), "term_id"
+    ).select("docid", "term", "tf")
+    dls = live.select("docid", "dl").distinct()
+    qtfs = query_term_freqs(with_tokens(rocchio_queries, mode="simple"))
+    slow = qld_topk(qtfs, tfs, dls, k=15, mu=1000.0)
+    fast = s.search_qld(rocchio_queries, k=15, mu=1000.0)
+    assert _as_map(fast.collect()) == _as_map(slow.collect())
