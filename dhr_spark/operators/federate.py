@@ -87,30 +87,48 @@ class MultiSearcher:
         self.n_docs = n_docs_g
         self.avgdl = avgdl_g
 
-        # global df: full-outer merge of the member term dictionaries —
-        # one |V|-row groupBy, done once per MultiSearcher
+        # global df (and ctf, when every member has it): full-outer merge of
+        # the member term dictionaries — one |V|-row groupBy, done once per
+        # MultiSearcher. Global ctf + total_dl make QLD a federated
+        # similarity too (search_qld scores every shard under the merged
+        # collection LM, exactly like idf/avgdl federate BM25).
         union = None
+        all_ctf = True
         for d, m in zip(index_dirs, mans):
-            td = spark.read.parquet(
+            td_raw = spark.read.parquet(
                 f"{d}/{m.get('term_dict_dir', 'term_dict')}"
-            ).select("term", "df")
+            )
+            if "ctf" not in td_raw.columns:
+                all_ctf = False
+            union_cols = ["term", "df"] + (
+                ["ctf"] if "ctf" in td_raw.columns else []
+            )
+            td = td_raw.select(*union_cols)
+            if "ctf" not in td.columns:
+                td = td.withColumn("ctf", F.lit(None).cast("long"))
             union = td if union is None else union.unionByName(td)
-        idf_g = (
-            union.groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .withColumn("idf", idf_col(F.col("df"), F.lit(n_docs_g)))
-            .select("term", "idf")
+        merged = union.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("ctf").alias("ctf")
         )
+        idf_g = merged.withColumn(
+            "idf", idf_col(F.col("df"), F.lit(n_docs_g))
+        ).select("term", "idf", "ctf")
         total_terms = sum(int(m.get("n_terms", 0)) for m in mans)
         stats: dict = {"avgdl": avgdl_g}
+        if all_ctf:
+            stats["total_dl"] = total_dl_g
         if total_terms <= 2_000_000:
-            # small vocabulary: ship the merged idf as a driver dict so each
-            # member's query prep stays zero-Spark-jobs (Searcher tid cache)
-            stats["idf"] = {
-                r["term"]: float(r["idf"]) for r in idf_g.collect()
-            }
+            # small vocabulary: ship the merged stats as driver dicts so
+            # each member's query prep stays zero-Spark-jobs (tid cache)
+            rows = idf_g.collect()
+            stats["idf"] = {r["term"]: float(r["idf"]) for r in rows}
+            if all_ctf:
+                stats["ctf"] = {r["term"]: int(r["ctf"]) for r in rows}
         else:
-            stats["idf"] = idf_g.cache()
+            cached = idf_g.cache()
+            stats["idf"] = cached.select("term", "idf")
+            if all_ctf:
+                stats["ctf"] = cached.select("term", "ctf")
         self.searchers = [
             Searcher(spark, d, cache=cache, k1=k1, b=b, corpus_stats=stats)
             for d in index_dirs
@@ -137,6 +155,36 @@ class MultiSearcher:
             u = u.unionByName(p)
         # reuse the exact single-index top-k ordering by packing the
         # tie-break into a synthetic global docid (index above docid bits)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)
+
+    def search_qld(
+        self, queries: DataFrame, k: int = 1000,
+        mu: float = 1000.0, prune: bool = True,
+    ) -> DataFrame:
+        """Federated QLD: every member scores under the MERGED collection
+        LM (global ctf/total_dl) — score-identical to search_qld on a
+        union-corpus index, by the same argument as BM25 federation (the
+        per-doc weight depends only on tf, dl and global stats). Raises if
+        any member dictionary predates the ctf column."""
+        per = [
+            s.search_qld(queries, k=k, mu=mu, prune=prune)
+            .withColumn("index_id", F.lit(i))
+            for i, s in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
         merged = topk(
             u.select(
                 "qid",

@@ -576,9 +576,17 @@ class Searcher:
         self._avgdl = float(man["avgdl"])
         self._stats_override = bool(corpus_stats)
         idf_over = None
+        self._ctf_over = None
+        self._total_dl_over = None
         if corpus_stats:
             self._avgdl = float(corpus_stats.get("avgdl", self._avgdl))
             idf_over = corpus_stats.get("idf")
+            # federated QLD: global collection term frequencies + total
+            # collection length (MultiSearcher merges them when every
+            # member dictionary carries ctf)
+            self._ctf_over = corpus_stats.get("ctf")
+            if corpus_stats.get("total_dl") is not None:
+                self._total_dl_over = int(corpus_stats["total_dl"])
         self._idf_dict_over = idf_over if isinstance(idf_over, dict) else None
         td_dir = man.get("term_dict_dir", "term_dict")
         self._tdict = spark.read.parquet(f"{index_dir}/{td_dir}").select(
@@ -796,16 +804,18 @@ class Searcher:
         as they shift idf/avgdl for BM25."""
         if mu <= 0:
             raise ValueError(f"mu must be > 0, got {mu}")
-        if self._stats_override:
+        if self._stats_override and (
+            self._ctf_over is None or self._total_dl_over is None
+        ):
             raise ValueError(
-                "search_qld under a federated corpus_stats override is not "
-                "supported yet — the override carries global idf/avgdl but "
-                "not global ctf/total_dl; run QLD per shard or against a "
-                "union index"
+                "search_qld under a corpus_stats override needs global "
+                "'ctf' and 'total_dl' in the override (MultiSearcher "
+                "provides them when every member dictionary has ctf) — "
+                "this override carries only idf/avgdl"
             )
         td_dir = self.manifest.get("term_dict_dir", "term_dict")
         dict_df = self.spark.read.parquet(f"{self.index_dir}/{td_dir}")
-        if "ctf" not in dict_df.columns:
+        if "ctf" not in dict_df.columns and self._ctf_over is None:
             raise ValueError(
                 "index dictionary has no ctf column (built before QLD "
                 "support) — rebuild the index to materialize collection "
@@ -815,15 +825,48 @@ class Searcher:
         qinfo, all_terms = self._query_info(queries)
         if not all_terms:
             return self._search_prepared({}, [], k, prune)
-        rows = (
-            dict_df.filter(
-                F.col("term_id").isin([int(t) for t in all_terms])
+        if self._ctf_over is not None:
+            # global ctf is keyed by TERM (member term_ids differ across
+            # shards): map this index's query term_ids back to strings,
+            # then look up the merged collection frequency
+            trows = (
+                dict_df.filter(
+                    F.col("term_id").isin([int(t) for t in all_terms])
+                )
+                .select("term_id", "term")
+                .collect()
             )
-            .select("term_id", "ctf")
-            .collect()
-        )
-        ctf = {int(r["term_id"]): int(r["ctf"]) for r in rows}
-        cl = float(self.manifest["total_dl"])
+            if isinstance(self._ctf_over, dict):
+                cmap = self._ctf_over
+            else:
+                terms = [r["term"] for r in trows]
+                cmap = {
+                    r["term"]: int(r["ctf"])
+                    for r in self._ctf_over.filter(
+                        F.col("term").isin(terms)
+                    ).collect()
+                }
+            ctf = {int(r["term_id"]): int(cmap.get(r["term"], 0)) for r in trows}
+            if any(c <= 0 for c in ctf.values()):
+                # every term in a member dictionary contributes >= 1 to the
+                # merged ctf — a zero means the override predates an append
+                raise ValueError(
+                    "corpus_stats ctf override is missing query terms that "
+                    "exist in this member's dictionary — rebuild the "
+                    "MultiSearcher after index changes (stats merge is "
+                    "constructed once and cached)"
+                )
+            cl = float(self._total_dl_over)
+        else:
+            rows = (
+                dict_df.filter(
+                    F.col("term_id").isin([int(t) for t in all_terms])
+                )
+                .select("term_id", "ctf")
+                .collect()
+            )
+            ctf = {int(r["term_id"]): int(r["ctf"]) for r in rows}
+            cl = float(self.manifest["total_dl"])
         qinfo2 = {
             qid: (
                 tids,

@@ -201,3 +201,37 @@ def test_federated_filtered_equals_union_index(spark, sharded, queries):
     )
     assert fed and fed == single
     assert all(lo <= t <= hi for (_, _, t) in fed)
+
+
+def test_federated_qld_equals_union_index(spark, sharded, queries):
+    """QLD federates exactly like BM25: merged ctf/total_dl make every
+    shard score under the global collection LM, so the federated result is
+    score-identical to search_qld on the union-corpus index."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = _by_turn(
+        spark, ms.search_qld(queries, k=100_000), sharded["dirs"], fed=True
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search_qld(queries, k=100_000),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed == single and fed
+
+
+def test_federated_qld_legacy_member_raises(spark, sharded, queries,
+                                            tmp_path):
+    """A member whose dictionary predates the ctf column blocks federated
+    QLD with a clear error (BM25 federation still works)."""
+    import shutil
+
+    legacy = str(tmp_path / "legacy_shard")
+    shutil.copytree(sharded["dirs"][0], legacy)
+    td = spark.read.parquet(f"{legacy}/term_dict").drop("ctf").toPandas()
+    shutil.rmtree(f"{legacy}/term_dict")
+    spark.createDataFrame(td).write.parquet(f"{legacy}/term_dict")
+    ms = MultiSearcher(spark, [legacy, sharded["dirs"][1]])
+    assert ms.search(queries, k=5).count() > 0  # BM25 unaffected
+    with pytest.raises(ValueError, match="ctf"):
+        ms.search_qld(queries, k=5)
