@@ -135,6 +135,7 @@ SPAN_FIRST_QUERIES: list[tuple[str, str, int]] = [
     ("sp3", "zzyzx", 5),      # no match
 ]
 QLD_MU = 1000.0  # Lucene/Pyserini set_qld default
+LMJM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity title default
 # Rocchio PRF (gamma > 0 exercises the negative-feedback arm)
 ROCCHIO_FB_DOCS, ROCCHIO_FB_TERMS = 5, 10
 ROCCHIO_ALPHA, ROCCHIO_BETA, ROCCHIO_GAMMA = 1.0, 0.75, 0.15
@@ -1115,6 +1116,38 @@ scored AS (
   SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
   FROM q JOIN w USING (term)
   WHERE w.weight > 0
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
+def _lmjm_topk_sql(lam: float = LMJM_LAMBDA) -> str:
+    """LM Jelinek-Mercer (operators/qld.py lmjm_weights) oracle — always
+    positive, so no clamp/filter; op order pinned to the Spark/kernel
+    ((jm·tf)/dl)/P shape."""
+    jm = (1.0 - lam) / lam
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+coll AS (SELECT sum(dl)::DOUBLE AS cl FROM dl),
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.term, tf.doc_id AS docid,
+         round(ln(1 + {jm!r} * tf.tf / dl.dl / (ctf.ctf / coll.cl)), 6)
+           AS weight
+  FROM tf JOIN ctf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN coll
+),
+scored AS (
+  SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
+  FROM q JOIN w USING (term)
   GROUP BY 1, 2
 ),
 ranked AS (
@@ -2699,6 +2732,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def lmjm_topk_q(spark, sf):
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return _round4(
+            QL.lmjm_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                k=TOPK, lam=LMJM_LAMBDA,
+            )
+        )
+
     def span_first_q(spark, sf):
         docs = _docs(spark, sf)
         out = None
@@ -3165,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": span_first_q,
         "blockjoin_topk": blockjoin_topk_q,
         "qld_vs_slow_identity": qld_vs_slow_q,
+        "lmjm_topk": lmjm_topk_q,
     }
 
 
@@ -3711,6 +3754,7 @@ FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
         "span_first": _span_first_sql(),
         "blockjoin_topk": _blockjoin_sql(),
         "qld_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
+        "lmjm_topk": _lmjm_topk_sql(),
         # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
         # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only
     }

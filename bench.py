@@ -414,6 +414,8 @@ def main() -> None:
         "highlight_topk", "syntax_topk", "hit_counts", "search_after_page",
         "dismax_topk", "explain_scores", "term_suggest", "mlt_topk",
         "fuzzy_topk", "range_topk", "collapse_hits", "decontaminate",
+        "qld_topk", "qld_vs_slow_identity", "rocchio_topk", "regexp_topk",
+        "span_first", "blockjoin_topk",
     ]:
         # best-of-2: each op is 0.2-4s, so the second draw is cheap and
         # halves the ambient-noise variance in the committed per-op table

@@ -87,3 +87,46 @@ def qld_topk(
     """(qid, docid, rank, score): QLD top-k — identical plan shape to the
     BM25 slow path, only the per-match weight formula differs."""
     return topk(score_all(qtfs, qld_weights(tfs, dls, mu=mu), on="term"), k)
+
+
+DEFAULT_JM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity title default
+
+
+def lmjm_weights(
+    tfs: DataFrame,
+    dls: DataFrame,
+    lam: float = DEFAULT_JM_LAMBDA,
+) -> DataFrame:
+    """(term, docid, weight): LM Jelinek-Mercer weights (Lucene
+    LMJelinekMercerSimilarity) —
+
+        w(t, d) = log(1 + ((1-λ)·tf/dl) / (λ·P(t|C)))
+
+    the linear-interpolation smoothing twin of Dirichlet; always positive
+    for tf > 0 so there is no clamp. Same plan/stats as qld_weights."""
+    totals = dls.agg(F.sum("dl").alias("cl")).collect()[0]
+    coll_len = float(totals["cl"])
+    ctf = tfs.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    # op order pinned to the WAND kernel's ((jm·tf)/dl)/P so the index path
+    # is bit-identical before the 6-decimal round
+    jm = F.lit((1.0 - float(lam)) / float(lam))
+    raw = F.log(
+        F.lit(1.0)
+        + jm * F.col("tf") / F.col("dl") / (F.col("ctf") / F.lit(coll_len))
+    )
+    return (
+        tfs.join(dls, "docid")
+        .join(F.broadcast(ctf), "term")
+        .select("term", "docid", F.round(raw, 6).alias("weight"))
+    )
+
+
+def lmjm_topk(
+    qtfs: DataFrame,
+    tfs: DataFrame,
+    dls: DataFrame,
+    k: int = 1000,
+    lam: float = DEFAULT_JM_LAMBDA,
+) -> DataFrame:
+    """(qid, docid, rank, score): Jelinek-Mercer top-k."""
+    return topk(score_all(qtfs, lmjm_weights(tfs, dls, lam=lam), on="term"), k)

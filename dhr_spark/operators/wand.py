@@ -280,6 +280,17 @@ def _score_chunk(
         def _bound(tf_b, dl_b, stat):
             raw = np.log1p(tf_b / (mu * stat)) + np.log(mu / (dl_b + mu))
             return np.maximum(raw, 0.0) + 5e-7
+    elif sim == "lmjm":
+        # Lucene LMJelinekMercerSimilarity; here ``mu`` carries λ. Always
+        # > 0 for tf > 0, so no clamp and no zero-drop; same 6-round +
+        # bound headroom contract as QLD.
+        jm = (1.0 - mu) / mu
+
+        def _unit_w(tfs_a, dls_a, stat):
+            return np.round(np.log1p(jm * tfs_a / dls_a / stat), 6)
+
+        def _bound(tf_b, dl_b, stat):
+            return np.log1p(jm * tf_b / dl_b / stat) + 5e-7
     elif sim == "bm25":
 
         def _unit_w(tfs_a, dls_a, stat):
@@ -288,7 +299,7 @@ def _score_chunk(
         def _bound(tf_b, dl_b, stat):
             return stat * tf_b / (tf_b + k1 * (1.0 - b + b * dl_b / avgdl))
     else:
-        raise ValueError(f"unknown similarity {sim!r} (bm25 | qld)")
+        raise ValueError(f"unknown similarity {sim!r} (bm25 | qld | lmjm)")
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame({"qid": [], "docid": [], "score": []}).astype(
@@ -804,11 +815,50 @@ class Searcher:
         as they shift idf/avgdl for BM25."""
         if mu <= 0:
             raise ValueError(f"mu must be > 0, got {mu}")
+        qinfo, all_terms = self._query_info(queries)
+        if not all_terms:
+            return self._search_prepared({}, [], k, prune)
+        qinfo2 = self._lm_query_probs(qinfo, all_terms)
+        return self._search_prepared(
+            qinfo2, all_terms, k, prune, sim="qld", mu=mu
+        )
+
+    def search_lmjm(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        lam: float = 0.1,
+        prune: bool = True,
+    ) -> DataFrame:
+        """LM Jelinek-Mercer top-k over the same index (Lucene
+        LMJelinekMercerSimilarity):
+
+            w(t, d) = log(1 + ((1-λ)·tf/dl) / (λ·P(t|C)))
+
+        — the linear-interpolation smoothing twin of Dirichlet. Always
+        positive for tf > 0 (no clamp), monotone ↑tf ↓dl, so the same
+        stats-free (max_tf, min_dl) block bound prunes it. Shares the ctf
+        dictionary column and the federated ctf/total_dl override with
+        search_qld. Lucene's title default is λ=0.1 (long text: 0.7)."""
+        if not (0.0 < lam < 1.0):
+            raise ValueError(f"lambda must be in (0, 1), got {lam}")
+        qinfo, all_terms = self._query_info(queries)
+        if not all_terms:
+            return self._search_prepared({}, [], k, prune)
+        qinfo2 = self._lm_query_probs(qinfo, all_terms)
+        return self._search_prepared(
+            qinfo2, all_terms, k, prune, sim="lmjm", mu=lam
+        )
+
+    def _lm_query_probs(self, qinfo: dict, all_terms: list[int]) -> dict:
+        """qinfo with the third slot (idf for BM25) replaced by P(t|C) —
+        the per-term stat both LM similarities score with. Raises on a
+        pre-ctf dictionary or an idf-only federated override."""
         if self._stats_override and (
             self._ctf_over is None or self._total_dl_over is None
         ):
             raise ValueError(
-                "search_qld under a corpus_stats override needs global "
+                "LM scoring under a corpus_stats override needs global "
                 "'ctf' and 'total_dl' in the override (MultiSearcher "
                 "provides them when every member dictionary has ctf) — "
                 "this override carries only idf/avgdl"
@@ -822,9 +872,6 @@ class Searcher:
                 "term frequencies (appends keep a legacy dictionary legacy "
                 "by design; only a rebuild adds the column)"
             )
-        qinfo, all_terms = self._query_info(queries)
-        if not all_terms:
-            return self._search_prepared({}, [], k, prune)
         if self._ctf_over is not None:
             # global ctf is keyed by TERM (member term_ids differ across
             # shards): map this index's query term_ids back to strings,
@@ -867,7 +914,7 @@ class Searcher:
             )
             ctf = {int(r["term_id"]): int(r["ctf"]) for r in rows}
             cl = float(self.manifest["total_dl"])
-        qinfo2 = {
+        return {
             qid: (
                 tids,
                 qtfs,
@@ -875,9 +922,6 @@ class Searcher:
             )
             for qid, (tids, qtfs, _idfs) in qinfo.items()
         }
-        return self._search_prepared(
-            qinfo2, all_terms, k, prune, sim="qld", mu=mu
-        )
 
     def count(self, queries: DataFrame) -> DataFrame:
         """(qid, n): EXACT total hit count per query under OR semantics —

@@ -46,6 +46,13 @@ def main() -> None:
     p.add_argument("--mu", type=float, default=1000.0,
                    help="QLD Dirichlet mu (default 1000, the Lucene/"
                         "Pyserini default)")
+    p.add_argument("--lmjm", action="store_true",
+                   help="rank with LM Jelinek-Mercer smoothing (Lucene "
+                        "LMJelinekMercerSimilarity) — same index, third "
+                        "pluggable similarity")
+    p.add_argument("--lam", type=float, default=0.1,
+                   help="Jelinek-Mercer lambda (default 0.1, Lucene's "
+                        "title default; 0.7 for long text)")
     p.add_argument("--rocchio", action="store_true",
                    help="Rocchio PRF second pass (forward index required); "
                         "--fb-docs/--fb-terms set the positive arm, "
@@ -115,7 +122,7 @@ def main() -> None:
                 "--phrases/--explain/--count emit diagnostic row shapes")
     if len(args.index_dirs) > 1 and (
         args.phrases or args.rm3 or args.rocchio or args.qld
-        or args.highlight
+        or args.lmjm or args.highlight
         or args.rewrite or args.explain or args.count or args.syntax
     ):
         p.error("federated (multiple --index-dir) currently serves ranked "
@@ -152,6 +159,10 @@ def main() -> None:
         elif args.qld:
             run = searcher.search_qld(
                 queries, k=args.k, mu=args.mu, prune=not args.no_prune,
+            )
+        elif args.lmjm:
+            run = searcher.search_lmjm(
+                queries, k=args.k, lam=args.lam, prune=not args.no_prune,
             )
         elif args.rocchio:
             run = searcher.search_rocchio(

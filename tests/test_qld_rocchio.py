@@ -474,3 +474,58 @@ def test_qld_ctf_survives_append_and_delete(spark, sfdocs, rocchio_idx,
     slow = qld_topk(qtfs, tfs, dls, k=15, mu=1000.0)
     fast = s.search_qld(rocchio_queries, k=15, mu=1000.0)
     assert _as_map(fast.collect()) == _as_map(slow.collect())
+
+
+# -------------------------------------------------- LM Jelinek-Mercer
+
+def _py_lmjm_weights(lam=0.1):
+    toks = {d: t.split() for d, t in DOCS}
+    cl = sum(len(v) for v in toks.values())
+    ctf: dict[str, int] = {}
+    for v in toks.values():
+        for t in v:
+            ctf[t] = ctf.get(t, 0) + 1
+    jm = (1.0 - lam) / lam
+    out = {}
+    for d, v in toks.items():
+        dl = len(v)
+        for t in set(v):
+            w = math.log(1.0 + jm * v.count(t) / dl / (ctf[t] / cl))
+            out[(t, d)] = round(w, 6)
+    return out
+
+
+def test_lmjm_weights_match_reference(corpus):
+    from dhr_spark.operators.qld import lmjm_weights
+
+    got = {
+        (r["term"], r["docid"]): r["weight"]
+        for r in lmjm_weights(corpus["tfs"], corpus["dls"], lam=0.1).collect()
+    }
+    assert got == _py_lmjm_weights(0.1)
+    # always positive: JM smoothing never clamps a real match away
+    assert all(w > 0 for w in got.values())
+
+
+@pytest.mark.parametrize("lam", [0.1, 0.7])
+def test_search_lmjm_equals_slow_path(spark, sfdocs, rocchio_idx,
+                                      rocchio_queries, lam):
+    from dhr_spark.operators.qld import lmjm_topk
+    from dhr_spark.operators.termfreq import query_term_freqs
+    from dhr_spark.operators.wand import Searcher
+
+    fast = Searcher(spark, rocchio_idx).search_lmjm(
+        rocchio_queries, k=20, lam=lam
+    )
+    tok = with_tokens(sfdocs, mode="simple")
+    qtfs = query_term_freqs(with_tokens(rocchio_queries, mode="simple"))
+    slow = lmjm_topk(qtfs, term_freqs(tok), doc_lengths(tok), k=20, lam=lam)
+    assert _as_map(fast.collect()) == _as_map(slow.collect())
+
+
+def test_search_lmjm_lambda_guard(spark, rocchio_idx, rocchio_queries):
+    from dhr_spark.operators.wand import Searcher
+
+    for bad in (0.0, 1.0, -0.3):
+        with pytest.raises(ValueError, match="lambda"):
+            Searcher(spark, rocchio_idx).search_lmjm(rocchio_queries, lam=bad)
