@@ -1122,6 +1122,41 @@ class Searcher:
             .select("qid", "docid", "rank", r6.alias("score"), field)
         )
 
+    def search_parents(
+        self,
+        queries: DataFrame,
+        k: int = 100,
+        score_mode: str = "max",
+        parent_field: str = "conv_id",
+    ) -> DataFrame:
+        """(qid, parent, rank, score): Lucene ToParentBlockJoinQuery over
+        the index — per-turn (child) BM25 hits rolled up to their parent
+        conversation under a ScoreMode (max/total/avg/min;
+        operators/conversations.block_join_topk is the DataFrame twin this
+        delegates to). ``parent_field`` is a doc_map column (conv_id by
+        default — every transcripts index carries it).
+
+        Exact for every ScoreMode: child scoring is exhaustive (no
+        chunk-local cutoff — the same starvation argument as
+        search_collapse: under total/avg/min ANY pruned child changes the
+        parent score, and under max the representative child may rank
+        below another parent's flood). The rollup joins the hit set, not
+        the corpus, and the join is chunk-colocated with doc_map."""
+        from dhr_spark.operators.conversations import block_join_topk
+
+        qinfo, all_terms = self._query_info(queries)
+        chunk_docs = 1 << int(self.manifest["chunk_bits"])
+        scored = self._scored_frame(qinfo, all_terms, chunk_docs, prune=False)
+        child = scored.select(
+            "qid", "docid", F.round("score", 6).alias("score")
+        )
+        parents = self.docvalues_frame([parent_field]).select(
+            "docid", F.col(parent_field).alias("parent")
+        )
+        return block_join_topk(
+            child, parents, k=k, score_mode=score_mode
+        ).withColumnRenamed("docid", "parent")
+
     def search_filtered(
         self,
         queries: DataFrame,

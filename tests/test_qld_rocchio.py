@@ -529,3 +529,42 @@ def test_search_lmjm_lambda_guard(spark, rocchio_idx, rocchio_queries):
     for bad in (0.0, 1.0, -0.3):
         with pytest.raises(ValueError, match="lambda"):
             Searcher(spark, rocchio_idx).search_lmjm(rocchio_queries, lam=bad)
+
+
+# ------------------------------------------- index-backed block join
+
+@pytest.fixture(scope="module")
+def conv_idx(spark, tmp_path_factory):
+    from dhr_spark.data.synthetic import synth_transcripts
+    from dhr_spark.index.builder import build_index
+
+    d = str(tmp_path_factory.mktemp("parents_idx") / "idx")
+    tr = synth_transcripts(spark, 40)
+    build_index(spark, tr, d, chunk_bits=7, block_size=16,
+                docid_strategy="window")
+    return d
+
+
+@pytest.mark.parametrize("mode", ["max", "total", "avg", "min"])
+def test_search_parents_equals_manual_rollup(spark, conv_idx, mode):
+    from pyspark.sql import functions as F
+
+    from dhr_spark.data.synthetic import synth_queries
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, conv_idx)
+    q = synth_queries(spark, 6)
+    fast = s.search_parents(q, k=8, score_mode=mode)
+    # manual: ALL child hits (exhaustive, unpruned) rolled up the same way
+    child = s.search(q, k=10_000_000, prune=False).select(
+        "qid", "docid", "score"
+    )
+    parents = spark.read.parquet(f"{conv_idx}/doc_map").select(
+        "docid", F.col("conv_id").alias("parent")
+    )
+    slow = block_join_topk(child, parents, k=8, score_mode=mode)
+    f = {(r["qid"], r["parent"]): (r["rank"], round(r["score"], 4))
+         for r in fast.collect()}
+    g = {(r["qid"], r["docid"]): (r["rank"], round(r["score"], 4))
+         for r in slow.collect()}
+    assert f == g and f
