@@ -2473,6 +2473,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def syntax_range_q(spark, sf):
+        # the classic-syntax spelling of range_topk: every BM25 query plus
+        # a filter-context `n_chars:[LO TO HI]` clause must produce the
+        # EXACT search_filtered result — same oracle SQL, different
+        # execution path (boolean plan + membership gate vs pushed-down
+        # predicate), a strong cross-path consistency check
+        q = spark.createDataFrame(
+            [
+                (qid, f"{text} n_chars:[{RANGE_LO} TO {RANGE_HI}]")
+                for qid, text in BM25_QUERIES
+            ],
+            "qid string, text string",
+        )
+        return _round4(_searcher(spark, sf).search_syntax(q, k=TOPK))
+
     def qld_vs_slow_q(spark, sf):
         # same self-check shape for the pluggable similarity: the QLD WAND
         # pass over the index (ctf dictionary column, clamp-aware block
@@ -3208,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockjoin_topk": blockjoin_topk_q,
         "qld_vs_slow_identity": qld_vs_slow_q,
         "lmjm_topk": lmjm_topk_q,
+        "syntax_range_topk": syntax_range_q,
     }
 
 
@@ -3755,6 +3771,7 @@ FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
         "blockjoin_topk": _blockjoin_sql(),
         "qld_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
         "lmjm_topk": _lmjm_topk_sql(),
+        "syntax_range_topk": _RANGE_TOPK_SQL,
         # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
         # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only
     }

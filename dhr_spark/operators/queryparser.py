@@ -25,6 +25,11 @@ against a v2 index by composing the existing surfaces:
                                        docvalues column (role:user) —
                                        gates membership, never scores
                                        (Lucene keyword-field filter usage)
+  field:[a TO b]    FIELD_RANGE        filter-context inclusive range over
+                                       a docvalues column (* = open end) —
+                                       Lucene classic TermRangeQuery
+                                       syntax, executed as search_filtered
+                                       semantics inside the boolean plan
 
 Scoring-boolean semantics (Lucene BooleanQuery): a doc's score is the sum
 of every matching positive clause's BM25 contribution; MUST clauses gate
@@ -49,18 +54,22 @@ import re
 from dataclasses import dataclass, field
 
 SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
-TERM, PHRASE, WILDCARD, FUZZY, FIELD, REGEXP = (
-    "TERM", "PHRASE", "WILDCARD", "FUZZY", "FIELD", "REGEXP",
+TERM, PHRASE, WILDCARD, FUZZY, FIELD, REGEXP, FIELD_RANGE = (
+    "TERM", "PHRASE", "WILDCARD", "FUZZY", "FIELD", "REGEXP", "FIELD_RANGE",
 )
 
-# one clause: optional +/- prefix, then a quoted phrase (optional ~slop)
-# or a bare token (optional ~edits); bare tokens may carry * and ?;
-# either form may close with ^boost (Lucene BoostQuery)
+# one clause: optional +/- prefix, then a quoted phrase (optional ~slop),
+# a field range (field:[lo TO hi] — inclusive, * = open end; the Lucene
+# classic TermRangeQuery syntax; the body holds a space so it must be
+# lexed before bare tokens), or a bare token (optional ~edits); bare
+# tokens may carry * and ?; phrase/token may close with ^boost
 _CLAUSE_RE = re.compile(
     r"""\s*(?P<occur>[+-])?
         (?:
           "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
           (?:\^(?P<pboost>\d+(?:\.\d+)?))?
+        | (?P<rfield>[A-Za-z_][A-Za-z0-9_]*):
+          \[(?P<rlo>[^\s\]]+)\s+TO\s+(?P<rhi>[^\s\]]+)\]
         | (?P<token>[^\s"]+)
         )""",
     re.VERBOSE,
@@ -80,7 +89,9 @@ class Clause:
     slop: int = 0  # PHRASE only
     edits: int = 2  # FUZZY only
     boost: float = 1.0  # score multiplier (Lucene BoostQuery)
-    field_name: str = ""  # FIELD only: the doc_map docvalues column
+    field_name: str = ""  # FIELD / FIELD_RANGE: the doc_map docvalues column
+    lo: str = ""  # FIELD_RANGE only; "*" = open end
+    hi: str = ""  # FIELD_RANGE only; "*" = open end
 
 
 @dataclass(frozen=True)
@@ -123,6 +134,20 @@ def parse_query(s: str) -> ParsedQuery:
             break
         pos = m.end()
         occur = {"+": MUST, "-": MUST_NOT, None: SHOULD}[m.group("occur")]
+        if m.group("rfield") is not None:
+            lo, hi = m.group("rlo"), m.group("rhi")
+            if lo == "*" and hi == "*":
+                raise ValueError(
+                    f"field range open on both ends matches everything: "
+                    f"{m.group(0).strip()!r}"
+                )
+            clauses.append(
+                Clause(
+                    occur, FIELD_RANGE, f"[{lo} TO {hi}]",
+                    field_name=m.group("rfield"), lo=lo, hi=hi,
+                )
+            )
+            continue
         if m.group("phrase") is not None:
             body = m.group("phrase")
             if not body.strip():

@@ -1357,17 +1357,27 @@ class Searcher:
         for qid, pq in parsed.items():
             ci = 0
             for c in pq.clauses:
-                if c.kind == QP.FIELD:
+                if c.kind in (QP.FIELD, QP.FIELD_RANGE):
                     # filter-context docvalues match (never scores):
                     # SHOULD/MUST both gate — a bare role:user is how
                     # Lucene users write keyword filters — MUST_NOT
                     # excludes. The docvalues read is a pushed-down
-                    # doc_map column scan; equality casts the literal to
-                    # the column's type (so turn_idx:3 works).
-                    member = (
-                        self.docvalues_frame([c.field_name])
-                        .filter(F.col(c.field_name) == c.text)
-                        .select(F.lit(qid).alias("qid"), "docid")
+                    # doc_map column scan; literals cast to the column's
+                    # type (so turn_idx:3 and n_chars:[10 TO 90] work).
+                    dvf = self.docvalues_frame([c.field_name])
+                    col = F.col(c.field_name)
+                    if c.kind == QP.FIELD:
+                        pred = col == c.text
+                    else:
+                        dt = dict(dvf.dtypes)[c.field_name]
+                        pred = None
+                        if c.lo != "*":
+                            pred = col >= F.lit(c.lo).cast(dt)
+                        if c.hi != "*":
+                            p2 = col <= F.lit(c.hi).cast(dt)
+                            pred = p2 if pred is None else pred & p2
+                    member = dvf.filter(pred).select(
+                        F.lit(qid).alias("qid"), "docid"
                     )
                     if c.occur == QP.MUST_NOT:
                         not_frames.append(member)

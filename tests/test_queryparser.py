@@ -349,11 +349,13 @@ def test_parser_never_crashes_property():
             p = parse_query(s)
         except ValueError:
             return
-        from dhr_spark.operators.queryparser import FIELD, REGEXP
+        from dhr_spark.operators.queryparser import FIELD, FIELD_RANGE, REGEXP
 
         for c in p.clauses:
             assert c.occur in (SHOULD, MUST, MUST_NOT)
-            assert c.kind in (TERM, PHRASE, WILDCARD, FUZZY, FIELD, REGEXP)
+            assert c.kind in (
+                TERM, PHRASE, WILDCARD, FUZZY, FIELD, REGEXP, FIELD_RANGE
+            )
             assert c.boost > 0 and c.slop >= 0 and c.edits >= 0
             # doubled modifiers ("--a") keep the inner char in the body —
             # the analyzer strips punctuation downstream, matching Lucene's
@@ -510,3 +512,62 @@ def test_minimum_should_match(spark, env):
     want = {d for d in base
             if d in have["tabl"] and (d in have["merg"] or d in have["slow"])}
     assert got and got == want
+
+
+def test_parse_field_range_clauses():
+    from dhr_spark.operators.queryparser import FIELD_RANGE
+
+    p = parse_query("+n_chars:[10 TO 90] table -ts:[* TO 5] lang:[a TO *]")
+    rng = [(c.occur, c.kind, c.field_name, c.lo, c.hi) for c in p.clauses
+           if c.kind == FIELD_RANGE]
+    assert rng == [
+        (MUST, FIELD_RANGE, "n_chars", "10", "90"),
+        (MUST_NOT, FIELD_RANGE, "ts", "*", "5"),
+        (SHOULD, FIELD_RANGE, "lang", "a", "*"),
+    ]
+    with pytest.raises(ValueError, match="open on both ends"):
+        parse_query("x:[* TO *]")
+    with pytest.raises(ValueError):
+        parse_query("n_chars:[1 TO 2]^2")  # ranges are filter context
+
+
+def test_field_range_filters_not_scores(spark, env):
+    """turn_idx:[lo TO hi] gates hits without touching scores, matches the
+    search_filtered range composition, honors open ends and MUST_NOT."""
+    s = env["searcher"]
+    base = spark.createDataFrame(
+        [("q", "table merge")], "qid string, text string"
+    )
+    full = {r["docid"]: r["score"]
+            for r in s.search(base, k=1_000_000, prune=False).collect()}
+    tix = {r["docid"]: r["turn_idx"]
+           for r in s.docvalues_frame(["turn_idx"]).collect()}
+
+    got = {r["docid"]: r["score"] for r in s.search_syntax(
+        spark.createDataFrame([("q", "table merge turn_idx:[1 TO 3]")],
+                              "qid string, text string"),
+        k=1_000_000,
+    ).collect()}
+    want = {d: v for d, v in full.items() if 1 <= tix[d] <= 3}
+    assert got and set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(round(want[d], 6), abs=1e-6)
+
+    sf = {r["docid"]: r["score"] for r in s.search_filtered(
+        base, "turn_idx", lo=1, hi=3, k=1_000_000
+    ).collect()}
+    assert set(sf) == set(got)
+
+    open_hi = {r["docid"] for r in s.search_syntax(
+        spark.createDataFrame([("q", "table merge turn_idx:[2 TO *]")],
+                              "qid string, text string"),
+        k=1_000_000,
+    ).collect()}
+    assert open_hi == {d for d in full if tix[d] >= 2}
+
+    excl = {r["docid"] for r in s.search_syntax(
+        spark.createDataFrame([("q", "table merge -turn_idx:[0 TO 1]")],
+                              "qid string, text string"),
+        k=1_000_000,
+    ).collect()}
+    assert excl and excl == {d for d in full if tix[d] > 1}
