@@ -198,6 +198,33 @@ class MultiSearcher:
         )
         return self._unpack(merged)
 
+    def search_lmjm(
+        self, queries: DataFrame, k: int = 1000,
+        lam: float = 0.1, prune: bool = True,
+    ) -> DataFrame:
+        """Federated LM Jelinek-Mercer — same merged collection LM
+        (ctf/total_dl) as search_qld, same union-index identity argument."""
+        per = [
+            s.search_lmjm(queries, k=k, lam=lam, prune=prune)
+            .withColumn("index_id", F.lit(i))
+            for i, s in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)
+
     @staticmethod
     def _unpack(merged: DataFrame) -> DataFrame:
         return merged.select(

@@ -235,3 +235,20 @@ def test_federated_qld_legacy_member_raises(spark, sharded, queries,
     assert ms.search(queries, k=5).count() > 0  # BM25 unaffected
     with pytest.raises(ValueError, match="ctf"):
         ms.search_qld(queries, k=5)
+
+
+def test_federated_lmjm_equals_union_index(spark, sharded, queries):
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = _by_turn(
+        spark, ms.search_lmjm(queries, k=100_000, lam=0.7),
+        sharded["dirs"], fed=True,
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search_lmjm(
+            queries, k=100_000, lam=0.7
+        ),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed == single and fed
