@@ -320,3 +320,57 @@ def test_search_filtered_pushes_docvalues_predicate(spark, idx):
         seg[:300] for seg in plan.split("PushedFilters")[1:]
     ]
     assert any("turn_idx" in p for p in pushed), plan[:2000]
+
+
+def test_qld_weights_broadcast_ctf_no_cartesian(spark):
+    """QLD adds exactly one corpus-wide prepass over BM25's (the ctf
+    groupBy, same class as the df groupBy); the scoring join broadcasts
+    the per-term stats — no cartesian anywhere."""
+    from dhr_spark.operators.qld import qld_weights
+    from dhr_spark.operators.termfreq import doc_lengths, term_freqs, with_tokens
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "docid long, text string"
+    )
+    tok = with_tokens(docs, mode="simple")
+    plan = _plan(qld_weights(term_freqs(tok), doc_lengths(tok)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rocchio_expansion_broadcasts_feedback(spark):
+    """The Rocchio centroid join keys the tiny feedback set against the tf
+    table — broadcast, never a corpus-wide shuffle join of tf x tf."""
+    from dhr_spark.operators.rocchio import rocchio_expand
+    from dhr_spark.operators.termfreq import doc_lengths, term_freqs, with_tokens
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d"), (2, "d e f")], "docid long, text string"
+    )
+    tok = with_tokens(docs, mode="simple")
+    first = spark.createDataFrame(
+        [("q1", 0, 1, 2.0), ("q1", 1, 2, 1.0)],
+        "qid string, docid long, rank int, score double",
+    )
+    qtfs = spark.createDataFrame(
+        [("q1", "a", 1)], "qid string, term string, qtf long"
+    )
+    plan = _plan(
+        rocchio_expand(qtfs, first, term_freqs(tok), doc_lengths(tok),
+                       gamma=0.2)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_block_join_single_agg_over_hits(spark):
+    """search_parents' rollup is one hash aggregate over the hit set — the
+    optimized plan has no join wider than hits x doc_map and no cartesian."""
+    from dhr_spark.operators.conversations import block_join_topk
+
+    child = spark.createDataFrame(
+        [("q1", 0, 1.0)], "qid string, docid long, score double"
+    )
+    parent = spark.createDataFrame([(0, 10)], "docid long, parent long")
+    plan = _plan(block_join_topk(child, parent, k=5, score_mode="total"))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
