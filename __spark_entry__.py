@@ -2196,6 +2196,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def map_q(spark, sf):
         return M.map_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
 
+    def prec_q(spark, sf):
+        return M.precision_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
+
+    def judged_q(spark, sf):
+        return M.judged_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
+
     def _events(spark, sf):
         return spark.read.parquet(os.path.join(sf, "events.parquet"))
 
@@ -3224,6 +3230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_vs_slow_identity": qld_vs_slow_q,
         "lmjm_topk": lmjm_topk_q,
         "syntax_range_topk": syntax_range_q,
+        "precision_at_10": prec_q,
+        "judged_at_10": judged_q,
     }
 
 
@@ -3311,6 +3319,24 @@ SELECT qlist.qid,
        round(CASE WHEN coalesce(n_rel, 0) > 0
              THEN coalesce(num, 0) / n_rel ELSE 0.0 END, 6) AS ap
 FROM qlist LEFT JOIN apn USING (qid) LEFT JOIN nrel USING (qid)""",
+        "precision_at_10": f"""{metric_prefix},
+nhit AS (
+  SELECT r.qid, count(*) AS n_hit FROM {topk10} r
+  JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid GROUP BY 1
+)
+SELECT qlist.qid,
+       round(coalesce(n_hit, 0) / 10.0, 6) AS prec
+FROM qlist LEFT JOIN nhit USING (qid)""",
+        "judged_at_10": f"""{metric_prefix},
+ntop AS (SELECT qid, count(*) AS n_top FROM {topk10} GROUP BY 1),
+nj AS (
+  SELECT r.qid, count(*) AS n_judged FROM {topk10} r
+  JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid GROUP BY 1
+)
+SELECT qlist.qid,
+       round(CASE WHEN coalesce(n_top, 0) > 0
+             THEN coalesce(n_judged, 0) * 1.0 / n_top ELSE 0.0 END, 6) AS judged
+FROM qlist LEFT JOIN ntop USING (qid) LEFT JOIN nj USING (qid)""",
         "events_sessionize": """
 WITH lagged AS (
   SELECT event_id, user_id, ts,

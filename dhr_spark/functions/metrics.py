@@ -200,6 +200,59 @@ def map_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def precision_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, prec): |relevant ∩ top-k| / k — trec_eval ``P_k`` semantics:
+    the denominator is the cutoff k even when fewer than k docs were
+    retrieved (unretrieved slots count as misses).  Same join shape as
+    recall_at_k (custom_metrics.py:46-57), different denominator."""
+    hit_counts = (
+        run.filter(F.col("rank") <= k)
+        .join(qrels.select("qid", "docid"), ["qid", "docid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        _qids(run, qrels)
+        .join(hit_counts, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("prec"),
+        )
+    )
+
+
+def judged_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, judged): fraction of the retrieved top-k that appears in the
+    judgment pool at all (any qrels row, relevant or not) — Anserini's
+    ``-judged`` diagnostic, the complement of hole_at_k over the qrels pool.
+    Denominator = number retrieved within the cutoff (min(k, |run_q|));
+    qids with no retrieved docs score 0.0."""
+    topk = run.filter(F.col("rank") <= k)
+    judged = (
+        topk.join(qrels.select("qid", "docid"), ["qid", "docid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_judged"))
+    )
+    denom = topk.groupBy("qid").agg(F.count("*").alias("n_top"))
+    return (
+        _qids(run, qrels)
+        .join(denom, "qid", "left")
+        .join(judged, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_top"), F.lit(0)) > 0,
+                    F.coalesce(F.col("n_judged"), F.lit(0)) / F.col("n_top"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("judged"),
+        )
+    )
+
+
 def mean_metric(per_query: DataFrame, col: str) -> DataFrame:
     """Collapse a per-qid metric to its global mean (the reference's headline
     number, e.g. MRR@10 over all dev queries)."""

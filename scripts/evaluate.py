@@ -35,6 +35,8 @@ METRICS = {
     "r_cap": ("recall_cap_at_k", "r_cap"),
     "hole": ("hole_at_k", "hole"),
     "acc": ("top_k_accuracy_at_k", "acc"),
+    "p": ("precision_at_k", "prec"),
+    "judged": ("judged_at_k", "judged"),
 }
 
 

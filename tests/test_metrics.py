@@ -52,3 +52,31 @@ def test_top_k_accuracy_respects_k(run, qrels):
 def test_mrr_sanity(run, qrels):
     rrs = _by_qid(M.mrr_at_k(run, qrels, k=10), "rr")
     assert rrs == {"q1": 0.5, "q2": 0.0, "q3": 0.0}
+
+
+def test_precision_at_k(run, qrels):
+    # q1 top-10 = [10, 11, 12]; relevant hits = {11} -> 1/10 (trec_eval P_k
+    # divides by the cutoff, not by the number retrieved)
+    precs = _by_qid(M.precision_at_k(run, qrels, k=10), "prec")
+    assert precs == {"q1": 0.1, "q2": 0.0, "q3": 0.0}
+
+
+def test_precision_at_k_cutoff(run, qrels):
+    # at k=2 q1's relevant hit at rank 2 counts: 1/2
+    precs = _by_qid(M.precision_at_k(run, qrels, k=2), "prec")
+    assert precs == {"q1": 0.5, "q2": 0.0, "q3": 0.0}
+
+
+def test_judged_at_k(run, qrels):
+    # q1 retrieved 3 docs, 1 judged (11) -> 1/3; q2 retrieved 3, 0 judged;
+    # q3 retrieved nothing -> 0.0 by definition
+    judged = _by_qid(M.judged_at_k(run, qrels, k=10), "judged")
+    assert judged == {"q1": 0.333333, "q2": 0.0, "q3": 0.0}
+
+
+def test_judged_complements_hole(run, qrels):
+    # over the same pool, judged@k + hole@k == 1 for every qid with run rows
+    judged = _by_qid(M.judged_at_k(run, qrels, k=10), "judged")
+    holes = _by_qid(M.hole_at_k(run, qrels, k=10), "hole")
+    for qid, h in holes.items():
+        assert abs(judged[qid] + h - 1.0) < 1e-5
