@@ -34,6 +34,7 @@ from dhr_spark.operators.termfreq import (
     term_freqs,
     with_tokens,
 )
+from dhr_spark.operators import axiomatic as AX
 from dhr_spark.operators import boolquery as BQ
 from dhr_spark.operators import conversations as CV
 from dhr_spark.operators import phrase as PH
@@ -136,6 +137,8 @@ SPAN_FIRST_QUERIES: list[tuple[str, str, int]] = [
 ]
 QLD_MU = 1000.0  # Lucene/Pyserini set_qld default
 LMJM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity title default
+F2EXP_S = 0.5  # Anserini AxiomaticF2EXP s default
+F2EXP_KEXP = 0.35  # axiomatic power-law idf exponent default
 # Rocchio PRF (gamma > 0 exercises the negative-feedback arm)
 ROCCHIO_FB_DOCS, ROCCHIO_FB_TERMS = 5, 10
 ROCCHIO_ALPHA, ROCCHIO_BETA, ROCCHIO_GAMMA = 1.0, 0.75, 0.15
@@ -1144,6 +1147,36 @@ w AS (
            AS weight
   FROM tf JOIN ctf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN coll
+),
+scored AS (
+  SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
+  FROM q JOIN w USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
+def _f2exp_topk_sql(s: float = F2EXP_S, kexp: float = F2EXP_KEXP) -> str:
+    """Axiomatic F2EXP (operators/axiomatic.py, Anserini AxiomaticF2EXP):
+    w = ((N+1)/df)^kexp · tf/(tf + s + s·dl/avgdl); always positive, no
+    clamp. Op order pinned to the Spark/kernel (stat·tf)/denominator."""
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+w AS (
+  SELECT tf.term, tf.doc_id AS docid,
+         round(
+           ((cs.n_docs + 1)::DOUBLE / ts.df) ^ {kexp!r} * tf.tf
+           / (tf.tf + {s!r} + {s!r} * dl.dl / cs.avgdl), 6) AS weight
+  FROM tf JOIN ts USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
 ),
 scored AS (
   SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
@@ -2762,6 +2795,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def f2exp_topk_q(spark, sf):
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return _round4(
+            AX.f2exp_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                k=TOPK, s=F2EXP_S, kexp=F2EXP_KEXP,
+            )
+        )
+
+    def f2exp_vs_slow_q(spark, sf):
+        # fourth pluggable similarity, same self-check shape: the F2EXP
+        # WAND pass (df-derived power-law idf on the query side) must equal
+        # the DataFrame slow path exactly
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        fast = _round4(
+            Searcher(spark, idx).search_f2exp(
+                _queries_df(spark), k=TOPK, s=F2EXP_S, kexp=F2EXP_KEXP
+            )
+        )
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        slow = _round4(
+            AX.f2exp_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                k=TOPK, s=F2EXP_S, kexp=F2EXP_KEXP,
+            )
+        )
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def span_first_q(spark, sf):
         docs = _docs(spark, sf)
         out = None
@@ -3230,6 +3294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_vs_slow_identity": qld_vs_slow_q,
         "lmjm_topk": lmjm_topk_q,
         "syntax_range_topk": syntax_range_q,
+        "f2exp_topk": f2exp_topk_q,
+        "f2exp_vs_slow_identity": f2exp_vs_slow_q,
         "precision_at_10": prec_q,
         "judged_at_10": judged_q,
     }
@@ -3797,6 +3863,8 @@ FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
         "blockjoin_topk": _blockjoin_sql(),
         "qld_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
         "lmjm_topk": _lmjm_topk_sql(),
+        "f2exp_topk": _f2exp_topk_sql(),
+        "f2exp_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "syntax_range_topk": _RANGE_TOPK_SQL,
         # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
         # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only

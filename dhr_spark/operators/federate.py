@@ -112,9 +112,11 @@ class MultiSearcher:
         )
         idf_g = merged.withColumn(
             "idf", idf_col(F.col("df"), F.lit(n_docs_g))
-        ).select("term", "idf", "ctf")
+        ).select("term", "idf", "ctf", "df")
         total_terms = sum(int(m.get("n_terms", 0)) for m in mans)
-        stats: dict = {"avgdl": avgdl_g}
+        # merged df + global n_docs make F2EXP a federated similarity too
+        # (search_f2exp scores every shard under the global power-law idf)
+        stats: dict = {"avgdl": avgdl_g, "n_docs": n_docs_g}
         if all_ctf:
             stats["total_dl"] = total_dl_g
         if total_terms <= 2_000_000:
@@ -122,11 +124,13 @@ class MultiSearcher:
             # each member's query prep stays zero-Spark-jobs (tid cache)
             rows = idf_g.collect()
             stats["idf"] = {r["term"]: float(r["idf"]) for r in rows}
+            stats["df"] = {r["term"]: int(r["df"]) for r in rows}
             if all_ctf:
                 stats["ctf"] = {r["term"]: int(r["ctf"]) for r in rows}
         else:
             cached = idf_g.cache()
             stats["idf"] = cached.select("term", "idf")
+            stats["df"] = cached.select("term", "df")
             if all_ctf:
                 stats["ctf"] = cached.select("term", "ctf")
         self.searchers = [
@@ -208,6 +212,34 @@ class MultiSearcher:
             s.search_lmjm(queries, k=k, lam=lam, prune=prune)
             .withColumn("index_id", F.lit(i))
             for i, s in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)
+
+    def search_f2exp(
+        self, queries: DataFrame, k: int = 1000,
+        s: float = 0.5, kexp: float = 0.35, prune: bool = True,
+    ) -> DataFrame:
+        """Federated axiomatic F2EXP — every member scores under the merged
+        df/n_docs (global power-law idf), same union-index identity argument
+        as BM25/QLD federation."""
+        per = [
+            sr.search_f2exp(queries, k=k, s=s, kexp=kexp, prune=prune)
+            .withColumn("index_id", F.lit(i))
+            for i, sr in enumerate(self.searchers)
         ]
         u = per[0]
         for p in per[1:]:

@@ -291,6 +291,19 @@ def _score_chunk(
 
         def _bound(tf_b, dl_b, stat):
             return np.log1p(jm * tf_b / dl_b / stat) + 5e-7
+    elif sim == "f2exp":
+        # Axiomatic F2EXP (operators/axiomatic.py); ``mu`` carries s. The
+        # per-term stat is ((N+1)/df)^kexp, computed query-side from the
+        # dictionary's df column — same stats-on-the-query-side contract as
+        # BM25's idf, so segments stay valid across appends. Monotone ↑tf
+        # ↓dl; same 6-round + bound headroom contract as QLD/LMJM.
+        def _unit_w(tfs_a, dls_a, stat):
+            return np.round(
+                stat * tfs_a / (tfs_a + mu + mu * dls_a / avgdl), 6
+            )
+
+        def _bound(tf_b, dl_b, stat):
+            return stat * tf_b / (tf_b + mu + mu * dl_b / avgdl) + 5e-7
     elif sim == "bm25":
 
         def _unit_w(tfs_a, dls_a, stat):
@@ -299,7 +312,9 @@ def _score_chunk(
         def _bound(tf_b, dl_b, stat):
             return stat * tf_b / (tf_b + k1 * (1.0 - b + b * dl_b / avgdl))
     else:
-        raise ValueError(f"unknown similarity {sim!r} (bm25 | qld | lmjm)")
+        raise ValueError(
+            f"unknown similarity {sim!r} (bm25 | qld | lmjm | f2exp)"
+        )
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame({"qid": [], "docid": [], "score": []}).astype(
@@ -589,6 +604,8 @@ class Searcher:
         idf_over = None
         self._ctf_over = None
         self._total_dl_over = None
+        self._df_over = None
+        self._n_docs_over = None
         if corpus_stats:
             self._avgdl = float(corpus_stats.get("avgdl", self._avgdl))
             idf_over = corpus_stats.get("idf")
@@ -598,6 +615,10 @@ class Searcher:
             self._ctf_over = corpus_stats.get("ctf")
             if corpus_stats.get("total_dl") is not None:
                 self._total_dl_over = int(corpus_stats["total_dl"])
+            # federated F2EXP: merged document frequencies + global doc count
+            self._df_over = corpus_stats.get("df")
+            if corpus_stats.get("n_docs") is not None:
+                self._n_docs_over = int(corpus_stats["n_docs"])
         self._idf_dict_over = idf_over if isinstance(idf_over, dict) else None
         td_dir = man.get("term_dict_dir", "term_dict")
         self._tdict = spark.read.parquet(f"{index_dir}/{td_dir}").select(
@@ -922,6 +943,109 @@ class Searcher:
             )
             for qid, (tids, qtfs, _idfs) in qinfo.items()
         }
+
+    def search_f2exp(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        s: float = 0.5,
+        kexp: float = 0.35,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Axiomatic F2EXP top-k over the same index (Anserini
+        AxiomaticF2EXP; semantics = operators/axiomatic.f2exp_weights):
+
+            w(t, d) = ((N+1)/df)^kexp · tf / (tf + s + s·dl/avgdl)
+
+        Fourth pluggable query-time similarity: monotone ↑tf ↓dl, so the
+        stats-free (max_tf, min_dl) block bound prunes it unchanged. The
+        per-term stat ((N+1)/df)^kexp comes from the dictionary's df column
+        with the LIVE manifest n_docs (appends/deletes shift it exactly as
+        they shift BM25's idf). Defaults s=0.5, kexp=0.35 (Anserini /
+        Fang & Zhai 2005)."""
+        if s <= 0:
+            raise ValueError(f"s must be > 0, got {s}")
+        if kexp <= 0:
+            raise ValueError(f"kexp must be > 0, got {kexp}")
+        qinfo, all_terms = self._query_info(queries)
+        if not all_terms:
+            return self._search_prepared({}, [], k, prune)
+        qinfo2 = self._f2_query_stats(qinfo, all_terms, kexp)
+        return self._search_prepared(
+            qinfo2, all_terms, k, prune, sim="f2exp", mu=s
+        )
+
+    def _f2_query_stats(
+        self, qinfo: dict, all_terms: list[int], kexp: float
+    ) -> dict:
+        """qinfo with the third slot replaced by ((N+1)/df)^kexp. Under a
+        federated corpus_stats override the merged df/n_docs must be present
+        (MultiSearcher always provides them)."""
+        if self._stats_override:
+            if self._df_over is None or self._n_docs_over is None:
+                raise ValueError(
+                    "F2EXP under a corpus_stats override needs global 'df' "
+                    "and 'n_docs' in the override (MultiSearcher provides "
+                    "them) — this override carries neither"
+                )
+            td_dir = self.manifest.get("term_dict_dir", "term_dict")
+            dict_df = self.spark.read.parquet(f"{self.index_dir}/{td_dir}")
+            trows = (
+                dict_df.filter(
+                    F.col("term_id").isin([int(t) for t in all_terms])
+                )
+                .select("term_id", "term")
+                .collect()
+            )
+            if isinstance(self._df_over, dict):
+                dmap = self._df_over
+            else:
+                terms = [r["term"] for r in trows]
+                dmap = {
+                    r["term"]: int(r["df"])
+                    for r in self._df_over.filter(
+                        F.col("term").isin(terms)
+                    ).collect()
+                }
+            dfm = {int(r["term_id"]): int(dmap.get(r["term"], 0)) for r in trows}
+            if any(d <= 0 for d in dfm.values()):
+                raise ValueError(
+                    "corpus_stats df override is missing query terms that "
+                    "exist in this member's dictionary — rebuild the "
+                    "MultiSearcher after index changes"
+                )
+            n_docs = int(self._n_docs_over)
+        else:
+            td_dir = self.manifest.get("term_dict_dir", "term_dict")
+            dict_df = self.spark.read.parquet(f"{self.index_dir}/{td_dir}")
+            rows = (
+                dict_df.filter(
+                    F.col("term_id").isin([int(t) for t in all_terms])
+                )
+                .select("term_id", "df")
+                .collect()
+            )
+            # exact-stats deletes keep fully-dead terms at df=0 (Lucene
+            # keeps them in the dict until merge); they can match no live
+            # doc, so drop them from the query like OOV terms — a 0 df must
+            # never reach the power-law idf
+            dfm = {int(r["term_id"]): int(r["df"]) for r in rows if int(r["df"]) > 0}
+            n_docs = int(self.manifest["n_docs"])
+        out: dict = {}
+        for qid, (tids, qtfs, _idfs) in qinfo.items():
+            keep = np.array([int(t) in dfm for t in tids], dtype=bool)
+            if not keep.any():
+                continue
+            t2, q2 = tids[keep], qtfs[keep]
+            out[qid] = (
+                t2,
+                q2,
+                np.array(
+                    [((n_docs + 1.0) / dfm[int(t)]) ** float(kexp) for t in t2],
+                    dtype=np.float64,
+                ),
+            )
+        return out
 
     def count(self, queries: DataFrame) -> DataFrame:
         """(qid, n): EXACT total hit count per query under OR semantics —

@@ -53,6 +53,14 @@ def main() -> None:
     p.add_argument("--lam", type=float, default=0.1,
                    help="Jelinek-Mercer lambda (default 0.1, Lucene's "
                         "title default; 0.7 for long text)")
+    p.add_argument("--f2exp", action="store_true",
+                   help="rank with axiomatic F2EXP (Anserini "
+                        "AxiomaticF2EXP, Fang & Zhai 2005) — same index, "
+                        "fourth pluggable similarity")
+    p.add_argument("--f2exp-s", type=float, default=0.5,
+                   help="F2EXP length-normalization s (default 0.5)")
+    p.add_argument("--f2exp-k", type=float, default=0.35,
+                   help="F2EXP idf power-law exponent (default 0.35)")
     p.add_argument("--rocchio", action="store_true",
                    help="Rocchio PRF second pass (forward index required); "
                         "--fb-docs/--fb-terms set the positive arm, "
@@ -122,7 +130,7 @@ def main() -> None:
                 "--phrases/--explain/--count emit diagnostic row shapes")
     if len(args.index_dirs) > 1 and (
         args.phrases or args.rm3 or args.rocchio or args.qld
-        or args.lmjm or args.highlight
+        or args.lmjm or args.f2exp or args.highlight
         or args.rewrite or args.explain or args.count or args.syntax
     ):
         p.error("federated (multiple --index-dir) currently serves ranked "
@@ -159,6 +167,11 @@ def main() -> None:
         elif args.qld:
             run = searcher.search_qld(
                 queries, k=args.k, mu=args.mu, prune=not args.no_prune,
+            )
+        elif args.f2exp:
+            run = searcher.search_f2exp(
+                queries, k=args.k, s=args.f2exp_s, kexp=args.f2exp_k,
+                prune=not args.no_prune,
             )
         elif args.lmjm:
             run = searcher.search_lmjm(

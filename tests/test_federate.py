@@ -252,3 +252,20 @@ def test_federated_lmjm_equals_union_index(spark, sharded, queries):
         fed=False,
     )
     assert fed == single and fed
+
+
+def test_federated_f2exp_equals_union_index(spark, sharded, queries):
+    """F2EXP federates through merged df + global n_docs: the per-match
+    weight depends only on (tf, dl, global stats), so the federated result
+    is score-identical to search_f2exp on the union-corpus index."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = _by_turn(
+        spark, ms.search_f2exp(queries, k=100_000), sharded["dirs"], fed=True
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search_f2exp(queries, k=100_000),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed == single and fed

@@ -531,6 +531,75 @@ def test_search_lmjm_lambda_guard(spark, rocchio_idx, rocchio_queries):
             Searcher(spark, rocchio_idx).search_lmjm(rocchio_queries, lam=bad)
 
 
+# ------------------------------------------- axiomatic F2EXP
+
+def _py_f2exp_weights(s=0.5, kexp=0.35):
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df: dict[str, int] = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for d, v in toks.items():
+        dl = len(v)
+        for t in set(v):
+            tf = v.count(t)
+            w = ((n + 1) / df[t]) ** kexp * tf / (tf + s + s * dl / avgdl)
+            out[(t, d)] = round(w, 6)
+    return out
+
+
+def test_f2exp_weights_match_reference(corpus):
+    from dhr_spark.operators.axiomatic import f2exp_weights
+
+    got = {
+        (r["term"], r["docid"]): r["weight"]
+        for r in f2exp_weights(corpus["tfs"], corpus["dls"]).collect()
+    }
+    assert got == _py_f2exp_weights()
+    # always positive: the axiomatic weight never clamps a match away
+    assert all(w > 0 for w in got.values())
+
+
+@pytest.mark.parametrize("s,kexp", [(0.5, 0.35), (1.0, 0.5)])
+def test_search_f2exp_equals_slow_path(spark, sfdocs, rocchio_idx,
+                                       rocchio_queries, s, kexp):
+    from dhr_spark.operators.axiomatic import f2exp_topk
+    from dhr_spark.operators.termfreq import query_term_freqs
+    from dhr_spark.operators.wand import Searcher
+
+    fast = Searcher(spark, rocchio_idx).search_f2exp(
+        rocchio_queries, k=20, s=s, kexp=kexp
+    )
+    tok = with_tokens(sfdocs, mode="simple")
+    qtfs = query_term_freqs(with_tokens(rocchio_queries, mode="simple"))
+    slow = f2exp_topk(
+        qtfs, term_freqs(tok), doc_lengths(tok), k=20, s=s, kexp=kexp
+    )
+    assert _as_map(fast.collect()) == _as_map(slow.collect())
+
+
+def test_search_f2exp_prune_matches_noprune(spark, rocchio_idx,
+                                            rocchio_queries):
+    from dhr_spark.operators.wand import Searcher
+
+    sr = Searcher(spark, rocchio_idx)
+    a = sr.search_f2exp(rocchio_queries, k=15, prune=True)
+    b = sr.search_f2exp(rocchio_queries, k=15, prune=False)
+    assert _as_map(a.collect()) == _as_map(b.collect())
+
+
+def test_search_f2exp_param_guards(spark, rocchio_idx, rocchio_queries):
+    from dhr_spark.operators.wand import Searcher
+
+    with pytest.raises(ValueError, match="s must"):
+        Searcher(spark, rocchio_idx).search_f2exp(rocchio_queries, s=0.0)
+    with pytest.raises(ValueError, match="kexp"):
+        Searcher(spark, rocchio_idx).search_f2exp(rocchio_queries, kexp=-1.0)
+
+
 # ------------------------------------------- index-backed block join
 
 @pytest.fixture(scope="module")
