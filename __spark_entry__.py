@@ -139,6 +139,8 @@ QLD_MU = 1000.0  # Lucene/Pyserini set_qld default
 LMJM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity title default
 F2EXP_S = 0.5  # Anserini AxiomaticF2EXP s default
 F2EXP_KEXP = 0.35  # axiomatic power-law idf exponent default
+# Lucene SynonymQuery fixture groups (terms from the synthetic vocabulary)
+SYN_GROUPS: list[list[str]] = [["table", "scan"], ["merge", "join"]]
 # Rocchio PRF (gamma > 0 exercises the negative-feedback arm)
 ROCCHIO_FB_DOCS, ROCCHIO_FB_TERMS = 5, 10
 ROCCHIO_ALPHA, ROCCHIO_BETA, ROCCHIO_GAMMA = 1.0, 0.75, 0.15
@@ -2826,6 +2828,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def synonym_topk_q(spark, sf):
+        # Lucene SynonymQuery semantics: member tfs sum BEFORE saturation,
+        # blended docFreq = max member df, query terms merge into group
+        # clauses (operators/synonyms.py)
+        from dhr_spark.operators.synonyms import synonym_groups_df, synonym_topk
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return _round4(
+            synonym_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                synonym_groups_df(spark, SYN_GROUPS), k=TOPK,
+            )
+        )
+
     def span_first_q(spark, sf):
         docs = _docs(spark, sf)
         out = None
@@ -3295,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmjm_topk": lmjm_topk_q,
         "syntax_range_topk": syntax_range_q,
         "f2exp_topk": f2exp_topk_q,
+        "synonym_topk": synonym_topk_q,
         "f2exp_vs_slow_identity": f2exp_vs_slow_q,
         "precision_at_10": prec_q,
         "judged_at_10": judged_q,
@@ -3864,6 +3881,40 @@ FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
         "qld_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
         "lmjm_topk": _lmjm_topk_sql(),
         "f2exp_topk": _f2exp_topk_sql(),
+        "synonym_topk": f"""
+WITH {_TOKS_CTE}, {_q_values()},
+syn(term, syn) AS (VALUES ('table', 'scan'), ('scan', 'scan'), ('merge', 'join'), ('join', 'join')),
+tfg AS (
+  SELECT tf.doc_id, coalesce(s.syn, tf.term) AS term, sum(tf.tf)::BIGINT AS tf
+  FROM tf LEFT JOIN syn s USING (term) GROUP BY 1, 2
+),
+dfg AS (
+  SELECT coalesce(s.syn, ts.term) AS term, max(ts.df) AS df
+  FROM ts LEFT JOIN syn s USING (term) GROUP BY 1
+),
+w AS (
+  SELECT tfg.term, tfg.doc_id AS docid,
+         round(ln(1 + (cs.n_docs - dfg.df + 0.5) / (dfg.df + 0.5)) * tfg.tf
+               / (tfg.tf + 0.9 * (0.6 + 0.4 * dl.dl / cs.avgdl)), 6) AS weight
+  FROM tfg JOIN dfg USING (term) JOIN dl ON dl.doc_id = tfg.doc_id CROSS JOIN cs
+),
+qg AS (
+  SELECT qid, coalesce(s.syn, q.term) AS term, sum(qtf)::BIGINT AS qtf
+  FROM q LEFT JOIN syn s USING (term) GROUP BY 1, 2
+),
+scored AS (
+  SELECT qg.qid, w.docid, sum(qg.qtf * w.weight) AS score
+  FROM qg JOIN w USING (term) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         "f2exp_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "syntax_range_topk": _RANGE_TOPK_SQL,
         # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
