@@ -135,6 +135,12 @@ SPAN_FIRST_QUERIES: list[tuple[str, str, int]] = [
     ("sp2", "slow hash", 14),
     ("sp3", "zzyzx", 5),      # no match
 ]
+# SpanNotQuery: (sid, include, exclude, pre, post)
+SPAN_NOT_QUERIES: list[tuple[str, str, str, int, int]] = [
+    ("sn1", "table", "scan", 0, 1),   # table not directly before scan
+    ("sn2", "spark", "table", 1, 1),  # spark not adjacent to table
+    ("sn3", "query", "zzyzx", 0, 0),  # exclude never occurs
+]
 QLD_MU = 1000.0  # Lucene/Pyserini set_qld default
 LMJM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity title default
 F2EXP_S = 0.5  # Anserini AxiomaticF2EXP s default
@@ -1319,6 +1325,39 @@ def _span_first_sql() -> str:
             "len(starts)::BIGINT AS n_matches, "
             "list_sort(starts)[1]::BIGINT AS first_pos "
             f"FROM (SELECT doc_id, {expr} AS starts FROM toks) "
+            "WHERE len(starts) > 0"
+        )
+    return f"WITH {_TOKS_CTE} " + " UNION ALL ".join(selects)
+
+
+def _span_not_sql() -> str:
+    """SpanNotQuery oracle: include-phrase starts minus those whose span
+    overlaps an exclude occurrence widened by pre/post (exclusive span
+    ends: overlap iff e+m-1 >= s-pre AND e <= s+n-1+post)."""
+
+    def starts_expr(terms):
+        expr = _pos_list(terms[0])
+        for i, t in enumerate(terms[1:], start=1):
+            expr = (
+                f"list_intersect({expr}, "
+                f"list_transform({_pos_list(t)}, p -> p - {i}))"
+            )
+        return expr
+
+    selects = []
+    for sid, inc, exc, pre, post in SPAN_NOT_QUERIES:
+        it, et = analyze_simple(inc), analyze_simple(exc)
+        n, m = len(it), len(et)
+        kept = (
+            f"list_filter({starts_expr(it)}, s -> len(list_filter("
+            f"{starts_expr(et)}, e -> e + {m - 1} >= s - {pre} "
+            f"AND e <= s + {n - 1 + post})) = 0)"
+        )
+        selects.append(
+            f"SELECT '{sid}' AS span_id, doc_id, "
+            "len(starts)::BIGINT AS n_matches, "
+            "list_sort(starts)[1]::BIGINT AS first_pos "
+            f"FROM (SELECT doc_id, {kept} AS starts FROM toks) "
             "WHERE len(starts) > 0"
         )
     return f"WITH {_TOKS_CTE} " + " UNION ALL ".join(selects)
@@ -2850,6 +2889,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = m if out is None else out.unionByName(m)
         return out.select("span_id", "doc_id", "n_matches", "first_pos")
 
+    def span_not_q(spark, sf):
+        docs = _docs(spark, sf)
+        out = None
+        for sid, inc, exc, pre, post in SPAN_NOT_QUERIES:
+            m = PH.span_not_match(docs, inc, exc, pre=pre, post=post)
+            m = m.withColumn("span_id", F.lit(sid))
+            out = m if out is None else out.unionByName(m)
+        return out.select("span_id", "doc_id", "n_matches", "first_pos")
+
     def blockjoin_topk_q(spark, sf):
         post, _, _ = _postings(spark, sf)
         child = score_all(_qtfs(spark), post, on="term").select(
@@ -3312,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syntax_range_topk": syntax_range_q,
         "f2exp_topk": f2exp_topk_q,
         "synonym_topk": synonym_topk_q,
+        "span_not": span_not_q,
         "f2exp_vs_slow_identity": f2exp_vs_slow_q,
         "precision_at_10": prec_q,
         "judged_at_10": judged_q,
@@ -3877,6 +3926,7 @@ FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
             REGEXP_MAXEXP,
         ),
         "span_first": _span_first_sql(),
+        "span_not": _span_not_sql(),
         "blockjoin_topk": _blockjoin_sql(),
         "qld_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
         "lmjm_topk": _lmjm_topk_sql(),

@@ -146,6 +146,54 @@ def span_first_match(
     )
 
 
+def span_not_match(
+    docs: DataFrame,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_matches, first_pos): Lucene SpanNotQuery — occurrences of the
+    ``include`` phrase whose span does NOT overlap any occurrence of the
+    ``exclude`` phrase, with the exclusion span widened by ``pre`` tokens
+    before and ``post`` tokens after (SpanNotQuery(include, exclude, pre,
+    post) semantics).
+
+    Span ends are exclusive: an n-term include at start s occupies
+    [s, s+n); an m-term exclude at e occupies [e, e+m). Overlap with the
+    widened window means  e+m-1 >= s-pre  AND  e <= s+n-1+post. A doc with
+    include matches but every one excluded drops out entirely (Lucene
+    returns no span). Zero-shuffle column math over the same
+    phrase_starts machinery as exact phrase match."""
+    inc_terms = _phrase_terms(include)
+    exc_terms = _phrase_terms(exclude)
+    if pre < 0 or post < 0:
+        raise ValueError(f"pre/post must be >= 0, got pre={pre} post={post}")
+    n, m = len(inc_terms), len(exc_terms)
+    toks = simple_tokens_col(F.col(text_col))
+    inc_starts = phrase_starts(toks, inc_terms)
+    exc_starts = phrase_starts(toks, exc_terms)
+
+    def _survives(s: Column) -> Column:
+        return ~F.exists(
+            exc_starts,
+            lambda e: (e + F.lit(m - 1) >= s - F.lit(pre))
+            & (e <= s + F.lit(n - 1 + post)),
+        )
+
+    kept = F.filter(inc_starts, _survives)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(kept).cast("long").alias("n_matches"),
+            F.try_element_at(kept, F.lit(1)).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
 def proximity_match(
     docs: DataFrame,
     terms_raw: list[str],

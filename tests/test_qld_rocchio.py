@@ -637,3 +637,71 @@ def test_search_parents_equals_manual_rollup(spark, conv_idx, mode):
     g = {(r["qid"], r["docid"]): (r["rank"], round(r["score"], 4))
          for r in slow.collect()}
     assert f == g and f
+
+
+# ------------------------------------------- SpanNotQuery
+
+def test_span_not_exact_overlap_semantics(spark):
+    from dhr_spark.operators.phrase import span_not_match
+
+    docs = spark.createDataFrame(
+        [
+            (0, "new york city new jersey"),
+            (1, "new deal new deal"),
+            (2, "york new york"),
+        ],
+        "doc_id long, text string",
+    )
+    # spans are exclusive-end: "new" [s,s+1) never OVERLAPS "york" [e,e+1)
+    # at pre=post=0, so every "new" survives
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in span_not_match(docs, "new", "york").collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 1}
+    # post=1 widens the exclusion window to the token AFTER the include:
+    # "new" immediately followed by "york" is excluded
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in span_not_match(docs, "new", "york", post=1).collect()
+    }
+    assert got == {0: (1, 3), 1: (2, 0)}  # doc2's only "new" precedes york
+    # pre=1: "new" immediately AFTER a "york" is excluded
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in span_not_match(docs, "new", "york", pre=1).collect()
+    }
+    assert got == {0: 2, 1: 2}  # doc2: york new -> excluded
+
+
+def test_span_not_phrase_include_and_exclude(spark):
+    from dhr_spark.operators.phrase import span_not_match
+
+    docs = spark.createDataFrame(
+        [
+            (0, "big apple pie big apple tart"),
+            (1, "big apple pie"),
+        ],
+        "doc_id long, text string",
+    )
+    # include "big apple" (n=2), exclude "pie": no overlap at pre=post=0
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in span_not_match(docs, "big apple", "pie").collect()
+    }
+    assert got == {0: 2, 1: 1}
+    # post=1: "big apple" directly followed by "pie" is excluded
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in span_not_match(docs, "big apple", "pie", post=1).collect()
+    }
+    assert got == {0: (1, 3)}  # doc1 drops out entirely
+
+
+def test_span_not_guards(spark):
+    from dhr_spark.operators.phrase import span_not_match
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="pre/post"):
+        span_not_match(docs, "a", "b", pre=-1)
