@@ -2889,6 +2889,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = m if out is None else out.unionByName(m)
         return out.select("span_id", "doc_id", "n_matches", "first_pos")
 
+    def strat_sample_q(spark, sf):
+        # domain-rebalancing downsample: keep all of src0, half of src1,
+        # 10% of src2, 2% of everything else — deterministic hash membership
+        return TS.stratified_sample(
+            _docs(spark, sf), "source",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default_rate=0.02,
+        ).select("doc_id", "source")
+
+    def xent_q(spark, sf):
+        # CCNet/Gopher-style perplexity quality signal: per-doc cross-
+        # entropy against the corpus's own unigram LM
+        return TS.unigram_xent(_docs(spark, sf))
+
     def span_not_q(spark, sf):
         docs = _docs(spark, sf)
         out = None
@@ -3361,6 +3374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2exp_topk": f2exp_topk_q,
         "synonym_topk": synonym_topk_q,
         "span_not": span_not_q,
+        "text_unigram_xent": xent_q,
+        "sample_stratified": strat_sample_q,
         "f2exp_vs_slow_identity": f2exp_vs_slow_q,
         "precision_at_10": prec_q,
         "judged_at_10": judged_q,
@@ -3927,6 +3942,28 @@ FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
         ),
         "span_first": _span_first_sql(),
         "span_not": _span_not_sql(),
+        "sample_stratified": f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ({_HASH60.format(arg="doc_id::VARCHAR")}) % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source FROM b
+WHERE bucket < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                           WHEN 'src2' THEN 100000 ELSE 20000 END""",
+        "text_unigram_xent": f"""
+WITH {_TOKS_CTE},
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+coll AS (SELECT sum(tf)::DOUBLE AS cl FROM tf),
+perdoc AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+         -sum(tf.tf * log2(ctf.ctf / coll.cl)) AS bits
+  FROM tf JOIN ctf USING (term) CROSS JOIN coll
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, round(bits / n_tokens, 6) AS xent,
+       round(pow(2, bits / n_tokens), 4) AS ppl
+FROM perdoc""",
         "blockjoin_topk": _blockjoin_sql(),
         "qld_vs_slow_identity": "SELECT 0::BIGINT AS mismatches",
         "lmjm_topk": _lmjm_topk_sql(),

@@ -263,3 +263,94 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     pos_terms = F.transform(toks, lambda t, i: (tokhash60(t) % FP_MOD) * (i + 1))
     fp = F.aggregate(pos_terms, F.lit(0).cast("long"), lambda a, x: a + x) % FP_MOD
     return docs.select(id_col, fp.alias("fingerprint"))
+
+
+def unigram_xent(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lm: DataFrame | None = None,
+    lm_total: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, xent, ppl): per-document cross-entropy against a
+    unigram collection language model — the CCNet/Gopher-style perplexity
+    quality signal for LLM-training-data filtering (docs scoring far above
+    the corpus mean are boilerplate/noise candidates).
+
+        H(d)   = -(1/|d|) * sum_t tf(t, d) * log2(P(t | C))
+        ppl(d) = 2^H(d)
+
+    ``lm`` (term, ctf) + ``lm_total`` plug an EXTERNAL reference LM (e.g.
+    built once on a clean corpus, reused across crawls); terms absent from
+    it take an add-half floor ctf=0.5 (Lidstone smoothing) so OOV tokens
+    penalize rather than crash. Default: the corpus is its own LM (no OOV
+    by construction).
+
+    Scale: tokenize -> (id, term, tf) -> broadcast-join the |V|-row LM ->
+    one (id) re-aggregation. The LM is dictionary-sized; the only wide
+    shuffle is the same (id, term) aggregation every TF operator pays.
+    Empty docs are dropped (P6 empty-text guard convention).
+    """
+    toks = with_simple_tokens(docs.select(id_col, "text"))
+    tf = (
+        toks.select(id_col, F.explode("tokens").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    if lm is None:
+        lm = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+        cl = float(tf.agg(F.sum("tf")).collect()[0][0] or 0)
+        if cl == 0:
+            raise ValueError("empty corpus: no tokens to build the LM from")
+        joined = tf.join(F.broadcast(lm), "term")
+        p = F.col("ctf") / F.lit(cl)
+    else:
+        if lm_total is None:
+            raise ValueError("external lm needs lm_total (collection length)")
+        cl = float(lm_total)
+        joined = tf.join(F.broadcast(lm.select("term", "ctf")), "term", "left")
+        p = F.coalesce(F.col("ctf"), F.lit(0.5)) / F.lit(cl)
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        (-F.sum(F.col("tf") * F.log2(p))).alias("bits"),
+    )
+    xent = F.col("bits") / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(xent, 6).alias("xent"),
+        F.round(F.pow(F.lit(2.0), xent), 4).alias("ppl"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain-rebalancing step
+    of LLM-data curation (e.g. keep 100% of books, 10% of common-crawl).
+
+    A row survives iff hash(id) % 10^6 < rate(stratum) · 10^6 — the same
+    content-free portable hash as hash_split, so membership is stable
+    across engines, runs, cluster sizes AND corpus growth (a kept id stays
+    kept when new data arrives; sampleBy's RNG gives none of that). Strata
+    absent from ``rates`` take ``default_rate``. Rates are validated into
+    [0, 1]; keep fractions are exact at the 10^-6 granularity.
+
+    Scale: one broadcast of the tiny rate map as a CASE column + a
+    map-side filter — zero shuffle, fully codegen.
+    """
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for stratum {s!r} must be in [0,1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    bucket = tokhash60(F.col(id_col).cast("string")) % 1_000_000
+    rate = F.lit(int(round(default_rate * 1_000_000)))
+    for s, r in sorted(rates.items()):
+        rate = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(int(round(r * 1_000_000)))
+        ).otherwise(rate)
+    return docs.filter(bucket < rate)

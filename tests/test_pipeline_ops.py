@@ -509,3 +509,97 @@ def test_decontaminate_flags_ngram_overlap(spark):
     strict = {r["doc_id"]: r["contaminated"]
               for r in decontaminate(docs, bench, n=3, min_hits=2).collect()}
     assert strict == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_unigram_xent_reference(spark):
+    import math
+
+    from dhr_spark.operators.textstats import unigram_xent
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["xent"], r["ppl"])
+        for r in unigram_xent(docs).collect()
+    }
+    pa, pb, pc = 2 / 5, 2 / 5, 1 / 5
+    x0 = -(2 * math.log2(pa) + math.log2(pb)) / 3
+    x1 = -(math.log2(pb) + math.log2(pc)) / 2
+    assert got == {
+        0: (3, round(x0, 6), round(2 ** x0, 4)),
+        1: (2, round(x1, 6), round(2 ** x1, 4)),
+    }  # empty doc dropped (P6 convention)
+
+
+def test_unigram_xent_external_lm_oov_floor(spark):
+    import math
+
+    from dhr_spark.operators.textstats import unigram_xent
+
+    docs = spark.createDataFrame([(1, "b c")], "doc_id long, text string")
+    lm = spark.createDataFrame([("a", 4), ("b", 4)], "term string, ctf long")
+    got = {r["doc_id"]: r["xent"]
+           for r in unigram_xent(docs, lm=lm, lm_total=10).collect()}
+    # c is OOV -> add-half floor ctf=0.5
+    want = -(math.log2(4 / 10) + math.log2(0.5 / 10)) / 2
+    assert got == {1: round(want, 6)}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lm_total"):
+        unigram_xent(docs, lm=lm)
+
+
+def test_unigram_xent_flags_repetitive_docs(spark):
+    """A doc of one repeated common token scores LOWER xent than a doc of
+    rare tokens — the quality-filter direction (high xent = surprising)."""
+    from dhr_spark.operators.textstats import unigram_xent
+
+    rows = [(0, "the " * 50), (1, "zeitgeist perihelion qanat")]
+    rows += [(i, "the common words here") for i in range(2, 12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["xent"] for r in unigram_xent(docs).collect()}
+    assert got[0] < got[1]
+
+
+def test_stratified_sample_determinism_and_rates(spark):
+    from dhr_spark.operators.textstats import stratified_sample
+
+    rows = [(i, "keepme" if i % 2 == 0 else "crawl",
+             f"text {i}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = stratified_sample(
+        docs, "source", {"keepme": 1.0, "crawl": 0.25}
+    )
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {r["doc_id"] for r in kept.collect()}
+    assert ids1 == ids2  # deterministic across runs
+    assert all(i in ids1 for i in range(0, 400, 2))  # rate 1.0 keeps all
+    n_crawl = sum(1 for i in ids1 if i % 2 == 1)
+    assert 20 <= n_crawl <= 80  # ~50 of 200 at rate .25 (hash variance)
+    # membership stable under corpus growth: same ids survive in a superset
+    more = spark.createDataFrame(
+        [(i, "crawl", f"t {i}") for i in range(400, 800)],
+        "doc_id long, source string, text string",
+    )
+    grown = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.unionByName(more), "source", {"keepme": 1.0, "crawl": 0.25}
+        ).collect()
+    }
+    assert ids1 == {i for i in grown if i < 400}
+
+
+def test_stratified_sample_default_rate_and_guards(spark):
+    import pytest as _pt
+
+    from dhr_spark.operators.textstats import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b")], "doc_id long, source string, text string"
+    )
+    # default_rate=0 drops strata not named
+    assert stratified_sample(docs, "source", {"x": 1.0}).count() == 1
+    assert stratified_sample(docs, "source", {"x": 1.0}, default_rate=1.0).count() == 2
+    with _pt.raises(ValueError, match="rate"):
+        stratified_sample(docs, "source", {"x": 1.5})
