@@ -2911,6 +2911,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = m if out is None else out.unionByName(m)
         return out.select("span_id", "doc_id", "n_matches", "first_pos")
 
+    def span_first_index_q(spark, sf):
+        # index-backed SpanFirstQuery over the positions artifact; simple-
+        # chain positions are stream positions, so the corpus-scan oracle
+        # applies verbatim (same contract as phrase_batch)
+        from dhr_spark.operators.wand import Searcher
+
+        s = Searcher(spark, _wand_index_dir(spark, sf))
+        out = None
+        for sid, p, end in SPAN_FIRST_QUERIES:
+            m = s.search_span_first(p, end).withColumn("span_id", F.lit(sid))
+            out = m if out is None else out.unionByName(m)
+        return out.select(
+            "span_id", F.col("docid").alias("doc_id"), "n_matches", "first_pos"
+        )
+
+    def span_not_index_q(spark, sf):
+        from dhr_spark.operators.wand import Searcher
+
+        s = Searcher(spark, _wand_index_dir(spark, sf))
+        out = None
+        for sid, inc, exc, pre, post in SPAN_NOT_QUERIES:
+            m = s.search_span_not(inc, exc, pre=pre, post=post)
+            m = m.withColumn("span_id", F.lit(sid))
+            out = m if out is None else out.unionByName(m)
+        return out.select(
+            "span_id", F.col("docid").alias("doc_id"), "n_matches", "first_pos"
+        )
+
     def blockjoin_topk_q(spark, sf):
         post, _, _ = _postings(spark, sf)
         child = score_all(_qtfs(spark), post, on="term").select(
@@ -3374,6 +3402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2exp_topk": f2exp_topk_q,
         "synonym_topk": synonym_topk_q,
         "span_not": span_not_q,
+        "span_first_index": span_first_index_q,
+        "span_not_index": span_not_index_q,
         "text_unigram_xent": xent_q,
         "sample_stratified": strat_sample_q,
         "f2exp_vs_slow_identity": f2exp_vs_slow_q,
@@ -3942,6 +3972,8 @@ FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
         ),
         "span_first": _span_first_sql(),
         "span_not": _span_not_sql(),
+        "span_first_index": _span_first_sql(),
+        "span_not_index": _span_not_sql(),
         "sample_stratified": f"""
 WITH b AS (
   SELECT doc_id, source,

@@ -2576,6 +2576,128 @@ class Searcher:
             .filter(F.col("n_matches") > 0)
         )
 
+    def _phrase_starts_frame(self, phrase: str):
+        """(DataFrame (docid, starts array<int>), span_width) for an exact
+        phrase over the positions artifact — the shared front half of the
+        index-backed span queries. starts are sorted ascending; span_width
+        is the Lucene span length INCLUDING position-increment gaps
+        (offs[-1] + 1), so span end (exclusive) = start + span_width.
+        Returns (None, 0) for an OOV phrase (it can never match)."""
+        from dhr_spark.functions.analyzer import analyze_positions
+
+        if not self.manifest.get("positional"):
+            raise ValueError(
+                "index was built without positional=True; span search "
+                "needs the positions artifact (or use operators.phrase "
+                "over the corpus text)"
+            )
+        pairs = analyze_positions(self.manifest["analyzer_mode"], phrase)
+        if not pairs:
+            raise ValueError(f"phrase {phrase!r} has no indexable terms")
+        offs = [p - pairs[0][0] for p, _ in pairs]
+        terms = [t for _, t in pairs]
+        if self._tid_cache is not None:
+            tid = {t: self._tid_cache[t][0] for t in set(terms)
+                   if t in self._tid_cache}
+        else:
+            rows = self._tdict.filter(
+                F.col("term").isin(list(set(terms)))
+            ).collect()
+            tid = {r["term"]: int(r["term_id"]) for r in rows}
+        if any(t not in tid for t in terms):
+            return None, 0
+        pos = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/positions")
+        )
+
+        def _shift_by(i: int):
+            return lambda p: p - F.lit(i)
+
+        def _shifted(j: int, off: int, t: str):
+            col = (
+                F.transform(F.col("positions"), _shift_by(off))
+                if off
+                else F.col("positions")
+            )
+            return pos.filter(F.col("term_id") == tid[t]).select(
+                "docid", col.alias(f"p{j}")
+            )
+
+        joined = _shifted(0, offs[0], terms[0])
+        for j in range(1, len(terms)):
+            joined = joined.join(_shifted(j, offs[j], terms[j]), "docid")
+        starts = F.col("p0")
+        for j in range(1, len(terms)):
+            starts = F.array_intersect(starts, F.col(f"p{j}"))
+        frame = joined.select(
+            "docid", F.array_sort(starts).alias("starts")
+        ).filter(F.size("starts") > 0)
+        return frame, offs[-1] + 1
+
+    @staticmethod
+    def _span_hits(frame: DataFrame, starts: Column) -> DataFrame:
+        starts = F.array_sort(starts)
+        return frame.select(
+            "docid",
+            F.size(starts).cast("long").alias("n_matches"),
+            F.try_element_at(starts, F.lit(1)).cast("long").alias("first_pos"),
+        ).filter(F.col("n_matches") > 0)
+
+    def search_span_first(self, phrase: str, end: int) -> DataFrame:
+        """(docid, n_matches, first_pos): Lucene SpanFirstQuery served from
+        the positional artifact — the phrase span must END at position <=
+        ``end`` (exclusive span end), i.e. start <= end - span_width.
+        Index-backed twin of operators.phrase.span_first_match; span_width
+        counts position-increment gaps under the lucene analyzer chain."""
+        frame, width = self._phrase_starts_frame(phrase)
+        empty = self.spark.createDataFrame(
+            [], "docid long, n_matches long, first_pos long"
+        )
+        if frame is None:
+            return empty
+        limit = int(end) - width
+        kept = F.filter(F.col("starts"), lambda s: s <= F.lit(limit))
+        return self._filter_live(self._span_hits(frame, kept))
+
+    def search_span_not(
+        self, include: str, exclude: str, pre: int = 0, post: int = 0
+    ) -> DataFrame:
+        """(docid, n_matches, first_pos): Lucene SpanNotQuery served from
+        the positional artifact — occurrences of ``include`` whose span
+        does not overlap any ``exclude`` occurrence widened by pre/post.
+        Overlap (exclusive ends): e + m_width - 1 >= s - pre AND
+        e <= s + n_width - 1 + post. Docs with include matches but no
+        exclude occurrences keep every span (LEFT join, null-safe).
+        Index-backed twin of operators.phrase.span_not_match."""
+        if pre < 0 or post < 0:
+            raise ValueError(
+                f"pre/post must be >= 0, got pre={pre} post={post}"
+            )
+        inc, n_w = self._phrase_starts_frame(include)
+        empty = self.spark.createDataFrame(
+            [], "docid long, n_matches long, first_pos long"
+        )
+        if inc is None:
+            return empty
+        exc, m_w = self._phrase_starts_frame(exclude)
+        if exc is None:
+            # exclusion never matches anywhere: every include span survives
+            return self._filter_live(self._span_hits(inc, F.col("starts")))
+        joined = inc.join(
+            exc.select("docid", F.col("starts").alias("_exc")), "docid", "left"
+        )
+        exc_arr = F.coalesce(F.col("_exc"), F.array().cast("array<int>"))
+
+        def _survives(s: Column) -> Column:
+            return ~F.exists(
+                exc_arr,
+                lambda e: (e + F.lit(m_w - 1) >= s - F.lit(pre))
+                & (e <= s + F.lit(n_w - 1 + post)),
+            )
+
+        kept = F.filter(F.col("starts"), _survives)
+        return self._filter_live(self._span_hits(joined, kept))
+
     def search_proximity(self, terms_raw: list[str], window: int) -> DataFrame:
         """(docid, window_start): docs where ALL terms co-occur within any
         ``window``-token span, served from the positional artifact (the

@@ -236,3 +236,63 @@ def test_phrase_batch_lucene_gaps(spark, tmp_path):
     out = {(r["qid"], r["docid"]) for r in
            Searcher(spark, d).search_phrase_batch(ph).collect()}
     assert out == {("g1", 1), ("g2", 0)}
+
+
+# ------------------------------------------------- index-backed span queries
+
+def test_index_span_first_equals_corpus_scan(spark, docs, idx):
+    from dhr_spark.operators.phrase import span_first_match
+
+    s = Searcher(spark, idx)
+    for phrase, end in (("table", 6), ("hash", 3)):
+        fast = _as_map(s.search_span_first(phrase, end).collect())
+        slow = _as_map(
+            span_first_match(docs, phrase, end, id_col="docid").collect()
+        )
+        assert fast == slow and fast, (phrase, end)
+
+
+def test_index_span_not_equals_corpus_scan(spark, docs, idx):
+    from dhr_spark.operators.phrase import span_not_match
+
+    s = Searcher(spark, idx)
+    cases = [("table", "scan", 0, 1), ("spark", "table", 1, 1),
+             ("hash", "zzyzx", 0, 0)]
+    for inc, exc, pre, post in cases:
+        fast = _as_map(s.search_span_not(inc, exc, pre=pre, post=post).collect())
+        slow = _as_map(
+            span_not_match(docs, inc, exc, pre=pre, post=post,
+                           id_col="docid").collect()
+        )
+        assert fast == slow, (inc, exc, pre, post)
+        assert fast  # non-trivial
+
+
+def test_index_span_guards(spark, idx):
+    s = Searcher(spark, idx)
+    with pytest.raises(ValueError, match="pre/post"):
+        s.search_span_not("table", "scan", pre=-1)
+    assert s.search_span_first("zzyzx", 10).count() == 0
+    assert s.search_span_not("zzyzx", "table").count() == 0
+
+
+def test_index_span_lucene_gaps(spark, tmp_path):
+    """Under the lucene chain, stopwords consume positions: the span width
+    of "new the york" is 3, so SpanFirst(end=3) accepts only a span starting
+    at 0 — and SpanNot widening counts gap tokens too."""
+    docs = spark.createDataFrame(
+        [(0, "new the york stuff"), (1, "pad new the york")],
+        "docid long, text string",
+    )
+    d = str(tmp_path / "gapidx")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="lucene", chunk_bits=6, block_size=16,
+        positional=True,
+    )
+    s = Searcher(spark, d)
+    # query "new the york": the stopword consumes position 1, so offsets
+    # are [0, 2] and the span width is 3 (matches "new <gap> york" text)
+    got = _as_map(s.search_span_first("new the york", 3).collect())
+    assert got == {0: (1, 0)}  # doc1's span is [1, 4) -> end 4 > 3
+    got = _as_map(s.search_span_first("new the york", 4).collect())
+    assert got == {0: (1, 0), 1: (1, 1)}
