@@ -2911,6 +2911,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = m if out is None else out.unionByName(m)
         return out.select("span_id", "doc_id", "n_matches", "first_pos")
 
+    def synonym_index_q(spark, sf):
+        # index-backed SynonymQuery: blended-df group scoring served from
+        # the forward index; must hash-equal the corpus-scan oracle
+        from dhr_spark.operators.wand import Searcher
+
+        return _round4(
+            Searcher(spark, _wand_index_dir(spark, sf)).search_synonym(
+                _queries_df(spark), SYN_GROUPS, k=TOPK
+            )
+        )
+
     def span_first_index_q(spark, sf):
         # index-backed SpanFirstQuery over the positions artifact; simple-
         # chain positions are stream positions, so the corpus-scan oracle
@@ -3402,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2exp_topk": f2exp_topk_q,
         "synonym_topk": synonym_topk_q,
         "span_not": span_not_q,
+        "synonym_index_topk": synonym_index_q,
         "span_first_index": span_first_index_q,
         "span_not_index": span_not_index_q,
         "text_unigram_xent": xent_q,
@@ -3421,7 +3433,7 @@ def oracle_sql() -> dict[str, str]:
     )
     metric_prefix = f"WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE}, {_QRELS_CTE}"
     topk10 = f"(SELECT * FROM ranked WHERE rank <= 10)"
-    return {
+    out = {
         "term_freqs": f"WITH {_TOKS_CTE} SELECT doc_id, term, tf FROM tf",
         "doc_lengths": f"WITH {_TOKS_CTE} SELECT doc_id, dl FROM dl",
         "corpus_stats": f"WITH {_TOKS_CTE} SELECT n_docs, round(avgdl, 6) AS avgdl FROM cs",
@@ -4039,3 +4051,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
         # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only
     }
+    # the index-backed SynonymQuery must reproduce the corpus-scan semantics
+    # bit-for-bit — same oracle by construction
+    out["synonym_index_topk"] = out["synonym_topk"]
+    return out

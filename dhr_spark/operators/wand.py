@@ -2698,6 +2698,151 @@ class Searcher:
         kept = F.filter(F.col("starts"), _survives)
         return self._filter_live(self._span_hits(joined, kept))
 
+    def search_synonym(
+        self,
+        queries: DataFrame,
+        groups: list[list[str]],
+        k: int = 1000,
+    ) -> DataFrame:
+        """(qid, docid, rank, score): BM25 top-k where query terms matching
+        a synonym set score as ONE Lucene SynonymQuery clause — member tfs
+        sum BEFORE saturation, blended docFreq = max member df (the exact
+        semantics of operators/synonyms.py, served from the index).
+
+        Needs the forward index (term-major scan with term_id pushdown):
+        synonym scoring merges member tfs per doc BEFORE the weight
+        function, which the per-term WAND kernel cannot express — so this
+        path scores exhaustively over the members' postings (the same
+        trade search_filtered makes; member postings are a tiny slice of
+        the corpus). Query terms outside any set stay singleton clauses;
+        OOV members simply don't contribute (Lucene scores the present
+        ones). Group stats use LIVE dictionary df + manifest n_docs/avgdl,
+        so appends/deletes shift scores exactly as they do for BM25."""
+        if not self.manifest.get("forward_index"):
+            raise ValueError(
+                "index was built without forward_index=True; synonym "
+                "scoring needs the doc-major term-vector artifact (or use "
+                "operators.synonyms.synonym_topk over the corpus text)"
+            )
+        from dhr_spark.operators.synonyms import synonym_groups_df
+        from dhr_spark.operators.topk import score_all, topk
+
+        memb = {}  # term -> group label
+        for r in synonym_groups_df(self.spark, groups).collect():
+            memb[r["term"]] = r["syn"]
+
+        # group clauses per query from RAW analyzed tokens (pre-dictionary):
+        # an OOV query term whose group has in-dict members must still
+        # match them, exactly as an analyzer-level synonym expansion would.
+        # qtf sums when several query terms land in the same group (one
+        # SynonymQuery clause with boost = count).
+        qrows = (
+            queries.select("qid", "text")
+            .limit(self.MAX_COLLECTED_QUERIES + 1)
+            .collect()
+        )
+        if len(qrows) > self.MAX_COLLECTED_QUERIES:
+            raise ValueError(
+                f"query set exceeds {self.MAX_COLLECTED_QUERIES} rows; "
+                "run huge synonym evals through operators.synonyms."
+                "synonym_topk (fully distributed) instead"
+            )
+        clause_rows = []
+        needed_groups: set[str] = set()
+        for r in qrows:
+            agg: dict[str, int] = {}
+            for t in self._analyze(r["text"] or ""):
+                g = memb.get(t, t)
+                agg[g] = agg.get(g, 0) + 1
+            for g, c in agg.items():
+                clause_rows.append((r["qid"], g, c))
+                needed_groups.add(g)
+        empty = self.spark.createDataFrame(
+            [], "qid string, docid long, rank int, score double"
+        )
+        if not clause_rows:
+            return empty
+
+        # member terms of every needed group (a query term that IS a
+        # member pulls in its whole set), resolved to term_ids
+        need_terms = {
+            t for t, g in memb.items() if g in needed_groups
+        } | needed_groups
+        if self._tid_cache is not None:
+            t2id = {
+                t: self._tid_cache[t][0]
+                for t in need_terms
+                if t in self._tid_cache
+            }
+        else:
+            t2id = {
+                r["term"]: int(r["term_id"])
+                for r in self._tdict.filter(
+                    F.col("term").isin(sorted(need_terms))
+                ).collect()
+            }
+        if not t2id:
+            return empty
+        id2group = {
+            tid: memb.get(t, t) for t, tid in t2id.items()
+        }
+        # blended per-group df from the dictionary's df column (max member)
+        td_dir = self.manifest.get("term_dict_dir", "term_dict")
+        drows = (
+            self.spark.read.parquet(f"{self.index_dir}/{td_dir}")
+            .filter(F.col("term_id").isin(sorted(t2id.values())))
+            .select("term_id", "df")
+            .collect()
+        )
+        df_g: dict[str, int] = {}
+        for r in drows:
+            g = id2group[int(r["term_id"])]
+            df_g[g] = max(df_g.get(g, 0), int(r["df"]))
+
+        from dhr_spark.functions.bm25 import bm25_weight_col, idf_col
+
+        n_docs = (
+            int(self._n_docs_over)
+            if self._n_docs_over is not None
+            else int(self.manifest["n_docs"])
+        )
+        map_df = self.spark.createDataFrame(
+            [(tid, g, df_g[g]) for tid, g in id2group.items()],
+            "term_id long, grp string, df long",
+        )
+        fwd = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/forward")
+        ).filter(F.col("term_id").isin(sorted(t2id.values())))
+        merged = (
+            fwd.join(F.broadcast(map_df), "term_id")
+            .groupBy("docid", "grp")
+            .agg(
+                F.sum("tf").alias("tf"),
+                F.max("dl").alias("dl"),
+                F.max("df").alias("df"),
+            )
+        )
+        post = merged.select(
+            F.col("grp").alias("term"),
+            "docid",
+            F.round(
+                bm25_weight_col(
+                    F.col("tf"),
+                    F.col("dl"),
+                    idf_col(F.col("df"), n_docs),
+                    F.lit(self._avgdl),
+                    self.k1,
+                    self.b,
+                ),
+                6,
+            ).alias("weight"),
+        )
+        qdf = self.spark.createDataFrame(
+            clause_rows, "qid string, term string, qtf long"
+        )
+        # tombstones masked BEFORE ranking so ranks stay dense 1..k
+        return topk(score_all(qdf, self._filter_live(post), on="term"), k)
+
     def search_proximity(self, terms_raw: list[str], window: int) -> DataFrame:
         """(docid, window_start): docs where ALL terms co-occur within any
         ``window``-token span, served from the positional artifact (the

@@ -154,3 +154,81 @@ def test_synonym_guards(spark):
         synonym_groups_df(spark, [["a", "b"], ["b", "c"]])
     with pytest.raises(ValueError, match=">= 2"):
         synonym_groups_df(spark, [["solo"]])
+
+
+# ------------------------------------------- index-backed SynonymQuery
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def syn_idx(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from dhr_spark.index.builder import build_index_from_docs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("docid"), "text"
+    )
+    d = str(tmp_path_factory.mktemp("syn_idx") / "idx")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="simple", chunk_bits=6, block_size=16,
+        forward_index=True,
+    )
+    return d, docs
+
+
+def _res_map(rows):
+    return {(r["qid"], r["docid"]): (r["rank"], round(r["score"], 4))
+            for r in rows}
+
+
+def test_search_synonym_equals_slow_path(spark, syn_idx):
+    from dhr_spark.operators.wand import Searcher
+
+    idx, docs = syn_idx
+    groups = [["table", "scan"], ["merge", "join"]]
+    queries = spark.createDataFrame(
+        [("q1", "spark table scan"), ("q2", "merge batch"),
+         ("q3", "hash")],
+        "qid string, text string",
+    )
+    fast = Searcher(spark, idx).search_synonym(queries, groups, k=20)
+    tok = with_tokens(docs, mode="simple")
+    qtfs = query_term_freqs(with_tokens(queries, mode="simple"))
+    slow = synonym_topk(
+        qtfs, term_freqs(tok), doc_lengths(tok),
+        synonym_groups_df(spark, groups), k=20,
+    )
+    assert _res_map(fast.collect()) == _res_map(slow.collect())
+
+
+def test_search_synonym_oov_member_still_matches(spark, syn_idx):
+    """A query term absent from the corpus whose group has live members
+    must match those members (analyzer-level expansion semantics)."""
+    from dhr_spark.operators.wand import Searcher
+
+    idx, _docs = syn_idx
+    q = spark.createDataFrame(
+        [("q1", "zzyzxsyn")], "qid string, text string"
+    )
+    hits = Searcher(spark, idx).search_synonym(
+        q, [["zzyzxsyn", "table"]], k=5
+    )
+    assert hits.count() > 0  # matches docs containing "table"
+
+
+def test_search_synonym_requires_forward_index(spark, syn_idx, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dhr_spark.index.builder import build_index_from_docs
+    from dhr_spark.operators.wand import Searcher
+
+    _idx, docs = syn_idx
+    d = str(tmp_path / "nofwd")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="simple", chunk_bits=6, block_size=16
+    )
+    q = spark.createDataFrame([("q1", "table")], "qid string, text string")
+    with pytest.raises(ValueError, match="forward_index"):
+        Searcher(spark, d).search_synonym(q, [["table", "scan"]])
