@@ -141,6 +141,12 @@ SPAN_NOT_QUERIES: list[tuple[str, str, str, int, int]] = [
     ("sn2", "spark", "table", 1, 1),  # spark not adjacent to table
     ("sn3", "query", "zzyzx", 0, 0),  # exclude never occurs
 ]
+# SpanOrQuery: (sid, member phrases) — distinct-start union of member spans
+SPAN_OR_QUERIES: list[tuple[str, list[str]]] = [
+    ("so1", ["table scan", "hash join"]),   # multi-term members
+    ("so2", ["spark", "query", "zzyzx"]),   # single terms + one OOV
+    ("so3", ["zzyzx", "qqqqz"]),            # all OOV — empty
+]
 QLD_MU = 1000.0  # Lucene/Pyserini set_qld default
 LMJM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity title default
 F2EXP_S = 0.5  # Anserini AxiomaticF2EXP s default
@@ -1358,6 +1364,33 @@ def _span_not_sql() -> str:
             "len(starts)::BIGINT AS n_matches, "
             "list_sort(starts)[1]::BIGINT AS first_pos "
             f"FROM (SELECT doc_id, {kept} AS starts FROM toks) "
+            "WHERE len(starts) > 0"
+        )
+    return f"WITH {_TOKS_CTE} " + " UNION ALL ".join(selects)
+
+
+def _span_or_sql() -> str:
+    """SpanOrQuery oracle: distinct-start union of the member phrases'
+    start sets (operators/phrase.span_or_match contract)."""
+
+    def starts_expr(terms):
+        expr = _pos_list(terms[0])
+        for i, t in enumerate(terms[1:], start=1):
+            expr = (
+                f"list_intersect({expr}, "
+                f"list_transform({_pos_list(t)}, p -> p - {i}))"
+            )
+        return expr
+
+    selects = []
+    for sid, phrases in SPAN_OR_QUERIES:
+        members = [starts_expr(analyze_simple(p)) for p in phrases]
+        merged = f"list_sort(list_distinct(flatten([{', '.join(members)}])))"
+        selects.append(
+            f"SELECT '{sid}' AS span_id, doc_id, "
+            "len(starts)::BIGINT AS n_matches, "
+            "starts[1]::BIGINT AS first_pos "
+            f"FROM (SELECT doc_id, {merged} AS starts FROM toks) "
             "WHERE len(starts) > 0"
         )
     return f"WITH {_TOKS_CTE} " + " UNION ALL ".join(selects)
@@ -2911,6 +2944,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = m if out is None else out.unionByName(m)
         return out.select("span_id", "doc_id", "n_matches", "first_pos")
 
+    def span_or_q(spark, sf):
+        docs = _docs(spark, sf)
+        out = None
+        for sid, phrases in SPAN_OR_QUERIES:
+            m = PH.span_or_match(docs, phrases).withColumn("span_id", F.lit(sid))
+            out = m if out is None else out.unionByName(m)
+        return out.select("span_id", "doc_id", "n_matches", "first_pos")
+
+    def span_or_index_q(spark, sf):
+        # index-backed SpanOrQuery over the positions artifact; simple-chain
+        # positions are stream positions, so the corpus-scan oracle applies
+        from dhr_spark.operators.wand import Searcher
+
+        s = Searcher(spark, _wand_index_dir(spark, sf))
+        out = None
+        for sid, phrases in SPAN_OR_QUERIES:
+            m = s.search_span_or(phrases).withColumn("span_id", F.lit(sid))
+            out = m if out is None else out.unionByName(m)
+        return out.select(
+            "span_id", F.col("docid").alias("doc_id"), "n_matches", "first_pos"
+        )
+
     def synonym_index_q(spark, sf):
         # index-backed SynonymQuery: blended-df group scoring served from
         # the forward index; must hash-equal the corpus-scan oracle
@@ -3416,6 +3471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_index_topk": synonym_index_q,
         "span_first_index": span_first_index_q,
         "span_not_index": span_not_index_q,
+        "span_or": span_or_q,
+        "span_or_index": span_or_index_q,
         "text_unigram_xent": xent_q,
         "sample_stratified": strat_sample_q,
         "f2exp_vs_slow_identity": f2exp_vs_slow_q,
@@ -3986,6 +4043,8 @@ FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
         "span_not": _span_not_sql(),
         "span_first_index": _span_first_sql(),
         "span_not_index": _span_not_sql(),
+        "span_or": _span_or_sql(),
+        "span_or_index": _span_or_sql(),
         "sample_stratified": f"""
 WITH b AS (
   SELECT doc_id, source,

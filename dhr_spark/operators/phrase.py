@@ -194,6 +194,34 @@ def span_not_match(
     )
 
 
+def span_or_match(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_matches, first_pos): Lucene SpanOrQuery — the union of the
+    member phrases' spans. n_matches counts distinct span STARTS across
+    members (two members matching at the same start collapse, as
+    SpanOrQuery's span enumeration dedups identical spans of equal start
+    when lengths tie; distinct-start is the deterministic cross-engine
+    contract here and is pinned by the oracle); first_pos is the earliest.
+    Zero-shuffle column math over the same phrase_starts machinery."""
+    if not phrases:
+        raise ValueError("span_or needs at least one phrase")
+    toks = simple_tokens_col(F.col(text_col))
+    arrs = [phrase_starts(toks, _phrase_terms(p)) for p in phrases]
+    merged = F.array_sort(F.array_distinct(F.flatten(F.array(*arrs))))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(merged).cast("long").alias("n_matches"),
+            F.try_element_at(merged, F.lit(1)).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
 def proximity_match(
     docs: DataFrame,
     terms_raw: list[str],

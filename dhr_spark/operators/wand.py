@@ -2698,6 +2698,41 @@ class Searcher:
         kept = F.filter(F.col("starts"), _survives)
         return self._filter_live(self._span_hits(joined, kept))
 
+    def search_span_or(self, phrases: list[str]) -> DataFrame:
+        """(docid, n_matches, first_pos): Lucene SpanOrQuery served from
+        the positional artifact — distinct-start union of the member
+        phrases' spans (operators.phrase.span_or_match contract). OOV
+        members contribute nothing (so do members the analyzer drops
+        entirely, e.g. a stopword-only phrase under lucene mode — the
+        parser-built SpanOr simply has no clause for them); all
+        no-op members returns empty."""
+        from dhr_spark.functions.analyzer import analyze_positions
+
+        if not phrases:
+            raise ValueError("span_or needs at least one phrase")
+        mode = self.manifest["analyzer_mode"]
+        frames = []
+        for p in phrases:
+            if not analyze_positions(mode, p):
+                continue  # analyzer-dropped member: no clause, like OOV
+            fr, _w = self._phrase_starts_frame(p)
+            if fr is not None:
+                frames.append(fr)
+        empty = self.spark.createDataFrame(
+            [], "docid long, n_matches long, first_pos long"
+        )
+        if not frames:
+            return empty
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionByName(fr)
+        merged = u.groupBy("docid").agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("starts")))
+            ).alias("starts")
+        )
+        return self._filter_live(self._span_hits(merged, F.col("starts")))
+
     def search_synonym(
         self,
         queries: DataFrame,

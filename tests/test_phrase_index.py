@@ -296,3 +296,43 @@ def test_index_span_lucene_gaps(spark, tmp_path):
     assert got == {0: (1, 0)}  # doc1's span is [1, 4) -> end 4 > 3
     got = _as_map(s.search_span_first("new the york", 4).collect())
     assert got == {0: (1, 0), 1: (1, 1)}
+
+
+def test_span_or_corpus_and_index_agree(spark, docs, idx):
+    from dhr_spark.operators.phrase import span_or_match
+
+    s = Searcher(spark, idx)
+    phrases = ["table hash", "hash", "zzyzx"]
+    fast = _as_map(s.search_span_or(phrases).collect())
+    slow = _as_map(span_or_match(docs, phrases, id_col="docid").collect())
+    assert fast == slow and fast
+    # distinct-start union: "hash" alone is a subset
+    solo = _as_map(s.search_span_or(["hash"]).collect())
+    assert all(d in fast and fast[d][0] >= n for d, (n, _) in solo.items())
+
+
+def test_span_or_guards(spark, idx):
+    s = Searcher(spark, idx)
+    with pytest.raises(ValueError, match="at least one"):
+        s.search_span_or([])
+    assert s.search_span_or(["zzyzx", "qqqqz"]).count() == 0
+
+
+def test_span_or_stopword_member_is_noop(spark, tmp_path):
+    """Under the lucene chain an all-stopword member analyzes to nothing:
+    the parser-built SpanOr simply has no clause for it — it must behave
+    exactly like an OOV member (contribute nothing), never raise."""
+    docs = spark.createDataFrame(
+        [(0, "new the york stuff"), (1, "pad new the york")],
+        "docid long, text string",
+    )
+    d = str(tmp_path / "soidx")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="lucene", chunk_bits=6, block_size=16,
+        positional=True,
+    )
+    s = Searcher(spark, d)
+    assert s.search_span_or(["the"]).count() == 0
+    with_stop = _as_map(s.search_span_or(["the", "york"]).collect())
+    without = _as_map(s.search_span_or(["york"]).collect())
+    assert with_stop == without and with_stop
