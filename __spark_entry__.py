@@ -389,6 +389,30 @@ def _wand_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _sharded_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) a range-sharded layout over the
+    documents corpus, sharded on n_chars at [150, 300, 450] — the query
+    range [RANGE_LO, RANGE_HI] covers shard [150,300) fully, touches
+    [300,450) at the boundary, and prunes the outer two."""
+    from dhr_spark.index.sharded import build_range_sharded
+
+    key = "sharded_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/dhr_spark_{key}"
+    if key not in _INDEX_CACHE:
+        import os
+
+        if not os.path.isfile(f"{root}/sharded_manifest.json"):
+            docs = _docs(spark, sf_dir).select(
+                F.col("doc_id").alias("docid"), "text", "n_chars"
+            )
+            build_range_sharded(
+                spark, docs, root, "n_chars", cuts=[150, 300, 450],
+                analyzer_mode="simple", chunk_bits=10, block_size=64,
+            )
+        _INDEX_CACHE[key] = root
+    return root
+
+
 # ------------------------------------------------------------ SQL fragments
 
 _TOKS_CTE = """
@@ -1189,6 +1213,68 @@ w AS (
          round(
            ((cs.n_docs + 1)::DOUBLE / ts.df) ^ {kexp!r} * tf.tf
            / (tf.tf + {s!r} + {s!r} * dl.dl / cs.avgdl), 6) AS weight
+  FROM tf JOIN ts USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+),
+scored AS (
+  SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
+  FROM q JOIN w USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
+def _f2log_topk_sql(s: float = F2EXP_S) -> str:
+    """Axiomatic F2LOG (operators/axiomatic.py, Anserini AxiomaticF2LOG):
+    w = ln((N+1)/df) · tf/(tf + s + s·dl/avgdl); df <= N so always
+    positive, no clamp. Same pinned op order as the F2EXP oracle."""
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+w AS (
+  SELECT tf.term, tf.doc_id AS docid,
+         round(
+           ln((cs.n_docs + 1)::DOUBLE / ts.df) * tf.tf
+           / (tf.tf + {s!r} + {s!r} * dl.dl / cs.avgdl), 6) AS weight
+  FROM tf JOIN ts USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+),
+scored AS (
+  SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
+  FROM q JOIN w USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
+def _tfidf_topk_sql() -> str:
+    """Lucene ClassicSimilarity TF-IDF (operators/classic.py):
+    w = (1 + ln(N/(df+1)))² · sqrt(tf)/sqrt(dl); always positive (idf
+    bottoms out at 1 − ln 2 when df = N). Same pinned op order as the
+    Spark/kernel paths."""
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+w AS (
+  SELECT tf.term, tf.doc_id AS docid,
+         round(
+           ((1 + ln(cs.n_docs::DOUBLE / (ts.df + 1)))
+            * (1 + ln(cs.n_docs::DOUBLE / (ts.df + 1))))
+           * sqrt(tf.tf) / sqrt(dl.dl), 6) AS weight
   FROM tf JOIN ts USING (term) JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN cs
 ),
@@ -2900,6 +2986,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def f2log_topk_q(spark, sf):
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return _round4(
+            AX.f2log_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                k=TOPK, s=F2EXP_S,
+            )
+        )
+
+    def f2log_vs_slow_q(spark, sf):
+        # fifth pluggable similarity, same self-check shape: the F2LOG
+        # WAND pass (df-derived log idf on the query side) must equal the
+        # DataFrame slow path exactly
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        fast = _round4(
+            Searcher(spark, idx).search_f2log(
+                _queries_df(spark), k=TOPK, s=F2EXP_S
+            )
+        )
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        slow = _round4(
+            AX.f2log_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                k=TOPK, s=F2EXP_S,
+            )
+        )
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
+    def sharded_range_q(spark, sf):
+        # range-sharded index: whole-shard pruning on the shard key, exact
+        # identity with single-index filtered search (same oracle SQL as
+        # range_topk — the layout must be invisible in the results)
+        from dhr_spark.index.sharded import ShardedSearcher
+
+        ss = ShardedSearcher(spark, _sharded_index_dir(spark, sf))
+        return _round4(
+            ss.search(_queries_df(spark), k=TOPK, lo=RANGE_LO, hi=RANGE_HI)
+        )
+
+    def tfidf_topk_q(spark, sf):
+        from dhr_spark.operators.classic import tfidf_topk
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return _round4(
+            tfidf_topk(_qtfs(spark), term_freqs(tok), doc_lengths(tok), k=TOPK)
+        )
+
+    def tfidf_vs_slow_q(spark, sf):
+        # sixth pluggable similarity, same self-check shape: the TF-IDF
+        # WAND pass (df-derived idf² on the query side) must equal the
+        # DataFrame slow path exactly
+        from dhr_spark.operators.classic import tfidf_topk
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        fast = _round4(
+            Searcher(spark, idx).search_tfidf(_queries_df(spark), k=TOPK)
+        )
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        slow = _round4(
+            tfidf_topk(_qtfs(spark), term_freqs(tok), doc_lengths(tok), k=TOPK)
+        )
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def synonym_topk_q(spark, sf):
         # Lucene SynonymQuery semantics: member tfs sum BEFORE saturation,
         # blended docFreq = max member df, query terms merge into group
@@ -2928,6 +3082,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TS.stratified_sample(
             _docs(spark, sf), "source",
             {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default_rate=0.02,
+        ).select("doc_id", "source")
+
+    def temp_sample_q(spark, sf):
+        # temperature-flattened domain mixing: sample ∝ p^α with α=0.5
+        # (downsample-only, smallest domain keeps 100%)
+        return TS.temperature_sample(
+            _docs(spark, sf), "source", alpha=0.5
         ).select("doc_id", "source")
 
     def xent_q(spark, sf):
@@ -3473,6 +3634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_index": span_not_index_q,
         "span_or": span_or_q,
         "span_or_index": span_or_index_q,
+        "f2log_topk": f2log_topk_q,
+        "f2log_vs_slow_identity": f2log_vs_slow_q,
+        "sample_temperature": temp_sample_q,
+        "tfidf_topk": tfidf_topk_q,
+        "tfidf_vs_slow_identity": tfidf_vs_slow_q,
+        "sharded_range_topk": sharded_range_q,
         "text_unigram_xent": xent_q,
         "sample_stratified": strat_sample_q,
         "f2exp_vs_slow_identity": f2exp_vs_slow_q,
@@ -4045,6 +4212,27 @@ FROM (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM t WHERE nf > 0)""",
         "span_not_index": _span_not_sql(),
         "span_or": _span_or_sql(),
         "span_or_index": _span_or_sql(),
+        "f2log_topk": _f2log_topk_sql(),
+        "f2log_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
+        "sample_temperature": f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+m AS (SELECT min(c) AS cmin FROM c),
+r AS (
+  SELECT source,
+         CAST(round(round((m.cmin::DOUBLE / c.c) ^ 0.5, 6) * 1000000)
+              AS BIGINT) AS rate_i
+  FROM c CROSS JOIN m
+),
+b AS (
+  SELECT doc_id, source,
+         ({_HASH60.format(arg="doc_id::VARCHAR")}) % 1000000 AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.source FROM b JOIN r USING (source)
+WHERE b.bucket < r.rate_i""",
+        "tfidf_topk": _tfidf_topk_sql(),
+        "tfidf_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
+        "sharded_range_topk": _RANGE_TOPK_SQL,
         "sample_stratified": f"""
 WITH b AS (
   SELECT doc_id, source,

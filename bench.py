@@ -230,9 +230,18 @@ def main() -> None:
         ratio = high / low
         pairs = []
 
-        def _one_pair():
-            d_lo = _run_leg_subprocess(low, n_scale, repeats=1)[0]
-            d_hi = _run_leg_subprocess(high, n_scale, repeats=1)[0]
+        def _one_pair(flip: bool = False):
+            # ALTERNATE the leg order across pairs: ambient throughput
+            # drifts monotonically across a pair's few minutes more often
+            # than it jumps, so a fixed lo-then-hi order biases every pair
+            # the same way; lo→hi / hi→lo alternation makes the drift bias
+            # cancel in the median instead of accumulating.
+            if flip:
+                d_hi = _run_leg_subprocess(high, n_scale, repeats=1)[0]
+                d_lo = _run_leg_subprocess(low, n_scale, repeats=1)[0]
+            else:
+                d_lo = _run_leg_subprocess(low, n_scale, repeats=1)[0]
+                d_hi = _run_leg_subprocess(high, n_scale, repeats=1)[0]
             # hardware's own scaling between the legs (all-core turbo +
             # ambient window state) — dividing Spark's speedup by it
             # isolates SOFTWARE scaling, the 4N-executor quantity
@@ -262,18 +271,25 @@ def main() -> None:
                 }
             )
 
-        for _ in range(repeats):
-            _one_pair()
+        for i in range(repeats):
+            _one_pair(flip=bool(i % 2))
         # adaptive extension: ambient multi-core slowdown windows hit the
         # high leg ~disproportionately (measured: 2c draws vary ±8% while
         # 8c draws swing ±30% below their clean ceiling). When the hi-leg
-        # spread shows we straddled windows, buy extra pairs so the median
-        # is taken over more weather.
+        # spread — or the per-pair efficiency spread itself (a boosted 2c
+        # draw skews a pair just as hard as a degraded 8c one; measured
+        # r03: eff band 0.57-0.75 while the hi legs agreed within 10%) —
+        # shows we straddled windows, buy extra pairs so the median is
+        # taken over more weather.
         while len(pairs) < max_pairs:
             his = [p["high"]["turns_per_sec"] for p in pairs]
-            if max(his) / max(min(his), 1e-9) <= 1.25:
+            effs = [p["build_efficiency"] for p in pairs]
+            if (
+                max(his) / max(min(his), 1e-9) <= 1.25
+                and max(effs) / max(min(effs), 1e-9) <= 1.2
+            ):
                 break
-            _one_pair()
+            _one_pair(flip=bool(len(pairs) % 2))
         be = sorted(p["build_efficiency"] for p in pairs)
         qe = sorted(p["query_efficiency"] for p in pairs)
         med = statistics.median

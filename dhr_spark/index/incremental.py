@@ -49,8 +49,58 @@ from pyspark.sql import functions as F
 from dhr_spark.functions.bm25 import idf_col
 from dhr_spark.index.builder import _write_manifest, load_manifest
 from dhr_spark.index.segments import build_doclens, build_segments
-from dhr_spark.operators.docids import ORDER_COLS, with_docids, with_global_ids
+from dhr_spark.operators.docids import with_docids, with_global_ids
 from dhr_spark.operators.termfreq import doc_term_freqs
+
+
+def append_docs_to_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    extra_manifest: dict | None = None,
+) -> dict:
+    """Fold a batch of generic documents — (docid long, text string, plus
+    every column the committed doc_map carries) — into an existing v2
+    index, with CALLER-ASSIGNED docids.
+
+    The transcript-shaped ``append_to_index`` allocates docids itself; this
+    entry exists for layouts that allocate docids globally across several
+    indexes (index/sharded.append_to_sharded routes one monotone docid
+    space into per-range shards). The contract it enforces instead:
+
+    * every batch docid must sit at-or-above the index's next chunk
+      boundary (appends create only brand-new (chunk, term) groups — the
+      same no-read-modify-write invariant as append_to_index), and
+    * batch docids must be unique.
+
+    Returns the updated manifest."""
+    t0 = time.time()
+    man = load_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    if int(man.get("version", 1)) < 2:
+        raise ValueError(
+            "incremental append requires a version>=2 index (stats-free "
+            "block bounds); rebuild once with the current builder"
+        )
+    chunk_docs = 1 << int(man["chunk_bits"])
+    floor = -(-int(man["next_docid"]) // chunk_docs) * chunk_docs
+    stats = docs.agg(
+        F.min("docid").alias("lo"),
+        F.count("*").alias("n"),
+        F.count_distinct("docid").alias("nd"),
+    ).collect()[0]
+    if int(stats["n"]) == 0:
+        raise ValueError("append batch is empty (0 documents)")
+    if int(stats["n"]) != int(stats["nd"]):
+        raise ValueError("append batch has duplicate docids")
+    if int(stats["lo"]) < floor:
+        raise ValueError(
+            f"batch docid {int(stats['lo'])} is below the next chunk "
+            f"boundary {floor} — appends may only create brand-new chunks"
+        )
+    base = (int(stats["lo"]) // chunk_docs) * chunk_docs
+    return _append_docs(spark, docs, index_dir, man, base, t0, extra_manifest)
 
 
 def append_to_index(
@@ -236,11 +286,28 @@ def _append_docs(
     build_doclens(dls, chunk_bits).write.mode("overwrite").options(
         **dyn
     ).partitionBy("chunk").parquet(dl_path)
-    docs.select("docid", *ORDER_COLS, *man.get("docvalues", [])).withColumn(
-        "seg_batch", F.lit(append_no)
-    ).write.mode("overwrite").options(**dyn).partitionBy("seg_batch").parquet(
-        os.path.join(index_dir, "doc_map")
-    )
+    # doc_map append is schema-driven off the COMMITTED doc_map (transcript
+    # indexes carry ORDER_COLS, generic-corpus indexes whatever doc_map_df
+    # the build wrote) — the batch must supply those columns. An index built
+    # without a doc_map stays without one.
+    dm_path = os.path.join(index_dir, "doc_map")
+    if os.path.isdir(dm_path):
+        dm_cols = [
+            c
+            for c in spark.read.parquet(dm_path).columns
+            if c != "seg_batch"
+        ]
+        missing = [c for c in dm_cols if c not in docs.columns]
+        if missing:
+            raise ValueError(
+                f"append batch is missing doc_map columns {missing} that "
+                "the committed index carries"
+            )
+        docs.select(*dm_cols).withColumn(
+            "seg_batch", F.lit(append_no)
+        ).write.mode("overwrite").options(**dyn).partitionBy(
+            "seg_batch"
+        ).parquet(dm_path)
     td_dir = f"term_dict_v{append_no}"
     tdict.write.mode("overwrite").parquet(os.path.join(index_dir, td_dir))
 

@@ -1,0 +1,325 @@
+"""Range-sharded index: whole-shard partition pruning on a shard key.
+
+A 10^12-turn deployment partitions its index by a monotone key — almost
+always event time (daily/weekly indexes), sometimes tenant or size class —
+and answers range-restricted queries by touching only the shards whose key
+range intersects the query's. This module adds that pruning layer on top
+of the federation machinery (operators/federate.MultiSearcher):
+
+* ``build_range_sharded`` splits the corpus on half-open key ranges
+  [cut_i, cut_{i+1}) and builds one ordinary v2 index per shard, each with
+  the shard key as a docvalues column, recording the ranges in a root
+  manifest. Docids are NOT renumbered — shards hold disjoint slices of the
+  original docid space, so shard results merge with plain top-k (no
+  index_id namespacing) and match a single union index bit-for-bit.
+* ``ShardedSearcher.search(queries, k, lo=, hi=)`` selects the shards
+  intersecting the inclusive query range [lo, hi]; shards fully inside
+  run an ordinary WAND pass, boundary shards run the docvalues-filtered
+  pass (Searcher.search_filtered), pruned shards are never read. Scoring
+  uses the MERGED corpus statistics (idf/avgdl over ALL shards, pruned
+  ones included) — a Lucene filter clause never changes scoring, so the
+  result is identical to ``search_filtered`` on one union-corpus index
+  (pinned by tests/test_sharded.py and entry ``sharded_range_topk``).
+
+Scale shape: shard selection is a driver-side scan of the tiny root
+manifest; the per-shard work is the ordinary block-max WAND plan. At a
+365-shard year with a 7-day query window, 358 shards cost nothing — the
+same arithmetic that makes Iceberg partition pruning the first lever at
+100 TB. Reference anchor: the reference serves per-split indexes and
+merges result shards (/root/reference/retrieval/merge_result.py); the
+range-pruned selection layer is the deployment-shaped extension.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dhr_spark.index.builder import build_index_from_docs
+from dhr_spark.operators.federate import MultiSearcher
+from dhr_spark.operators.topk import topk
+
+_ROOT_MANIFEST = "sharded_manifest.json"
+
+
+def build_range_sharded(
+    spark: SparkSession,
+    docs: DataFrame,
+    root_dir: str,
+    field: str,
+    cuts: list,
+    docvalues: tuple[str, ...] | list[str] = (),
+    **build_kw,
+) -> dict:
+    """Build one index per key range under ``root_dir``.
+
+    ``docs``: (docid long, text string, <field>, ...). ``cuts`` are the
+    interior boundaries, sorted ascending: k cuts make k+1 shards
+    (-inf, c0), [c0, c1), ..., [c_{k-1}, +inf) — every row lands in
+    exactly one shard. ``field`` is added to every shard's docvalues so
+    boundary shards can filter exactly. Extra ``build_kw`` (analyzer_mode,
+    chunk_bits, forward_index, ...) pass through to every shard build.
+
+    Rows with a NULL shard key are rejected: they could never be returned
+    by any range query, and silently dropping them would make the sharded
+    corpus disagree with a union index on unranged search.
+    """
+    if not cuts:
+        raise ValueError("need at least one cut (else build one index)")
+    if build_kw.get("chunk_bits") == "auto":
+        raise ValueError(
+            "chunk_bits='auto' would resolve differently per shard; the "
+            "global docid allocation (append_to_sharded) needs one chunk "
+            "geometry — pass an explicit chunk_bits"
+        )
+    if sorted(cuts) != list(cuts) or len(set(cuts)) != len(cuts):
+        raise ValueError(f"cuts must be strictly ascending, got {cuts}")
+    n_null = docs.filter(F.col(field).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"{n_null} rows have NULL {field!r} — a range-sharded index "
+            "cannot place them; filter or impute first"
+        )
+    dv = tuple(dict.fromkeys((field, *docvalues)))  # field first, deduped
+    bounds = [(None, cuts[0])]
+    bounds += [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
+    bounds += [(cuts[-1], None)]
+    t0 = time.time()
+    shards = []
+    for i, (lo, hi) in enumerate(bounds):
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col(field) >= lo)
+        if hi is not None:
+            part = part.filter(F.col(field) < hi)
+        if part.isEmpty():
+            # an empty key range (a day with no data) is a legal layout:
+            # record it rangeless-searchable (dir None, never selected)
+            shards.append({"dir": None, "lo": lo, "hi": hi, "n_docs": 0})
+            continue
+        d = os.path.join(root_dir, f"shard_{i:05d}")
+        man = build_index_from_docs(
+            spark, part, d, docvalues=dv,
+            doc_map_df=part.select("docid", *dv), **build_kw,
+        )
+        shards.append(
+            {"dir": d, "lo": lo, "hi": hi, "n_docs": int(man["n_docs"])}
+        )
+    root = {
+        "version": 1,
+        "field": field,
+        "cuts": list(cuts),
+        "shards": shards,
+        # replayed by append_to_sharded for shards that were empty at build
+        # time and by consistency checks (every member must share the
+        # analyzer and chunk geometry for the global docid allocation)
+        "build_kw": {
+            k: v
+            for k, v in {"docvalues": list(dv), **build_kw}.items()
+            if isinstance(v, (str, int, float, bool, list, tuple))
+        },
+        "built_sec": round(time.time() - t0, 3),
+    }
+    os.makedirs(root_dir, exist_ok=True)
+    tmp = os.path.join(root_dir, _ROOT_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(root, f, indent=1)
+    os.replace(tmp, os.path.join(root_dir, _ROOT_MANIFEST))
+    return root
+
+
+def append_to_sharded(
+    spark: SparkSession,
+    docs: DataFrame,
+    root_dir: str,
+) -> dict:
+    """Route a batch of (text, <field>, ...) documents into an existing
+    range-sharded layout — the hot-shard ingestion path of a time-sharded
+    deployment (new days land in the open-ended tail shard; back-dated
+    rows land in their historical shard as a brand-new chunk there).
+
+    Docids are allocated from ONE global sequence: the batch is numbered
+    (deterministically, ordered by the shard key then text) starting at the
+    next chunk boundary above EVERY shard's high-water mark, so cross-shard
+    docid disjointness — the invariant that lets ShardedSearcher merge
+    results without namespacing — survives any number of appends. Each
+    shard's slice then folds in via append_docs_to_index (brand-new chunks
+    only); a previously-empty shard gets a fresh build with the layout's
+    recorded build parameters.
+
+    NOT atomic across shards: each member append commits atomically (its
+    manifest rewrite), and the root manifest commits last. A crash between
+    member commits leaves already-committed shards searchable and the
+    retry idempotent for them only if the SAME batch is replayed — the
+    same staged-batch discipline streaming/ingest.py applies to a single
+    index governs a sharded one.
+    """
+    path = os.path.join(root_dir, _ROOT_MANIFEST)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"no {_ROOT_MANIFEST} in {root_dir}")
+    with open(path) as f:
+        root = json.load(f)
+    field = root["field"]
+    n_null = docs.filter(F.col(field).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"{n_null} rows have NULL {field!r} — a range-sharded index "
+            "cannot place them; filter or impute first"
+        )
+    from dhr_spark.index.builder import load_manifest
+    from dhr_spark.index.incremental import append_docs_to_index
+    from dhr_spark.operators.docids import with_global_ids
+
+    build_kw = dict(root.get("build_kw", {}))
+    dv = tuple(build_kw.pop("docvalues", [field]))
+    live_mans = {
+        s["dir"]: load_manifest(s["dir"])
+        for s in root["shards"]
+        if s["dir"] is not None
+    }
+    bits = {int(m["chunk_bits"]) for m in live_mans.values()}
+    if len(bits) != 1:
+        raise ValueError(
+            f"member shards disagree on chunk_bits ({sorted(bits)}) — the "
+            "global docid allocation needs one chunk geometry"
+        )
+    chunk_docs = 1 << bits.pop()
+    high = max(int(m["next_docid"]) for m in live_mans.values())
+    base = -(-high // chunk_docs) * chunk_docs
+    # keep a handle on the with_global_ids result itself: derived frames
+    # drop the _dhr_persisted attribute and its cache would leak
+    # (builder.py:98-103 hazard, same fix as append_to_index)
+    seq_docs = with_global_ids(
+        docs, [F.col(field).asc(), F.col("text").asc()], "_seq"
+    )
+    numbered = (
+        seq_docs.withColumn("docid", (F.col("_seq") + F.lit(base)).cast("long"))
+        .drop("_seq")
+        .cache()
+    )
+    try:
+        t0 = time.time()
+        appended = []
+        for i, s in enumerate(root["shards"]):
+            lo, hi = s["lo"], s["hi"]
+            part = numbered
+            if lo is not None:
+                part = part.filter(F.col(field) >= lo)
+            if hi is not None:
+                part = part.filter(F.col(field) < hi)
+            if part.isEmpty():
+                continue
+            if s["dir"] is None:
+                d = os.path.join(root_dir, f"shard_{i:05d}")
+                man = build_index_from_docs(
+                    spark, part, d, docvalues=dv,
+                    doc_map_df=part.select("docid", *dv), **build_kw,
+                )
+                s["dir"], s["n_docs"] = d, int(man["n_docs"])
+            else:
+                man = append_docs_to_index(spark, part, s["dir"])
+                s["n_docs"] = int(man["n_docs"])
+            appended.append(i)
+        root["last_append_sec"] = round(time.time() - t0, 3)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(root, f, indent=1)
+        os.replace(tmp, path)
+        return {"base": base, "shards_touched": appended, "root": root}
+    finally:
+        numbered.unpersist()
+        cached = getattr(seq_docs, "_dhr_persisted", None)
+        if cached is not None:
+            cached.unpersist()
+
+
+class ShardedSearcher:
+    """Range-pruned federated search over a ``build_range_sharded`` layout.
+
+    Construction merges global corpus statistics over ALL shards (one
+    |V|-row dictionary merge via MultiSearcher) — pruning changes which
+    postings are READ, never how hits are SCORED.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root_dir: str,
+        k1: float | None = None,
+        b: float | None = None,
+    ):
+        path = os.path.join(root_dir, _ROOT_MANIFEST)
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"no {_ROOT_MANIFEST} in {root_dir}")
+        with open(path) as f:
+            self.manifest = json.load(f)
+        self.field = self.manifest["field"]
+        self.shards = self.manifest["shards"]
+        live = [s for s in self.shards if s["dir"] is not None]
+        if not live:
+            raise ValueError(f"{root_dir} has no non-empty shards")
+        self._ms_idx = {  # shard position -> MultiSearcher member position
+            id(s): j for j, s in enumerate(live)
+        }
+        self.ms = MultiSearcher(spark, [s["dir"] for s in live], k1=k1, b=b)
+        self.spark = spark
+
+    def select_shards(self, lo=None, hi=None) -> list[tuple[int, bool]]:
+        """[(shard_idx, fully_covered)] for the inclusive query range
+        [lo, hi] — the pruning decision, exposed for tests and EXPLAIN-style
+        introspection. A shard [slo, shi) intersects iff slo <= hi and
+        shi > lo; it is fully covered iff lo <= slo and shi <= hi (v < shi
+        <= hi ⟹ v <= hi, so no docvalues filter is needed)."""
+        out = []
+        for i, s in enumerate(self.shards):
+            if s["dir"] is None:
+                continue  # empty range: nothing to read
+            slo, shi = s["lo"], s["hi"]
+            if hi is not None and slo is not None and slo > hi:
+                continue
+            if lo is not None and shi is not None and shi <= lo:
+                continue
+            full = (lo is None or (slo is not None and slo >= lo)) and (
+                hi is None or (shi is not None and shi <= hi)
+            )
+            out.append((i, full))
+        return out
+
+    def search(
+        self, queries: DataFrame, k: int = 1000, lo=None, hi=None
+    ) -> DataFrame:
+        """(qid, docid, rank, score): global-stats BM25 top-k over the docs
+        whose shard key falls in the inclusive range [lo, hi] (both bounds
+        optional; no bounds = unranged federated search). Identical to
+        ``search_filtered(field, lo=, hi=)`` on a single union index:
+        same docids (shards never renumber), same scores (merged stats),
+        same tie order (plain score-desc/docid-asc top-k)."""
+        if lo is None and hi is None:
+            sel = [
+                (i, True)
+                for i, s in enumerate(self.shards)
+                if s["dir"] is not None
+            ]
+        else:
+            sel = self.select_shards(lo, hi)
+        per = []
+        for i, full in sel:
+            sr = self.ms.searchers[self._ms_idx[id(self.shards[i])]]
+            if full:
+                per.append(sr.search(queries, k=k))
+            else:
+                per.append(
+                    sr.search_filtered(queries, self.field, lo=lo, hi=hi, k=k)
+                )
+        if not per:
+            return self.spark.createDataFrame(
+                [], "qid string, docid long, rank int, score double"
+            )
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        return topk(u.select("qid", "docid", "score"), k)

@@ -88,3 +88,49 @@ def f2exp_topk(
     return topk(
         score_all(qtfs, f2exp_weights(tfs, dls, s=s, kexp=kexp), on="term"), k
     )
+
+
+def f2log_weights(
+    tfs: DataFrame,
+    dls: DataFrame,
+    s: float = DEFAULT_S,
+) -> DataFrame:
+    """(term, docid, weight): per-match axiomatic F2LOG weights (Anserini
+    AxiomaticF2LOG) — F2EXP's sibling with a log idf instead of the power
+    law:
+
+        w(t, d) = ln((N + 1) / df(t)) · tf / (tf + s + s·dl/avgdl)
+
+    Same plan shape and 6-decimal rounding contract as f2exp_weights."""
+    if s <= 0:
+        raise ValueError(f"s must be > 0, got {s}")
+    row = dls.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+    df_stats = tfs.groupBy("term").agg(F.count("*").alias("df"))
+    s_l = F.lit(float(s))
+    # op order pinned to the WAND kernel's stat·tf/(tf + s + s·dl/avgdl)
+    w = (
+        F.log(F.lit(float(n_docs + 1)) / F.col("df"))
+        * F.col("tf")
+        / (F.col("tf") + s_l + s_l * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tfs.join(dls, "docid")
+        .join(F.broadcast(df_stats), "term")
+        .select("term", "docid", F.round(w, 6).alias("weight"))
+    )
+
+
+def f2log_topk(
+    qtfs: DataFrame,
+    tfs: DataFrame,
+    dls: DataFrame,
+    k: int = 1000,
+    s: float = DEFAULT_S,
+) -> DataFrame:
+    """(qid, docid, rank, score): F2LOG top-k — F2EXP's plan with the log
+    idf. NOTE: a term with df = N+1 is impossible and df = N gives a small
+    positive weight, so F2LOG weights are always > 0 like F2EXP's."""
+    return topk(score_all(qtfs, f2log_weights(tfs, dls, s=s), on="term"), k)

@@ -257,6 +257,62 @@ class MultiSearcher:
         )
         return self._unpack(merged)
 
+    def search_f2log(
+        self, queries: DataFrame, k: int = 1000,
+        s: float = 0.5, prune: bool = True,
+    ) -> DataFrame:
+        """Federated axiomatic F2LOG — every member scores under the merged
+        df/n_docs (global log idf), same union-index identity argument as
+        F2EXP federation (the df/n_docs override feeds both shapes)."""
+        per = [
+            sr.search_f2log(queries, k=k, s=s, prune=prune)
+            .withColumn("index_id", F.lit(i))
+            for i, sr in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)
+
+    def search_tfidf(
+        self, queries: DataFrame, k: int = 1000, prune: bool = True,
+    ) -> DataFrame:
+        """Federated ClassicSimilarity TF-IDF — every member scores under
+        the merged df/n_docs (global idf²), same union-index identity
+        argument as the axiomatic federations (the df/n_docs override
+        feeds every df-derived stat shape)."""
+        per = [
+            sr.search_tfidf(queries, k=k, prune=prune)
+            .withColumn("index_id", F.lit(i))
+            for i, sr in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)
+
     @staticmethod
     def _unpack(merged: DataFrame) -> DataFrame:
         return merged.select(

@@ -354,3 +354,46 @@ def stratified_sample(
             F.col(strata_col) == F.lit(s), F.lit(int(round(r * 1_000_000)))
         ).otherwise(rate)
     return docs.filter(bucket < rate)
+
+
+def temperature_sample(
+    docs: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-flattened domain resampling — the
+    multilingual/multi-domain mixing step of LLM-data curation (sample
+    domains ∝ p_d^α, α = 1/T; Conneau & Lample's exponentiated-smoothing
+    and the mT5/XLM-R recipe). Downsample-only: target share q_d ∝ p_d^α
+    with α ≤ 1 flattens toward uniform, so the per-domain keep rate is
+
+        r_d = (c_min / c_d)^(1-α)        (the smallest domain keeps 100%)
+
+    — the p_d^(α-1) ratio with the corpus total cancelled, computed from
+    exact integer counts so every engine derives bit-identical rates
+    (rounded to 6 decimals, 10^-6 keep-fraction granularity). Membership
+    is the same content-free portable hash as stratified_sample /
+    hash_split: stable across engines, runs, cluster sizes and corpus
+    slices at fixed counts.
+
+    Scale: one tiny domain-count aggregate (|domains| rows to the driver)
+    + a broadcast CASE filter — zero shuffle on the corpus itself.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    rows = docs.groupBy(domain_col).agg(F.count("*").alias("c")).collect()
+    if not rows:
+        return docs
+    c_min = min(int(r["c"]) for r in rows)
+    rates = {
+        r[domain_col]: round((c_min / int(r["c"])) ** (1.0 - alpha), 6)
+        for r in rows
+    }
+    bucket = tokhash60(F.col(id_col).cast("string")) % 1_000_000
+    rate = F.lit(0)
+    for d, rr in sorted(rates.items()):
+        rate = F.when(
+            F.col(domain_col) == F.lit(d), F.lit(int(round(rr * 1_000_000)))
+        ).otherwise(rate)
+    return docs.filter(bucket < rate)

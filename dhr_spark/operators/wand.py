@@ -304,6 +304,17 @@ def _score_chunk(
 
         def _bound(tf_b, dl_b, stat):
             return stat * tf_b / (tf_b + mu + mu * dl_b / avgdl) + 5e-7
+    elif sim == "tfidf":
+        # Lucene ClassicSimilarity (vector-space TF-IDF); the per-term stat
+        # is idf² = (1 + ln(N/(df+1)))², computed query-side from the
+        # dictionary's df like the axiomatic stats. sqrt(tf)·idf²/sqrt(dl)
+        # is monotone ↑tf ↓dl, so the stats-free block bound is admissible;
+        # always > 0 (idf > 1 − ln 2 even at df = N).
+        def _unit_w(tfs_a, dls_a, stat):
+            return np.round(stat * np.sqrt(tfs_a) / np.sqrt(dls_a), 6)
+
+        def _bound(tf_b, dl_b, stat):
+            return stat * np.sqrt(tf_b) / np.sqrt(dl_b) + 5e-7
     elif sim == "bm25":
 
         def _unit_w(tfs_a, dls_a, stat):
@@ -313,7 +324,7 @@ def _score_chunk(
             return stat * tf_b / (tf_b + k1 * (1.0 - b + b * dl_b / avgdl))
     else:
         raise ValueError(
-            f"unknown similarity {sim!r} (bm25 | qld | lmjm | f2exp)"
+            f"unknown similarity {sim!r} (bm25 | qld | lmjm | f2exp | tfidf)"
         )
 
     def _empty() -> pd.DataFrame:
@@ -975,12 +986,66 @@ class Searcher:
             qinfo2, all_terms, k, prune, sim="f2exp", mu=s
         )
 
+    def search_f2log(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        s: float = 0.5,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Axiomatic F2LOG top-k over the same index (Anserini
+        AxiomaticF2LOG; semantics = operators/axiomatic.f2log_weights):
+
+            w(t, d) = ln((N+1)/df) · tf / (tf + s + s·dl/avgdl)
+
+        F2EXP's sibling with a log idf in place of the power law. The tf
+        saturation factor is identical, so the scoring reuses the f2exp
+        kernel branch verbatim — only the query-side per-term stat changes.
+        df < N+1 always, so the stat (and every weight) stays > 0."""
+        if s <= 0:
+            raise ValueError(f"s must be > 0, got {s}")
+        qinfo, all_terms = self._query_info(queries)
+        if not all_terms:
+            return self._search_prepared({}, [], k, prune)
+        qinfo2 = self._f2_query_stats(qinfo, all_terms, 0.0, shape="log")
+        return self._search_prepared(
+            qinfo2, all_terms, k, prune, sim="f2exp", mu=s
+        )
+
+    def search_tfidf(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Vector-space TF-IDF top-k over the same index (Lucene
+        ClassicSimilarity; semantics = operators/classic.tfidf_weights):
+
+            w(t, d) = (1 + ln(N/(df+1)))² · sqrt(tf) / sqrt(dl)
+
+        — Lucene's tf = sqrt(freq), idf(t)² (query idf × index idf), and
+        lengthNorm = 1/sqrt(dl) WITHOUT the historical byte-lossy norm
+        encoding (we keep dl exact; the reference's Lucene backend would
+        quantize). Sixth pluggable query-time similarity; the per-term
+        stat idf² rides in query-side from the dictionary's df with the
+        LIVE manifest n_docs, like the axiomatic family."""
+        qinfo, all_terms = self._query_info(queries)
+        if not all_terms:
+            return self._search_prepared({}, [], k, prune)
+        qinfo2 = self._f2_query_stats(qinfo, all_terms, 0.0, shape="tfidf")
+        return self._search_prepared(
+            qinfo2, all_terms, k, prune, sim="tfidf"
+        )
+
     def _f2_query_stats(
-        self, qinfo: dict, all_terms: list[int], kexp: float
+        self, qinfo: dict, all_terms: list[int], kexp: float,
+        shape: str = "exp",
     ) -> dict:
-        """qinfo with the third slot replaced by ((N+1)/df)^kexp. Under a
-        federated corpus_stats override the merged df/n_docs must be present
-        (MultiSearcher always provides them)."""
+        """qinfo with the third slot replaced by a df-derived stat:
+        ((N+1)/df)^kexp for shape='exp', ln((N+1)/df) for shape='log',
+        Lucene Classic idf² = (1 + ln(N/(df+1)))² for shape='tfidf'.
+        Under a federated corpus_stats override the merged df/n_docs must
+        be present (MultiSearcher always provides them)."""
         if self._stats_override:
             if self._df_over is None or self._n_docs_over is None:
                 raise ValueError(
@@ -1031,6 +1096,14 @@ class Searcher:
             # never reach the power-law idf
             dfm = {int(r["term_id"]): int(r["df"]) for r in rows if int(r["df"]) > 0}
             n_docs = int(self.manifest["n_docs"])
+        if shape == "exp":
+            stat = lambda n, d: ((n + 1.0) / d) ** float(kexp)  # noqa: E731
+        elif shape == "log":
+            stat = lambda n, d: np.log((n + 1.0) / d)  # noqa: E731
+        elif shape == "tfidf":
+            stat = lambda n, d: (1.0 + np.log(n / (d + 1.0))) ** 2  # noqa: E731
+        else:
+            raise ValueError(f"unknown df-stat shape {shape!r}")
         out: dict = {}
         for qid, (tids, qtfs, _idfs) in qinfo.items():
             keep = np.array([int(t) in dfm for t in tids], dtype=bool)
@@ -1041,7 +1114,7 @@ class Searcher:
                 t2,
                 q2,
                 np.array(
-                    [((n_docs + 1.0) / dfm[int(t)]) ** float(kexp) for t in t2],
+                    [stat(float(n_docs), float(dfm[int(t)])) for t in t2],
                     dtype=np.float64,
                 ),
             )

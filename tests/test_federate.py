@@ -269,3 +269,37 @@ def test_federated_f2exp_equals_union_index(spark, sharded, queries):
         fed=False,
     )
     assert fed == single and fed
+
+
+def test_federated_f2log_equals_union_index(spark, sharded, queries):
+    """F2LOG federates through the same merged df + global n_docs override
+    as F2EXP — only the idf shape differs, so the identity argument holds
+    unchanged."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = _by_turn(
+        spark, ms.search_f2log(queries, k=100_000), sharded["dirs"], fed=True
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search_f2log(queries, k=100_000),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed == single and fed
+
+
+def test_federated_tfidf_equals_union_index(spark, sharded, queries):
+    """ClassicSimilarity federates through the same merged df + global
+    n_docs override as the axiomatic family — the idf² stat is df-derived,
+    so the union-index identity argument holds unchanged."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = _by_turn(
+        spark, ms.search_tfidf(queries, k=100_000), sharded["dirs"], fed=True
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search_tfidf(queries, k=100_000),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed == single and fed

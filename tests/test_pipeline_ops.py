@@ -603,3 +603,39 @@ def test_stratified_sample_default_rate_and_guards(spark):
     assert stratified_sample(docs, "source", {"x": 1.0}, default_rate=1.0).count() == 2
     with _pt.raises(ValueError, match="rate"):
         stratified_sample(docs, "source", {"x": 1.5})
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from dhr_spark.operators.textstats import temperature_sample
+
+    # 300 big-domain rows, 60 small-domain rows: alpha=0.5 keeps all of
+    # small and ~sqrt(60/300)=44.7% of big
+    rows = [(i, "big" if i < 300 else "small", f"t {i}") for i in range(360)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept1 = {r["doc_id"] for r in temperature_sample(docs, "source").collect()}
+    kept2 = {r["doc_id"] for r in temperature_sample(docs, "source").collect()}
+    assert kept1 == kept2  # deterministic
+    assert all(i in kept1 for i in range(300, 360))  # smallest domain: 100%
+    n_big = sum(1 for i in kept1 if i < 300)
+    assert 90 <= n_big <= 180  # ~134 expected at rate .4472 (hash variance)
+    # alpha=1 is a no-op (shares already proportional)
+    assert temperature_sample(docs, "source", alpha=1.0).count() == 360
+    # alpha=0 flattens to uniform: big keeps at rate 60/300 = 0.2
+    flat = {
+        r["doc_id"]
+        for r in temperature_sample(docs, "source", alpha=0.0).collect()
+    }
+    assert 30 <= sum(1 for i in flat if i < 300) <= 95  # ~60 expected
+
+
+def test_temperature_sample_guards(spark):
+    import pytest as _pt
+
+    from dhr_spark.operators.textstats import temperature_sample
+
+    docs = spark.createDataFrame(
+        [(1, "x", "a")], "doc_id long, source string, text string"
+    )
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_sample(docs, "source", alpha=1.5)
+    assert temperature_sample(docs, "source", alpha=0.5).count() == 1

@@ -705,3 +705,127 @@ def test_span_not_guards(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="pre/post"):
         span_not_match(docs, "a", "b", pre=-1)
+
+
+# ------------------------------------------- axiomatic F2LOG
+
+def _py_f2log_weights(s=0.5):
+    import math
+
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df: dict[str, int] = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for d, v in toks.items():
+        dl = len(v)
+        for t in set(v):
+            tf = v.count(t)
+            w = math.log((n + 1) / df[t]) * tf / (tf + s + s * dl / avgdl)
+            out[(t, d)] = round(w, 6)
+    return out
+
+
+def test_f2log_weights_match_reference(corpus):
+    from dhr_spark.operators.axiomatic import f2log_weights
+
+    got = {
+        (r["term"], r["docid"]): r["weight"]
+        for r in f2log_weights(corpus["tfs"], corpus["dls"]).collect()
+    }
+    assert got == _py_f2log_weights()
+    # df <= N < N+1, so the log idf (and every weight) stays positive
+    assert all(w > 0 for w in got.values())
+
+
+@pytest.mark.parametrize("s", [0.5, 1.0])
+def test_search_f2log_equals_slow_path(spark, sfdocs, rocchio_idx,
+                                       rocchio_queries, s):
+    from dhr_spark.operators.axiomatic import f2log_topk
+    from dhr_spark.operators.termfreq import query_term_freqs
+    from dhr_spark.operators.wand import Searcher
+
+    fast = Searcher(spark, rocchio_idx).search_f2log(
+        rocchio_queries, k=20, s=s
+    )
+    tok = with_tokens(sfdocs, mode="simple")
+    qtfs = query_term_freqs(with_tokens(rocchio_queries, mode="simple"))
+    slow = f2log_topk(qtfs, term_freqs(tok), doc_lengths(tok), k=20, s=s)
+    assert _as_map(fast.collect()) == _as_map(slow.collect())
+
+
+def test_search_f2log_prune_matches_noprune(spark, rocchio_idx,
+                                            rocchio_queries):
+    from dhr_spark.operators.wand import Searcher
+
+    sr = Searcher(spark, rocchio_idx)
+    a = sr.search_f2log(rocchio_queries, k=15, prune=True)
+    b = sr.search_f2log(rocchio_queries, k=15, prune=False)
+    assert _as_map(a.collect()) == _as_map(b.collect())
+
+
+def test_search_f2log_param_guard(spark, rocchio_idx, rocchio_queries):
+    from dhr_spark.operators.wand import Searcher
+
+    with pytest.raises(ValueError, match="s must"):
+        Searcher(spark, rocchio_idx).search_f2log(rocchio_queries, s=0.0)
+
+
+# ------------------------------------------- ClassicSimilarity TF-IDF
+
+def _py_tfidf_weights():
+    import math
+
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(toks)
+    df: dict[str, int] = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for d, v in toks.items():
+        dl = len(v)
+        for t in set(v):
+            tf = v.count(t)
+            idf = 1.0 + math.log(n / (df[t] + 1.0))
+            w = idf * idf * math.sqrt(tf) / math.sqrt(dl)
+            out[(t, d)] = round(w, 6)
+    return out
+
+
+def test_tfidf_weights_match_reference(corpus):
+    from dhr_spark.operators.classic import tfidf_weights
+
+    got = {
+        (r["term"], r["docid"]): r["weight"]
+        for r in tfidf_weights(corpus["tfs"], corpus["dls"]).collect()
+    }
+    assert got == _py_tfidf_weights()
+    # idf bottoms out at 1 - ln((N+1)/N)-ish: never <= 0, so no clamp
+    assert all(w > 0 for w in got.values())
+
+
+def test_search_tfidf_equals_slow_path(spark, sfdocs, rocchio_idx,
+                                       rocchio_queries):
+    from dhr_spark.operators.classic import tfidf_topk
+    from dhr_spark.operators.termfreq import query_term_freqs
+    from dhr_spark.operators.wand import Searcher
+
+    fast = Searcher(spark, rocchio_idx).search_tfidf(rocchio_queries, k=20)
+    tok = with_tokens(sfdocs, mode="simple")
+    qtfs = query_term_freqs(with_tokens(rocchio_queries, mode="simple"))
+    slow = tfidf_topk(qtfs, term_freqs(tok), doc_lengths(tok), k=20)
+    assert _as_map(fast.collect()) == _as_map(slow.collect())
+
+
+def test_search_tfidf_prune_matches_noprune(spark, rocchio_idx,
+                                            rocchio_queries):
+    from dhr_spark.operators.wand import Searcher
+
+    sr = Searcher(spark, rocchio_idx)
+    a = sr.search_tfidf(rocchio_queries, k=15, prune=True)
+    b = sr.search_tfidf(rocchio_queries, k=15, prune=False)
+    assert _as_map(a.collect()) == _as_map(b.collect())
