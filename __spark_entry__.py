@@ -497,6 +497,29 @@ ranked AS (
 )
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
 
+_PERCOLATE_TOPK_SQL = f"""WITH {_TOKS_CTE}, {_q_values()},
+scored AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         sum(q.qtf * {_W_EXPR}) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN ts USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+  GROUP BY 1, 2
+),
+wm AS (SELECT (4 * count(*)) // 5 AS min_docid FROM documents),
+ranked AS (
+  SELECT qid, scored.docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, scored.docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM scored CROSS JOIN wm
+  WHERE scored.docid >= wm.min_docid
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
 _QRELS_CTE = f"""
 qsize AS (SELECT qid, count(DISTINCT term) AS nt FROM q GROUP BY 1),
 qrels AS (
@@ -3028,6 +3051,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ss.search(_queries_df(spark), k=TOPK, lo=RANGE_LO, hi=RANGE_HI)
         )
 
+    def percolate_q(spark, sf):
+        # percolation primitive: top-k among docs indexed past a watermark
+        # (docid >= 4n/5), live corpus stats — the standing-query alerting
+        # scan (streaming/percolator.Percolator.poll)
+        n = _docs(spark, sf).count()
+        return _round4(
+            _searcher(spark, sf).search_min_docid(
+                _queries_df(spark), (4 * n) // 5, k=TOPK
+            )
+        )
+
     def tfidf_topk_q(spark, sf):
         from dhr_spark.operators.classic import tfidf_topk
 
@@ -3640,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": tfidf_topk_q,
         "tfidf_vs_slow_identity": tfidf_vs_slow_q,
         "sharded_range_topk": sharded_range_q,
+        "percolate_topk": percolate_q,
         "text_unigram_xent": xent_q,
         "sample_stratified": strat_sample_q,
         "f2exp_vs_slow_identity": f2exp_vs_slow_q,
@@ -4233,6 +4268,7 @@ WHERE b.bucket < r.rate_i""",
         "tfidf_topk": _tfidf_topk_sql(),
         "tfidf_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "sharded_range_topk": _RANGE_TOPK_SQL,
+        "percolate_topk": _PERCOLATE_TOPK_SQL,
         "sample_stratified": f"""
 WITH b AS (
   SELECT doc_id, source,

@@ -1964,10 +1964,18 @@ class Searcher:
         after: dict | None = None,
         sim: str = "bm25",
         mu: float = 1000.0,
+        min_chunk: int | None = None,
     ) -> DataFrame:
         """Raw per-chunk scored candidates (pre-merge): (qid, docid, score)
-        with at most k rows per (chunk, qid)."""
+        with at most k rows per (chunk, qid). ``min_chunk`` restricts the
+        scan to chunk partitions >= it (partition pruning; the percolation
+        path's 'only the chunks appended since the watermark')."""
         seg = self._seg_for_terms(all_terms)
+        dl = self._dl
+        if min_chunk is not None:
+            seg = seg.filter(F.col("chunk") >= int(min_chunk))
+            if dl is not None:
+                dl = dl.filter(F.col("chunk") >= int(min_chunk))
         man = self.manifest
         kernel = _score_chunk(
             qinfo, k, self._avgdl, self.k1, self.b,
@@ -1978,9 +1986,35 @@ class Searcher:
             return seg.groupBy("chunk").applyInPandas(kernel, RESULT_SCHEMA)
         return (
             seg.groupBy("chunk")
-            .cogroup(self._dl.groupBy("chunk"))
+            .cogroup(dl.groupBy("chunk"))
             .applyInPandas(kernel, RESULT_SCHEMA)
         )
+
+    def search_min_docid(
+        self, queries: DataFrame, min_docid: int, k: int = 1000
+    ) -> DataFrame:
+        """(qid, docid, rank, score): BM25 top-k restricted to docs with
+        docid >= ``min_docid`` — the percolation primitive ("hits among
+        documents indexed since a watermark"). Appends allocate docids only
+        at-or-past the prior next_docid, so the scan prunes to the chunk
+        partitions at-or-after the watermark's; scoring is exhaustive
+        within them (the boundary chunk can mix old and new docs, and a
+        chunk-local top-k under pruning could fill with soon-to-be-masked
+        old docs), then the exact docid gate applies before ranking.
+        Scores use the LIVE corpus stats, like every filter-context query
+        (a Lucene filter clause never changes scoring)."""
+        if min_docid < 0:
+            raise ValueError(f"min_docid must be >= 0, got {min_docid}")
+        qinfo, all_terms = self._query_info(queries)
+        c0 = min_docid >> int(self.manifest["chunk_bits"])
+        # kernel k = chunk capacity: disables the chunk-local cut (same
+        # exhaustiveness trick as search_filtered — a cut before the docid
+        # gate could fill with old docs and starve new ones)
+        chunk_docs = 1 << int(self.manifest["chunk_bits"])
+        scored = self._scored_frame(
+            qinfo, all_terms, chunk_docs, False, min_chunk=c0
+        )
+        return topk(scored.filter(F.col("docid") >= min_docid), k)
 
     def _search_prepared(
         self,
