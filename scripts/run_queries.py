@@ -59,6 +59,12 @@ def main() -> None:
                         "fourth pluggable similarity")
     p.add_argument("--f2exp-s", type=float, default=0.5,
                    help="F2EXP length-normalization s (default 0.5)")
+    p.add_argument("--f2log", action="store_true",
+                   help="rank with axiomatic F2LOG (log idf) instead of "
+                        "BM25; shares --f2exp-s")
+    p.add_argument("--tfidf", action="store_true",
+                   help="rank with Lucene ClassicSimilarity TF-IDF "
+                        "(idf^2*sqrt(tf)/sqrt(dl)) instead of BM25")
     p.add_argument("--f2exp-k", type=float, default=0.35,
                    help="F2EXP idf power-law exponent (default 0.35)")
     p.add_argument("--rocchio", action="store_true",
@@ -130,7 +136,8 @@ def main() -> None:
                 "--phrases/--explain/--count emit diagnostic row shapes")
     if len(args.index_dirs) > 1 and (
         args.phrases or args.rm3 or args.rocchio or args.qld
-        or args.lmjm or args.f2exp or args.highlight
+        or args.lmjm or args.f2exp or args.f2log or args.tfidf
+        or args.highlight
         or args.rewrite or args.explain or args.count or args.syntax
     ):
         p.error("federated (multiple --index-dir) currently serves ranked "
@@ -172,6 +179,14 @@ def main() -> None:
             run = searcher.search_f2exp(
                 queries, k=args.k, s=args.f2exp_s, kexp=args.f2exp_k,
                 prune=not args.no_prune,
+            )
+        elif args.f2log:
+            run = searcher.search_f2log(
+                queries, k=args.k, s=args.f2exp_s, prune=not args.no_prune,
+            )
+        elif args.tfidf:
+            run = searcher.search_tfidf(
+                queries, k=args.k, prune=not args.no_prune,
             )
         elif args.lmjm:
             run = searcher.search_lmjm(
