@@ -882,6 +882,47 @@ class Searcher:
             qinfo2, all_terms, k, prune, sim="lmjm", mu=lam
         )
 
+    def _prep_sim(
+        self, queries: DataFrame, sim: str, param: float | None = None
+    ):
+        """(qinfo2, all_terms, kernel_sim, mu): query-side stats + kernel
+        branch + parameter for ANY pluggable similarity, so filter-context
+        paths (search_filtered, search_min_docid) compose with every
+        scorer the way Lucene filters do. ``param`` is the similarity's
+        single knob (qld mu | lmjm lambda | f2exp/f2log s); defaults match
+        the dedicated search_* methods. F2EXP's kexp stays at the Anserini
+        default here — use search_f2exp for a custom exponent."""
+        defaults = {
+            "bm25": 0.0, "qld": 1000.0, "lmjm": 0.1,
+            "f2exp": 0.5, "f2log": 0.5, "tfidf": 0.0,
+        }
+        if sim not in defaults:
+            raise ValueError(
+                f"unknown similarity {sim!r} ({' | '.join(defaults)})"
+            )
+        mu = defaults[sim] if param is None else float(param)
+        if sim == "qld" and mu <= 0:
+            raise ValueError(f"mu must be > 0, got {mu}")
+        if sim == "lmjm" and not (0.0 < mu < 1.0):
+            raise ValueError(f"lambda must be in (0, 1), got {mu}")
+        if sim in ("f2exp", "f2log") and mu <= 0:
+            raise ValueError(f"s must be > 0, got {mu}")
+        qinfo, all_terms = self._query_info(queries)
+        if not all_terms:
+            return {}, [], "bm25", 0.0
+        if sim in ("qld", "lmjm"):
+            return self._lm_query_probs(qinfo, all_terms), all_terms, sim, mu
+        if sim == "f2exp":
+            q2 = self._f2_query_stats(qinfo, all_terms, 0.35, shape="exp")
+            return q2, all_terms, "f2exp", mu
+        if sim == "f2log":
+            q2 = self._f2_query_stats(qinfo, all_terms, 0.0, shape="log")
+            return q2, all_terms, "f2exp", mu
+        if sim == "tfidf":
+            q2 = self._f2_query_stats(qinfo, all_terms, 0.0, shape="tfidf")
+            return q2, all_terms, "tfidf", mu
+        return qinfo, all_terms, "bm25", mu
+
     def _lm_query_probs(self, qinfo: dict, all_terms: list[int]) -> dict:
         """qinfo with the third slot (idf for BM25) replaced by P(t|C) —
         the per-term stat both LM similarities score with. Raises on a
@@ -1362,11 +1403,16 @@ class Searcher:
         hi=None,
         values: list | None = None,
         k: int = 1000,
+        sim: str = "bm25",
+        sim_param: float | None = None,
     ) -> DataFrame:
-        """(qid, docid, rank, score): BM25 top-k restricted to docs whose
+        """(qid, docid, rank, score): top-k restricted to docs whose
         docvalues ``field`` passes a range ([lo, hi], either bound may be
         None) or a value set — Lucene's FILTER-clause
-        RangeQuery/TermInSetQuery over DocValues
+        RangeQuery/TermInSetQuery over DocValues. ``sim``/``sim_param``
+        pick the scorer (bm25 | qld | lmjm | f2exp | f2log | tfidf, knob
+        semantics per _prep_sim) — a filter clause composes with every
+        similarity, exactly as in Lucene
         (IndexOrDocValuesQuery; the reference's Anserini layer exposes it
         as filtered search).
 
@@ -1389,9 +1435,11 @@ class Searcher:
             dv = dv.filter(F.col(field) >= lo)
         if hi is not None:
             dv = dv.filter(F.col(field) <= hi)
-        qinfo, all_terms = self._query_info(queries)
+        qinfo, all_terms, ksim, mu = self._prep_sim(queries, sim, sim_param)
         chunk_docs = 1 << int(self.manifest["chunk_bits"])
-        scored = self._scored_frame(qinfo, all_terms, chunk_docs, False)
+        scored = self._scored_frame(
+            qinfo, all_terms, chunk_docs, False, sim=ksim, mu=mu
+        )
         return topk(scored.join(dv.select("docid"), "docid"), k)
 
     def doc_lengths_frame(self, chunks: list[int] | None = None) -> DataFrame:
@@ -1991,7 +2039,12 @@ class Searcher:
         )
 
     def search_min_docid(
-        self, queries: DataFrame, min_docid: int, k: int = 1000
+        self,
+        queries: DataFrame,
+        min_docid: int,
+        k: int = 1000,
+        sim: str = "bm25",
+        sim_param: float | None = None,
     ) -> DataFrame:
         """(qid, docid, rank, score): BM25 top-k restricted to docs with
         docid >= ``min_docid`` — the percolation primitive ("hits among
@@ -2005,14 +2058,15 @@ class Searcher:
         (a Lucene filter clause never changes scoring)."""
         if min_docid < 0:
             raise ValueError(f"min_docid must be >= 0, got {min_docid}")
-        qinfo, all_terms = self._query_info(queries)
+        qinfo, all_terms, ksim, mu = self._prep_sim(queries, sim, sim_param)
         c0 = min_docid >> int(self.manifest["chunk_bits"])
         # kernel k = chunk capacity: disables the chunk-local cut (same
         # exhaustiveness trick as search_filtered — a cut before the docid
         # gate could fill with old docs and starve new ones)
         chunk_docs = 1 << int(self.manifest["chunk_bits"])
         scored = self._scored_frame(
-            qinfo, all_terms, chunk_docs, False, min_chunk=c0
+            qinfo, all_terms, chunk_docs, False, min_chunk=c0,
+            sim=ksim, mu=mu,
         )
         return topk(scored.filter(F.col("docid") >= min_docid), k)
 

@@ -49,6 +49,8 @@ class Percolator:
         queries: DataFrame,
         k: int = 1000,
         from_start: bool = False,
+        sim: str = "bm25",
+        sim_param: float | None = None,
     ):
         man = load_manifest(index_dir)
         if man is None:
@@ -57,6 +59,8 @@ class Percolator:
         self.index_dir = index_dir
         self.queries = queries
         self.k = int(k)
+        self.sim = sim
+        self.sim_param = sim_param
         self.watermark = 0 if from_start else int(man["next_docid"])
 
     def poll(self) -> DataFrame:
@@ -78,7 +82,8 @@ class Percolator:
         # pointer) moved with the append; construction cost is one
         # dictionary load, amortized across the whole standing query set
         hits = Searcher(self.spark, self.index_dir).search_min_docid(
-            self.queries, self.watermark, k=self.k
+            self.queries, self.watermark, k=self.k,
+            sim=self.sim, sim_param=self.sim_param,
         )
         self.watermark = cur
         return hits

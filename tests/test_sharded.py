@@ -254,3 +254,54 @@ def test_append_docs_to_index_guards(spark, tmp_path):
     s = Searcher(spark, d)
     q = spark.createDataFrame([("q", "freshterm")], "qid string, text string")
     assert {r["docid"] for r in s.search(q, k=5).collect()} == {128}
+
+
+@pytest.mark.parametrize("sim,param", [("qld", 1000.0), ("tfidf", None),
+                                       ("f2log", 0.5)])
+def test_search_filtered_composes_with_similarities(spark, corpus, queries,
+                                                    sim, param):
+    """A filter clause composes with every pluggable scorer (Lucene filter
+    semantics): search_filtered(sim=X) == full X-search restricted to the
+    range and re-ranked."""
+    from pyspark.sql import Window
+
+    s = Searcher(spark, corpus["union"])
+    got = _as_map(
+        s.search_filtered(
+            queries, "size", lo=60, hi=180, k=50, sim=sim, sim_param=param
+        ).collect()
+    )
+    full = {
+        "qld": lambda: s.search_qld(queries, k=100_000, prune=False),
+        "tfidf": lambda: s.search_tfidf(queries, k=100_000, prune=False),
+        "f2log": lambda: s.search_f2log(queries, k=100_000, prune=False),
+    }[sim]()
+    dv = spark.read.parquet(f"{corpus['union']}/doc_map").filter(
+        (F.col("size") >= 60) & (F.col("size") <= 180)
+    )
+    want_rows = (
+        full.join(dv.select("docid"), "docid")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.round("score", 6).desc(), F.col("docid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 50)
+        .collect()
+    )
+    want = {
+        (r["qid"], r["docid"]): (r["rank"], round(r["score"], 6))
+        for r in want_rows
+    }
+    assert got == want and got
+
+
+def test_search_filtered_sim_guards(spark, corpus, queries):
+    s = Searcher(spark, corpus["union"])
+    with pytest.raises(ValueError, match="unknown similarity"):
+        s.search_filtered(queries, "size", lo=0, sim="dfr")
+    with pytest.raises(ValueError, match="lambda"):
+        s.search_filtered(queries, "size", lo=0, sim="lmjm", sim_param=2.0)
