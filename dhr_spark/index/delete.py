@@ -66,6 +66,26 @@ from dhr_spark.index.builder import (
 )
 
 
+def _doclens_docids(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(docid) of every doc with at least one posting — exploded from the
+    packed doclens arrays (the validation source of last resort when an
+    index has neither doc_map nor forward index)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["dls"], dtype=np.int32)
+                nz = np.flatnonzero(arr)
+                yield pd.DataFrame({"docid": nz + int(row["base_docid"])})
+
+    return (
+        spark.read.parquet(os.path.join(index_dir, "doclens"))
+        .mapInPandas(gen, "docid long")
+    )
+
+
 def delete_docs(
     spark: SparkSession,
     index_dir: str,
@@ -100,8 +120,16 @@ def delete_docs(
             "(stats drift until a full rebuild)"
         )
 
-    doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
+    dm_path = os.path.join(index_dir, "doc_map")
+    has_doc_map = os.path.isdir(dm_path)
     if match is not None:
+        if not has_doc_map:
+            raise ValueError(
+                "match= deletion selects over doc_map docvalues, and this "
+                "index has no doc_map — build with doc_map_df/docvalues, "
+                "or delete by explicit docids"
+            )
+        doc_map = spark.read.parquet(dm_path)
         field, values = match
         if field not in doc_map.columns:
             raise ValueError(
@@ -121,8 +149,20 @@ def delete_docs(
             )
         # unknown ids are dropped, not tombstoned: a bogus id in the mask
         # is harmless to scoring but would inflate the manifest count that
-        # gates MAX_TOMBSTONES
-        targets = targets.join(doc_map.select("docid"), "docid", "left_semi")
+        # gates MAX_TOMBSTONES. Validate against whichever live-docid
+        # artifact exists — doc_map is optional (generic-corpus indexes
+        # built without doc_map_df), the forward index next, doclens always
+        if has_doc_map:
+            valid = spark.read.parquet(dm_path).select("docid")
+        elif man.get("forward_index"):
+            valid = (
+                spark.read.parquet(os.path.join(index_dir, "forward"))
+                .select("docid")
+                .distinct()
+            )
+        else:
+            valid = _doclens_docids(spark, index_dir)
+        targets = targets.join(valid, "docid", "left_semi")
 
     prior = read_tombstones(spark, index_dir, man)
     if prior is not None:

@@ -211,3 +211,30 @@ def test_orphan_tombstone_partition_ignored(spark, turns, queries, tmp_path_fact
         for r in Searcher(spark, d).search(queries, k=1_000_000).collect()
     }
     assert not (set(victims) & hits2)
+
+
+def test_delete_on_index_without_doc_map(spark, tmp_path):
+    """Generic-corpus indexes (no doc_map_df at build) still support
+    docid deletes — validation falls back to the forward index or, absent
+    that, a doclens explode; match= deletion raises a clear error instead
+    of silently matching nothing."""
+    from dhr_spark.index.builder import build_index_from_docs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(20)],
+        "docid long, text string",
+    )
+    d = str(tmp_path / "nodm")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="simple",
+        chunk_bits=CHUNK_BITS, block_size=BLOCK,
+    )
+    assert not os.path.isdir(os.path.join(d, "doc_map"))
+    q = spark.createDataFrame([("q", "doc3")], "qid string, text string")
+    assert {r["docid"] for r in Searcher(spark, d).search(q, k=5).collect()} == {3}
+    man = delete_docs(spark, d, docids=[3, 9999], exact_stats=False)
+    # the bogus id 9999 was dropped by the doclens validation
+    assert man["tombstones"] == 1
+    assert Searcher(spark, d).search(q, k=5).count() == 0
+    with pytest.raises(ValueError, match="no doc_map"):
+        delete_docs(spark, d, match=("role", ["tool"]), exact_stats=False)

@@ -439,9 +439,14 @@ def test_qld_ctf_survives_append_and_delete(spark, sfdocs, rocchio_idx,
         "tool string, ts timestamp",
     )
     man = append_to_index(spark, extra, d)
+    # rocchio_idx has no doc_map (built without doc_map_df) and an append
+    # must NOT create a partial one — pick the victim off the forward index
     victim = int(
-        spark.read.parquet(f"{d}/doc_map").agg(F.min("docid")).collect()[0][0]
+        spark.read.parquet(f"{d}/forward").agg(F.min("docid")).collect()[0][0]
     )
+    import os as _os
+
+    assert not _os.path.isdir(f"{d}/doc_map")
     man = delete_docs(spark, d, docids=[victim])
 
     s = Searcher(spark, d)
