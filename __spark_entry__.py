@@ -1193,6 +1193,43 @@ ranked AS (
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
 
 
+def _range_qld_sql(mu: float = QLD_MU) -> str:
+    """Filter-context QLD oracle: the LM-Dirichlet scorer gated by the
+    n_chars range — pins that search_filtered(sim=) composes the filter
+    with a non-BM25 similarity exactly (scores unchanged by the gate)."""
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+coll AS (SELECT sum(dl)::DOUBLE AS cl FROM dl),
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.term, tf.doc_id AS docid,
+         round(greatest(
+           ln(1 + tf.tf / ({mu} * (ctf.ctf / coll.cl)))
+           + ln({mu} / (dl.dl + {mu})), 0.0), 6) AS weight
+  FROM tf JOIN ctf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN coll
+),
+scored AS (
+  SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
+  FROM q JOIN w USING (term)
+  WHERE w.weight > 0
+  GROUP BY 1, 2
+),
+flt AS (
+  SELECT doc_id FROM documents
+  WHERE n_chars BETWEEN {RANGE_LO} AND {RANGE_HI}
+),
+ranked AS (
+  SELECT qid, scored.docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, scored.docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored JOIN flt ON flt.doc_id = scored.docid
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
 def _lmjm_topk_sql(lam: float = LMJM_LAMBDA) -> str:
     """LM Jelinek-Mercer (operators/qld.py lmjm_weights) oracle — always
     positive, so no clamp/filter; op order pinned to the Spark/kernel
@@ -3051,6 +3088,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ss.search(_queries_df(spark), k=TOPK, lo=RANGE_LO, hi=RANGE_HI)
         )
 
+    def range_qld_q(spark, sf):
+        # filter-context composition: the n_chars range gate under the QLD
+        # scorer — a Lucene filter clause composes with every similarity
+        return _round4(
+            _searcher(spark, sf).search_filtered(
+                _queries_df(spark), "n_chars", lo=RANGE_LO, hi=RANGE_HI,
+                k=TOPK, sim="qld",
+            )
+        )
+
     def percolate_q(spark, sf):
         # percolation primitive: top-k among docs indexed past a watermark
         # (docid >= 4n/5), live corpus stats — the standing-query alerting
@@ -3675,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vs_slow_identity": tfidf_vs_slow_q,
         "sharded_range_topk": sharded_range_q,
         "percolate_topk": percolate_q,
+        "range_qld_topk": range_qld_q,
         "text_unigram_xent": xent_q,
         "sample_stratified": strat_sample_q,
         "f2exp_vs_slow_identity": f2exp_vs_slow_q,
@@ -4269,6 +4317,7 @@ WHERE b.bucket < r.rate_i""",
         "tfidf_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "sharded_range_topk": _RANGE_TOPK_SQL,
         "percolate_topk": _PERCOLATE_TOPK_SQL,
+        "range_qld_topk": _range_qld_sql(),
         "sample_stratified": f"""
 WITH b AS (
   SELECT doc_id, source,

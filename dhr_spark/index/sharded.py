@@ -237,6 +237,28 @@ def append_to_sharded(
             cached.unpersist()
 
 
+def _full_shard_search(sr, queries, k, sim, param):
+    """Dispatch an unfiltered member search under the chosen similarity
+    (the member Searcher carries the federation's merged-stats override,
+    so each method scores globally). Parameter knob semantics match
+    Searcher._prep_sim; None means the similarity's default."""
+    if sim == "bm25":
+        return sr.search(queries, k=k)
+    if sim == "qld":
+        return sr.search_qld(queries, k=k, **({} if param is None else {"mu": param}))
+    if sim == "lmjm":
+        return sr.search_lmjm(queries, k=k, **({} if param is None else {"lam": param}))
+    if sim == "f2exp":
+        return sr.search_f2exp(queries, k=k, **({} if param is None else {"s": param}))
+    if sim == "f2log":
+        return sr.search_f2log(queries, k=k, **({} if param is None else {"s": param}))
+    if sim == "tfidf":
+        return sr.search_tfidf(queries, k=k)
+    raise ValueError(
+        f"unknown similarity {sim!r} (bm25 | qld | lmjm | f2exp | f2log | tfidf)"
+    )
+
+
 class ShardedSearcher:
     """Range-pruned federated search over a ``build_range_sharded`` layout.
 
@@ -290,14 +312,23 @@ class ShardedSearcher:
         return out
 
     def search(
-        self, queries: DataFrame, k: int = 1000, lo=None, hi=None
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        lo=None,
+        hi=None,
+        sim: str = "bm25",
+        sim_param: float | None = None,
     ) -> DataFrame:
-        """(qid, docid, rank, score): global-stats BM25 top-k over the docs
+        """(qid, docid, rank, score): global-stats top-k over the docs
         whose shard key falls in the inclusive range [lo, hi] (both bounds
         optional; no bounds = unranged federated search). Identical to
-        ``search_filtered(field, lo=, hi=)`` on a single union index:
-        same docids (shards never renumber), same scores (merged stats),
-        same tie order (plain score-desc/docid-asc top-k)."""
+        ``search_filtered(field, lo=, hi=, sim=)`` on a single union index:
+        same docids (shards never renumber), same scores (merged stats —
+        every member scores under the federation's global df/ctf/avgdl,
+        so the similarity federates exactly as in MultiSearcher), same tie
+        order (plain score-desc/docid-asc top-k). ``sim``/``sim_param``
+        pick the scorer (bm25 | qld | lmjm | f2exp | f2log | tfidf)."""
         if lo is None and hi is None:
             sel = [
                 (i, True)
@@ -310,10 +341,13 @@ class ShardedSearcher:
         for i, full in sel:
             sr = self.ms.searchers[self._ms_idx[id(self.shards[i])]]
             if full:
-                per.append(sr.search(queries, k=k))
+                per.append(_full_shard_search(sr, queries, k, sim, sim_param))
             else:
                 per.append(
-                    sr.search_filtered(queries, self.field, lo=lo, hi=hi, k=k)
+                    sr.search_filtered(
+                        queries, self.field, lo=lo, hi=hi, k=k,
+                        sim=sim, sim_param=sim_param,
+                    )
                 )
         if not per:
             return self.spark.createDataFrame(

@@ -305,3 +305,25 @@ def test_search_filtered_sim_guards(spark, corpus, queries):
         s.search_filtered(queries, "size", lo=0, sim="dfr")
     with pytest.raises(ValueError, match="lambda"):
         s.search_filtered(queries, "size", lo=0, sim="lmjm", sim_param=2.0)
+
+
+@pytest.mark.parametrize("sim", ["qld", "tfidf"])
+def test_sharded_range_composes_with_similarities(spark, corpus, queries, sim):
+    """Range-pruned sharded search federates every pluggable similarity:
+    == union-index search_filtered under the same scorer (merged global
+    stats on both sides)."""
+    ss = ShardedSearcher(spark, corpus["sharded"])
+    got = _as_map(ss.search(queries, k=50, lo=60, hi=180, sim=sim).collect())
+    want = _as_map(
+        Searcher(spark, corpus["union"])
+        .search_filtered(queries, "size", lo=60, hi=180, k=50, sim=sim)
+        .collect()
+    )
+    assert got == want and got
+    # unranged too (full-shard dispatch path)
+    got = _as_map(ss.search(queries, k=50, sim=sim).collect())
+    full = {
+        "qld": lambda: Searcher(spark, corpus["union"]).search_qld(queries, k=50),
+        "tfidf": lambda: Searcher(spark, corpus["union"]).search_tfidf(queries, k=50),
+    }[sim]()
+    assert got == _as_map(full.collect()) and got
