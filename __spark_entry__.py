@@ -3870,7 +3870,9 @@ SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
 FROM sess GROUP BY 1, 2""",
         "events_tumbling_counts": """
 SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_epoch, event_type,
-       count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 1e6) AS BIGINT))::DOUBLE
+         / (count(*) * 1000000)::DOUBLE AS avg_value
 FROM events GROUP BY 1, 2""",
         "events_json_fields": """
 SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events""",
@@ -4230,8 +4232,10 @@ mid AS (
   FROM toks t JOIN documents d ON d.doc_id = t.doc_id
 )
 SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, alnum_ratio,
-       round(least(n_tokens / 50.0, 1.0) * 0.5 + alnum_ratio * 0.3
-             + least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality
+       (least(n_tokens * 20000, 1000000) * 5
+        + CAST(round(alnum_ratio * 1e6) AS BIGINT) * 3
+        + least(CAST(round(stopword_ratio * 1e6) AS BIGINT) * 4, 1000000) * 2
+       ) / 1e7 AS quality
 FROM mid""",
         "text_lang_id": _lang_sql(),
         "text_cooccurrence": f"""WITH {_TOKS_CTE},

@@ -46,7 +46,19 @@ def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, MANIFEST)
 
 
-def load_manifest(index_dir: str) -> dict | None:
+def load_manifest(index_dir: str, snapshot: int | None = None) -> dict | None:
+    """The CURRENT committed manifest, or — with ``snapshot`` — the exact
+    manifest of that earlier commit (Iceberg-style point-in-time read; see
+    _write_manifest for what a snapshot id is and when it expires)."""
+    if snapshot is not None:
+        p = os.path.join(index_dir, "snapshots", f"{int(snapshot)}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"no snapshot {snapshot} in {index_dir}/snapshots "
+                f"(have: {sorted(list_snapshots(index_dir))})"
+            )
+        with open(p) as f:
+            return json.load(f)
     p = _manifest_path(index_dir)
     if not os.path.exists(p):
         return None
@@ -54,11 +66,62 @@ def load_manifest(index_dir: str) -> dict | None:
         return json.load(f)
 
 
+def list_snapshots(index_dir: str) -> list[int]:
+    """Committed snapshot ids, ascending (the current state is always the
+    max id — every commit archives itself)."""
+    d = os.path.join(index_dir, "snapshots")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.endswith(".json"):
+            try:
+                out.append(int(n[:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def rollback_index(index_dir: str, snapshot: int) -> dict:
+    """Restore the index to an earlier snapshot's state — the undo for
+    appends/deletes (Iceberg rollback). Data files are untouched: readers
+    prune to the manifest's chunk list, orphaned newer chunks are invisible
+    and a later append dynamic-partition-OVERWRITES them (the same
+    invariant that makes crash-retry idempotent). The rollback itself
+    commits as a NEW snapshot (audit trail preserved; roll-forward stays
+    possible). Snapshots taken before a chunk-rewriting compaction's GC may
+    reference replaced files — expired, exactly like Iceberg snapshots
+    after expire_snapshots."""
+    man = load_manifest(index_dir, snapshot=snapshot)
+    man = dict(man)
+    man.pop("snapshot_id", None)  # _write_manifest assigns the new id
+    _write_manifest(index_dir, man)
+    return man
+
+
 def _write_manifest(index_dir: str, m: dict) -> None:
+    """Atomic commit + self-archive: every committed manifest also lands in
+    snapshots/<snapshot_id>.json, giving point-in-time reads
+    (Searcher(snapshot=)) and rollback for free. The id is assigned here —
+    monotone per index, prior+1 — and written into the caller's dict so
+    returned manifests carry it. Crash between the snapshot write and the
+    manifest replace leaves an orphan snapshot file; the retry re-derives
+    the same id and overwrites it."""
     os.makedirs(index_dir, exist_ok=True)
+    prior = load_manifest(index_dir)
+    m["snapshot_id"] = (
+        int(prior.get("snapshot_id", 0)) + 1 if prior is not None else 1
+    )
+    blob = json.dumps(m, indent=1, sort_keys=True)
+    snap_dir = os.path.join(index_dir, "snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    snap_tmp = os.path.join(snap_dir, f"{m['snapshot_id']}.json.tmp")
+    with open(snap_tmp, "w") as f:
+        f.write(blob)
+    os.replace(snap_tmp, os.path.join(snap_dir, f"{m['snapshot_id']}.json"))
     tmp = _manifest_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(m, f, indent=1, sort_keys=True)
+        f.write(blob)
     os.replace(tmp, _manifest_path(index_dir))  # atomic commit
 
 

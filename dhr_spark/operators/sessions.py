@@ -77,7 +77,16 @@ def tumbling_counts(
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # exact integer-micros mean: per-row round-to-micros is exact
+            # in both engines, the integer SUM is order-independent (float
+            # summation order is not), and the single final division is
+            # deterministic IEEE — round(avg(double),6) drew .xxxxxx5
+            # midpoints at sf0.1 where Spark and DuckDB round apart
+            (
+                F.sum(F.round(F.col("value") * F.lit(1e6)).cast("long"))
+                .cast("double")
+                / (F.count("*") * F.lit(1_000_000)).cast("double")
+            ).alias("avg_value"),
         )
         .select(
             F.col("w.start").cast("timestamp").cast("long").alias("window_epoch"),

@@ -79,11 +79,22 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     avg_len = F.when(n > 0, F.round(tok_chars / n, 6)).otherwise(F.lit(0.0))
     stop_ratio = F.when(n > 0, F.round(n_stop / n, 6)).otherwise(F.lit(0.0))
     alnum_ratio = F.when(total > 0, F.round(alnum / total, 6)).otherwise(F.lit(0.0))
-    quality = F.round(
-        F.least(n / F.lit(50.0), F.lit(1.0)) * F.lit(0.5)
-        + alnum_ratio * F.lit(0.3)
-        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * F.lit(0.2),
-        6,
+    # composite in EXACT integer tenth-micros: the rounded-to-6 ratios are
+    # integers in micros, n*20000 caps the length term exactly, and the
+    # weighted sum (x5/x3/x2, /10) never rounds — a float composite kept
+    # landing on .xxxxxx5 midpoints where Spark (HALF_UP on decimal) and
+    # DuckDB (nearest-even on doubles) disagree in the 6th decimal
+    # (measured at sf0.1: 0.5975645 -> .597564 vs .597565)
+    len_i = F.least(F.size(toks).cast("long") * F.lit(20000), F.lit(1_000_000))
+    alnum_i = F.round(alnum_ratio * F.lit(1e6)).cast("long")
+    stop_i = F.least(
+        F.round(stop_ratio * F.lit(1e6)).cast("long") * F.lit(4),
+        F.lit(1_000_000),
+    )
+    quality = (
+        (len_i * F.lit(5) + alnum_i * F.lit(3) + stop_i * F.lit(2))
+        .cast("double")
+        / F.lit(1e7)
     )
     return docs.select(
         id_col,

@@ -565,8 +565,16 @@ class Searcher:
         k1: float | None = None,
         b: float | None = None,
         corpus_stats: dict | None = None,
+        snapshot: int | None = None,
     ):
-        """``k1``/``b`` override the manifest's BM25 parameters for THIS
+        """``snapshot`` pins this searcher to an earlier committed state
+        (builder.list_snapshots ids): the archived manifest's chunk list,
+        dictionary version, stats, and tombstone watermark drive every
+        read, so later appends/deletes are invisible — an Iceberg-style
+        point-in-time read. Valid until a compaction's GC replaces the
+        chunk files that snapshot references.
+
+        ``k1``/``b`` override the manifest's BM25 parameters for THIS
         searcher — Lucene's per-IndexSearcher setSimilarity analogue. The
         stats-free segment layout makes this sound at query time: segments
         store raw (tf, dl) with (max_tf, min_dl) block bounds, and
@@ -591,7 +599,7 @@ class Searcher:
                 "spark.sql.shuffle.partitions",
                 str(self.INTERACTIVE_SHUFFLE_PARTITIONS),
             )
-        man = load_manifest(index_dir)
+        man = load_manifest(index_dir, snapshot=snapshot)
         if man is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         if int(man.get("version", 1)) < 2:
