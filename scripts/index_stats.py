@@ -32,7 +32,7 @@ def main() -> None:
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
-    from dhr_spark.index.builder import load_manifest
+    from dhr_spark.index.builder import list_snapshots, load_manifest
     from dhr_spark.session import get_spark
 
     man = load_manifest(args.index_dir)
@@ -71,6 +71,7 @@ def main() -> None:
         ),
         "disk_bytes": sizes,
         "top_terms": top,
+        "snapshots": list_snapshots(args.index_dir),
     }
     print(json.dumps(out))
     spark.stop()

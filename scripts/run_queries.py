@@ -59,6 +59,10 @@ def main() -> None:
                         "fourth pluggable similarity")
     p.add_argument("--f2exp-s", type=float, default=0.5,
                    help="F2EXP length-normalization s (default 0.5)")
+    p.add_argument("--snapshot", type=int, default=None,
+                   help="pin the searcher to an earlier committed manifest "
+                        "snapshot (point-in-time read; ids from "
+                        "index_stats.py or builder.list_snapshots)")
     p.add_argument("--f2log", action="store_true",
                    help="rank with axiomatic F2LOG (log idf) instead of "
                         "BM25; shares --f2exp-s")
@@ -165,7 +169,8 @@ def main() -> None:
         ).search(queries, k=args.k, prune=not args.no_prune)
     else:
         searcher = Searcher(
-            spark, args.index_dirs[0], k1=args.k1, b=args.b
+            spark, args.index_dirs[0], k1=args.k1, b=args.b,
+            snapshot=args.snapshot,
         )
         if args.phrases:
             run = searcher.search_phrase_batch(
