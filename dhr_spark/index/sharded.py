@@ -84,6 +84,16 @@ def build_range_sharded(
             f"{n_null} rows have NULL {field!r} — a range-sharded index "
             "cannot place them; filter or impute first"
         )
+    from pyspark.sql import types as T
+
+    # integral keys let the searcher treat [slo, shi) as fully covered by
+    # an inclusive [lo, hi] whenever shi - 1 <= hi: the covered shard then
+    # runs plain block-max WAND instead of the exhaustive filtered pass —
+    # measured 3.8x -> much wider on the 1M-turn day-range benchmark
+    integer_key = isinstance(
+        docs.schema[field].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
     dv = tuple(dict.fromkeys((field, *docvalues)))  # field first, deduped
     bounds = [(None, cuts[0])]
     bounds += [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
@@ -112,6 +122,7 @@ def build_range_sharded(
     root = {
         "version": 1,
         "field": field,
+        "integer_key": integer_key,
         "cuts": list(cuts),
         "shards": shards,
         # replayed by append_to_sharded for shards that were empty at build
@@ -295,7 +306,12 @@ class ShardedSearcher:
         [lo, hi] — the pruning decision, exposed for tests and EXPLAIN-style
         introspection. A shard [slo, shi) intersects iff slo <= hi and
         shi > lo; it is fully covered iff lo <= slo and shi <= hi (v < shi
-        <= hi ⟹ v <= hi, so no docvalues filter is needed)."""
+        <= hi ⟹ v <= hi, so no docvalues filter is needed). With an
+        integral shard key (recorded at build), shi - 1 <= hi also fully
+        covers — v < shi ⟺ v <= shi - 1 — which is what lets a whole-day
+        query run plain WAND on its day shard instead of the exhaustive
+        filtered pass."""
+        int_key = bool(self.manifest.get("integer_key"))
         out = []
         for i, s in enumerate(self.shards):
             if s["dir"] is None:
@@ -305,9 +321,11 @@ class ShardedSearcher:
                 continue
             if lo is not None and shi is not None and shi <= lo:
                 continue
-            full = (lo is None or (slo is not None and slo >= lo)) and (
-                hi is None or (shi is not None and shi <= hi)
+            hi_cover = hi is None or (
+                shi is not None
+                and (shi <= hi or (int_key and shi - 1 <= hi))
             )
+            full = (lo is None or (slo is not None and slo >= lo)) and hi_cover
             out.append((i, full))
         return out
 

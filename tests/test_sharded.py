@@ -95,10 +95,11 @@ def test_unranged_identity_with_union_index(spark, corpus, queries):
 
 def test_shard_pruning_decisions(spark, corpus):
     ss = ShardedSearcher(spark, corpus["sharded"])
-    # wholly inside the middle shard: one shard, fully covered iff bounds
-    # align; [80, 159] covers [80, 160) because v < 160 <=> v <= 159 for
-    # longs — but select_shards is conservative (160 > 159) and filters
-    assert ss.select_shards(80, 159) == [(1, False)]
+    # wholly inside the middle shard: size is a LONG key, so the build
+    # recorded integer_key and [80, 159] fully covers [80, 160)
+    # (v < 160 <=> v <= 159) — plain WAND, no docvalues filter
+    assert ss.manifest["integer_key"] is True
+    assert ss.select_shards(80, 159) == [(1, True)]
     # exact half-open cover -> full scan, no filter
     assert ss.select_shards(80, 160) == [(1, True), (2, False)]
     # left-open query touches shards 0 and 1 only
