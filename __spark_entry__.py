@@ -35,6 +35,7 @@ from dhr_spark.operators.termfreq import (
     with_tokens,
 )
 from dhr_spark.operators import axiomatic as AX
+from dhr_spark.operators import dfr as DFR
 from dhr_spark.operators import boolquery as BQ
 from dhr_spark.operators import conversations as CV
 from dhr_spark.operators import phrase as PH
@@ -150,6 +151,7 @@ SPAN_OR_QUERIES: list[tuple[str, list[str]]] = [
 QLD_MU = 1000.0  # Lucene/Pyserini set_qld default
 LMJM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity title default
 F2EXP_S = 0.5  # Anserini AxiomaticF2EXP s default
+DFR_C = 0.1  # normalization-2 c for InL2/SPL (Anserini -inl2.c default)
 F2EXP_KEXP = 0.35  # axiomatic power-law idf exponent default
 # Lucene SynonymQuery fixture groups (terms from the synthetic vocabulary)
 SYN_GROUPS: list[list[str]] = [["table", "scan"], ["merge", "join"]]
@@ -1304,6 +1306,77 @@ w AS (
            ln((cs.n_docs + 1)::DOUBLE / ts.df) * tf.tf
            / (tf.tf + {s!r} + {s!r} * dl.dl / cs.avgdl), 6) AS weight
   FROM tf JOIN ts USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+),
+scored AS (
+  SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
+  FROM q JOIN w USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
+def _inl2_topk_sql(c: float = DFR_C) -> str:
+    """DFR InL2 (operators/dfr.py, Amati & van Rijsbergen TOIS 2002):
+    tfn = tf·log2(1 + c·avgdl/dl); w = log2((N+1)/(df+0.5)) · tfn/(tfn+1);
+    always positive, no clamp. Op order pinned to the Spark/kernel paths."""
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+w AS (
+  SELECT tf.term, tf.doc_id AS docid,
+         round(
+           log2((cs.n_docs + 1)::DOUBLE / (ts.df + 0.5))
+           * (tf.tf * log2(1 + {c!r} * cs.avgdl / dl.dl))
+           / ((tf.tf * log2(1 + {c!r} * cs.avgdl / dl.dl)) + 1), 6)
+           AS weight
+  FROM tf JOIN ts USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+),
+scored AS (
+  SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
+  FROM q JOIN w USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
+def _spl_topk_sql(c: float = DFR_C) -> str:
+    """Information-based SPL (operators/dfr.py, Clinchant & Gaussier SIGIR
+    2010): λ = ctf/N; tfn = tf·log2(1 + c·avgdl/dl);
+    w = −log2((λ^(tfn/(tfn+1)) − λ)/(1 − λ)), with the analytic λ→1 limit
+    branch w = log2(tfn + 1) for λ ≥ 1−1e−6 (the same branch — on the same
+    identically-computed λ — that the Spark paths take; dfr.py's module
+    doc explains why a clamp would break cross-engine 6-decimal
+    agreement). Always positive."""
+    lim = 1.0 - 1e-6
+    tfn = f"(tf.tf * log2(1 + {c!r} * cs.avgdl / dl.dl))"
+    lam = "(ctf.ctf / CAST(cs.n_docs AS DOUBLE))"
+    x = f"({tfn} / ({tfn} + 1))"
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.term, tf.doc_id AS docid,
+         round(CASE WHEN {lam} >= {lim!r} THEN log2({tfn} + 1)
+               ELSE -log2(({lam} ^ {x} - {lam}) / (1 - {lam}))
+               END, 6) AS weight
+  FROM tf JOIN ctf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN cs
 ),
 scored AS (
@@ -3077,6 +3150,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def inl2_topk_q(spark, sf):
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return _round4(
+            DFR.inl2_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                k=TOPK, c=DFR_C,
+            )
+        )
+
+    def inl2_vs_slow_q(spark, sf):
+        # seventh pluggable similarity, same self-check shape: the DFR
+        # InL2 WAND pass (log2((N+1)/(df+0.5)) stat on the query side)
+        # must equal the DataFrame slow path exactly
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        fast = _round4(
+            Searcher(spark, idx).search_inl2(
+                _queries_df(spark), k=TOPK, c=DFR_C
+            )
+        )
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        slow = _round4(
+            DFR.inl2_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                k=TOPK, c=DFR_C,
+            )
+        )
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
+    def spl_topk_q(spark, sf):
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return _round4(
+            DFR.spl_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                k=TOPK, c=DFR_C,
+            )
+        )
+
+    def spl_vs_slow_q(spark, sf):
+        # eighth pluggable similarity: the information-based SPL WAND pass
+        # (per-doc collection frequency λ = ctf/N on the query side, with
+        # the analytic λ→1 limit branch) must equal the slow path exactly
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        fast = _round4(
+            Searcher(spark, idx).search_spl(
+                _queries_df(spark), k=TOPK, c=DFR_C
+            )
+        )
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        slow = _round4(
+            DFR.spl_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                k=TOPK, c=DFR_C,
+            )
+        )
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def sharded_range_q(spark, sf):
         # range-sharded index: whole-shard pruning on the shard key, exact
         # identity with single-index filtered search (same oracle SQL as
@@ -3728,6 +3863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2exp_vs_slow_identity": f2exp_vs_slow_q,
         "precision_at_10": prec_q,
         "judged_at_10": judged_q,
+        "inl2_topk": inl2_topk_q,
+        "inl2_vs_slow_identity": inl2_vs_slow_q,
+        "spl_topk": spl_topk_q,
+        "spl_vs_slow_identity": spl_vs_slow_q,
     }
 
 
@@ -4383,6 +4522,10 @@ ranked AS (
 )
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         "f2exp_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
+        "inl2_topk": _inl2_topk_sql(),
+        "inl2_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
+        "spl_topk": _spl_topk_sql(),
+        "spl_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "syntax_range_topk": _RANGE_TOPK_SQL,
         # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
         # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only

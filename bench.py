@@ -432,7 +432,8 @@ def main() -> None:
         "fuzzy_topk", "range_topk", "collapse_hits", "decontaminate",
         "qld_topk", "qld_vs_slow_identity", "rocchio_topk", "regexp_topk",
         "span_first", "blockjoin_topk", "span_or_index", "synonym_index_topk",
-        "f2log_topk", "tfidf_topk", "sample_temperature",
+        "f2log_topk", "tfidf_topk", "inl2_topk", "spl_topk",
+        "sample_temperature",
         "sharded_range_topk", "percolate_topk",
     ]:
         # best-of-2: each op is 0.2-4s, so the second draw is cheap and

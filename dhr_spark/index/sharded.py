@@ -265,8 +265,13 @@ def _full_shard_search(sr, queries, k, sim, param):
         return sr.search_f2log(queries, k=k, **({} if param is None else {"s": param}))
     if sim == "tfidf":
         return sr.search_tfidf(queries, k=k)
+    if sim == "inl2":
+        return sr.search_inl2(queries, k=k, **({} if param is None else {"c": param}))
+    if sim == "spl":
+        return sr.search_spl(queries, k=k, **({} if param is None else {"c": param}))
     raise ValueError(
-        f"unknown similarity {sim!r} (bm25 | qld | lmjm | f2exp | f2log | tfidf)"
+        f"unknown similarity {sim!r} "
+        "(bm25 | qld | lmjm | f2exp | f2log | tfidf | inl2 | spl)"
     )
 
 
@@ -346,7 +351,8 @@ class ShardedSearcher:
         every member scores under the federation's global df/ctf/avgdl,
         so the similarity federates exactly as in MultiSearcher), same tie
         order (plain score-desc/docid-asc top-k). ``sim``/``sim_param``
-        pick the scorer (bm25 | qld | lmjm | f2exp | f2log | tfidf)."""
+        pick the scorer
+        (bm25 | qld | lmjm | f2exp | f2log | tfidf | inl2 | spl)."""
         if lo is None and hi is None:
             sel = [
                 (i, True)

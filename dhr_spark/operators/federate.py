@@ -313,6 +313,64 @@ class MultiSearcher:
         )
         return self._unpack(merged)
 
+    def search_inl2(
+        self, queries: DataFrame, k: int = 1000,
+        c: float = 0.1, prune: bool = True,
+    ) -> DataFrame:
+        """Federated DFR InL2 — every member scores under the merged
+        df/n_docs (global log2((N+1)/(df+0.5)) stat), same union-index
+        identity argument as the axiomatic federations (the df/n_docs
+        override feeds every df-derived stat shape)."""
+        per = [
+            sr.search_inl2(queries, k=k, c=c, prune=prune)
+            .withColumn("index_id", F.lit(i))
+            for i, sr in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)
+
+    def search_spl(
+        self, queries: DataFrame, k: int = 1000,
+        c: float = 0.1, prune: bool = True,
+    ) -> DataFrame:
+        """Federated information-based SPL — every member scores under the
+        merged ctf/n_docs (global λ = min(ctf/N, 1−1e−6)), extending the
+        QLD/LMJM merged-collection-LM contract with the per-document
+        denominator. avgdl federates through the same merged override."""
+        per = [
+            sr.search_spl(queries, k=k, c=c, prune=prune)
+            .withColumn("index_id", F.lit(i))
+            for i, sr in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)
+
     @staticmethod
     def _unpack(merged: DataFrame) -> DataFrame:
         return merged.select(

@@ -315,6 +315,47 @@ def _score_chunk(
 
         def _bound(tf_b, dl_b, stat):
             return stat * np.sqrt(tf_b) / np.sqrt(dl_b) + 5e-7
+    elif sim == "inl2":
+        # DFR InL2 (operators/dfr.py); ``mu`` carries the normalization-2
+        # c. Per-term stat = log2((N+1)/(df+0.5)), query-side from the
+        # dictionary's df. tfn rises with tf and falls with dl, and
+        # tfn/(tfn+1) rises with tfn, so the stats-free block bound stays
+        # admissible; always > 0 (df <= N < N+0.5 keeps the log positive).
+        def _unit_w(tfs_a, dls_a, stat):
+            tfn = tfs_a * np.log2(1.0 + mu * avgdl / dls_a)
+            return np.round(stat * tfn / (tfn + 1.0), 6)
+
+        def _bound(tf_b, dl_b, stat):
+            tfn = tf_b * np.log2(1.0 + mu * avgdl / dl_b)
+            return stat * tfn / (tfn + 1.0) + 5e-7
+    elif sim == "spl":
+        # Information-based SPL (operators/dfr.py); ``mu`` carries c. The
+        # per-term stat is λ = ctf/N riding in query-side (same
+        # collection-frequency contract as QLD's P(t|C), per-doc
+        # denominator); λ >= SPL_LAMBDA_LIMIT scores the analytic λ→1
+        # limit log2(tfn+1) — dfr.py explains why a clamp would wreck the
+        # 6-decimal contract. λ^x falls as x = tfn/(tfn+1) rises, so −log2
+        # of the ratio rises with tfn → monotone ↑tf ↓dl (both branches),
+        # bound admissible; always > 0 (λ^x > λ for 0 < x < 1).
+        from dhr_spark.operators.dfr import SPL_LAMBDA_LIMIT
+
+        def _spl_w(tfn, stat):
+            hi = stat >= SPL_LAMBDA_LIMIT
+            s_f = np.where(hi, 0.5, stat)  # dummy lanes; branch discarded
+            x = tfn / (tfn + 1.0)
+            return np.where(
+                hi,
+                np.log2(tfn + 1.0),
+                -np.log2((np.power(s_f, x) - s_f) / (1.0 - s_f)),
+            )
+
+        def _unit_w(tfs_a, dls_a, stat):
+            tfn = tfs_a * np.log2(1.0 + mu * avgdl / dls_a)
+            return np.round(_spl_w(tfn, stat), 6)
+
+        def _bound(tf_b, dl_b, stat):
+            tfn = tf_b * np.log2(1.0 + mu * avgdl / dl_b)
+            return _spl_w(tfn, stat) + 5e-7
     elif sim == "bm25":
 
         def _unit_w(tfs_a, dls_a, stat):
@@ -324,7 +365,8 @@ def _score_chunk(
             return stat * tf_b / (tf_b + k1 * (1.0 - b + b * dl_b / avgdl))
     else:
         raise ValueError(
-            f"unknown similarity {sim!r} (bm25 | qld | lmjm | f2exp | tfidf)"
+            f"unknown similarity {sim!r} "
+            "(bm25 | qld | lmjm | f2exp | tfidf | inl2 | spl)"
         )
 
     def _empty() -> pd.DataFrame:
@@ -903,6 +945,7 @@ class Searcher:
         defaults = {
             "bm25": 0.0, "qld": 1000.0, "lmjm": 0.1,
             "f2exp": 0.5, "f2log": 0.5, "tfidf": 0.0,
+            "inl2": 0.1, "spl": 0.1,
         }
         if sim not in defaults:
             raise ValueError(
@@ -915,11 +958,19 @@ class Searcher:
             raise ValueError(f"lambda must be in (0, 1), got {mu}")
         if sim in ("f2exp", "f2log") and mu <= 0:
             raise ValueError(f"s must be > 0, got {mu}")
+        if sim in ("inl2", "spl") and mu <= 0:
+            raise ValueError(f"c must be > 0, got {mu}")
         qinfo, all_terms = self._query_info(queries)
         if not all_terms:
             return {}, [], "bm25", 0.0
         if sim in ("qld", "lmjm"):
             return self._lm_query_probs(qinfo, all_terms), all_terms, sim, mu
+        if sim == "spl":
+            q2 = self._lm_query_probs(qinfo, all_terms, per_doc=True)
+            return q2, all_terms, "spl", mu
+        if sim == "inl2":
+            q2 = self._f2_query_stats(qinfo, all_terms, 0.0, shape="inl2")
+            return q2, all_terms, "inl2", mu
         if sim == "f2exp":
             q2 = self._f2_query_stats(qinfo, all_terms, 0.35, shape="exp")
             return q2, all_terms, "f2exp", mu
@@ -931,18 +982,26 @@ class Searcher:
             return q2, all_terms, "tfidf", mu
         return qinfo, all_terms, "bm25", mu
 
-    def _lm_query_probs(self, qinfo: dict, all_terms: list[int]) -> dict:
-        """qinfo with the third slot (idf for BM25) replaced by P(t|C) —
-        the per-term stat both LM similarities score with. Raises on a
-        pre-ctf dictionary or an idf-only federated override."""
+    def _lm_query_probs(
+        self, qinfo: dict, all_terms: list[int], per_doc: bool = False
+    ) -> dict:
+        """qinfo with the third slot (idf for BM25) replaced by a
+        collection-frequency stat: P(t|C) = ctf/total_dl (the stat both LM
+        similarities score with), or with ``per_doc=True`` the SPL model's
+        λ = ctf/N (per-document mean frequency, raw — the kernel's spl
+        branch handles λ ≥ SPL_LAMBDA_LIMIT, operators/dfr.py). Raises on
+        a pre-ctf dictionary or an idf-only federated override."""
+        need_denom = (
+            self._n_docs_over if per_doc else self._total_dl_over
+        )
         if self._stats_override and (
-            self._ctf_over is None or self._total_dl_over is None
+            self._ctf_over is None or need_denom is None
         ):
             raise ValueError(
-                "LM scoring under a corpus_stats override needs global "
-                "'ctf' and 'total_dl' in the override (MultiSearcher "
-                "provides them when every member dictionary has ctf) — "
-                "this override carries only idf/avgdl"
+                "LM/SPL scoring under a corpus_stats override needs global "
+                "'ctf' and '" + ("n_docs" if per_doc else "total_dl")
+                + "' in the override (MultiSearcher provides them when "
+                "every member dictionary has ctf) — this override does not"
             )
         td_dir = self.manifest.get("term_dict_dir", "term_dict")
         dict_df = self.spark.read.parquet(f"{self.index_dir}/{td_dir}")
@@ -984,7 +1043,9 @@ class Searcher:
                     "MultiSearcher after index changes (stats merge is "
                     "constructed once and cached)"
                 )
-            cl = float(self._total_dl_over)
+            cl = float(
+                self._n_docs_over if per_doc else self._total_dl_over
+            )
         else:
             rows = (
                 dict_df.filter(
@@ -994,12 +1055,18 @@ class Searcher:
                 .collect()
             )
             ctf = {int(r["term_id"]): int(r["ctf"]) for r in rows}
-            cl = float(self.manifest["total_dl"])
+            cl = float(
+                self.manifest["n_docs"] if per_doc
+                else self.manifest["total_dl"]
+            )
+        stat = lambda c: c / cl  # noqa: E731
         return {
             qid: (
                 tids,
                 qtfs,
-                np.array([ctf[int(t)] / cl for t in tids], dtype=np.float64),
+                np.array(
+                    [stat(ctf[int(t)]) for t in tids], dtype=np.float64
+                ),
             )
             for qid, (tids, qtfs, _idfs) in qinfo.items()
         }
@@ -1086,6 +1153,68 @@ class Searcher:
             qinfo2, all_terms, k, prune, sim="tfidf"
         )
 
+    def search_inl2(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        c: float = 0.1,
+        prune: bool = True,
+    ) -> DataFrame:
+        """DFR InL2 top-k over the same index (Amati & van Rijsbergen TOIS
+        2002; Anserini SearchCollection ``-inl2``; semantics =
+        operators/dfr.inl2_weights):
+
+            tfn = tf · log2(1 + c·avgdl/dl)
+            w(t, d) = log2((N+1)/(df+0.5)) · tfn/(tfn+1)
+
+        Seventh pluggable query-time similarity. The per-term stat
+        log2((N+1)/(df+0.5)) rides in query-side from the dictionary's df
+        with the LIVE manifest n_docs, exactly like the axiomatic family —
+        appends/deletes shift it the way they shift BM25's idf. Monotone
+        ↑tf ↓dl, so the stats-free (max_tf, min_dl) block bound prunes it
+        unchanged. Default c=0.1 (Anserini's ``-inl2.c``)."""
+        if c <= 0:
+            raise ValueError(f"c must be > 0, got {c}")
+        qinfo, all_terms = self._query_info(queries)
+        if not all_terms:
+            return self._search_prepared({}, [], k, prune)
+        qinfo2 = self._f2_query_stats(qinfo, all_terms, 0.0, shape="inl2")
+        return self._search_prepared(
+            qinfo2, all_terms, k, prune, sim="inl2", mu=c
+        )
+
+    def search_spl(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        c: float = 0.1,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Information-based SPL top-k over the same index (Clinchant &
+        Gaussier SIGIR 2010; Anserini SearchCollection ``-spl``; semantics
+        = operators/dfr.spl_weights):
+
+            λ = ctf/N;  tfn = tf · log2(1 + c·avgdl/dl)
+            w(t, d) = −log2((λ^(tfn/(tfn+1)) − λ) / (1 − λ))    (λ < 1−1e−6)
+            w(t, d) = log2(tfn + 1)                             (otherwise)
+
+        Eighth pluggable query-time similarity (the λ ≥ 1−1e−6 branch is
+        the formula's analytic λ→1 limit — operators/dfr.py explains the
+        numerics). The per-term stat λ is a collection frequency like
+        QLD's P(t|C) but per-document (÷N), so it shares the dictionary's
+        ctf column and the federated ctf/n_docs override contract.
+        Monotone ↑tf ↓dl (λ^x falls as x rises), block bound admissible;
+        raises on a pre-ctf legacy dictionary like search_qld."""
+        if c <= 0:
+            raise ValueError(f"c must be > 0, got {c}")
+        qinfo, all_terms = self._query_info(queries)
+        if not all_terms:
+            return self._search_prepared({}, [], k, prune)
+        qinfo2 = self._lm_query_probs(qinfo, all_terms, per_doc=True)
+        return self._search_prepared(
+            qinfo2, all_terms, k, prune, sim="spl", mu=c
+        )
+
     def _f2_query_stats(
         self, qinfo: dict, all_terms: list[int], kexp: float,
         shape: str = "exp",
@@ -1151,6 +1280,8 @@ class Searcher:
             stat = lambda n, d: np.log((n + 1.0) / d)  # noqa: E731
         elif shape == "tfidf":
             stat = lambda n, d: (1.0 + np.log(n / (d + 1.0))) ** 2  # noqa: E731
+        elif shape == "inl2":
+            stat = lambda n, d: np.log2((n + 1.0) / (d + 0.5))  # noqa: E731
         else:
             raise ValueError(f"unknown df-stat shape {shape!r}")
         out: dict = {}

@@ -69,6 +69,13 @@ def main() -> None:
     p.add_argument("--tfidf", action="store_true",
                    help="rank with Lucene ClassicSimilarity TF-IDF "
                         "(idf^2*sqrt(tf)/sqrt(dl)) instead of BM25")
+    p.add_argument("--inl2", action="store_true",
+                   help="rank with DFR InL2 instead of BM25 (uses --dfr-c)")
+    p.add_argument("--spl", action="store_true",
+                   help="rank with information-based SPL instead of BM25 "
+                        "(ctf-bearing dictionary required; uses --dfr-c)")
+    p.add_argument("--dfr-c", type=float, default=0.1,
+                   help="normalization-2 c for --inl2/--spl (default 0.1)")
     p.add_argument("--f2exp-k", type=float, default=0.35,
                    help="F2EXP idf power-law exponent (default 0.35)")
     p.add_argument("--rocchio", action="store_true",
@@ -141,6 +148,7 @@ def main() -> None:
     if len(args.index_dirs) > 1 and (
         args.phrases or args.rm3 or args.rocchio or args.qld
         or args.lmjm or args.f2exp or args.f2log or args.tfidf
+        or args.inl2 or args.spl
         or args.highlight
         or args.rewrite or args.explain or args.count or args.syntax
     ):
@@ -192,6 +200,14 @@ def main() -> None:
         elif args.tfidf:
             run = searcher.search_tfidf(
                 queries, k=args.k, prune=not args.no_prune,
+            )
+        elif args.inl2:
+            run = searcher.search_inl2(
+                queries, k=args.k, c=args.dfr_c, prune=not args.no_prune,
+            )
+        elif args.spl:
+            run = searcher.search_spl(
+                queries, k=args.k, c=args.dfr_c, prune=not args.no_prune,
             )
         elif args.lmjm:
             run = searcher.search_lmjm(

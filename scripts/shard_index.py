@@ -49,7 +49,8 @@ def main() -> None:
     p.add_argument("--hi", type=float, default=None)
     p.add_argument("--k", type=int, default=1000)
     p.add_argument("--sim", default="bm25",
-                   choices=["bm25", "qld", "lmjm", "f2exp", "f2log", "tfidf"])
+                   choices=["bm25", "qld", "lmjm", "f2exp", "f2log", "tfidf",
+                            "inl2", "spl"])
     p.add_argument("--sim-param", type=float, default=None)
     p.add_argument("--output", help="query: write results parquet here")
     p.add_argument("--master", default=None)

@@ -303,3 +303,37 @@ def test_federated_tfidf_equals_union_index(spark, sharded, queries):
         fed=False,
     )
     assert fed == single and fed
+
+
+def test_federated_inl2_equals_union_index(spark, sharded, queries):
+    """DFR InL2 federates through the same merged df + global n_docs
+    override as the axiomatic family — the log2((N+1)/(df+0.5)) stat is
+    df-derived, so the union-index identity argument holds unchanged."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = _by_turn(
+        spark, ms.search_inl2(queries, k=100_000), sharded["dirs"], fed=True
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search_inl2(queries, k=100_000),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed == single and fed
+
+
+def test_federated_spl_equals_union_index(spark, sharded, queries):
+    """SPL federates through the merged ctf + global n_docs override — the
+    QLD/LMJM collection-LM contract with the per-document denominator; the
+    λ→1 limit branch fires identically (same merged λ at every member)."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = _by_turn(
+        spark, ms.search_spl(queries, k=100_000), sharded["dirs"], fed=True
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search_spl(queries, k=100_000),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed == single and fed
