@@ -2678,6 +2678,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def mm_resize_q(spark, sf):
         return MM.blob_resize_stats(MM.with_blob(_docs(spark, sf)), factor=4)
 
+    def _with_media_blob(spark, sf, kind):
+        # deterministic real-container synthesis: every doc carries a blob
+        # whose DECODED content is a pure function of doc_id, so the DuckDB
+        # oracle recomputes the decoded statistics from the formula without
+        # parsing any container — decode(encode(x)) vs independent x
+        import numpy as np
+        import pandas as pd
+
+        src = _docs(spark, sf).select("doc_id")
+
+        def gen(batches):
+            from dhr_spark.functions.media import (
+                encode_bmp, encode_pgm, encode_wav,
+            )
+
+            for pdf in batches:
+                blobs = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    if kind == "pgm":
+                        i = np.arange(128, dtype=np.int64)
+                        px = ((did * 31 + i * 7) % 256).astype(np.uint8)
+                        blobs.append(encode_pgm(px.reshape(8, 16)))
+                    elif kind == "bmp":
+                        i = np.arange(20, dtype=np.int64)
+                        r = ((did * 7 + i * 3) % 256).astype(np.uint8)
+                        g = ((did * 11 + i * 5) % 256).astype(np.uint8)
+                        b = ((did * 13 + i * 2) % 256).astype(np.uint8)
+                        rgb = np.stack([r, g, b], axis=1).reshape(4, 5, 3)
+                        blobs.append(encode_bmp(rgb))
+                    else:  # wav
+                        i = np.arange(200, dtype=np.int64)
+                        s = (((did * 131 + i * 17) % 65536) - 32768).astype(
+                            np.int16
+                        )
+                        blobs.append(encode_wav(s, sample_rate=16_000))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+        return src.mapInPandas(gen, "doc_id long, blob binary")
+
+    def mm_decode_image_q(spark, sf):
+        # REAL PGM decode: 16x8 grayscale, pixel i = (id*31 + i*7) % 256;
+        # the emitted luminance histogram must equal the formula's
+        return MM.image_decode_stats(_with_media_blob(spark, sf, "pgm"))
+
+    def mm_decode_rgb_q(spark, sf):
+        # REAL BMP decode (bottom-up rows + 4-byte row padding + BGR order
+        # all inverted by the parser): 5x4 RGB from per-channel formulas,
+        # reduced through the BT.601 integer luminance
+        return MM.image_decode_stats(_with_media_blob(spark, sf, "bmp"))
+
+    def mm_decode_audio_q(spark, sf):
+        # REAL RIFF/WAV PCM16 decode: 200 samples from the doc_id formula;
+        # loudness/zero-crossing/peak statistics in exact integers
+        return MM.audio_decode_stats(_with_media_blob(spark, sf, "wav"))
+
     def densify_q(spark, sf):
         from dhr_spark.operators.densify import densify
 
@@ -3867,6 +3923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inl2_vs_slow_identity": inl2_vs_slow_q,
         "spl_topk": spl_topk_q,
         "spl_vs_slow_identity": spl_vs_slow_q,
+        "multimodal_decode_image": mm_decode_image_q,
+        "multimodal_decode_rgb": mm_decode_rgb_q,
+        "multimodal_decode_audio": mm_decode_audio_q,
     }
 
 
@@ -4526,6 +4585,51 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         "inl2_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "spl_topk": _spl_topk_sql(),
         "spl_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
+        # real-decode oracles: the SQL recomputes the DECODED statistics
+        # straight from the doc_id synthesis formulas (never parses a
+        # container) — an independent check that decode(encode(x)) == x
+        "multimodal_decode_image": """
+WITH px AS (
+  SELECT d.doc_id, ((d.doc_id * 31 + i.i * 7) % 256) // 16 AS bin
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 128)) AS i) i
+),
+hist AS (SELECT doc_id, bin, count(*)::BIGINT AS cnt FROM px GROUP BY 1, 2),
+bins AS (SELECT unnest(range(0, 16)) AS bin)
+SELECT d.doc_id, 16::BIGINT AS width, 8::BIGINT AS height,
+       bins.bin::BIGINT AS bin, coalesce(hist.cnt, 0)::BIGINT AS cnt
+FROM documents d CROSS JOIN bins
+LEFT JOIN hist ON hist.doc_id = d.doc_id AND hist.bin = bins.bin""",
+        "multimodal_decode_rgb": """
+WITH px AS (
+  SELECT d.doc_id,
+         ((299 * ((d.doc_id * 7 + i.i * 3) % 256)
+           + 587 * ((d.doc_id * 11 + i.i * 5) % 256)
+           + 114 * ((d.doc_id * 13 + i.i * 2) % 256)) // 1000) // 16 AS bin
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 20)) AS i) i
+),
+hist AS (SELECT doc_id, bin, count(*)::BIGINT AS cnt FROM px GROUP BY 1, 2),
+bins AS (SELECT unnest(range(0, 16)) AS bin)
+SELECT d.doc_id, 5::BIGINT AS width, 4::BIGINT AS height,
+       bins.bin::BIGINT AS bin, coalesce(hist.cnt, 0)::BIGINT AS cnt
+FROM documents d CROSS JOIN bins
+LEFT JOIN hist ON hist.doc_id = d.doc_id AND hist.bin = bins.bin""",
+        "multimodal_decode_audio": """
+WITH s AS (
+  SELECT d.doc_id, i.i,
+         ((d.doc_id * 131 + i.i * 17) % 65536) - 32768 AS v
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 200)) AS i) i
+),
+lagd AS (
+  SELECT doc_id, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id, 200::BIGINT AS n_samples, 16000::BIGINT AS sample_rate,
+       sum(abs(v))::BIGINT AS sum_abs,
+       sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+           THEN 1 ELSE 0 END)::BIGINT AS zero_crossings,
+       max(abs(v))::BIGINT AS peak
+FROM lagd GROUP BY doc_id""",
         "syntax_range_topk": _RANGE_TOPK_SQL,
         # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
         # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only

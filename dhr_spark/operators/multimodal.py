@@ -5,12 +5,14 @@ DataFrame pipeline as text: metadata extraction, batched decode/feature
 stages over mapInPandas (Arrow batches of bytes — the only sane way to move
 blobs through Python), frame sampling as a pure column op.
 
-The decode step is STUBBED (no imaging/audio libs in this container): it
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake feature vector is derived from the payload bytes. The
-Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch shape
-— is real and tested; swapping the stub for PIL/librosa is a one-function
-change.
+Decode is REAL for the containers functions/media.py parses with pure
+numpy — binary netpbm (P5/P6), uncompressed BMP, RIFF/WAV PCM16 — through
+``image_decode_stats`` / ``audio_decode_stats`` and through
+``decode_blob`` (which tries the numpy decoders first). Compressed
+containers (PNG/JPEG/...) still need Pillow: without it ``decode_blob``
+raises NotImplementedError for them, and ``fake=True`` selects the
+deterministic byte-histogram stand-in. The Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is identical either way.
 
 Scale notes: blobs dominate partition size — repartition by
 ``spark.sql.files.maxPartitionBytes``-friendly counts BEFORE mapInPandas so a
@@ -89,21 +91,26 @@ except ImportError:  # container default: stub path
 
 
 def decode_blob(payload: bytes) -> np.ndarray:
-    """REAL decode: PIL.Image when Pillow is importable — the decoded image
-    is reduced to the same FEATURE_DIM-bin histogram shape as the stand-in
-    (here: 16-bin luminance histogram, L1-normalized), so the feature
-    schema is identical either way. Audio/video decode (soundfile / pyav)
-    stays stubbed. Without Pillow this raises, and callers use ``fake=True``
-    for the deterministic byte-histogram stand-in."""
-    if _PIL_Image is None:
-        raise NotImplementedError(
-            "image decode needs Pillow (audio/video libs stay stubbed); use "
-            "fake=True for the deterministic byte-histogram stand-in"
-        )
-    import io
+    """REAL decode to the FEATURE_DIM-bin L1-normalized luminance
+    histogram. netpbm (P5/P6) and uncompressed BMP decode with the pure
+    numpy parsers in functions/media.py; other containers fall back to
+    Pillow when importable. Without Pillow a compressed container raises,
+    and callers use ``fake=True`` for the byte-histogram stand-in."""
+    from dhr_spark.functions.media import decode_image
 
-    img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
-    arr = np.asarray(img, dtype=np.uint8)
+    try:
+        arr = decode_image(bytes(payload))
+    except ValueError:
+        if _PIL_Image is None:
+            raise NotImplementedError(
+                "compressed-image decode needs Pillow (netpbm/BMP decode "
+                "natively; audio/video libs stay stubbed); use fake=True "
+                "for the deterministic byte-histogram stand-in"
+            ) from None
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
+        arr = np.asarray(img, dtype=np.uint8)
     hist = np.bincount((arr >> 4).ravel(), minlength=FEATURE_DIM).astype(
         np.float64
     )
@@ -259,4 +266,107 @@ def frame_sample(
             F.col("frame_idx").cast("long").alias("frame_idx"),
             (F.col("frame_idx") * every_n_bytes).cast("long").alias("byte_offset"),
         )
+    )
+
+
+def image_decode_stats(
+    docs_with_blob: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, width, height, bin, cnt): REAL image decode over
+    mapInPandas — functions/media.py parses the container (netpbm P5/P6 or
+    uncompressed BMP), color reduces through the BT.601 integer luminance,
+    and each doc emits all FEATURE_DIM luminance-histogram bins (zeros
+    included, so the row count is |docs|·16 deterministically and the
+    whole result is exact-integer oracle-hashable).
+
+    Scale shape: identical to blob_feature_rows — Arrow batches of (id,
+    blob) in, integer rows out, decode cost proportional to partition
+    bytes; repartition upstream by blob size, never by decoded size."""
+    src = docs_with_blob.select(F.col(id_col).alias("doc_id"), "blob")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dhr_spark.functions.media import decode_image
+
+        bins = np.arange(FEATURE_DIM, dtype=np.int64)
+        for pdf in batches:
+            ids, ws, hs, out_bins, cnts = [], [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                lum = decode_image(bytes(b))
+                h, w = lum.shape
+                hist = np.bincount(
+                    (lum >> 4).ravel(), minlength=FEATURE_DIM
+                ).astype(np.int64)
+                ids.append(np.full(FEATURE_DIM, doc_id, dtype=np.int64))
+                ws.append(np.full(FEATURE_DIM, w, dtype=np.int64))
+                hs.append(np.full(FEATURE_DIM, h, dtype=np.int64))
+                out_bins.append(bins)
+                cnts.append(hist)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "width": np.concatenate(ws),
+                    "height": np.concatenate(hs),
+                    "bin": np.concatenate(out_bins),
+                    "cnt": np.concatenate(cnts),
+                }
+            )
+
+    return src.mapInPandas(
+        decode,
+        "doc_id long, width long, height long, bin long, cnt long",
+    )
+
+
+def audio_decode_stats(
+    docs_with_blob: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_samples, sample_rate, sum_abs, zero_crossings, peak):
+    REAL RIFF/WAV PCM16 decode over mapInPandas (functions/media.py).
+    Multi-channel audio reduces over channel 0 (documented; the synthetic
+    corpus is mono). All columns are exact integers:
+
+      sum_abs        Σ |s_i|                  (int64, loudness proxy)
+      zero_crossings #{i : (s_{i-1} < 0) ≠ (s_i < 0)}
+      peak           max |s_i|
+
+    — the audio-featurization stage of a training-data pipeline
+    (silence / clipping / energy filters) in oracle-hashable form."""
+    src = docs_with_blob.select(F.col(id_col).alias("doc_id"), "blob")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dhr_spark.functions.media import decode_wav
+
+        for pdf in batches:
+            ids, ns, rates, sums, zcs, peaks = [], [], [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                samples, rate = decode_wav(bytes(b))
+                if samples.ndim == 2:
+                    samples = samples[:, 0]
+                s = samples.astype(np.int64)
+                neg = s < 0
+                ids.append(doc_id)
+                ns.append(s.size)
+                rates.append(rate)
+                sums.append(int(np.abs(s).sum()))
+                zcs.append(int(np.count_nonzero(neg[1:] != neg[:-1])))
+                peaks.append(int(np.abs(s).max()) if s.size else 0)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "n_samples": np.asarray(ns, dtype=np.int64),
+                    "sample_rate": np.asarray(rates, dtype=np.int64),
+                    "sum_abs": np.asarray(sums, dtype=np.int64),
+                    "zero_crossings": np.asarray(zcs, dtype=np.int64),
+                    "peak": np.asarray(peaks, dtype=np.int64),
+                }
+            )
+
+    return src.mapInPandas(
+        decode,
+        "doc_id long, n_samples long, sample_rate long, sum_abs long, "
+        "zero_crossings long, peak long",
     )
