@@ -1395,6 +1395,114 @@ ranked AS (
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
 
 
+# C4 line cleaning / Gopher shape rules (operators/curation.py): the line
+# and word CTEs mirror the Spark lambdas literally (trimmed non-empty
+# \n-lines; non-empty single-space words); every threshold comparison is
+# exact integer arithmetic on both sides, so the flags hash bit-for-bit.
+_CURATION_LINES_CTE = """
+ln AS (
+  SELECT doc_id, text, lower(text) AS low,
+         list_filter(list_transform(string_split(text, chr(10)),
+                     x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words
+  FROM documents
+)
+"""
+
+_CURATION_C4_SQL = f"""
+WITH {_CURATION_LINES_CTE},
+k AS (
+  SELECT doc_id, lines, low, text,
+         list_filter(lines, x ->
+           (right(x, 1) IN ('.', '!', '?', '"'))
+           AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM ln
+),
+agg AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines,
+         len(kept)::BIGINT AS n_kept_lines,
+         coalesce(array_to_string(kept, chr(10)), '') AS kt,
+         contains(low, 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       length(kt)::BIGINT AS kept_chars,
+       (length(kt) - length(replace(replace(replace(kt, '.', ''),
+        '!', ''), '?', '')))::BIGINT AS n_sentences,
+       has_lorem::BIGINT AS has_lorem,
+       has_brace::BIGINT AS has_brace,
+       ((length(kt) - length(replace(replace(replace(kt, '.', ''),
+         '!', ''), '?', ''))) >= 3
+        AND NOT (has_lorem OR has_brace))::BIGINT AS c4_keep
+FROM agg"""
+
+_CURATION_GOPHER_SQL = f"""
+WITH {_CURATION_LINES_CTE},
+c AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(words, w -> length(w))), 0)::BIGINT
+           AS word_chars,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3
+          + (length(text) - length(replace(text, '…', ''))))::BIGINT
+           AS n_symbols,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+           AS n_alpha_words,
+         len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                          'with'],
+             s -> list_contains(list_transform(words, w -> lower(w)), s)))
+           ::BIGINT AS n_stop_distinct,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines, x -> left(x, 1) IN ('-', '*', '•')))::BIGINT
+           AS n_bullet_lines,
+         len(list_filter(lines, x -> ends_with(x, '...')
+             OR ends_with(x, '…')))::BIGINT AS n_ellipsis_lines
+  FROM ln
+)
+SELECT doc_id, n_words, word_chars, n_symbols, n_alpha_words,
+       n_stop_distinct, n_lines, n_bullet_lines, n_ellipsis_lines,
+       (n_words >= 50 AND n_words <= 100000)::BIGINT AS f_word_count,
+       (3 * n_words <= word_chars AND word_chars <= 10 * n_words)::BIGINT
+         AS f_mean_word_len,
+       (10 * n_symbols <= n_words)::BIGINT AS f_symbol_ratio,
+       (10 * n_bullet_lines <= 9 * n_lines)::BIGINT AS f_bullet_lines,
+       (10 * n_ellipsis_lines <= 3 * n_lines)::BIGINT AS f_ellipsis_lines,
+       (5 * n_alpha_words >= 4 * n_words)::BIGINT AS f_alpha_words,
+       (n_stop_distinct >= 2)::BIGINT AS f_stop_words,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        AND (10 * n_symbols <= n_words)
+        AND (10 * n_bullet_lines <= 9 * n_lines)
+        AND (10 * n_ellipsis_lines <= 3 * n_lines)
+        AND (5 * n_alpha_words >= 4 * n_words)
+        AND (n_stop_distinct >= 2))::BIGINT AS gopher_keep
+FROM c"""
+
+
+_CURATION_PIPELINE_SQL = f"""
+WITH c4 AS ({_CURATION_C4_SQL}),
+gopher AS ({_CURATION_GOPHER_SQL}),
+dup AS (
+  SELECT doc_id,
+         (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1)
+           AS is_dup,
+         ({_HASH60.format(arg="doc_id::VARCHAR")}) % 100 AS bucket
+  FROM documents
+)
+SELECT c4.doc_id, c4.c4_keep, gopher.gopher_keep,
+       dup.is_dup::BIGINT AS is_exact_dup,
+       CASE WHEN dup.bucket < 10 THEN 'holdout' ELSE 'train' END AS split,
+       (c4.c4_keep = 1 AND gopher.gopher_keep = 1
+        AND NOT dup.is_dup)::BIGINT AS keep
+FROM c4
+JOIN gopher ON gopher.doc_id = c4.doc_id
+JOIN dup ON dup.doc_id = c4.doc_id"""
+
+
 def _tfidf_topk_sql() -> str:
     """Lucene ClassicSimilarity TF-IDF (operators/classic.py):
     w = (1 + ln(N/(df+1)))² · sqrt(tf)/sqrt(dl); always positive (idf
@@ -2718,6 +2826,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return src.mapInPandas(gen, "doc_id long, blob binary")
 
+    def curation_c4_q(spark, sf):
+        # C4 line-cleaning rules (Raffel et al. 2020 §2.2); flags cast to
+        # 0/1 BIGINT — every emitted value is an exact integer
+        from dhr_spark.operators.curation import c4_line_stats
+
+        r = c4_line_stats(_docs(spark, sf))
+        return r.select(
+            "doc_id", "n_lines", "n_kept_lines", "kept_chars",
+            "n_sentences",
+            F.col("has_lorem").cast("long").alias("has_lorem"),
+            F.col("has_brace").cast("long").alias("has_brace"),
+            F.col("c4_keep").cast("long").alias("c4_keep"),
+        )
+
+    def curation_gopher_q(spark, sf):
+        # Gopher Table-A1 document-shape rules (Rae et al. 2021); all
+        # thresholds evaluated in exact integer arithmetic
+        from dhr_spark.operators.curation import gopher_quality_flags
+
+        r = gopher_quality_flags(_docs(spark, sf))
+        flags = [
+            "f_word_count", "f_mean_word_len", "f_symbol_ratio",
+            "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words",
+            "f_stop_words", "gopher_keep",
+        ]
+        return r.select(
+            "doc_id", "n_words", "word_chars", "n_symbols",
+            "n_alpha_words", "n_stop_distinct", "n_lines",
+            "n_bullet_lines", "n_ellipsis_lines",
+            *[F.col(f).cast("long").alias(f) for f in flags],
+        )
+
+    def curation_pipeline_q(spark, sf):
+        # the composed cheap-curation pass: C4 ∧ Gopher ∧ ¬exact-dup with
+        # the portable hash split riding along
+        from dhr_spark.operators.curation import curation_pipeline
+
+        r = curation_pipeline(_docs(spark, sf))
+        return r.select(
+            "doc_id",
+            F.col("c4_keep").cast("long").alias("c4_keep"),
+            F.col("gopher_keep").cast("long").alias("gopher_keep"),
+            F.col("is_exact_dup").cast("long").alias("is_exact_dup"),
+            "split",
+            F.col("keep").cast("long").alias("keep"),
+        )
+
     def mm_decode_image_q(spark, sf):
         # REAL PGM decode: 16x8 grayscale, pixel i = (id*31 + i*7) % 256;
         # the emitted luminance histogram must equal the formula's
@@ -3926,6 +4081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_image": mm_decode_image_q,
         "multimodal_decode_rgb": mm_decode_rgb_q,
         "multimodal_decode_audio": mm_decode_audio_q,
+        "curation_c4": curation_c4_q,
+        "curation_gopher": curation_gopher_q,
+        "curation_pipeline": curation_pipeline_q,
     }
 
 
@@ -4585,6 +4743,9 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         "inl2_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "spl_topk": _spl_topk_sql(),
         "spl_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
+        "curation_c4": _CURATION_C4_SQL,
+        "curation_gopher": _CURATION_GOPHER_SQL,
+        "curation_pipeline": _CURATION_PIPELINE_SQL,
         # real-decode oracles: the SQL recomputes the DECODED statistics
         # straight from the doc_id synthesis formulas (never parses a
         # container) — an independent check that decode(encode(x)) == x
