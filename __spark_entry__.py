@@ -1503,6 +1503,55 @@ JOIN gopher ON gopher.doc_id = c4.doc_id
 JOIN dup ON dup.doc_id = c4.doc_id"""
 
 
+# run fusion (operators/fusion.py): both runs ride in as full subqueries
+# (nested WITH); RRF reciprocals are exact integer micros, interpolation
+# uses alpha=0.5 (exact binary scaling over the round4 run scores)
+def _rrf_fusion_sql() -> str:
+    return f"""
+WITH runA AS (SELECT * FROM ({_TOPK_SQL})),
+runB AS (SELECT * FROM ({_qld_topk_sql()})),
+u AS (
+  SELECT qid, docid,
+         CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM runA
+  UNION ALL
+  SELECT qid, docid,
+         CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM runB
+),
+s AS (SELECT qid, docid, sum(c)::BIGINT AS t FROM u GROUP BY 1, 2),
+r AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY t DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         t / 1000000.0 AS score
+  FROM s
+)
+SELECT qid, docid, rank, score FROM r WHERE rank <= {TOPK}"""
+
+
+def _fusion_interp_sql() -> str:
+    return f"""
+WITH runA AS (SELECT * FROM ({_TOPK_SQL})),
+runB AS (SELECT * FROM ({_qld_topk_sql()})),
+f AS (
+  SELECT coalesce(runA.qid, runB.qid) AS qid,
+         coalesce(runA.docid, runB.docid) AS docid,
+         round(0.5 * coalesce(runA.score, 0.0)
+               + 0.5 * coalesce(runB.score, 0.0), 6) AS score
+  FROM runA FULL OUTER JOIN runB
+    ON runA.qid = runB.qid AND runA.docid = runB.docid
+),
+r AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         score
+  FROM f
+)
+SELECT qid, docid, rank, score FROM r WHERE rank <= {TOPK}"""
+
+
 def _tfidf_topk_sql() -> str:
     """Lucene ClassicSimilarity TF-IDF (operators/classic.py):
     w = (1 + ln(N/(df+1)))² · sqrt(tf)/sqrt(dl); always positive (idf
@@ -2826,6 +2875,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return src.mapInPandas(gen, "doc_id long, blob binary")
 
+    def _qld_run(spark, sf):
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return _round4(
+            QL.qld_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+                k=TOPK, mu=QLD_MU,
+            )
+        )
+
+    def rrf_fusion_q(spark, sf):
+        # reciprocal rank fusion of the BM25 and QLD runs (Cormack et al.
+        # 2009; Pyserini fusion default k=60) — integer-micros reciprocals
+        from dhr_spark.operators.fusion import rrf_fuse
+
+        return rrf_fuse(
+            [_bm25_topk(spark, sf), _qld_run(spark, sf)], k=TOPK
+        )
+
+    def fusion_interp_q(spark, sf):
+        # alpha=0.5 score interpolation over round4 runs: the 0.5 products
+        # are exact binary scaling, so the fused scores hash bit-for-bit
+        from dhr_spark.operators.fusion import interpolate_fuse
+
+        return interpolate_fuse(
+            _bm25_topk(spark, sf), _qld_run(spark, sf), alpha=0.5, k=TOPK
+        )
+
+    def bpref_q(spark, sf):
+        # graded pool from the deterministic rule: all-terms docs are
+        # relevant, partial-match docs are judged NONrelevant (the lexical
+        # pooling analogue bpref was designed for)
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        tfs = term_freqs(tok).select("docid", "term")
+        qterms = _qtfs(spark).select("qid", "term")
+        qsize = qterms.groupBy("qid").agg(F.count("*").alias("nt"))
+        pool = (
+            qterms.join(tfs, "term")
+            .groupBy("qid", "docid")
+            .agg(F.count("*").alias("nhit"))
+            .join(F.broadcast(qsize), "qid")
+            .select(
+                "qid", "docid",
+                (F.col("nhit") == F.col("nt")).cast("int").alias("rel"),
+            )
+        )
+        return M.bpref_at_k(_bm25_topk(spark, sf), pool, k=10)
+
     def curation_c4_q(spark, sf):
         # C4 line-cleaning rules (Raffel et al. 2020 §2.2); flags cast to
         # 0/1 BIGINT — every emitted value is an exact integer
@@ -4084,6 +4180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_c4": curation_c4_q,
         "curation_gopher": curation_gopher_q,
         "curation_pipeline": curation_pipeline_q,
+        "rrf_fusion": rrf_fusion_q,
+        "fusion_interpolation": fusion_interp_q,
+        "bpref_at_10": bpref_q,
     }
 
 
@@ -4746,6 +4845,50 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         "curation_c4": _CURATION_C4_SQL,
         "curation_gopher": _CURATION_GOPHER_SQL,
         "curation_pipeline": _CURATION_PIPELINE_SQL,
+        "rrf_fusion": _rrf_fusion_sql(),
+        "fusion_interpolation": _fusion_interp_sql(),
+        "bpref_at_10": f"""{metric_prefix},
+pool AS (
+  SELECT q2.qid, tf.doc_id AS docid,
+         CASE WHEN count(*) = qsize.nt THEN 1 ELSE 0 END AS is_rel
+  FROM (SELECT DISTINCT qid, term FROM q) q2
+  JOIN tf USING (term)
+  JOIN qsize ON qsize.qid = q2.qid
+  GROUP BY q2.qid, tf.doc_id, qsize.nt
+),
+counts AS (
+  SELECT qid, sum(is_rel)::BIGINT AS n_rel,
+         sum(1 - is_rel)::BIGINT AS n_nonrel
+  FROM pool GROUP BY 1
+),
+j AS (
+  SELECT r.qid, r.rank, pool.is_rel
+  FROM {topk10} r
+  JOIN pool ON pool.qid = r.qid AND pool.docid = r.docid
+),
+pr AS (
+  SELECT qid, is_rel,
+         coalesce(sum(1 - is_rel) OVER (
+           PARTITION BY qid ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na
+  FROM j
+),
+rel_rows AS (
+  SELECT pr.qid,
+         CASE WHEN least(c.n_rel, c.n_nonrel) > 0
+              THEN least(c.n_rel, c.n_nonrel)
+                   - least(pr.na, least(c.n_rel, c.n_nonrel))
+              ELSE 1 END AS numer
+  FROM pr JOIN counts c ON c.qid = pr.qid
+  WHERE pr.is_rel = 1
+),
+sums AS (SELECT qid, sum(numer)::BIGINT AS s FROM rel_rows GROUP BY 1)
+SELECT qlist.qid,
+       round(CASE WHEN coalesce(c.n_rel, 0) > 0
+             THEN coalesce(s.s, 0)::DOUBLE
+                  / (c.n_rel * greatest(least(c.n_rel, c.n_nonrel), 1))::DOUBLE
+             ELSE 0.0 END, 6) AS bpref
+FROM qlist LEFT JOIN counts c USING (qid) LEFT JOIN sums s USING (qid)""",
         # real-decode oracles: the SQL recomputes the DECODED statistics
         # straight from the doc_id synthesis formulas (never parses a
         # container) — an independent check that decode(encode(x)) == x

@@ -253,6 +253,79 @@ def judged_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def bpref_at_k(run: DataFrame, qrels_graded: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, bpref): binary preference (Buckley & Voorhees, SIGIR 2004;
+    trec_eval ``bpref``) over the top-k — the incomplete-judgments metric:
+    unjudged retrieved docs are IGNORED (that is bpref's whole point), and
+    each retrieved relevant doc is penalized by the judged-NONrelevant
+    docs ranked above it:
+
+        bpref = (1/R) Σ_{rel r retrieved} 1 − min(nonrel_above_r, D) / D
+        D = min(R, N); R = |judged relevant|, N = |judged nonrelevant|
+
+    ``qrels_graded`` must carry (qid, docid, rel): rel > 0 relevant,
+    rel = 0 explicitly judged nonrelevant. With D = 0 each retrieved
+    relevant doc contributes a full 1 (trec_eval's guard). The sum runs
+    in exact integers with ONE final division by R·D (the repo-wide
+    integer-micros contract), so per-query bpref is bit-stable across
+    engines."""
+    topk = run.filter(F.col("rank") <= k)
+    pool = qrels_graded.select(
+        "qid", "docid", (F.col("rel") > 0).cast("int").alias("is_rel")
+    )
+    counts = pool.groupBy("qid").agg(
+        F.sum("is_rel").alias("n_rel"),
+        F.sum(F.lit(1) - F.col("is_rel")).alias("n_nonrel"),
+    )
+    judged = topk.join(pool, ["qid", "docid"])
+    w = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_rel = (
+        judged.withColumn(
+            "nonrel_above",
+            F.coalesce(F.sum(F.lit(1) - F.col("is_rel")).over(w), F.lit(0)),
+        )
+        .filter(F.col("is_rel") == 1)
+        .join(F.broadcast(counts), "qid")
+        .withColumn("d", F.least("n_rel", "n_nonrel").cast("long"))
+        .select(
+            "qid",
+            F.when(
+                F.col("d") > 0,
+                F.col("d") - F.least(F.col("nonrel_above"), F.col("d")),
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("numer"),
+        )
+    )
+    sums = per_rel.groupBy("qid").agg(F.sum("numer").alias("s"))
+    return (
+        _qids(run, qrels_graded)
+        .join(counts, "qid", "left")
+        .join(sums, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                    F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    / (
+                        F.col("n_rel")
+                        * F.greatest(
+                            F.least("n_rel", "n_nonrel"), F.lit(1)
+                        )
+                    ).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("bpref"),
+        )
+    )
+
+
 def mean_metric(per_query: DataFrame, col: str) -> DataFrame:
     """Collapse a per-qid metric to its global mean (the reference's headline
     number, e.g. MRR@10 over all dev queries)."""
