@@ -2902,6 +2902,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _bm25_topk(spark, sf), _qld_run(spark, sf), alpha=0.5, k=TOPK
         )
 
+    def rrf_index_identity_q(spark, sf):
+        # index-backed fused search (one call, two WAND passes over the
+        # same segments) must equal RRF over the slow-path runs exactly:
+        # per-sim fast==slow identity lifts to the fusion
+        from dhr_spark.operators.fusion import rrf_fuse
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        fast = Searcher(spark, idx).search_fused(
+            _queries_df(spark), sims=["bm25", ("qld", QLD_MU)], k=TOPK
+        )
+        slow = rrf_fuse(
+            [_bm25_topk(spark, sf), _qld_run(spark, sf)], k=TOPK
+        )
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def bpref_q(spark, sf):
         # graded pool from the deterministic rule: all-terms docs are
         # relevant, partial-match docs are judged NONrelevant (the lexical
@@ -4182,6 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline_q,
         "rrf_fusion": rrf_fusion_q,
         "fusion_interpolation": fusion_interp_q,
+        "rrf_index_identity": rrf_index_identity_q,
         "bpref_at_10": bpref_q,
     }
 
@@ -4847,6 +4865,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         "curation_pipeline": _CURATION_PIPELINE_SQL,
         "rrf_fusion": _rrf_fusion_sql(),
         "fusion_interpolation": _fusion_interp_sql(),
+        "rrf_index_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "bpref_at_10": f"""{metric_prefix},
 pool AS (
   SELECT q2.qid, tf.doc_id AS docid,

@@ -1153,6 +1153,35 @@ class Searcher:
             qinfo2, all_terms, k, prune, sim="tfidf"
         )
 
+    def search_fused(
+        self,
+        queries: DataFrame,
+        sims: list[str | tuple[str, float | None]] = ("bm25", "qld"),
+        k: int = 1000,
+        k_rrf: int = 60,
+        prune: bool = True,
+    ) -> DataFrame:
+        """(qid, docid, rank, score): reciprocal-rank fusion of two or more
+        pluggable similarities over the SAME index in one call — each sim
+        runs its WAND pass (one segment scan per sim; the scans share the
+        parquet cache) and the runs fuse through operators/fusion.rrf_fuse.
+        ``sims`` entries are a similarity name or (name, param) pair with
+        _prep_sim's knob semantics. The ranker-diversity ensemble Pyserini
+        assembles from separate run files, index-backed."""
+        from dhr_spark.operators.fusion import rrf_fuse
+
+        if len(sims) < 2:
+            raise ValueError(f"search_fused needs >= 2 sims, got {sims}")
+        runs = []
+        for s in sims:
+            name, param = s if isinstance(s, tuple) else (s, None)
+            qinfo, all_terms, ksim, mu = self._prep_sim(queries, name, param)
+            runs.append(
+                self._search_prepared(qinfo, all_terms, k, prune,
+                                      sim=ksim, mu=mu)
+            )
+        return rrf_fuse(runs, k_rrf=k_rrf, k=k)
+
     def search_inl2(
         self,
         queries: DataFrame,

@@ -76,6 +76,11 @@ def main() -> None:
                         "(ctf-bearing dictionary required; uses --dfr-c)")
     p.add_argument("--dfr-c", type=float, default=0.1,
                    help="normalization-2 c for --inl2/--spl (default 0.1)")
+    p.add_argument("--fuse", default=None,
+                   choices=["qld", "lmjm", "f2exp", "f2log", "tfidf",
+                            "inl2", "spl"],
+                   help="RRF-fuse BM25 with this second similarity over "
+                        "the same index (search_fused, k_rrf=60)")
     p.add_argument("--f2exp-k", type=float, default=0.35,
                    help="F2EXP idf power-law exponent (default 0.35)")
     p.add_argument("--rocchio", action="store_true",
@@ -148,7 +153,7 @@ def main() -> None:
     if len(args.index_dirs) > 1 and (
         args.phrases or args.rm3 or args.rocchio or args.qld
         or args.lmjm or args.f2exp or args.f2log or args.tfidf
-        or args.inl2 or args.spl
+        or args.inl2 or args.spl or args.fuse
         or args.highlight
         or args.rewrite or args.explain or args.count or args.syntax
     ):
@@ -208,6 +213,11 @@ def main() -> None:
         elif args.spl:
             run = searcher.search_spl(
                 queries, k=args.k, c=args.dfr_c, prune=not args.no_prune,
+            )
+        elif args.fuse:
+            run = searcher.search_fused(
+                queries, sims=["bm25", args.fuse], k=args.k,
+                prune=not args.no_prune,
             )
         elif args.lmjm:
             run = searcher.search_lmjm(

@@ -98,3 +98,24 @@ def test_bpref_unjudged_ignored(spark):
     # D - 0 = 1, bpref = 1/(1*1) = 1.0
     r = bpref_at_k(run, pool, k=10).collect()
     assert [(x["qid"], x["bpref"]) for x in r] == [("q", 1.0)]
+
+
+def test_search_fused_guards(spark, tmp_path):
+    from dhr_spark.index.builder import build_index_from_docs
+    from dhr_spark.operators.wand import Searcher
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("docid"), "text")
+    )
+    d = str(tmp_path / "idx")
+    build_index_from_docs(spark, docs, d, analyzer_mode="simple",
+                          chunk_bits=6, block_size=16)
+    sr = Searcher(spark, d)
+    q = spark.createDataFrame([("q1", "spark table")], "qid string, text string")
+    with pytest.raises(ValueError, match=">= 2 sims"):
+        sr.search_fused(q, sims=["bm25"])
+    # three-way ensemble runs and ranks densely
+    rows = sr.search_fused(q, sims=["bm25", "qld", ("inl2", 0.5)], k=5).collect()
+    assert rows and sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
