@@ -4042,6 +4042,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries of this dict only (CORRECTNESS_r02.json stopped at exactly 50
     # keys).  Entries that have never had a driver row — the round-2 query
     # surface — therefore come FIRST, followed by this round's new entries,
+    def boosted_topk_q(spark, sf):
+        # FunctionScoreQuery: BM25 x saturation(n_chars) — the emitted
+        # score follows operators/boost.py's integer-micros contract
+        # (round6 relevance lifted to exact int64, ONE trailing IEEE
+        # division), so no final rounding is needed for cross-engine hash
+        # identity
+        from dhr_spark.operators.boost import boosted_topk
+
+        post, _, _ = _postings(spark, sf)
+        sig = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"), "n_chars"
+        )
+        return boosted_topk(
+            _qtfs(spark), post, sig, k=TOPK, scale=250.0,
+            on="term", signal_col="n_chars",
+        )
+
+    def boosted_index_identity_q(spark, sf):
+        # index-backed exact FunctionScore (exhaustive scoring + docvalues
+        # prior) must equal the corpus slow path row-for-row
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        fast = Searcher(spark, idx).search_boosted(
+            _queries_df(spark), "n_chars", scale=250.0, k=TOPK
+        )
+        slow = boosted_topk_q(spark, sf)
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     # then the long-green round-1 entries fill the remaining window.  Every
     # entry past slot 50 stays registered and is still verified by the
     # in-repo DuckDB-oracle pytest (tests/test_entry_oracle.py runs ALL of
@@ -4201,6 +4231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_interpolation": fusion_interp_q,
         "rrf_index_identity": rrf_index_identity_q,
         "bpref_at_10": bpref_q,
+        "boosted_topk": boosted_topk_q,
+        "boosted_index_identity": boosted_index_identity_q,
     }
 
 
@@ -4956,6 +4988,25 @@ FROM lagd GROUP BY doc_id""",
         "syntax_range_topk": _RANGE_TOPK_SQL,
         # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
         # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only
+        # FunctionScoreQuery: round6 relevance -> exact integer micros,
+        # scaled by the integer signal, ONE trailing IEEE division (the
+        # repo's midpoint-free float-composite pattern)
+        "boosted_topk": f"""WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE},
+boosted AS (
+  SELECT scored.qid, scored.docid,
+         (CAST(round(round(score, 6) * 1000000, 0) AS BIGINT)
+          * d.n_chars)::DOUBLE / (d.n_chars + 250.0) AS score
+  FROM scored JOIN documents d ON d.doc_id = scored.docid
+),
+branked AS (
+  SELECT qid, docid, score,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, docid ASC
+         ) AS INTEGER) AS rank
+  FROM boosted
+)
+SELECT qid, docid, rank, score FROM branked WHERE rank <= {TOPK}""",
+        "boosted_index_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

@@ -1,0 +1,112 @@
+"""FunctionScoreQuery: relevance score x a per-document signal factor.
+
+Lucene's ``FunctionScoreQuery`` (and the ``FeatureField`` saturation
+function it typically wraps) folds a document-level prior — popularity,
+recency, length — into the relevance ranking by multiplying each hit's
+score by a factor computed from a stored per-doc value. Elasticsearch
+exposes the same thing as ``function_score`` / ``rank_feature``. The
+reference's Lucene backend (Pyserini ``SimpleSearcher``,
+/root/reference/densify/output_vector.py:1) ships these query types with
+every index; this module is their DataFrame re-expression, plus the
+engine extension every transcript-search deployment wants: recency
+boosting over agent conversations.
+
+Factor family: the saturation prior ``sat(v) = v / (v + scale)`` —
+exactly Lucene ``FeatureField.newSaturationQuery``'s ``S / (S + pivot)``
+shape. Unlike log/exp priors (libm implementations differ in the last
+ulp across engines), saturation is ONE IEEE division of exact inputs, so
+Spark, DuckDB and the index kernel agree bit-for-bit.
+
+Determinism contract (the repo's integer-micros pattern): the relevance
+score is first pinned to 6 decimals (the engine-wide ranking precision,
+operators/topk.SCORE_DECIMALS), lifted to exact integer micros, scaled by
+the integer signal value, and divided ONCE:
+
+    boosted = round6(score) * 1e6 * v   /   (v + scale)
+              `---- exact int64 ----'      one IEEE division
+
+No final rounding — the emitted double is fully determined by
+(round6(score), v, scale), so fast path == slow path == oracle without
+midpoint hazards (BASELINE.md sf0.1 sweep: round-of-float-composite
+midpoints are the one cross-engine split this repo has seen).
+
+Plan shape (corpus slow path): standard BM25 scored set (broadcast query
+x postings, operators/topk.score_all) -> join the (docid, v) signal
+column -> codegen'd multiply/divide -> per-qid rank window. The signal
+join happens AFTER the (qid, docid) aggregation, so it touches |hits|
+rows, not |postings|; at 100 TB the signal rides the doc_map (already
+docid-partitioned in the index layout) and AQE broadcasts whichever side
+is small. The index-backed twin (operators/wand.Searcher.search_boosted)
+adds Elasticsearch ``rescore``-window semantics for bounded work at
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dhr_spark.operators.topk import SCORE_DECIMALS, score_all
+
+
+def saturation_boost_col(score_col, signal_col, scale: float):
+    """Boosted-score expression: ``round6(score)·1e6·v / (v + scale)``.
+
+    ``score_col`` is a relevance score already comparable at 6 decimals;
+    ``signal_col`` a non-negative numeric doc signal. The 1e6 lift keeps
+    the integer product exact (score < ~9e3 and v < ~1e9 stay well inside
+    int64); the single trailing division is exactly rounded IEEE, hence
+    engine-portable. The 1e6 factor is deliberately NOT divided back out:
+    ranking and hashes only need a strictly monotone transform."""
+    micros = F.round(F.round(score_col, SCORE_DECIMALS) * F.lit(1e6), 0).cast(
+        "long"
+    )
+    v = signal_col.cast("long")
+    return (micros * v).cast("double") / (
+        v.cast("double") + F.lit(float(scale))
+    )
+
+
+def boosted_rank(scored: DataFrame, signal: DataFrame, *, scale: float,
+                 signal_col: str, k: int) -> DataFrame:
+    """(qid, docid, rank, score) from a (qid, docid, score) relevance set
+    and a (docid, <signal_col>) doc-signal table. Docs missing a signal
+    row drop out (Lucene FeatureField semantics: no feature, no match)."""
+    boosted = (
+        scored.join(signal, "docid")
+        .withColumn(
+            "score",
+            saturation_boost_col(
+                F.col("score"), F.col(signal_col), scale
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        boosted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "rank", "score")
+    )
+
+
+def boosted_topk(
+    qtfs: DataFrame,
+    postings: DataFrame,
+    signal: DataFrame,
+    k: int = 1000,
+    scale: float = 250.0,
+    on: str = "term_id",
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Corpus slow path: FunctionScore top-k = BM25 scored set x saturation
+    prior, exact over ALL matching docs (no window approximation — this is
+    the oracle plan the index-backed rescore path is verified against)."""
+    return boosted_rank(
+        score_all(qtfs, postings, on=on),
+        signal,
+        scale=scale,
+        signal_col=signal_col,
+        k=k,
+    )

@@ -102,5 +102,10 @@ def doc_map(docs: DataFrame, extra: tuple[str, ...] | list[str] = ()) -> DataFra
     """(docid, conv_id, turn_idx, *extra) dimension table — the positional
     docid lookup of the reference (gip_retrieval.py:336-341) as a
     broadcastable dim. ``extra`` columns are DOCVALUES (Lucene's columnar
-    per-doc fields): carried for sort-by-field and result faceting."""
-    return docs.select("docid", *ORDER_COLS, *extra)
+    per-doc fields): carried for sort-by-field and result faceting.
+    Base columns double as docvalues already, so declaring one in
+    ``extra`` (docvalues=["turn_idx"]) dedupes instead of producing a
+    duplicate-column doc_map that fails at parquet-write time."""
+    base = {"docid", *ORDER_COLS}
+    dv = [c for c in extra if c not in base]
+    return docs.select("docid", *ORDER_COLS, *dv)

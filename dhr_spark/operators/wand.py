@@ -1610,6 +1610,53 @@ class Searcher:
         )
         return topk(scored.join(dv.select("docid"), "docid"), k)
 
+    def search_boosted(
+        self,
+        queries: DataFrame,
+        field: str,
+        scale: float = 250.0,
+        k: int = 1000,
+        window: int | None = None,
+        sim: str = "bm25",
+        sim_param: float | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """(qid, docid, rank, score): FunctionScoreQuery — relevance
+        multiplied by the saturation prior ``v / (v + scale)`` over the
+        docvalues ``field`` (Lucene FeatureField.newSaturationQuery /
+        Elasticsearch function_score; operators/boost.py documents the
+        integer-micros determinism contract the emitted score follows).
+        ``sim``/``sim_param`` pick the relevance scorer, composing like
+        search_filtered does.
+
+        ``window=None`` (exact): every matching doc is scored exhaustively
+        (prune=False — WAND's theta bounds the RELEVANCE ranking, which a
+        multiplicative prior reorders, so chunk-local pruning could drop
+        the boosted winner) and the prior re-ranks the full hit set. This
+        is the oracle mode.
+
+        ``window=W``: Elasticsearch ``rescore`` semantics — relevance
+        top-W via block-max WAND, then the prior re-ranks only that
+        window and the top-k is cut from it. Bounded work at any corpus
+        size; exact whenever the true boosted top-k lies inside the
+        relevance top-W (factors are monotone in score for fixed v, so a
+        generous W — the ES default is 10x k — converges quickly; the
+        exact/window identity is pinned in tests at W >= |matches|)."""
+        from dhr_spark.operators.boost import boosted_rank
+
+        dv = self.docvalues_frame([field])
+        qinfo, all_terms, ksim, mu = self._prep_sim(queries, sim, sim_param)
+        if window is None:
+            chunk_docs = 1 << int(self.manifest["chunk_bits"])
+            scored = self._scored_frame(
+                qinfo, all_terms, chunk_docs, False, sim=ksim, mu=mu
+            )
+        else:
+            scored = self._search_prepared(
+                qinfo, all_terms, int(window), prune, sim=ksim, mu=mu
+            ).select("qid", "docid", "score")
+        return boosted_rank(scored, dv, scale=scale, signal_col=field, k=k)
+
     def doc_lengths_frame(self, chunks: list[int] | None = None) -> DataFrame:
         """(docid, dl): per-document lengths exploded from the packed
         doclens arrays, optionally restricted to a chunk list (partition

@@ -1,0 +1,147 @@
+"""FunctionScoreQuery (operators/boost.py + Searcher.search_boosted):
+index-backed exact mode == corpus slow path, rescore-window convergence,
+and the saturation prior's ordering semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.functions.bm25 import bm25_weight_col, idf_col
+from dhr_spark.index.builder import build_index_from_docs
+from dhr_spark.operators.boost import boosted_topk
+from dhr_spark.operators.termfreq import (
+    doc_lengths,
+    query_term_freqs,
+    term_freqs,
+    with_tokens,
+)
+from dhr_spark.operators.wand import Searcher
+
+SF = "/root/testdata/sf0.001"
+K1, B = 0.9, 0.4
+SCALE = 250.0
+K = 10
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.col("doc_id").alias("docid"), "text", "n_chars")
+    )
+
+
+@pytest.fixture(scope="module")
+def idx(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("boostidx") / "idx")
+    build_index_from_docs(
+        spark, docs.select("docid", "text"), d, analyzer_mode="simple",
+        chunk_bits=6, block_size=16,
+        doc_map_df=docs.select("docid", "n_chars"),
+        docvalues=["n_chars"],
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    rows = [
+        ("q1", "spark table scan"),
+        ("q2", "merge batch value"),
+        ("q3", "the slow window hash"),
+    ]
+    return spark.createDataFrame(rows, "qid string, text string")
+
+
+@pytest.fixture(scope="module")
+def slow(spark, docs, queries):
+    tok = with_tokens(docs.select("docid", "text"), mode="simple")
+    tfs, dls = term_freqs(tok), doc_lengths(tok)
+    cs = dls.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    ts = tfs.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "idf", idf_col(F.col("df"), int(cs["n"]))
+    )
+    post = (
+        tfs.join(dls, "docid")
+        .join(F.broadcast(ts.select("term", "idf")), "term")
+        .select("term", "docid", bm25_weight_col(
+            F.col("tf"), F.col("dl"), F.col("idf"),
+            F.lit(float(cs["a"])), K1, B,
+        ).alias("weight"))
+    )
+    qtfs = query_term_freqs(with_tokens(queries, mode="simple"))
+    return boosted_topk(
+        qtfs, post, docs.select("docid", "n_chars"),
+        k=K, scale=SCALE, on="term", signal_col="n_chars",
+    ).cache()
+
+
+def _rows(df):
+    return sorted(
+        (r["qid"], r["docid"], r["rank"], r["score"]) for r in df.collect()
+    )
+
+
+def test_index_exact_equals_slow_path(spark, idx, queries, slow):
+    fast = Searcher(spark, idx).search_boosted(
+        queries, "n_chars", scale=SCALE, k=K
+    )
+    assert _rows(fast) == _rows(slow)
+
+
+def test_full_window_rescore_equals_exact(spark, idx, queries, slow):
+    n = Searcher(spark, idx).manifest["n_docs"]
+    windowed = Searcher(spark, idx).search_boosted(
+        queries, "n_chars", scale=SCALE, k=K, window=int(n)
+    )
+    assert _rows(windowed) == _rows(slow)
+
+
+def test_small_window_is_subset_of_relevance_topw(spark, idx, queries):
+    sr = Searcher(spark, idx)
+    w = 25
+    rescored = sr.search_boosted(queries, "n_chars", scale=SCALE, k=K, window=w)
+    topw = sr.search(queries, k=w).select("qid", "docid")
+    # every rescored hit came from the relevance top-W window
+    assert rescored.join(topw, ["qid", "docid"], "left_anti").count() == 0
+    # and within a query, ranks are dense 1..n
+    got = rescored.groupBy("qid").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    ).collect()
+    assert all(r["n"] == r["mx"] for r in got)
+
+
+def test_saturation_orders_equal_relevance_by_signal(spark):
+    # two docs identical text (same BM25 score for any query), different
+    # n_chars: the saturation prior must rank the larger signal first
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", 40), (1, "alpha beta", 400)],
+        "docid long, text string, n_chars int",
+    )
+    tok = with_tokens(docs.select("docid", "text"), mode="simple")
+    tfs, dls = term_freqs(tok), doc_lengths(tok)
+    ts = tfs.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "idf", idf_col(F.col("df"), 2)
+    )
+    post = (
+        tfs.join(dls, "docid")
+        .join(F.broadcast(ts.select("term", "idf")), "term")
+        .select("term", "docid", bm25_weight_col(
+            F.col("tf"), F.col("dl"), F.col("idf"), F.lit(2.0), K1, B,
+        ).alias("weight"))
+    )
+    q = spark.createDataFrame([("q", "alpha")], "qid string, text string")
+    got = boosted_topk(
+        query_term_freqs(with_tokens(q, mode="simple")), post,
+        docs.select("docid", "n_chars"), k=2, on="term",
+        signal_col="n_chars",
+    ).orderBy("rank").collect()
+    assert [r["docid"] for r in got] == [1, 0]
+    # factor = v/(v+250): doc 1 -> 400/650, doc 0 -> 40/290
+    assert got[0]["score"] > got[1]["score"] > 0
+
+
+def test_missing_docvalue_field_raises(spark, idx, queries):
+    with pytest.raises(ValueError, match="docvalues"):
+        Searcher(spark, idx).search_boosted(queries, "nosuchfield", k=K)
