@@ -4072,6 +4072,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def recency_topk_q(spark, sf):
+        # recency-boosted retrieval with a DETERMINISTIC synthetic
+        # timestamp (epoch0 + (doc_id*9973) % month) — the oracle replays
+        # the synthesis formula in SQL, same pattern as the multimodal
+        # decode oracles; half-life 7 days, "now" one month after epoch0
+        from dhr_spark.operators.boost import recency_topk
+
+        post, _, _ = _postings(spark, sf)
+        sig = _docs(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            (F.lit(1_700_000_000) + (F.col("doc_id") * 9973) % 2_592_000)
+            .cast("long").alias("ts_s"),
+        )
+        return recency_topk(
+            _qtfs(spark), post, sig, now=1_702_592_000,
+            half_life_s=604_800, k=TOPK, on="term",
+        )
+
     # then the long-green round-1 entries fill the remaining window.  Every
     # entry past slot 50 stays registered and is still verified by the
     # in-repo DuckDB-oracle pytest (tests/test_entry_oracle.py runs ALL of
@@ -4233,6 +4251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpref_at_10": bpref_q,
         "boosted_topk": boosted_topk_q,
         "boosted_index_identity": boosted_index_identity_q,
+        "recency_topk": recency_topk_q,
     }
 
 
@@ -5007,6 +5026,27 @@ branked AS (
 )
 SELECT qid, docid, rank, score FROM branked WHERE rank <= {TOPK}""",
         "boosted_index_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
+        # recency half-life prior over the synthesis-formula timestamp:
+        # age = now - (epoch0 + (docid*9973) % month), factor h/(h+age),
+        # integer micros numerator, ONE trailing division
+        "recency_topk": f"""WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE},
+boosted AS (
+  SELECT qid, docid,
+         (CAST(round(round(score, 6) * 1000000, 0) AS BIGINT)
+          * 604800)::DOUBLE
+         / (greatest(0, 1702592000
+                        - (1700000000 + (docid * 9973) % 2592000))
+            + 604800.0) AS score
+  FROM scored
+),
+branked AS (
+  SELECT qid, docid, score,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, docid ASC
+         ) AS INTEGER) AS rank
+  FROM boosted
+)
+SELECT qid, docid, rank, score FROM branked WHERE rank <= {TOPK}""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

@@ -67,6 +67,32 @@ def saturation_boost_col(score_col, signal_col, scale: float):
     )
 
 
+def recency_boost_col(score_col, ts_col, now: int, half_life_s: int):
+    """Boosted-score expression with a RECENCY half-life prior:
+
+        boosted = round6(score)·1e6·h / (h + age_s),
+        age_s   = max(now − ts, 0)
+
+    At ``age = half_life_s`` the factor is exactly 1/2 — a true half-life
+    — and documents from the future (clock skew, in-flight appends) clamp
+    to factor 1 like Elasticsearch decay functions do. Same exactness
+    argument as ``saturation_boost_col``: integer numerator, integer
+    denominator terms, ONE IEEE division."""
+    h = int(half_life_s)
+    if h <= 0:
+        raise ValueError(f"half_life_s must be positive, got {half_life_s}")
+    micros = F.round(F.round(score_col, SCORE_DECIMALS) * F.lit(1e6), 0).cast(
+        "long"
+    )
+    age = F.greatest(
+        F.lit(0).cast("long"),
+        F.lit(int(now)).cast("long") - ts_col.cast("long"),
+    )
+    return (micros * F.lit(h).cast("long")).cast("double") / (
+        age.cast("double") + F.lit(float(h))
+    )
+
+
 def boosted_rank(scored: DataFrame, signal: DataFrame, *, scale: float,
                  signal_col: str, k: int) -> DataFrame:
     """(qid, docid, rank, score) from a (qid, docid, score) relevance set
@@ -79,6 +105,27 @@ def boosted_rank(scored: DataFrame, signal: DataFrame, *, scale: float,
             saturation_boost_col(
                 F.col("score"), F.col(signal_col), scale
             ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        boosted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "rank", "score")
+    )
+
+
+def recency_rank(scored: DataFrame, signal: DataFrame, *, ts_col: str,
+                 now: int, half_life_s: int, k: int) -> DataFrame:
+    """(qid, docid, rank, score): relevance set re-ranked by the recency
+    half-life prior over a (docid, <ts_col>) table of epoch seconds."""
+    boosted = (
+        scored.join(signal, "docid")
+        .withColumn(
+            "score",
+            recency_boost_col(F.col("score"), F.col(ts_col), now, half_life_s),
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -108,5 +155,29 @@ def boosted_topk(
         signal,
         scale=scale,
         signal_col=signal_col,
+        k=k,
+    )
+
+
+def recency_topk(
+    qtfs: DataFrame,
+    postings: DataFrame,
+    timestamps: DataFrame,
+    now: int,
+    half_life_s: int = 7 * 86400,
+    k: int = 1000,
+    on: str = "term_id",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Corpus slow path: recency-boosted top-k — the transcript-search
+    staple ("prefer recent conversations"). ``timestamps`` is a
+    (docid, <ts_col>) table of epoch seconds; semantics per
+    recency_boost_col (exact over all matching docs)."""
+    return recency_rank(
+        score_all(qtfs, postings, on=on),
+        timestamps,
+        ts_col=ts_col,
+        now=now,
+        half_life_s=half_life_s,
         k=k,
     )

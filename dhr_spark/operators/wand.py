@@ -1644,6 +1644,43 @@ class Searcher:
         exact/window identity is pinned in tests at W >= |matches|)."""
         from dhr_spark.operators.boost import boosted_rank
 
+        scored, dv = self._boost_scored(
+            queries, field, window, sim, sim_param, prune
+        )
+        return boosted_rank(scored, dv, scale=scale, signal_col=field, k=k)
+
+    def search_recency(
+        self,
+        queries: DataFrame,
+        field: str,
+        now: int,
+        half_life_s: int = 7 * 86400,
+        k: int = 1000,
+        window: int | None = None,
+        sim: str = "bm25",
+        sim_param: float | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """(qid, docid, rank, score): recency-boosted retrieval — relevance
+        x ``h / (h + age)`` half-life decay over the epoch-seconds
+        docvalues ``field`` (operators/boost.recency_boost_col; future
+        timestamps clamp to factor 1). The transcript-search staple:
+        "prefer recent conversations". Same exact/window split and
+        similarity composition as search_boosted."""
+        from dhr_spark.operators.boost import recency_rank
+
+        scored, dv = self._boost_scored(
+            queries, field, window, sim, sim_param, prune
+        )
+        return recency_rank(
+            scored, dv, ts_col=field, now=now, half_life_s=half_life_s, k=k
+        )
+
+    def _boost_scored(self, queries, field, window, sim, sim_param, prune):
+        """Shared FunctionScore plumbing: (relevance scored set, docvalues
+        column). window=None -> exhaustive (exact mode, prune disabled —
+        WAND's theta bounds the relevance ranking, which a prior reorders);
+        window=W -> relevance top-W via block-max WAND (ES rescore)."""
         dv = self.docvalues_frame([field])
         qinfo, all_terms, ksim, mu = self._prep_sim(queries, sim, sim_param)
         if window is None:
@@ -1655,7 +1692,7 @@ class Searcher:
             scored = self._search_prepared(
                 qinfo, all_terms, int(window), prune, sim=ksim, mu=mu
             ).select("qid", "docid", "score")
-        return boosted_rank(scored, dv, scale=scale, signal_col=field, k=k)
+        return scored, dv
 
     def doc_lengths_frame(self, chunks: list[int] | None = None) -> DataFrame:
         """(docid, dl): per-document lengths exploded from the packed

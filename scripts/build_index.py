@@ -57,8 +57,21 @@ def main() -> None:
                    help="one doc per turn (default) or per conversation "
                         "(conversation forces --forward-index: the "
                         "tombstoning refresh path needs doc term vectors)")
+    p.add_argument("--docvalues", default=None,
+                   help="comma-separated transcript columns carried into "
+                        "doc_map as per-doc columnar fields (Lucene "
+                        "DocValues; backs search_sorted / result_facets / "
+                        "search_filtered / search_boosted / search_recency; "
+                        "turn-level indexes only)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
+    docvalues = (
+        tuple(c.strip() for c in args.docvalues.split(",") if c.strip())
+        if args.docvalues else ()
+    )
+    if docvalues and args.granularity == "conversation":
+        p.error("--docvalues is turn-level only (a conversation doc has no "
+                "single per-turn field value)")
 
     from dhr_spark.session import get_spark
     from dhr_spark.index.builder import build_index
@@ -111,6 +124,7 @@ def main() -> None:
             forward_index=args.forward_index,
             positional=args.positional,
             stored=args.stored,
+            docvalues=docvalues,
         )
     print(json.dumps({k: v for k, v in manifest.items() if k != "chunks"}))
     spark.stop()

@@ -141,6 +141,25 @@ def main() -> None:
                         "hits instead of the run (Lucene explain; index "
                         "must have --forward-index): (qid, docid, term, "
                         "qtf, tf, dl, idf, weight)")
+    p.add_argument("--boost", metavar="FIELD", default=None,
+                   help="FunctionScore: multiply relevance by the "
+                        "saturation prior v/(v+scale) over this numeric "
+                        "docvalues field (Lucene FeatureField)")
+    p.add_argument("--boost-scale", type=float, default=250.0,
+                   help="saturation pivot for --boost (factor 1/2 at "
+                        "v == scale)")
+    p.add_argument("--recency", metavar="FIELD", default=None,
+                   help="recency boost: multiply relevance by the "
+                        "half-life decay h/(h+age) over this epoch-seconds "
+                        "docvalues field")
+    p.add_argument("--now", type=int, default=None,
+                   help="reference 'now' epoch seconds for --recency "
+                        "(default: wall clock)")
+    p.add_argument("--half-life", type=int, default=7 * 86400,
+                   help="recency half-life in seconds (--recency)")
+    p.add_argument("--rescore-window", type=int, default=None,
+                   help="with --boost/--recency: rescore only the "
+                        "relevance top-W (ES rescore); default exact")
     p.add_argument("--k1", type=float, default=None,
                    help="query-time BM25 k1 override (no reindex)")
     p.add_argument("--b", type=float, default=None,
@@ -154,7 +173,7 @@ def main() -> None:
         args.phrases or args.rm3 or args.rocchio or args.qld
         or args.lmjm or args.f2exp or args.f2log or args.tfidf
         or args.inl2 or args.spl or args.fuse
-        or args.highlight
+        or args.highlight or args.boost or args.recency
         or args.rewrite or args.explain or args.count or args.syntax
     ):
         p.error("federated (multiple --index-dir) currently serves ranked "
@@ -236,6 +255,18 @@ def main() -> None:
                 queries, k=args.k, fb_docs=args.fb_docs,
                 fb_terms=args.fb_terms, orig_weight=args.rm3_beta,
                 prune=not args.no_prune,
+            )
+        elif args.boost:
+            run = searcher.search_boosted(
+                queries, args.boost, scale=args.boost_scale, k=args.k,
+                window=args.rescore_window, prune=not args.no_prune,
+            )
+        elif args.recency:
+            run = searcher.search_recency(
+                queries, args.recency,
+                now=args.now if args.now is not None else int(time.time()),
+                half_life_s=args.half_life, k=args.k,
+                window=args.rescore_window, prune=not args.no_prune,
             )
         elif args.highlight:
             run = searcher.highlight(queries, k=args.k, width=args.width)

@@ -32,14 +32,28 @@ def docs(spark):
     )
 
 
+EPOCH0 = 1_700_000_000
+MONTH = 2_592_000
+NOW = EPOCH0 + MONTH
+HALF = 7 * 86400
+
+
+def _with_ts(docs):
+    # deterministic synthetic epoch seconds spread over one month
+    return docs.withColumn(
+        "ts_s", (F.lit(EPOCH0) + (F.col("docid") * 9973) % MONTH).cast("long")
+    )
+
+
 @pytest.fixture(scope="module")
 def idx(spark, docs, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("boostidx") / "idx")
+    dd = _with_ts(docs)
     build_index_from_docs(
-        spark, docs.select("docid", "text"), d, analyzer_mode="simple",
+        spark, dd.select("docid", "text"), d, analyzer_mode="simple",
         chunk_bits=6, block_size=16,
-        doc_map_df=docs.select("docid", "n_chars"),
-        docvalues=["n_chars"],
+        doc_map_df=dd.select("docid", "n_chars", "ts_s"),
+        docvalues=["n_chars", "ts_s"],
     )
     return d
 
@@ -145,3 +159,61 @@ def test_saturation_orders_equal_relevance_by_signal(spark):
 def test_missing_docvalue_field_raises(spark, idx, queries):
     with pytest.raises(ValueError, match="docvalues"):
         Searcher(spark, idx).search_boosted(queries, "nosuchfield", k=K)
+
+
+def _slow_recency(spark, docs, queries):
+    from dhr_spark.operators.boost import recency_topk
+
+    tok = with_tokens(docs.select("docid", "text"), mode="simple")
+    tfs, dls = term_freqs(tok), doc_lengths(tok)
+    cs = dls.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    ts = tfs.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "idf", idf_col(F.col("df"), int(cs["n"]))
+    )
+    post = (
+        tfs.join(dls, "docid")
+        .join(F.broadcast(ts.select("term", "idf")), "term")
+        .select("term", "docid", bm25_weight_col(
+            F.col("tf"), F.col("dl"), F.col("idf"),
+            F.lit(float(cs["a"])), K1, B,
+        ).alias("weight"))
+    )
+    qtfs = query_term_freqs(with_tokens(queries, mode="simple"))
+    return recency_topk(
+        qtfs, post, _with_ts(docs).select("docid", "ts_s"),
+        now=NOW, half_life_s=HALF, k=K, on="term",
+    )
+
+
+def test_recency_index_equals_slow_path(spark, idx, docs, queries):
+    fast = Searcher(spark, idx).search_recency(
+        queries, "ts_s", now=NOW, half_life_s=HALF, k=K
+    )
+    assert _rows(fast) == _rows(_slow_recency(spark, docs, queries))
+
+
+def test_recency_half_life_and_future_clamp(spark):
+    from dhr_spark.operators.boost import recency_rank
+
+    scored = spark.createDataFrame(
+        [("q", 0, 2.0), ("q", 1, 2.0), ("q", 2, 2.0)],
+        "qid string, docid long, score double",
+    )
+    # doc 0 exactly one half-life old, doc 1 brand new, doc 2 future-dated
+    sig = spark.createDataFrame(
+        [(0, NOW - HALF), (1, NOW), (2, NOW + 999)],
+        "docid long, ts_s long",
+    )
+    got = {r["docid"]: r["score"] for r in recency_rank(
+        scored, sig, ts_col="ts_s", now=NOW, half_life_s=HALF, k=3
+    ).collect()}
+    # micros = 2e6; new/future docs get factor exactly 1, half-life = 1/2
+    assert got[1] == got[2] == 2_000_000.0
+    assert got[0] == 1_000_000.0
+
+
+def test_recency_bad_half_life_raises(spark, idx, queries):
+    with pytest.raises(ValueError, match="half_life"):
+        Searcher(spark, idx).search_recency(
+            queries, "ts_s", now=NOW, half_life_s=0, k=K
+        )
