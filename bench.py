@@ -435,6 +435,7 @@ def main() -> None:
         "f2log_topk", "tfidf_topk", "inl2_topk", "spl_topk",
         "sample_temperature",
         "sharded_range_topk", "percolate_topk",
+        "boosted_topk", "recency_topk",
     ]:
         # best-of-2: each op is 0.2-4s, so the second draw is cheap and
         # halves the ambient-noise variance in the committed per-op table
