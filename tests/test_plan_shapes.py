@@ -374,3 +374,21 @@ def test_block_join_single_agg_over_hits(spark):
     plan = _plan(block_join_topk(child, parent, k=5, score_mode="total"))
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_search_boosted_no_cartesian_prunes_docvalue_columns(spark, idx):
+    """FunctionScore's docvalues join is an equi-join on docid (never a
+    cartesian), and the doc_map scan reads only (docid, field) — the
+    ReadSchema must not drag the full doc_map row width into the boost."""
+    from dhr_spark.data.synthetic import synth_queries
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, idx)
+    df = s.search_boosted(synth_queries(spark, 3), "turn_idx", k=5, window=20)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the doc_map scan is column-pruned to the join key + signal
+    scans = [seg[:400] for seg in plan.split("ReadSchema")[1:]]
+    dm = [p for p in scans if "turn_idx" in p]
+    assert dm, plan[:2000]
+    assert not any("conv_id" in p for p in dm), dm
