@@ -4090,6 +4090,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             half_life_s=604_800, k=TOPK, on="term",
         )
 
+    def pack_sequences_q(spark, sf):
+        # GPT-style concat-and-cut packing plan: per-doc window assignment
+        # from the distributed two-phase prefix sum (operators/packing.py);
+        # the oracle recomputes it with a plain SQL cumulative window
+        from dhr_spark.operators.packing import pack_offsets
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        counts = doc_lengths(tok).select(
+            "docid", F.col("dl").cast("long").alias("n_tokens")
+        )
+        return pack_offsets(counts, seq_len=512, id_col="docid")
+
+    def pack_layout_stats_q(spark, sf):
+        from dhr_spark.operators.packing import pack_stats
+
+        return pack_stats(pack_sequences_q(spark, sf), 512)
+
     # then the long-green round-1 entries fill the remaining window.  Every
     # entry past slot 50 stays registered and is still verified by the
     # in-repo DuckDB-oracle pytest (tests/test_entry_oracle.py runs ALL of
@@ -4252,6 +4269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_topk": boosted_topk_q,
         "boosted_index_identity": boosted_index_identity_q,
         "recency_topk": recency_topk_q,
+        "pack_sequences": pack_sequences_q,
+        "pack_layout_stats": pack_layout_stats_q,
     }
 
 
@@ -5047,6 +5066,45 @@ branked AS (
   FROM boosted
 )
 SELECT qid, docid, rank, score FROM branked WHERE rank <= {TOPK}""",
+        # packing plan: the SQL cumulative window IS the semantics the
+        # distributed two-phase prefix sum must reproduce
+        "pack_sequences": f"""WITH {_TOKS_CTE},
+c AS (
+  SELECT doc_id AS docid, dl AS n_tokens,
+         CAST(coalesce(sum(dl) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_tok
+  FROM dl
+)
+SELECT docid, n_tokens, start_tok,
+       CAST(start_tok // 512 AS BIGINT) AS pack_id,
+       CAST(start_tok % 512 AS BIGINT) AS "offset",
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (start_tok % 512 + n_tokens - 1) // 512 + 1
+       END AS BIGINT) AS n_packs
+FROM c""",
+        "pack_layout_stats": f"""WITH {_TOKS_CTE},
+c AS (
+  SELECT dl AS n_tokens,
+         CAST(coalesce(sum(dl) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_tok
+  FROM dl
+),
+spans AS (
+  SELECT n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE (start_tok % 512 + n_tokens - 1) // 512 + 1 END AS np
+  FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS n_packs,
+       CAST(sum(CASE WHEN np > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS straddling_docs,
+       CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) * 512
+         - CAST(sum(n_tokens) AS BIGINT) AS tail_padding
+FROM spans""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction
