@@ -421,6 +421,80 @@ class MultiSearcher:
         )
         return self._unpack(merged)
 
+    def search_boosted(
+        self,
+        queries: DataFrame,
+        field: str,
+        scale: float = 250.0,
+        k: int = 1000,
+        window: int | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Federated FunctionScore (Searcher.search_boosted): each member
+        boosts its own docvalues column under the merged global relevance
+        stats. Exact mode (window=None) is score-identical to a
+        union-corpus index — per-member boosted sets are exhaustive, so
+        the union of local boosted top-ks contains the global boosted
+        top-k. Window mode rescopes the ES rescore window PER MEMBER
+        (N·window candidates globally — at least as accurate as a single
+        index's window)."""
+        per = [
+            s.search_boosted(
+                queries, field, scale=scale, k=k, window=window, prune=prune
+            ).withColumn("index_id", F.lit(i))
+            for i, s in enumerate(self.searchers)
+        ]
+        return self._merge_raw(per, k)
+
+    def search_recency(
+        self,
+        queries: DataFrame,
+        field: str,
+        now: int,
+        half_life_s: int = 7 * 86400,
+        k: int = 1000,
+        window: int | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Federated recency boosting — the time-partitioned deployment's
+        natural query: cold shards surface only when relevance beats the
+        decay. Same identity argument as search_boosted; ``now`` is shared
+        so every member decays against the same clock."""
+        per = [
+            s.search_recency(
+                queries, field, now=now, half_life_s=half_life_s, k=k,
+                window=window, prune=prune,
+            ).withColumn("index_id", F.lit(i))
+            for i, s in enumerate(self.searchers)
+        ]
+        return self._merge_raw(per, k)
+
+    def _merge_raw(self, per: list[DataFrame], k: int) -> DataFrame:
+        """k·N-row global merge that preserves RAW scores (boosted scores
+        follow operators/boost.py's no-final-rounding contract, so the
+        topk() helper's 6-decimal re-round would perturb them)."""
+        from pyspark.sql import Window
+
+        u = per[0].select("qid", "docid", "score", "index_id")
+        for p in per[1:]:
+            u = u.unionByName(p.select("qid", "docid", "score", "index_id"))
+        packed = u.select(
+            "qid",
+            (
+                F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                + F.col("docid")
+            ).alias("docid"),
+            "score",
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("docid").asc()
+        )
+        merged = (
+            packed.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+        )
+        return self._unpack(merged)
+
     def count(self, queries: DataFrame) -> DataFrame:
         """(qid, n): exact global hit count — member shards hold disjoint
         documents, so the federation total is the per-shard sum."""

@@ -337,3 +337,26 @@ def test_federated_spl_equals_union_index(spark, sharded, queries):
         fed=False,
     )
     assert fed == single and fed
+
+
+def test_federated_boosted_and_recency_equal_union_index(spark, sharded, queries):
+    """FunctionScore federates exactly: per-member exhaustive boosted sets
+    under merged global relevance stats == union-corpus index, for both the
+    saturation prior and the recency half-life decay (base doc_map column
+    turn_idx doubles as the docvalue)."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    sr = Searcher(spark, sharded["full"])
+    legs = [
+        ("boost",
+         ms.search_boosted(queries, "turn_idx", scale=5.0, k=100_000),
+         sr.search_boosted(queries, "turn_idx", scale=5.0, k=100_000)),
+        ("recency",
+         ms.search_recency(queries, "turn_idx", now=1000, half_life_s=50,
+                           k=100_000),
+         sr.search_recency(queries, "turn_idx", now=1000, half_life_s=50,
+                           k=100_000)),
+    ]
+    for name, fed_res, single_res in legs:
+        fed = _by_turn(spark, fed_res, sharded["dirs"], fed=True)
+        single = _by_turn(spark, single_res, sharded["full"], fed=False)
+        assert fed == single, name
