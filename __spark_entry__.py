@@ -4090,6 +4090,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             half_life_s=604_800, k=TOPK, on="term",
         )
 
+    def sample_mixture_q(spark, sf):
+        # explicit mixing ratios (GPT-3/Pile-style fixed mixture): 4:2:1
+        # over three sources, every other source weight 0; all-integer
+        # keep-rate arithmetic, binding domain keeps 100%
+        return TS.mixture_sample(
+            _docs(spark, sf), "source",
+            {"src0": 4, "src1": 2, "src2": 1},
+        ).select("doc_id", "source")
+
     def pack_sequences_q(spark, sf):
         # GPT-style concat-and-cut packing plan: per-doc window assignment
         # from the distributed two-phase prefix sum (operators/packing.py);
@@ -4271,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_topk": recency_topk_q,
         "pack_sequences": pack_sequences_q,
         "pack_layout_stats": pack_layout_stats_q,
+        "sample_mixture": sample_mixture_q,
     }
 
 
@@ -5105,6 +5115,26 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) * 512
          - CAST(sum(n_tokens) AS BIGINT) AS tail_padding
 FROM spans""",
+        # explicit mixture: binding domain = argmin c/w (exact double
+        # quotient of ints, ties by source), all-integer micro keep rates
+        "sample_mixture": f"""
+WITH w(source, wt) AS (VALUES ('src0', 4), ('src1', 2), ('src2', 1)),
+c AS (SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+cw AS (SELECT w.source, w.wt::BIGINT AS wt, c.c FROM w JOIN c USING (source)),
+bind AS (
+  SELECT wt AS wb, c AS cb FROM cw ORDER BY c::DOUBLE / wt, source LIMIT 1
+),
+r AS (
+  SELECT source, (1000000 * cw.wt * bind.cb) // (bind.wb * cw.c) AS rate_i
+  FROM cw CROSS JOIN bind
+),
+b AS (
+  SELECT doc_id, source,
+         ({_HASH60.format(arg="doc_id::VARCHAR")}) % 1000000 AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.source FROM b JOIN r USING (source)
+WHERE b.bucket < r.rate_i""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

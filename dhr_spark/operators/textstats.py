@@ -408,3 +408,61 @@ def temperature_sample(
             F.col(domain_col) == F.lit(d), F.lit(int(round(rr * 1_000_000)))
         ).otherwise(rate)
     return docs.filter(bucket < rate)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    domain_col: str,
+    weights: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic downsample-only EXPLICIT mixture targeting — the
+    "train on W parts web, 1 part books, 2 parts code" step of LLM-data
+    curation (fixed mixing ratios a la GPT-3/Pile/DoReMi-static, where
+    temperature_sample instead derives ratios from corpus shares).
+
+    ``weights`` maps domain value -> positive INTEGER weight. The kept
+    corpus has expected domain proportions exactly ∝ weights, scaled to
+    the largest feasible size: the BINDING domain (argmin c_d/w_d, ties
+    by domain value) keeps 100%, every other keeps
+
+        rate_d = (10^6 · w_d · c_bind) // (w_bind · c_d)   micro-fraction
+
+    — all-integer arithmetic (exact in any engine; integer weights are
+    the contract precisely so no float rounding can split engines).
+    Domains absent from ``weights`` are dropped (weight 0); weighted
+    domains absent from the corpus raise (their target share is
+    unsatisfiable by downsampling). Membership uses the same content-free
+    portable hash as temperature_sample / hash_split: stable across
+    engines, runs and cluster sizes at fixed counts.
+
+    Scale: one |domains|-row count aggregate + a broadcast CASE filter —
+    zero shuffle on the corpus itself.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {domain: int} map")
+    for d, w in weights.items():
+        if not isinstance(w, int) or isinstance(w, bool) or w <= 0:
+            raise ValueError(
+                f"weights must be positive integers, got {d!r}: {w!r}"
+            )
+    rows = docs.groupBy(domain_col).agg(F.count("*").alias("c")).collect()
+    counts = {r[domain_col]: int(r["c"]) for r in rows}
+    missing = sorted(str(d) for d in weights if d not in counts)
+    if missing:
+        raise ValueError(
+            f"weighted domains absent from the corpus: {missing} — a "
+            "downsample-only mixer cannot reach their target share"
+        )
+    # binding domain: smallest c/w (exact float quotient of ints, ties by
+    # domain value — the same comparison the SQL oracle performs)
+    bind = min(weights, key=lambda d: (counts[d] / weights[d], str(d)))
+    cb, wb = counts[bind], weights[bind]
+    bucket = tokhash60(F.col(id_col).cast("string")) % 1_000_000
+    rate = F.lit(0)
+    for d in sorted(weights, key=str):
+        micros = (1_000_000 * weights[d] * cb) // (wb * counts[d])
+        rate = F.when(
+            F.col(domain_col) == F.lit(d), F.lit(int(micros))
+        ).otherwise(rate)
+    return docs.filter(bucket < rate)

@@ -639,3 +639,45 @@ def test_temperature_sample_guards(spark):
     with _pt.raises(ValueError, match="alpha"):
         temperature_sample(docs, "source", alpha=1.5)
     assert temperature_sample(docs, "source", alpha=0.5).count() == 1
+
+
+def test_mixture_sample_rates_binding_and_drops(spark):
+    from dhr_spark.operators.textstats import mixture_sample
+
+    # a=400, b=100, c=50, d=200 docs; weights a:4 b:2 c:1 (d unweighted)
+    rows = (
+        [(i, "a", "t") for i in range(400)]
+        + [(400 + i, "b", "t") for i in range(100)]
+        + [(500 + i, "c", "t") for i in range(50)]
+        + [(550 + i, "d", "t") for i in range(200)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = mixture_sample(docs, "source", {"a": 4, "b": 2, "c": 1})
+    got = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # binding = argmin c/w: b (100/2=50) == c (50/1=50) -> tie by value "b";
+    # rates: b 100%, a (4*100)/(2*400)=50%, c (1*100)/(2*50)=100%
+    assert got["b"] == 100 and got["c"] == 50
+    assert 130 <= got["a"] <= 260  # ~200 expected at 50% hash rate
+    assert "d" not in got  # unweighted domain dropped
+    # deterministic across invocations
+    k2 = mixture_sample(docs, "source", {"a": 4, "b": 2, "c": 1})
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in k2.collect()
+    }
+
+
+def test_mixture_sample_guards(spark):
+    import pytest as _pt
+
+    from dhr_spark.operators.textstats import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "x", "a")], "doc_id long, source string, text string"
+    )
+    with _pt.raises(ValueError, match="positive integers"):
+        mixture_sample(docs, "source", {"x": 0.5})
+    with _pt.raises(ValueError, match="non-empty"):
+        mixture_sample(docs, "source", {})
+    with _pt.raises(ValueError, match="absent from the corpus"):
+        mixture_sample(docs, "source", {"x": 1, "ghost": 2})
