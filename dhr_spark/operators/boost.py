@@ -97,9 +97,12 @@ def boosted_rank(scored: DataFrame, signal: DataFrame, *, scale: float,
                  signal_col: str, k: int) -> DataFrame:
     """(qid, docid, rank, score) from a (qid, docid, score) relevance set
     and a (docid, <signal_col>) doc-signal table. Docs missing a signal
-    row drop out (Lucene FeatureField semantics: no feature, no match)."""
+    row drop out, and so do NEGATIVE signals (Lucene FeatureField
+    semantics: features must be non-negative; a negative value would
+    silently invert the ranking below zero, so it is treated as "no
+    feature, no match" rather than scored)."""
     boosted = (
-        scored.join(signal, "docid")
+        scored.join(signal.filter(F.col(signal_col) >= 0), "docid")
         .withColumn(
             "score",
             saturation_boost_col(

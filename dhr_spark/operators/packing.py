@@ -51,7 +51,13 @@ def pack_offsets(
     """(id, n_tokens, start_tok, pack_id, offset, n_packs) — the packing
     plan for a (id, n_tokens) table under doc-id-ordered concatenation
     into ``seq_len``-token windows. NULL counts read as 0; empty docs
-    occupy no window (n_packs 0) but still anchor a start position."""
+    occupy no window (n_packs 0) but still anchor a start position.
+
+    ``id_col`` values must be UNIQUE: the concatenation order is defined
+    by the id, so duplicate ids would receive arbitrary relative start
+    positions (ties under sortWithinPartitions are not stable across
+    runs). Every id producer in this repo (with_docids, doc_id synthesis)
+    already guarantees uniqueness."""
     if int(seq_len) <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     seq = int(seq_len)

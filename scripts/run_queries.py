@@ -173,7 +173,7 @@ def main() -> None:
         args.phrases or args.rm3 or args.rocchio or args.qld
         or args.lmjm or args.f2exp or args.f2log or args.tfidf
         or args.inl2 or args.spl or args.fuse
-        or args.highlight or args.boost or args.recency
+        or args.highlight
         or args.rewrite or args.explain or args.count or args.syntax
     ):
         p.error("federated (multiple --index-dir) currently serves ranked "
@@ -196,9 +196,21 @@ def main() -> None:
     if len(args.index_dirs) > 1:
         from dhr_spark.operators.federate import MultiSearcher
 
-        run = MultiSearcher(
-            spark, args.index_dirs, k1=args.k1, b=args.b
-        ).search(queries, k=args.k, prune=not args.no_prune)
+        ms = MultiSearcher(spark, args.index_dirs, k1=args.k1, b=args.b)
+        if args.boost:
+            run = ms.search_boosted(
+                queries, args.boost, scale=args.boost_scale, k=args.k,
+                window=args.rescore_window, prune=not args.no_prune,
+            )
+        elif args.recency:
+            run = ms.search_recency(
+                queries, args.recency,
+                now=args.now if args.now is not None else int(time.time()),
+                half_life_s=args.half_life, k=args.k,
+                window=args.rescore_window, prune=not args.no_prune,
+            )
+        else:
+            run = ms.search(queries, k=args.k, prune=not args.no_prune)
     else:
         searcher = Searcher(
             spark, args.index_dirs[0], k1=args.k1, b=args.b,

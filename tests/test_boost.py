@@ -154,6 +154,18 @@ def test_saturation_orders_equal_relevance_by_signal(spark):
     assert [r["docid"] for r in got] == [1, 0]
     # factor = v/(v+250): doc 1 -> 400/650, doc 0 -> 40/290
     assert got[0]["score"] > got[1]["score"] > 0
+    # a NEGATIVE signal is "no feature, no match" (Lucene FeatureField),
+    # never a sign-inverted score
+    neg = docs.withColumn(
+        "n_chars",
+        F.when(F.col("docid") == 0, F.lit(-40)).otherwise(F.col("n_chars")),
+    )
+    got2 = boosted_topk(
+        query_term_freqs(with_tokens(q, mode="simple")), post,
+        neg.select("docid", "n_chars"), k=2, on="term",
+        signal_col="n_chars",
+    ).collect()
+    assert [r["docid"] for r in got2] == [1]
 
 
 def test_missing_docvalue_field_raises(spark, idx, queries):
