@@ -58,11 +58,12 @@ def saturation_boost_col(score_col, signal_col, scale: float):
     int64); the single trailing division is exactly rounded IEEE, hence
     engine-portable. The 1e6 factor is deliberately NOT divided back out:
     ranking and hashes only need a strictly monotone transform."""
-    micros = F.round(F.round(score_col, SCORE_DECIMALS) * F.lit(1e6), 0).cast(
-        "long"
-    )
+    if float(scale) <= 0:
+        # Lucene FeatureField pivots are > 0; scale=0 would make v=0 docs
+        # score 0/0 = NaN, which Spark's descending sort ranks FIRST
+        raise ValueError(f"scale must be positive, got {scale}")
     v = signal_col.cast("long")
-    return (micros * v).cast("double") / (
+    return (_score_micros(score_col) * v).cast("double") / (
         v.cast("double") + F.lit(float(scale))
     )
 
@@ -81,15 +82,32 @@ def recency_boost_col(score_col, ts_col, now: int, half_life_s: int):
     h = int(half_life_s)
     if h <= 0:
         raise ValueError(f"half_life_s must be positive, got {half_life_s}")
-    micros = F.round(F.round(score_col, SCORE_DECIMALS) * F.lit(1e6), 0).cast(
-        "long"
-    )
     age = F.greatest(
         F.lit(0).cast("long"),
         F.lit(int(now)).cast("long") - ts_col.cast("long"),
     )
-    return (micros * F.lit(h).cast("long")).cast("double") / (
-        age.cast("double") + F.lit(float(h))
+    return (_score_micros(score_col) * F.lit(h).cast("long")).cast(
+        "double"
+    ) / (age.cast("double") + F.lit(float(h)))
+
+
+def _score_micros(score_col):
+    """Relevance pinned to 6 decimals and lifted to exact int64 micros."""
+    return F.round(
+        F.round(score_col, SCORE_DECIMALS) * F.lit(1e6), 0
+    ).cast("long")
+
+
+def _ranked(boosted: DataFrame, k: int) -> DataFrame:
+    """Shared FunctionScore ranking contract: raw-score DESC, docid ASC,
+    dense int ranks cut at k."""
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        boosted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "rank", "score")
     )
 
 
@@ -101,43 +119,29 @@ def boosted_rank(scored: DataFrame, signal: DataFrame, *, scale: float,
     semantics: features must be non-negative; a negative value would
     silently invert the ranking below zero, so it is treated as "no
     feature, no match" rather than scored)."""
-    boosted = (
+    return _ranked(
         scored.join(signal.filter(F.col(signal_col) >= 0), "docid")
         .withColumn(
             "score",
-            saturation_boost_col(
-                F.col("score"), F.col(signal_col), scale
-            ),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col("docid").asc()
-    )
-    return (
-        boosted.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "docid", "rank", "score")
+            saturation_boost_col(F.col("score"), F.col(signal_col), scale),
+        ),
+        k,
     )
 
 
 def recency_rank(scored: DataFrame, signal: DataFrame, *, ts_col: str,
                  now: int, half_life_s: int, k: int) -> DataFrame:
     """(qid, docid, rank, score): relevance set re-ranked by the recency
-    half-life prior over a (docid, <ts_col>) table of epoch seconds."""
-    boosted = (
-        scored.join(signal, "docid")
-        .withColumn(
+    half-life prior over a (docid, <ts_col>) table of epoch seconds.
+    Negative timestamps are legitimate (pre-1970 epochs) — unlike
+    boosted_rank's signal there is no sign filter; the age clamp alone
+    bounds the factor to (0, 1]."""
+    return _ranked(
+        scored.join(signal, "docid").withColumn(
             "score",
             recency_boost_col(F.col("score"), F.col(ts_col), now, half_life_s),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col("docid").asc()
-    )
-    return (
-        boosted.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "docid", "rank", "score")
+        ),
+        k,
     )
 
 

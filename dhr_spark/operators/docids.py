@@ -105,7 +105,8 @@ def doc_map(docs: DataFrame, extra: tuple[str, ...] | list[str] = ()) -> DataFra
     per-doc fields): carried for sort-by-field and result faceting.
     Base columns double as docvalues already, so declaring one in
     ``extra`` (docvalues=["turn_idx"]) dedupes instead of producing a
-    duplicate-column doc_map that fails at parquet-write time."""
+    duplicate-column doc_map that fails at parquet-write time; repeats
+    WITHIN extra (--docvalues ts,ts) dedupe the same way."""
     base = {"docid", *ORDER_COLS}
-    dv = [c for c in extra if c not in base]
+    dv = [c for c in dict.fromkeys(extra) if c not in base]
     return docs.select("docid", *ORDER_COLS, *dv)

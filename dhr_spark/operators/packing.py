@@ -50,7 +50,10 @@ def pack_offsets(
 ) -> DataFrame:
     """(id, n_tokens, start_tok, pack_id, offset, n_packs) — the packing
     plan for a (id, n_tokens) table under doc-id-ordered concatenation
-    into ``seq_len``-token windows. NULL counts read as 0; empty docs
+    into ``seq_len``-token windows. NULL counts read as 0, and so do
+    NEGATIVE counts (``F.size`` yields -1, not NULL, for a NULL array —
+    the common token-count idiom; an un-clamped -1 would silently walk
+    the cumsum backwards and corrupt every later start_tok); empty docs
     occupy no window (n_packs 0) but still anchor a start position.
 
     ``id_col`` values must be UNIQUE: the concatenation order is defined
@@ -65,7 +68,10 @@ def pack_offsets(
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     base = counts.select(
         F.col(id_col).cast("long").alias(id_col),
-        F.coalesce(F.col(n_col).cast("long"), F.lit(0)).alias(n_col),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.col(n_col).cast("long"), F.lit(0)),
+        ).alias(n_col),
     )
     parted = base.repartitionByRange(n_parts, id_col).sortWithinPartitions(
         id_col

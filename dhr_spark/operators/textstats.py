@@ -397,15 +397,28 @@ def temperature_sample(
     if not rows:
         return docs
     c_min = min(int(r["c"]) for r in rows)
-    rates = {
-        r[domain_col]: round((c_min / int(r["c"])) ** (1.0 - alpha), 6)
+    micros = {
+        r[domain_col]: int(round(
+            round((c_min / int(r["c"])) ** (1.0 - alpha), 6) * 1_000_000
+        ))
         for r in rows
     }
+    return _keep_by_rate(docs, domain_col, micros, id_col)
+
+
+def _keep_by_rate(
+    docs: DataFrame, domain_col: str, micro_rates: dict, id_col: str
+) -> DataFrame:
+    """Per-domain micro-fraction keep filter over the content-free
+    portable hash — the SINGLE membership definition every sampler
+    (temperature_sample, mixture_sample) shares, so a change to the
+    hash/bucket contract cannot desynchronize them. Domains missing from
+    ``micro_rates`` keep nothing (rate 0)."""
     bucket = tokhash60(F.col(id_col).cast("string")) % 1_000_000
     rate = F.lit(0)
-    for d, rr in sorted(rates.items()):
+    for d in sorted(micro_rates, key=str):
         rate = F.when(
-            F.col(domain_col) == F.lit(d), F.lit(int(round(rr * 1_000_000)))
+            F.col(domain_col) == F.lit(d), F.lit(int(micro_rates[d]))
         ).otherwise(rate)
     return docs.filter(bucket < rate)
 
@@ -458,11 +471,7 @@ def mixture_sample(
     # domain value — the same comparison the SQL oracle performs)
     bind = min(weights, key=lambda d: (counts[d] / weights[d], str(d)))
     cb, wb = counts[bind], weights[bind]
-    bucket = tokhash60(F.col(id_col).cast("string")) % 1_000_000
-    rate = F.lit(0)
-    for d in sorted(weights, key=str):
-        micros = (1_000_000 * weights[d] * cb) // (wb * counts[d])
-        rate = F.when(
-            F.col(domain_col) == F.lit(d), F.lit(int(micros))
-        ).otherwise(rate)
-    return docs.filter(bucket < rate)
+    micros = {
+        d: (1_000_000 * weights[d] * cb) // (wb * counts[d]) for d in weights
+    }
+    return _keep_by_rate(docs, domain_col, micros, id_col)

@@ -169,6 +169,17 @@ def main() -> None:
     if (args.phrases or args.explain or args.count) and args.trec:
         p.error("--trec needs ranked (qid, docid, rank, score) output; "
                 "--phrases/--explain/--count emit diagnostic row shapes")
+    if args.boost and args.recency:
+        p.error("--boost and --recency are mutually exclusive (one prior "
+                "per query; compose offline if you need both)")
+    if (args.boost or args.recency) and (
+        args.rm3 or args.rocchio or args.fuse or args.phrases
+        or args.highlight or args.rewrite or args.syntax
+        or args.count or args.explain
+    ):
+        p.error("--boost/--recency compose with similarity flags "
+                "(--qld/--lmjm/...) but not with --rm3/--rocchio/--fuse/"
+                "--phrases/--highlight/--rewrite/--syntax/--count/--explain")
     if len(args.index_dirs) > 1 and (
         args.phrases or args.rm3 or args.rocchio or args.qld
         or args.lmjm or args.f2exp or args.f2log or args.tfidf
@@ -191,6 +202,29 @@ def main() -> None:
         queries = synth_queries(spark, n_queries=args.synthetic)
     else:
         queries = read_tsv_queries(spark, args.queries)
+
+    # similarity selection shared by the plain and boost/recency paths
+    sim, sim_param = "bm25", None
+    if args.qld:
+        sim, sim_param = "qld", args.mu
+    elif args.lmjm:
+        sim, sim_param = "lmjm", args.lam
+    elif args.f2exp:
+        sim, sim_param = "f2exp", args.f2exp_s
+    elif args.f2log:
+        sim, sim_param = "f2log", args.f2exp_s
+    elif args.tfidf:
+        sim, sim_param = "tfidf", None
+    elif args.inl2:
+        sim, sim_param = "inl2", args.dfr_c
+    elif args.spl:
+        sim, sim_param = "spl", args.dfr_c
+    if (args.boost or args.recency) and sim != "bm25" and len(
+        args.index_dirs
+    ) > 1:
+        p.error("federated --boost/--recency currently scores BM25 only "
+                "(MultiSearcher.search_boosted has no sim=); drop the "
+                "similarity flag or query per shard")
 
     t0 = time.time()
     if len(args.index_dirs) > 1:
@@ -219,6 +253,22 @@ def main() -> None:
         if args.phrases:
             run = searcher.search_phrase_batch(
                 queries.withColumnRenamed("text", "phrase")
+            )
+        elif args.boost:
+            # takes precedence over the similarity flags, which feed its
+            # sim= (e.g. --boost n_chars --qld = QLD-relevance FunctionScore)
+            run = searcher.search_boosted(
+                queries, args.boost, scale=args.boost_scale, k=args.k,
+                window=args.rescore_window, sim=sim, sim_param=sim_param,
+                prune=not args.no_prune,
+            )
+        elif args.recency:
+            run = searcher.search_recency(
+                queries, args.recency,
+                now=args.now if args.now is not None else int(time.time()),
+                half_life_s=args.half_life, k=args.k,
+                window=args.rescore_window, sim=sim, sim_param=sim_param,
+                prune=not args.no_prune,
             )
         elif args.qld:
             run = searcher.search_qld(
@@ -267,18 +317,6 @@ def main() -> None:
                 queries, k=args.k, fb_docs=args.fb_docs,
                 fb_terms=args.fb_terms, orig_weight=args.rm3_beta,
                 prune=not args.no_prune,
-            )
-        elif args.boost:
-            run = searcher.search_boosted(
-                queries, args.boost, scale=args.boost_scale, k=args.k,
-                window=args.rescore_window, prune=not args.no_prune,
-            )
-        elif args.recency:
-            run = searcher.search_recency(
-                queries, args.recency,
-                now=args.now if args.now is not None else int(time.time()),
-                half_life_s=args.half_life, k=args.k,
-                window=args.rescore_window, prune=not args.no_prune,
             )
         elif args.highlight:
             run = searcher.highlight(queries, k=args.k, width=args.width)
