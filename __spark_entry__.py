@@ -4090,6 +4090,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             half_life_s=604_800, k=TOPK, on="term",
         )
 
+    def ttest_mrr_q(spark, sf):
+        # paired Student's t over per-query RR@10 vs RR@5 of the same run
+        # (cutoff-sensitivity comparison) — one row, all float outputs
+        # derived from exact integer micros sums + exactly-rounded
+        # sqrt/divide, so the hash check pins the full t statistic
+        run, qr = _bm25_topk(spark, sf), _qrels(spark, sf)
+        return M.paired_diff_test(
+            M.mrr_at_k(run, qr, k=10), M.mrr_at_k(run, qr, k=5), "rr"
+        )
+
     def sample_mixture_q(spark, sf):
         # explicit mixing ratios (GPT-3/Pile-style fixed mixture): 4:2:1
         # over three sources, every other source weight 0; all-integer
@@ -4281,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences_q,
         "pack_layout_stats": pack_layout_stats_q,
         "sample_mixture": sample_mixture_q,
+        "ttest_mrr": ttest_mrr_q,
     }
 
 
@@ -5135,6 +5146,48 @@ b AS (
 )
 SELECT b.doc_id, b.source FROM b JOIN r USING (source)
 WHERE b.bucket < r.rate_i""",
+        # paired t over per-query RR@10 vs RR@5: exact integer micros sums
+        # (Σd² in HUGEINT), floats only through exactly-rounded sqrt/divide
+        "ttest_mrr": f"""{metric_prefix},
+rr10 AS (
+  SELECT qlist.qid,
+         round(coalesce(1.0 / min(CASE WHEN qr.docid IS NOT NULL
+                                       THEN r.rank END), 0.0), 6) AS rr
+  FROM qlist
+  LEFT JOIN (SELECT * FROM ranked WHERE rank <= 10) r ON r.qid = qlist.qid
+  LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
+  GROUP BY qlist.qid
+),
+rr5 AS (
+  SELECT qlist.qid,
+         round(coalesce(1.0 / min(CASE WHEN qr.docid IS NOT NULL
+                                       THEN r.rank END), 0.0), 6) AS rr
+  FROM qlist
+  LEFT JOIN (SELECT * FROM ranked WHERE rank <= 5) r ON r.qid = qlist.qid
+  LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
+  GROUP BY qlist.qid
+),
+m AS (
+  SELECT CAST(round(rr10.rr * 1000000, 0) AS BIGINT) AS am,
+         CAST(round(rr5.rr * 1000000, 0) AS BIGINT) AS bm
+  FROM rr10 JOIN rr5 USING (qid)
+),
+s AS (
+  SELECT count(*)::BIGINT AS n, sum(am)::BIGINT AS sa, sum(bm)::BIGINT AS sb,
+         sum(am - bm)::BIGINT AS s1,
+         sum((am - bm)::HUGEINT * (am - bm)) AS s2
+  FROM m
+)
+SELECT n,
+       sa::DOUBLE / n / 1000000.0 AS mean_a,
+       sb::DOUBLE / n / 1000000.0 AS mean_b,
+       s1::DOUBLE / n / 1000000.0 AS mean_diff,
+       CASE WHEN n < 2 OR (n::HUGEINT * s2 - s1::HUGEINT * s1)::DOUBLE <= 0
+            THEN NULL
+            ELSE s1::DOUBLE * sqrt((n - 1)::DOUBLE)
+                 / sqrt((n::HUGEINT * s2 - s1::HUGEINT * s1)::DOUBLE)
+       END AS t_stat
+FROM s""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

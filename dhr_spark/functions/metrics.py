@@ -330,3 +330,59 @@ def mean_metric(per_query: DataFrame, col: str) -> DataFrame:
     """Collapse a per-qid metric to its global mean (the reference's headline
     number, e.g. MRR@10 over all dev queries)."""
     return per_query.agg(F.round(F.avg(col), 6).alias(f"mean_{col}"))
+
+
+def paired_diff_test(
+    a: DataFrame, b: DataFrame, col_a: str, col_b: str | None = None
+) -> DataFrame:
+    """(n, mean_a, mean_b, mean_diff, t_stat): paired Student's t over
+    per-query metric differences — the IR-standard significance test for
+    comparing two runs on the same query set (trec_eval users feed the
+    per-query -q output to this exact test; ranx's compare() default).
+    ``a``/``b`` are per-query frames like mrr_at_k's (qid, rr); only
+    queries present in BOTH sides pair up (inner join — the paired test
+    is undefined for unpaired observations).
+
+    Cross-engine determinism: the round6 metric values are lifted to
+    exact integer micros, so n, Σd and Σd² are exact integers (Σd² in
+    38-digit decimal — int64 would overflow past ~10^6 queries);
+    mean_* and
+
+        t = Σd · sqrt(n−1) / sqrt(n·Σd² − (Σd)²)
+
+    then touch floats only through exactly-rounded IEEE ops (sqrt,
+    divide), so Spark and DuckDB agree bit-for-bit. t_stat is NULL when
+    every difference is identical (zero variance) or n < 2."""
+    cb = col_b or col_a
+    am = F.round(F.col(col_a) * F.lit(1e6), 0).cast("long").alias("am")
+    bm = F.round(F.col(cb) * F.lit(1e6), 0).cast("long").alias("bm")
+    d = F.col("am") - F.col("bm")
+    agg = (
+        a.select("qid", am)
+        .join(b.select("qid", bm), "qid")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("am").alias("sa"),
+            F.sum("bm").alias("sb"),
+            F.sum(d).alias("s1"),
+            F.sum((d * d).cast("decimal(38,0)")).alias("s2"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    den2 = (dec("n") * F.col("s2") - dec("s1") * dec("s1")).cast("double")
+    t = F.when(
+        (F.col("n") < 2) | (den2 <= 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.col("s1").cast("double")
+        * F.sqrt((F.col("n") - 1).cast("double"))
+        / F.sqrt(den2)
+    )
+    return agg.select(
+        "n",
+        (F.col("sa").cast("double") / F.col("n") / F.lit(1e6)).alias("mean_a"),
+        (F.col("sb").cast("double") / F.col("n") / F.lit(1e6)).alias("mean_b"),
+        (F.col("s1").cast("double") / F.col("n") / F.lit(1e6)).alias(
+            "mean_diff"
+        ),
+        t.alias("t_stat"),
+    )

@@ -80,3 +80,38 @@ def test_judged_complements_hole(run, qrels):
     holes = _by_qid(M.hole_at_k(run, qrels, k=10), "hole")
     for qid, h in holes.items():
         assert abs(judged[qid] + h - 1.0) < 1e-5
+
+
+def test_paired_diff_test_hand_computed(spark):
+    from dhr_spark.functions.metrics import paired_diff_test
+
+    # diffs 0.25, 0.5, 0: mean 0.25, sd 0.25 -> t = 0.25/(0.25/sqrt(3)) = sqrt(3)
+    a = spark.createDataFrame(
+        [("q1", 0.5), ("q2", 1.0), ("q3", 0.25), ("q9", 0.9)],
+        "qid string, rr double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 0.25), ("q2", 0.5), ("q3", 0.25)], "qid string, rr double"
+    )
+    r = paired_diff_test(a, b, "rr").collect()[0]
+    assert r["n"] == 3  # q9 has no pair -> excluded
+    assert abs(r["mean_a"] - (0.5 + 1.0 + 0.25) / 3) < 1e-12
+    assert abs(r["mean_diff"] - 0.25) < 1e-12
+    assert abs(r["t_stat"] - 3 ** 0.5) < 1e-12
+
+
+def test_paired_diff_test_degenerate(spark):
+    from dhr_spark.functions.metrics import paired_diff_test
+
+    # zero variance (all diffs equal) -> t undefined
+    a = spark.createDataFrame([("q1", 0.5), ("q2", 0.7)], "qid string, rr double")
+    b = spark.createDataFrame([("q1", 0.4), ("q2", 0.6)], "qid string, rr double")
+    r = paired_diff_test(a, b, "rr").collect()[0]
+    assert abs(r["mean_diff"] - 0.1) < 1e-12 and r["t_stat"] is None
+    # n < 2 -> t undefined
+    one = paired_diff_test(
+        spark.createDataFrame([("q1", 0.5)], "qid string, rr double"),
+        spark.createDataFrame([("q1", 0.4)], "qid string, rr double"),
+        "rr",
+    ).collect()[0]
+    assert one["n"] == 1 and one["t_stat"] is None
