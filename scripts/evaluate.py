@@ -47,6 +47,10 @@ def main() -> None:
     p.add_argument("--k", type=int, nargs="+", default=[10],
                    help="cutoff depths (one JSON line each)")
     p.add_argument("--per-query", help="optional parquet output of per-query rows")
+    p.add_argument("--compare", default=None,
+                   help="second TREC run: adds a paired Student's t over "
+                        "per-query diffs for every metric (run minus "
+                        "compare; shared queries only)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -58,6 +62,9 @@ def main() -> None:
     run = read_trec_run(spark, args.run).cache()
     qrels = read_qrels(spark, args.qrels).cache()
 
+    run_b = (
+        read_trec_run(spark, args.compare).cache() if args.compare else None
+    )
     for k in args.k:
         out = {"k": k, "n_queries": run.select("qid").distinct().count()}
         per_query = None
@@ -66,6 +73,15 @@ def main() -> None:
             out[name] = float(
                 M.mean_metric(pq, col).collect()[0][f"mean_{col}"]
             )
+            if run_b is not None:
+                cmp_row = M.paired_diff_test(
+                    pq, getattr(M, fn)(run_b, qrels, k=k), col
+                ).collect()[0]
+                out[f"{name}_diff"] = float(cmp_row["mean_diff"])
+                out[f"{name}_t"] = (
+                    None if cmp_row["t_stat"] is None
+                    else round(float(cmp_row["t_stat"]), 4)
+                )
             if args.per_query:
                 per_query = pq if per_query is None else per_query.join(
                     pq, "qid", "full_outer"
