@@ -4100,6 +4100,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.mrr_at_k(run, qr, k=10), M.mrr_at_k(run, qr, k=5), "rr"
         )
 
+    def wilcoxon_mrr_q(spark, sf):
+        # Wilcoxon signed-rank, the non-parametric companion to ttest_mrr;
+        # paired on per-query recall@10 vs recall@5 (RR@10==RR@5 on this
+        # corpus — every first hit ranks <=5 — which would leave n=0 and
+        # never exercise the rank math; recall cutoffs genuinely differ).
+        # Doubled-integer average ranks + tie-corrected variance; the hash
+        # pins the full z statistic
+        run, qr = _bm25_topk(spark, sf), _qrels(spark, sf)
+        return M.wilcoxon_signed_rank(
+            M.recall_at_k(run, qr, k=10), M.recall_at_k(run, qr, k=5),
+            "recall",
+        )
+
+    def bool_msm_q(spark, sf):
+        # BooleanQuery.setMinimumNumberShouldMatch: >= 2 of 4 SHOULD terms
+        # (zero-shuffle array_intersect; index twin = search_syntax msm)
+        return BQ.boolean_match(
+            _docs(spark, sf),
+            should=["table", "hash", "merge", "scan"],
+            min_should_match=2,
+        )
+
+    def dedup_span_fraction_q(spark, sf):
+        # Dolma/RefinedWeb duplicated n-gram fraction (n=8): single-shuffle
+        # corpus-wide duplication triage, no candidate pairs
+        return D.duplicate_ngram_fraction(_docs(spark, sf), n=8)
+
     def sample_mixture_q(spark, sf):
         # explicit mixing ratios (GPT-3/Pile-style fixed mixture): 4:2:1
         # over three sources, every other source weight 0; all-integer
@@ -4292,6 +4319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_layout_stats": pack_layout_stats_q,
         "sample_mixture": sample_mixture_q,
         "ttest_mrr": ttest_mrr_q,
+        "wilcoxon_mrr": wilcoxon_mrr_q,
+        "bool_msm": bool_msm_q,
+        "dedup_span_fraction": dedup_span_fraction_q,
     }
 
 
@@ -5188,6 +5218,98 @@ SELECT n,
                  / sqrt((n::HUGEINT * s2 - s1::HUGEINT * s1)::DOUBLE)
        END AS t_stat
 FROM s""",
+        # Wilcoxon signed-rank over the same RR@10-vs-RR@5 pairing: doubled
+        # integer average ranks (min+max rownum per |d| tie group), exact
+        # integer tie-corrected variance, z via exactly-rounded sqrt/mul/div
+        "wilcoxon_mrr": f"""{metric_prefix},
+nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY 1),
+rc10 AS (
+  SELECT qlist.qid,
+         round(CASE WHEN coalesce(n_rel, 0) > 0
+               THEN coalesce(n_hit, 0) * 1.0 / n_rel ELSE 0.0 END, 6)
+           AS recall
+  FROM qlist LEFT JOIN nrel USING (qid) LEFT JOIN (
+    SELECT r.qid, count(*) AS n_hit FROM {topk10} r
+    JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid GROUP BY 1
+  ) USING (qid)
+),
+rc5 AS (
+  SELECT qlist.qid,
+         round(CASE WHEN coalesce(n_rel, 0) > 0
+               THEN coalesce(n_hit, 0) * 1.0 / n_rel ELSE 0.0 END, 6)
+           AS recall
+  FROM qlist LEFT JOIN nrel USING (qid) LEFT JOIN (
+    SELECT r.qid, count(*) AS n_hit
+    FROM (SELECT * FROM ranked WHERE rank <= 5) r
+    JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid GROUP BY 1
+  ) USING (qid)
+),
+m AS (
+  SELECT CAST(round(rc10.recall * 1000000, 0) AS BIGINT) AS am,
+         CAST(round(rc5.recall * 1000000, 0) AS BIGINT) AS bm
+  FROM rc10 JOIN rc5 USING (qid)
+),
+dd AS (SELECT am - bm AS d, abs(am - bm) AS ad FROM m WHERE am <> bm),
+r AS (SELECT d, ad, row_number() OVER (ORDER BY ad, d) AS rn FROM dd),
+r2 AS (
+  SELECT d, min(rn) OVER (PARTITION BY ad) + max(rn) OVER (PARTITION BY ad)
+         AS rank2
+  FROM r
+),
+t AS (
+  SELECT coalesce(sum(t3), 0::HUGEINT) AS tie3 FROM (
+    SELECT count(*)::HUGEINT * count(*) * count(*) - count(*) AS t3
+    FROM dd GROUP BY ad
+  )
+),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         coalesce(sum(CASE WHEN d > 0 THEN rank2 END), 0)::BIGINT AS w2p
+  FROM r2
+)
+SELECT n,
+       w2p::DOUBLE / 2 AS w_plus,
+       (n::HUGEINT * (n + 1))::DOUBLE / 2 - w2p::DOUBLE / 2 AS w_minus,
+       CASE WHEN n < 1
+              OR (2::HUGEINT * n * (n + 1) * (2 * n + 1) - tie3)::DOUBLE <= 0
+            THEN NULL
+            ELSE (2::HUGEINT * w2p - n::HUGEINT * (n + 1))::DOUBLE
+                 * sqrt(3.0)
+                 / sqrt((2::HUGEINT * n * (n + 1) * (2 * n + 1)
+                         - tie3)::DOUBLE)
+       END AS z_stat
+FROM s CROSS JOIN t""",
+        # minimum-should-match boolean: >= 2 distinct SHOULD terms present
+        "bool_msm": f"""
+WITH {_TOKS_CTE},
+td AS (SELECT doc_id, list_distinct(toks) AS d FROM toks)
+SELECT doc_id FROM td
+WHERE len(list_intersect(d, ['table', 'hash', 'merge', 'scan'])) >= 2""",
+        # duplicated 8-gram fraction: dup_fraction is ONE exact IEEE
+        # division of two integers — no round() midpoint hazard
+        "dedup_span_fraction": f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - 6, 1)),
+      j -> array_to_string(array_slice(toks, j, j + 7), ' ')))) AS shingle
+  FROM toks
+),
+nd AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS n_docs FROM sh
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM nd GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(per.n_dup, 0)::BIGINT AS n_dup,
+       CASE WHEN coalesce(per.n_shingles, 0) > 0
+            THEN per.n_dup::DOUBLE / per.n_shingles
+            ELSE 0.0 END AS dup_fraction
+FROM documents d LEFT JOIN per USING (doc_id)""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

@@ -386,3 +386,91 @@ def paired_diff_test(
         ),
         t.alias("t_stat"),
     )
+
+
+def wilcoxon_signed_rank(
+    a: DataFrame, b: DataFrame, col_a: str, col_b: str | None = None
+) -> DataFrame:
+    """(n, w_plus, w_minus, z_stat): Wilcoxon signed-rank test over paired
+    per-query metric values — the standard NON-parametric companion to
+    ``paired_diff_test`` (IR evaluations report both; Wilcoxon is preferred
+    when per-query metric differences are skewed, which RR/AP deltas
+    usually are). Inputs are per-query frames like mrr_at_k's (qid, rr);
+    only queries in BOTH sides pair up, and zero-difference pairs are
+    dropped (the classic Wilcoxon treatment).
+
+    Ranks are average ranks over ties of |d|, carried as DOUBLED integer
+    ranks (2·rank = min_rownum + max_rownum of the tie group) so every sum
+    is exact int64 arithmetic. The normal approximation uses the
+    tie-corrected variance
+
+        z = (W+ − n(n+1)/4) / sqrt( n(n+1)(2n+1)/24 − Σ(t³−t)/48 )
+          = (2·W2+ − n(n+1)) · sqrt(3) / sqrt(48·Var)
+
+    where ``48·Var = 2n(n+1)(2n+1) − Σ(t³−t)`` is an exact integer
+    (decimal(38,0) against overflow past ~10^6 queries); floats enter only
+    through exactly-rounded sqrt/multiply/divide, so Spark and the DuckDB
+    oracle agree bit-for-bit. z_stat is NULL when n == 0 (all pairs tied).
+
+    Scale note: ranking is a single global sort of the NONZERO differences
+    — |Q|-bounded, the same query-set scale every paired test (and the
+    driver-side query prep) already holds; never corpus-scale.
+    """
+    from pyspark.sql import Window
+
+    cb = col_b or col_a
+    am = F.round(F.col(col_a) * F.lit(1e6), 0).cast("long").alias("am")
+    bm = F.round(F.col(cb) * F.lit(1e6), 0).cast("long").alias("bm")
+    d = (
+        a.select("qid", am)
+        .join(b.select("qid", bm), "qid")
+        .select(
+            (F.col("am") - F.col("bm")).alias("d"),
+            F.abs(F.col("am") - F.col("bm")).alias("ad"),
+        )
+        .filter(F.col("d") != 0)
+    )
+    rn = F.row_number().over(Window.orderBy("ad", "d"))
+    w_tie = Window.partitionBy("ad")
+    ranked = d.withColumn("_rn", rn).withColumn(
+        "rank2", F.min("_rn").over(w_tie) + F.max("_rn").over(w_tie)
+    )
+    ties = (
+        d.groupBy("ad")
+        .agg(F.count("*").cast("decimal(38,0)").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tie3")
+        )
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("d") > 0, F.col("rank2"))), F.lit(0)
+        ).alias("w2p"),
+    ).crossJoin(ties)
+    nn = F.col("n").cast("decimal(38,0)")
+    var48 = (
+        F.lit(2).cast("decimal(38,0)")
+        * nn
+        * (nn + 1)
+        * (F.lit(2).cast("decimal(38,0)") * nn + 1)
+        - F.col("tie3")
+    ).cast("double")
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("w2p").cast("decimal(38,0)")
+        - nn * (nn + 1)
+    ).cast("double")
+    z = F.when((F.col("n") < 1) | (var48 <= 0), F.lit(None).cast("double")
+    ).otherwise(num * F.sqrt(F.lit(3.0)) / F.sqrt(var48))
+    return agg.select(
+        "n",
+        (F.col("w2p").cast("double") / 2).alias("w_plus"),
+        (
+            (nn * (nn + 1)).cast("double") / 2
+            - F.col("w2p").cast("double") / 2
+        ).alias("w_minus"),
+        z.alias("z_stat"),
+    )

@@ -32,24 +32,42 @@ def boolean_match(
     must_not: list[str] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_should_match: int = 0,
 ) -> DataFrame:
     """(id): documents satisfying the Boolean clause set.
 
     Implemented with array predicates on the per-doc distinct token set —
     zero joins, zero shuffle, whole-stage codegen; Lucene clause semantics
     (MUST = conjunction, SHOULD = at-least-one when present, MUST_NOT =
-    exclusion)."""
+    exclusion). ``min_should_match`` >= 2 applies Lucene's
+    BooleanQuery.setMinimumNumberShouldMatch over the SHOULD terms: a doc
+    must contain at least that many DISTINCT should terms (counted with
+    ``array_intersect`` on the distinct token set — still zero-shuffle
+    column math; the index-backed twin is Searcher.search_syntax's
+    ``min_should_match``, operators/wand.py)."""
     if not (must or should or must_not):
         raise ValueError("at least one clause required")
+    if min_should_match > len(should or []):
+        raise ValueError(
+            f"min_should_match={min_should_match} exceeds the "
+            f"{len(should or [])} SHOULD terms — unsatisfiable"
+        )
     toks = F.array_distinct(simple_tokens_col(F.col(text_col)))
     cond = F.lit(True)
     for t in must or []:
         cond = cond & F.array_contains(toks, t.lower())
     if should:
-        any_c = F.lit(False)
-        for t in should:
-            any_c = any_c | F.array_contains(toks, t.lower())
-        cond = cond & any_c
+        if min_should_match >= 2:
+            should_arr = F.array(*[F.lit(t.lower()) for t in should])
+            cond = cond & (
+                F.size(F.array_intersect(toks, should_arr))
+                >= min_should_match
+            )
+        else:
+            any_c = F.lit(False)
+            for t in should:
+                any_c = any_c | F.array_contains(toks, t.lower())
+            cond = cond & any_c
     for t in must_not or []:
         cond = cond & ~F.array_contains(toks, t.lower())
     return docs.filter(cond).select(F.col(id_col))

@@ -624,3 +624,59 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def duplicate_ngram_fraction(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_shingles, n_dup, dup_fraction): per-document duplicated
+    n-gram fraction — the share of a doc's distinct word n-grams that also
+    appear in at least one OTHER document. This is the standard corpus-level
+    duplication signal LLM curation pipelines threshold on (Dolma / Gopher
+    "fraction of duplicate n-grams"; RefinedWeb cuts at dup_fraction > 0.x)
+    — unlike pairwise dedup it needs no candidate pairs at all, so it is the
+    cheapest corpus-wide near-dup triage pass. The reference has no corpus
+    analytics of this kind (its corpus ops are per-doc encoders,
+    /root/reference/densify/corpus_vectorizer.py); this extends the
+    documents-table curation family.
+
+    Plan shape (single shuffle): explode distinct shingles -> ONE exchange
+    on the shingle key, where a partition-local window counts distinct docs
+    per shingle -> re-aggregate by doc. No self-join, no pair blow-up; the
+    widest intermediate is the (doc, shingle) relation itself, linear in
+    corpus token count. Shingle-key skew (boilerplate n-grams shared by
+    millions of docs) stays harmless because the window only COUNTS rows
+    per key. Docs with fewer than ``n`` tokens have no shingles:
+    n_shingles 0, dup_fraction 0.0.
+
+    Determinism: dup_fraction is one exactly-rounded IEEE division of two
+    exact integers — bit-identical in Spark and the DuckDB oracle with no
+    round() midpoint hazard.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_sets(docs, n, id_col)
+    n_docs = F.count("*").over(Window.partitionBy("shingle"))
+    per_doc = (
+        sh.withColumn("_nd", n_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("_nd") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.col("n_dup").cast("double") / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

@@ -65,3 +65,28 @@ def test_boolean_zero_shuffle_plan(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_boolean_min_should_match(spark, docs):
+    # >= 2 of the 4 SHOULD terms (Lucene setMinimumNumberShouldMatch):
+    # doc1 has table+hash+merge (3), doc2 table+hash (2), doc3
+    # table+hash+scan (3), doc4 table+merge (2), doc5 hash+scan (2)
+    got = {
+        r["doc_id"]
+        for r in BQ.boolean_match(
+            docs, should=["table", "hash", "merge", "scan"],
+            min_should_match=3,
+        ).collect()
+    }
+    assert got == {1, 3}
+    # msm composes with MUST/MUST_NOT; repeated doc terms count once
+    got = {
+        r["doc_id"]
+        for r in BQ.boolean_match(
+            docs, must=["hash"], should=["merge", "scan", "slow"],
+            must_not=["table"], min_should_match=1,
+        ).collect()
+    }
+    assert got == {5}
+    with pytest.raises(ValueError, match="unsatisfiable"):
+        BQ.boolean_match(docs, should=["merge"], min_should_match=2)

@@ -115,3 +115,46 @@ def test_paired_diff_test_degenerate(spark):
         "rr",
     ).collect()[0]
     assert one["n"] == 1 and one["t_stat"] is None
+
+
+def test_wilcoxon_signed_rank_hand_computed(spark):
+    from dhr_spark.functions.metrics import wilcoxon_signed_rank
+
+    # paired diffs: +0.25, +0.5, -0.25, 0 (dropped). |d| ranks: the two
+    # 0.25s tie at avg rank 1.5, the 0.5 gets rank 3. W+ = 1.5 + 3 = 4.5,
+    # W- = 1.5. Tie correction sum(t^3-t) = 6 -> Var = (2*3*4*7 - 6)/48
+    # = 3.375; z = (4.5 - 3)/sqrt(3.375) = sqrt(2/3).
+    a = spark.createDataFrame(
+        [("q1", 0.5), ("q2", 1.0), ("q3", 0.25), ("q4", 0.3), ("q9", 0.9)],
+        "qid string, rr double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 0.25), ("q2", 0.5), ("q3", 0.5), ("q4", 0.3)],
+        "qid string, rr double",
+    )
+    r = wilcoxon_signed_rank(a, b, "rr").collect()[0]
+    assert r["n"] == 3  # q4 zero-diff dropped, q9 unpaired
+    assert abs(r["w_plus"] - 4.5) < 1e-12
+    assert abs(r["w_minus"] - 1.5) < 1e-12
+    assert abs(r["z_stat"] - (2.0 / 3.0) ** 0.5) < 1e-12
+
+
+def test_wilcoxon_signed_rank_degenerate(spark):
+    from dhr_spark.functions.metrics import wilcoxon_signed_rank
+
+    # every pair tied -> no nonzero diffs -> z undefined
+    a = spark.createDataFrame([("q1", 0.5), ("q2", 0.7)], "qid string, rr double")
+    r = wilcoxon_signed_rank(a, a, "rr").collect()[0]
+    assert r["n"] == 0 and r["z_stat"] is None
+    assert r["w_plus"] == 0.0 and r["w_minus"] == 0.0
+    # one-sided sweep: all diffs positive, no ties (tie3 = 0) -> W- = 0,
+    # z = (2*12 - 12)*sqrt(3)/sqrt(2*3*4*7) = 12*sqrt(3)/sqrt(168)
+    a2 = spark.createDataFrame(
+        [("q1", 0.9), ("q2", 0.8), ("q3", 0.7)], "qid string, rr double"
+    )
+    b2 = spark.createDataFrame(
+        [("q1", 0.1), ("q2", 0.2), ("q3", 0.4)], "qid string, rr double"
+    )
+    r2 = wilcoxon_signed_rank(a2, b2, "rr").collect()[0]
+    assert r2["n"] == 3 and r2["w_minus"] == 0.0 and r2["w_plus"] == 6.0
+    assert abs(r2["z_stat"] - 12 * 3 ** 0.5 / 168 ** 0.5) < 1e-12

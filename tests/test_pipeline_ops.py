@@ -681,3 +681,25 @@ def test_mixture_sample_guards(spark):
         mixture_sample(docs, "source", {})
     with _pt.raises(ValueError, match="absent from the corpus"):
         mixture_sample(docs, "source", {"x": 1, "ghost": 2})
+
+
+def test_duplicate_ngram_fraction(spark):
+    from dhr_spark.operators.dedup import duplicate_ngram_fraction
+
+    rows = [
+        (1, "a b c"),       # bigrams: "a b", "b c"
+        (2, "a b x"),       # bigrams: "a b", "b x"
+        (3, "z"),           # shorter than n -> no shingles
+        (4, "b c b c"),     # distinct bigrams: "b c", "c b" ("b c" repeats)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup"], r["dup_fraction"])
+        for r in duplicate_ngram_fraction(docs, n=2).collect()
+    }
+    # "a b" shared by 1+2; "b c" shared by 1+4; every other shingle unique
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (2, 1, 0.5)
+    assert len(got) == 4  # shingle-less docs still reported
