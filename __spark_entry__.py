@@ -4127,6 +4127,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-wide duplication triage, no candidate pairs
         return D.duplicate_ngram_fraction(_docs(spark, sf), n=8)
 
+    def significant_terms_q(spark, sf):
+        # ES significant_terms (JLH) over each query's top-10 BM25 hits:
+        # foreground = hit-doc term sets, background = corpus df; integer
+        # positive-lift gate, two exact divisions + one multiply for the
+        # score, so the hash pins the full JLH values
+        from dhr_spark.operators.significant import significant_terms as sig
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        tfs = term_freqs(tok)
+        n_docs = tok.count()
+        tdf = tfs.groupBy("term").agg(F.count("*").alias("df"))
+        hits = (
+            _bm25_topk(spark, sf)
+            .filter(F.col("rank") <= 10)
+            .select("qid", "docid")
+        )
+        return sig(
+            hits, tfs.select("docid", "term"), tdf, n_docs, k=10, min_fg=2
+        )
+
     def sample_mixture_q(spark, sf):
         # explicit mixing ratios (GPT-3/Pile-style fixed mixture): 4:2:1
         # over three sources, every other source weight 0; all-integer
@@ -4322,6 +4342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_mrr": wilcoxon_mrr_q,
         "bool_msm": bool_msm_q,
         "dedup_span_fraction": dedup_span_fraction_q,
+        "significant_terms": significant_terms_q,
     }
 
 
@@ -5310,6 +5331,38 @@ SELECT d.doc_id,
             THEN per.n_dup::DOUBLE / per.n_shingles
             ELSE 0.0 END AS dup_fraction
 FROM documents d LEFT JOIN per USING (doc_id)""",
+        # ES significant_terms (JLH) over the top-10 BM25 hit set: integer
+        # positive-lift gate f*B > b*F, score = two exact int->double
+        # divisions and one multiply in fixed order
+        "significant_terms": f"""WITH {_TOKS_CTE}, {_q_values()},
+{_SCORED_CTE},
+hits AS (SELECT qid, docid FROM ranked WHERE rank <= 10),
+fgt AS (SELECT qid, count(DISTINCT docid)::BIGINT AS fg_total
+        FROM hits GROUP BY 1),
+fg AS (
+  SELECT h.qid, tf.term, count(DISTINCT tf.doc_id)::BIGINT AS fg
+  FROM hits h JOIN tf ON tf.doc_id = h.docid
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tf.doc_id) >= 2
+),
+sc AS (
+  SELECT fg.qid, fg.term, fg.fg, fgt.fg_total, ts.df::BIGINT AS bg,
+         ((fg.fg * cs.n_docs - ts.df * fgt.fg_total)::DOUBLE
+            / (fgt.fg_total * cs.n_docs)::DOUBLE)
+         * ((fg.fg * cs.n_docs)::DOUBLE
+            / (fgt.fg_total * ts.df)::DOUBLE) AS score
+  FROM fg
+  JOIN fgt USING (qid)
+  JOIN ts USING (term)
+  CROSS JOIN cs
+  WHERE fg.fg * cs.n_docs > ts.df * fgt.fg_total
+)
+SELECT qid, term, fg, fg_total, bg, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY qid ORDER BY score DESC, term ASC
+  ) AS INTEGER) AS rank
+  FROM sc
+) WHERE rank <= 10""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

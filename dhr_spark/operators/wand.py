@@ -3376,6 +3376,60 @@ class Searcher:
         ).select("docid", "term", "tf", "dl")
         return self._filter_live(out)
 
+    def significant_terms(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        top_hits: int = 100,
+        min_fg: int = 2,
+        prune: bool = True,
+    ) -> DataFrame:
+        """(qid, term, fg, fg_total, bg, score, rank): ES-style
+        significant_terms over each query's top-``top_hits`` result set,
+        served from the forward index (build with ``forward_index=True``).
+        Semantics and the JLH scoring contract live in
+        operators/significant.significant_terms — this method only assembles
+        the index-backed inputs: first-pass WAND hits (tombstone-filtered by
+        construction), foreground term vectors via a broadcast semi-join of
+        the hit docids into the manifest-pruned forward scan (non-hit docs
+        never shuffle), and background df from the |V|-row dictionary.
+        Background stats are the dictionary's committed df / manifest
+        n_docs (exact-stats deletes keep both current; mask-only deletes
+        leave background counts slightly stale, same as Lucene before a
+        merge)."""
+        from dhr_spark.operators.significant import significant_terms as _sig
+
+        if not self.manifest.get("forward_index"):
+            raise ValueError(
+                "index was built without forward_index=True; "
+                "significant_terms reads the doc-major vectors (rebuild or "
+                "append with the flag)"
+            )
+        hits = self.search(queries, k=top_hits, prune=prune).select(
+            "qid", "docid"
+        )
+        fwd = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/forward")
+        )
+        fg_rows = fwd.join(
+            F.broadcast(hits.select("docid").distinct()), "docid", "left_semi"
+        )
+        doc_terms = fg_rows.join(
+            F.broadcast(self._tdict.select("term_id", "term")), "term_id"
+        ).select("docid", "term")
+        td_dir = self.manifest.get("term_dict_dir", "term_dict")
+        tdf = self.spark.read.parquet(f"{self.index_dir}/{td_dir}").select(
+            "term", "df"
+        )
+        return _sig(
+            hits,
+            doc_terms,
+            tdf,
+            int(self.manifest["n_docs"]),
+            k=k,
+            min_fg=min_fg,
+        )
+
     def suggest(
         self,
         terms: list[str],

@@ -234,3 +234,51 @@ def test_search_filtered_range_and_values(spark, tmp_path):
 
     with pytest.raises(ValueError, match="values=, lo=, and/or hi="):
         s.search_filtered(q, "role")
+
+
+def test_significant_terms_index_matches_corpus_scan(spark, env):
+    """Index-backed significant_terms == the generic operator fed the same
+    foreground/background inputs rebuilt from the analyzed corpus."""
+    from dhr_spark.data.synthetic import synth_queries
+    from dhr_spark.operators.significant import significant_terms as sig
+
+    s = env["searcher"]
+    q = synth_queries(spark, 6)
+    got = s.significant_terms(q, k=8, top_hits=15, min_fg=2)
+    hits = s.search(q, k=15).select("qid", "docid")
+    tdf = env["tfs"].groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = int(s.manifest["n_docs"])
+    exp = sig(
+        hits, env["tfs"].select("docid", "term"), tdf, n_docs, k=8, min_fg=2
+    )
+    ga = sorted(map(tuple, got.collect()))
+    ea = sorted(map(tuple, exp.collect()))
+    assert ga and ga == ea
+    # every score positive and monotone within each qid rank order
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["score"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert all(s_ > 0 for _, s_ in rows)
+        assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
+
+
+def test_significant_terms_guards(spark, env, tmp_path):
+    from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+
+    # no forward index -> ValueError
+    idx2 = str(tmp_path / "nofwd")
+    build_index(
+        spark, synth_transcripts(spark, 10), idx2, chunk_bits=6,
+        block_size=8, docid_strategy="window",
+    )
+    with pytest.raises(ValueError, match="forward_index"):
+        Searcher(spark, idx2).significant_terms(synth_queries(spark, 2))
+    from dhr_spark.operators.significant import significant_terms as sig
+
+    empty = spark.createDataFrame([], "qid string, docid long")
+    with pytest.raises(ValueError, match="k must"):
+        sig(empty, empty.select("docid", F.lit("t").alias("term")),
+            empty.select(F.lit("t").alias("term"), F.lit(1).alias("df")),
+            10, k=0)
