@@ -1529,6 +1529,45 @@ r AS (
 SELECT qid, docid, rank, score FROM r WHERE rank <= {TOPK}"""
 
 
+def _combsum_fusion_sql(mnz: bool) -> str:
+    factor = "* m" if mnz else ""
+    return f"""
+WITH runA AS (SELECT * FROM ({_TOPK_SQL})),
+runB AS (SELECT * FROM ({_qld_topk_sql()})),
+u AS (
+  SELECT 'A' AS src, qid, docid,
+         CAST(round(score * 1000000) AS BIGINT) AS si FROM runA
+  UNION ALL
+  SELECT 'B' AS src, qid, docid,
+         CAST(round(score * 1000000) AS BIGINT) AS si FROM runB
+),
+n AS (
+  SELECT qid, docid,
+         CASE WHEN mx > mn
+              THEN (2 * (si - mn) * 1000000 + (mx - mn)) // (2 * (mx - mn))
+              ELSE 1000000 END AS ni
+  FROM (
+    SELECT qid, docid, si,
+           min(si) OVER (PARTITION BY src, qid) AS mn,
+           max(si) OVER (PARTITION BY src, qid) AS mx
+    FROM u
+  )
+),
+s AS (
+  SELECT qid, docid, sum(ni)::BIGINT AS t, count(*)::BIGINT AS m
+  FROM n GROUP BY 1, 2
+),
+r AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY t {factor} DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         (t {factor}) / 1000000.0 AS score
+  FROM s
+)
+SELECT qid, docid, rank, score FROM r WHERE rank <= {TOPK}"""
+
+
 def _fusion_interp_sql() -> str:
     return f"""
 WITH runA AS (SELECT * FROM ({_TOPK_SQL})),
@@ -2891,6 +2930,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return rrf_fuse(
             [_bm25_topk(spark, sf), _qld_run(spark, sf)], k=TOPK
+        )
+
+    def combsum_fusion_q(spark, sf):
+        # CombSUM (Fox & Shaw): min-max normalized score sum over the BM25
+        # and QLD runs — pure integer normalization, one final /1e6
+        from dhr_spark.operators.fusion import combsum_fuse
+
+        return combsum_fuse(
+            [_bm25_topk(spark, sf), _qld_run(spark, sf)], k=TOPK
+        )
+
+    def combmnz_fusion_q(spark, sf):
+        # CombMNZ: CombSUM times the per-doc run hit count
+        from dhr_spark.operators.fusion import combsum_fuse
+
+        return combsum_fuse(
+            [_bm25_topk(spark, sf), _qld_run(spark, sf)], k=TOPK, mnz=True
         )
 
     def fusion_interp_q(spark, sf):
@@ -4330,6 +4386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline_q,
         "rrf_fusion": rrf_fusion_q,
         "fusion_interpolation": fusion_interp_q,
+        "combsum_fusion": combsum_fusion_q,
+        "combmnz_fusion": combmnz_fusion_q,
         "rrf_index_identity": rrf_index_identity_q,
         "bpref_at_10": bpref_q,
         "boosted_topk": boosted_topk_q,
@@ -5007,6 +5065,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         "curation_pipeline": _CURATION_PIPELINE_SQL,
         "rrf_fusion": _rrf_fusion_sql(),
         "fusion_interpolation": _fusion_interp_sql(),
+        "combsum_fusion": _combsum_fusion_sql(mnz=False),
+        "combmnz_fusion": _combsum_fusion_sql(mnz=True),
         "rrf_index_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "bpref_at_10": f"""{metric_prefix},
 pool AS (

@@ -106,3 +106,74 @@ def interpolate_fuse(
         .filter(F.col("rank") <= k)
         .select("qid", "docid", F.col("rank").cast("int").alias("rank"), "score")
     )
+
+
+def combsum_fuse(
+    runs: list[DataFrame], k: int = 1000, mnz: bool = False
+) -> DataFrame:
+    """(qid, docid, rank, score): CombSUM / CombMNZ fusion (Fox & Shaw,
+    TREC-2) with per-(run, qid) min-max score normalization — the classic
+    score-based fusion baselines alongside rank-based RRF. ``mnz=True``
+    multiplies the normalized sum by the number of runs that retrieved the
+    doc (CombMNZ's hit-count reward).
+
+    Exactness contract: scores lift to integer micros, the min-max
+    normalization is computed as PURE integer arithmetic — round-half-up
+    via ``(2·(s−mn)·1e6 + d) div (2·d)`` with ``d = mx−mn`` — and fused
+    totals stay integers until ONE final /1e6, so the fused ranking (which
+    orders by the integer total, never a float) hashes identically across
+    engines. A run whose scores are all equal for a qid carries no ranking
+    signal; every its doc normalizes to 1.0 (it *is* the max), keeping MNZ
+    counts meaningful.
+
+    Scale shape: identical to rrf_fuse — |Q|·k-row unions, per-qid window
+    for min/max, one groupBy; never touches postings."""
+    if len(runs) < 2:
+        raise ValueError(f"combsum_fuse needs >= 2 runs, got {len(runs)}")
+    wq = Window.partitionBy("qid")
+    parts = []
+    for r in runs:
+        t = (
+            r.select(
+                "qid",
+                "docid",
+                F.round(F.col("score") * F.lit(1e6)).cast("long").alias("si"),
+            )
+            .withColumn("mn", F.min("si").over(wq))
+            .withColumn("mx", F.max("si").over(wq))
+        )
+        parts.append(
+            t.select(
+                "qid",
+                "docid",
+                F.when(
+                    F.col("mx") > F.col("mn"),
+                    F.expr(
+                        "(2 * (si - mn) * 1000000 + (mx - mn)) "
+                        "div (2 * (mx - mn))"
+                    ),
+                )
+                .otherwise(F.lit(1_000_000))
+                .cast("long")
+                .alias("ni"),
+            )
+        )
+    u = reduce(DataFrame.unionByName, parts)
+    agg = u.groupBy("qid", "docid").agg(
+        F.sum("ni").alias("t"), F.count("*").alias("m")
+    )
+    ti = (F.col("t") * F.col("m")) if mnz else F.col("t")
+    scored = agg.select("qid", "docid", ti.cast("long").alias("ti"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("ti").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "docid",
+            F.col("rank").cast("int").alias("rank"),
+            (F.col("ti") / F.lit(1e6)).alias("score"),
+        )
+    )

@@ -119,3 +119,44 @@ def test_search_fused_guards(spark, tmp_path):
     # three-way ensemble runs and ranks densely
     rows = sr.search_fused(q, sims=["bm25", "qld", ("inl2", 0.5)], k=5).collect()
     assert rows and sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_combsum_hand_computed(spark):
+    from dhr_spark.operators.fusion import combsum_fuse
+
+    # run A scores 4/2/0 -> norms 1.0/0.5/0.0; run B has d1 and d3 only,
+    # scores 10/0 -> norms 1.0/0.0. CombSUM: d1=2.0, d2=0.5, d3=0.0.
+    a = spark.createDataFrame(
+        [("q", 1, 1, 4.0), ("q", 2, 2, 2.0), ("q", 3, 3, 0.0)],
+        "qid string, docid long, rank int, score double",
+    )
+    b = spark.createDataFrame(
+        [("q", 1, 1, 10.0), ("q", 3, 2, 0.0)],
+        "qid string, docid long, rank int, score double",
+    )
+    got = {r["docid"]: (r["rank"], r["score"])
+           for r in combsum_fuse([a, b], k=10).collect()}
+    assert got == {1: (1, 2.0), 2: (2, 0.5), 3: (3, 0.0)}
+    # CombMNZ doubles two-run docs: d1=4.0, d2=0.5, d3=0.0
+    mnz = {r["docid"]: r["score"]
+           for r in combsum_fuse([a, b], k=10, mnz=True).collect()}
+    assert mnz == {1: 4.0, 2: 0.5, 3: 0.0}
+
+
+def test_combsum_uniform_run_and_guards(spark):
+    from dhr_spark.operators.fusion import combsum_fuse
+    import pytest as _pt
+
+    # a run with all-equal scores normalizes every doc to 1.0
+    a = spark.createDataFrame(
+        [("q", 1, 1, 7.0), ("q", 2, 2, 7.0)],
+        "qid string, docid long, rank int, score double",
+    )
+    b = spark.createDataFrame(
+        [("q", 1, 1, 3.0), ("q", 2, 2, 1.0)],
+        "qid string, docid long, rank int, score double",
+    )
+    got = {r["docid"]: r["score"] for r in combsum_fuse([a, b]).collect()}
+    assert got == {1: 2.0, 2: 1.0}
+    with _pt.raises(ValueError, match=">= 2 runs"):
+        combsum_fuse([a])
