@@ -2802,6 +2802,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return SIM.cosine_topk_bruteforce(qs, embs, k=10)
 
+    def mmr_rerank_q(spark, sf):
+        # MMR diversification (Carbonell & Goldstein) of the brute-force
+        # cosine top-10 down to 5: all-integer greedy (lam=3/4 -> mmr16 =
+        # 12*rel - 4*maxsim micros), the oracle replays the loop as a
+        # recursive CTE, so the hash pins the full selection ORDER
+        from dhr_spark.operators.diversify import mmr_rerank
+
+        embs = _embs(spark, sf)
+        qs = embs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        cand = SIM.cosine_topk_bruteforce(qs, embs, k=10)
+        return mmr_rerank(cand, embs, lam=0.75, k=5)
+
     def ann_lsh_q(spark, sf):
         embs = _embs(spark, sf)
         qs = embs.filter(F.col("vec_id") < 5).select(
@@ -4401,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_msm": bool_msm_q,
         "dedup_span_fraction": dedup_span_fraction_q,
         "significant_terms": significant_terms_q,
+        "mmr_rerank": mmr_rerank_q,
     }
 
 
@@ -5423,6 +5438,66 @@ SELECT qid, term, fg, fg_total, bg, score, rank FROM (
   ) AS INTEGER) AS rank
   FROM sc
 ) WHERE rank <= 10""",
+        # MMR diversification replayed as a recursive CTE: the chosen list
+        # grows one integer-argmax pick per step (12*rel - 4*maxsim micros,
+        # vec_id-ascending ties), exactly the applyInPandas greedy
+        "mmr_rerank": """WITH RECURSIVE cand AS (
+  SELECT qid, vec_id, CAST(round(cosine * 1000000) AS BIGINT) AS rel
+  FROM (
+    SELECT q.vec_id AS qid, c.vec_id,
+           round(list_cosine_similarity(
+             q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+               c.vec_id ASC
+           ) AS rank
+    FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 5
+  ) WHERE rank <= 10
+),
+pair AS (
+  SELECT a.qid, a.vec_id AS da, b.vec_id AS db,
+         CAST(round(list_cosine_similarity(
+           ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 1000000)
+           AS BIGINT) AS sim
+  FROM cand a
+  JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+sel AS (
+  SELECT qid, [vec_id] AS chosen, 1 AS it
+  FROM (
+    SELECT qid, vec_id, row_number() OVER (
+      PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT qid, list_append(chosen, pick), it + 1
+  FROM (
+    SELECT s.qid, s.chosen, s.it,
+      (SELECT c.vec_id FROM cand c
+        WHERE c.qid = s.qid AND NOT list_contains(s.chosen, c.vec_id)
+        ORDER BY 12 * c.rel - 4 * coalesce(
+            (SELECT max(p.sim) FROM pair p
+              WHERE p.qid = c.qid AND p.da = c.vec_id
+                AND list_contains(s.chosen, p.db)), 0) DESC,
+          c.vec_id ASC
+        LIMIT 1) AS pick
+    FROM sel s WHERE s.it < 5
+  ) WHERE pick IS NOT NULL
+),
+final AS (
+  SELECT qid, chosen FROM (
+    SELECT qid, chosen,
+           row_number() OVER (PARTITION BY qid ORDER BY it DESC) AS rn
+    FROM sel
+  ) WHERE rn = 1
+)
+SELECT qid, unnest(chosen) AS vec_id,
+       CAST(generate_subscripts(chosen, 1) AS INTEGER) AS rank
+FROM final""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

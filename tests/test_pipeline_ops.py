@@ -703,3 +703,57 @@ def test_duplicate_ngram_fraction(spark):
     assert got[3] == (0, 0, 0.0)
     assert got[4] == (2, 1, 0.5)
     assert len(got) == 4  # shingle-less docs still reported
+
+
+def test_mmr_rerank_properties(spark):
+    from dhr_spark.operators.diversify import mmr_rerank
+
+    # q: d1 highest rel; d2 near-duplicate of d1; d3 dissimilar, mid rel
+    embs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.045, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cand = spark.createDataFrame(
+        [(9, 1, 1.0), (9, 2, 0.98), (9, 3, 0.5), (9, 4, 0.1)],
+        "qid long, vec_id long, cosine double",
+    )
+    # lam=0.5: seed d1; d2 (rel .98 but cos ~.999 to d1) scores
+    # 8*980000-8*998987 < 0 while d3 scores 8*500000 -> diversity wins
+    order = [
+        r["vec_id"]
+        for r in mmr_rerank(cand, embs, lam=0.5, k=3)
+        .orderBy("rank").collect()
+    ]
+    assert order[0] == 1 and order[1] == 3
+    # lam=1: pure relevance order
+    pure = [
+        r["vec_id"]
+        for r in mmr_rerank(cand, embs, lam=1.0, k=4)
+        .orderBy("rank").collect()
+    ]
+    assert pure == [1, 2, 3, 4]
+    # lam=0: after the relevance seed, maximal dissimilarity rules
+    div = [
+        r["vec_id"]
+        for r in mmr_rerank(cand, embs, lam=0.0, k=2)
+        .orderBy("rank").collect()
+    ]
+    assert div[0] == 1 and div[1] in (3, 4)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="multiple of 1/16"):
+        mmr_rerank(cand, embs, lam=0.3)
+    with _pt.raises(ValueError, match="k must"):
+        mmr_rerank(cand, embs, k=0)
+    # a candidate without an embedding must raise, not silently drop
+    missing = spark.createDataFrame(
+        [(9, 1, 1.0), (9, 99, 0.9)], "qid long, vec_id long, cosine double"
+    )
+    with _pt.raises(Exception, match="missing embeddings"):
+        mmr_rerank(missing, embs, lam=0.75, k=2).collect()
