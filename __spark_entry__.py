@@ -4243,6 +4243,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_stats(pack_sequences_q(spark, sf), 512)
 
+    def stats_hits_q(spark, sf):
+        # ES extended_stats over each query's OR-match set (hit-set
+        # analytics, operators/hitstats.py): moments ride exact integer
+        # sums, floats appear only as one division each + one sqrt
+        return _searcher(spark, sf).result_stats(_queries_df(spark), "n_chars")
+
+    def percentile_hits_q(spark, sf):
+        # ES percentiles over the OR-match set: nearest-rank (exact — the
+        # sort is per-hit-set, not per-corpus, so no TDigest needed)
+        return _searcher(spark, sf).result_percentiles(
+            _queries_df(spark), "n_chars", [25, 50, 75, 95, 99]
+        )
+
+    def sketch_hll_q(spark, sf):
+        # HyperLogLog distinct-term cardinality (operators/sketches.py):
+        # fixed 64-register state -> map-side combine bounds the shuffle at
+        # O(tasks*m); raw estimate reached through the exact-integer
+        # sum_pow carrier so DuckDB reproduces it bit-for-bit
+        from dhr_spark.operators.sketches import hll_cardinality
+
+        stream = _docs_tok(spark, sf).select(F.explode("tokens").alias("term"))
+        return hll_cardinality(stream, "term", p=6)
+
+    def sketch_cms_q(spark, sf):
+        # Count-Min term-frequency point estimates for the 10
+        # alphabetically-first dictionary terms: counters live on a fixed
+        # 4x256 key domain (bounded shuffle), probes broadcast-join it
+        from dhr_spark.operators.sketches import cms_counters, cms_lookup
+
+        stream = _docs_tok(spark, sf).select(F.explode("tokens").alias("term"))
+        ctr = cms_counters(stream, "term", depth=4, width=256)
+        items = stream.distinct().orderBy("term").limit(10)
+        return cms_lookup(ctr, items, "term", depth=4, width=256)
+
     # then the long-green round-1 entries fill the remaining window.  Every
     # entry past slot 50 stays registered and is still verified by the
     # in-repo DuckDB-oracle pytest (tests/test_entry_oracle.py runs ALL of
@@ -4416,6 +4450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_fraction": dedup_span_fraction_q,
         "significant_terms": significant_terms_q,
         "mmr_rerank": mmr_rerank_q,
+        "stats_hits": stats_hits_q,
+        "percentile_hits": percentile_hits_q,
+        "sketch_hll": sketch_hll_q,
+        "sketch_cms": sketch_cms_q,
     }
 
 
@@ -5498,6 +5536,95 @@ final AS (
 SELECT qid, unnest(chosen) AS vec_id,
        CAST(generate_subscripts(chosen, 1) AS INTEGER) AS rank
 FROM final""",
+        # ES extended_stats over the OR-match set: hugeint moment carriers
+        # (Spark rides decimal(38,0)), then one exactly-rounded division per
+        # float column and one sqrt — bit-identical IEEE chains
+        "stats_hits": f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()},
+vals AS (
+  SELECT m.qid, m.docid, d.n_chars::BIGINT AS v
+  FROM matched m JOIN documents d ON d.doc_id = m.docid
+),
+agg AS (
+  SELECT qid, count(*)::BIGINT AS n,
+         min(v)::BIGINT AS "min", max(v)::BIGINT AS "max",
+         sum(v)::BIGINT AS "sum",
+         sum(v::HUGEINT * v::HUGEINT) AS sum_sq
+  FROM vals GROUP BY 1
+)
+SELECT qid, n, "min", "max", "sum",
+       CAST("sum" AS DOUBLE) / CAST(n AS DOUBLE) AS avg,
+       CAST(n::HUGEINT * sum_sq - "sum"::HUGEINT * "sum"::HUGEINT AS DOUBLE)
+         / CAST(n * n AS DOUBLE) AS variance,
+       sqrt(CAST(n::HUGEINT * sum_sq - "sum"::HUGEINT * "sum"::HUGEINT
+                 AS DOUBLE) / CAST(n * n AS DOUBLE)) AS std_dev
+FROM agg""",
+        # nearest-rank percentiles: pure integer selection, ceil(p*n/100)
+        # = (p*n + 99) // 100 exactly (p*n is exact in both engines)
+        "percentile_hits": f"""WITH {_TOKS_CTE}, {_q_values()},
+{_matched_cte()},
+vals AS (
+  SELECT m.qid, m.docid, d.n_chars::BIGINT AS v
+  FROM matched m JOIN documents d ON d.doc_id = m.docid
+),
+ranked AS (
+  SELECT qid, v,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY v ASC, docid ASC)::BIGINT AS rn,
+         count(*) OVER (PARTITION BY qid)::BIGINT AS n
+  FROM vals
+),
+p(pct) AS (VALUES (25), (50), (75), (95), (99))
+SELECT qid, pct::INTEGER AS pct, v AS value, n
+FROM ranked, p
+WHERE rn = (pct::BIGINT * n + 99) // 100""",
+        # HyperLogLog register table replayed from the same md5 bits
+        # (operators/sketches.py docstring): p=6 -> m=64, 24-bit rank
+        # substream, alpha_micros(6)=709000; raw_est through the exact
+        # integer sum_pow then one fixed double chain
+        "sketch_hll": f"""WITH {_TOKS_CTE},
+hashed AS (SELECT ({_HASH60.format(arg='term')}) AS h FROM tok),
+pre AS (SELECT h % 64 AS bucket, (h // 64) % 16777216 AS sub FROM hashed),
+reg AS (
+  SELECT bucket,
+         max(CASE WHEN sub = 0 THEN 25
+             ELSE strpos(lpad(bin(sub), 24, '0'), '1') END) AS register
+  FROM pre GROUP BY 1
+),
+agg AS (
+  SELECT count(*)::BIGINT AS used,
+         coalesce(sum(1::BIGINT << (24 - register)), 0)::BIGINT AS present_pow
+  FROM reg
+)
+SELECT 64 AS m, used, (64 - used)::BIGINT AS zeros,
+       (present_pow + (64 - used) * 16777216)::BIGINT AS sum_pow,
+       CAST(709000::BIGINT * 64 * 64 AS DOUBLE) * CAST(16777216 AS DOUBLE)
+         / CAST(present_pow + (64 - used) * 16777216 AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS raw_est
+FROM agg""",
+        # Count-Min counters + min-over-depth probes for the 10
+        # alphabetically-first terms; 4x256 table, row-d hash = md5 of
+        # 'd:term' — regenerated verbatim
+        "sketch_cms": f"""WITH {_TOKS_CTE},
+d AS (SELECT unnest(range(0, 4)) AS d),
+ctr AS (
+  SELECT d.d AS depth,
+         ({_HASH60.format(arg="d.d::VARCHAR || ':' || term")}) % 256
+           AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM tok, d GROUP BY 1, 2
+),
+items AS (
+  SELECT term FROM (SELECT DISTINCT term FROM tok) ORDER BY term LIMIT 10
+),
+probe AS (
+  SELECT t.term, d.d AS depth,
+         ({_HASH60.format(arg="d.d::VARCHAR || ':' || t.term")}) % 256
+           AS bucket
+  FROM items t, d
+)
+SELECT p.term, min(c.cnt)::BIGINT AS est
+FROM probe p JOIN ctr c USING (depth, bucket)
+GROUP BY 1""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

@@ -1,0 +1,110 @@
+"""Statistical aggregations over result sets: extended_stats + percentiles.
+
+Elasticsearch's ``stats``/``extended_stats`` and ``percentiles``
+aggregations, computed over the documents MATCHING each query — the result
+analytics companions to ``facet_counts``/``result_facet_ranges``
+(operators/boolquery.py, Searcher.result_facets) and ``significant_terms``.
+The reference emits ranked ids only (/root/reference/retrieval/
+gip_retrieval.py writes TREC run lines), so like the facet family this
+extends the query surface sideways rather than mirroring a reference op.
+
+Inputs are the generic shapes the rest of the repo already produces —
+``hits`` = (qid, docid) from any matcher (Searcher._matched_docs, a boolean
+corpus match, a top-k), ``values`` = (docid, <field>) from docvalues or a
+corpus projection — so the same operator backs both the index path
+(Searcher.result_stats / result_percentiles) and the corpus-scan oracle
+twin.
+
+Determinism: the value column is integer-contracted. Moments are carried
+as exact integer sums (n, sum, sum of squares); floats appear only as
+  avg      = sum / n                                (one division)
+  variance = (n*sum_sq - sum^2) / n^2               (one division)
+  std_dev  = sqrt(variance)                         (exactly rounded)
+each exactly rounded in IEEE order, so a DuckDB oracle matches bit-for-bit
+(same discipline as metrics.paired_diff_test's integer-micros t).
+Percentiles use the nearest-rank definition (value at row ceil(p*n/100) of
+the ascending sort, docid tie-break) — pure integer selection, no
+interpolation, so the hash pins exact field values.
+
+Scale: one shuffle on qid for the moments (map-side partial agg), one
+window sort per qid for percentiles — both keyed on the hit set
+(|Q| * matches), never the corpus; ``values`` joins in by docid before
+aggregation so non-matching docs are pruned at the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hit_stats(hits: DataFrame, values: DataFrame, field: str) -> DataFrame:
+    """(qid, n, min, max, sum, avg, variance, std_dev) of ``field`` over
+    each query's hit set. Population variance (divide by n), matching ES
+    extended_stats."""
+    joined = hits.select("qid", "docid").join(
+        values.select(
+            "docid", F.col(field).cast("long").alias("_v")
+        ),
+        "docid",
+    )
+    # moments ride decimal(38,0): x^2 of an epoch-seconds long already
+    # overflows int64 when summed, and n*sum_sq grows two more factors
+    v19 = F.col("_v").cast("decimal(19,0)")
+    agg = joined.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("_v").alias("min"),
+        F.max("_v").alias("max"),
+        F.sum("_v").alias("sum"),
+        F.sum(v19 * v19).alias("_sum_sq"),
+    )
+    s19 = F.col("sum").cast("decimal(19,0)")
+    num = agg["n"].cast("decimal(19,0)") * F.col("_sum_sq") - s19 * s19
+    den = agg["n"] * agg["n"]
+    variance = num.cast("double") / den.cast("double")
+    return agg.select(
+        "qid",
+        "n",
+        "min",
+        "max",
+        "sum",
+        (F.col("sum").cast("double") / F.col("n").cast("double")).alias("avg"),
+        variance.alias("variance"),
+        F.sqrt(variance).alias("std_dev"),
+    )
+
+
+def hit_percentiles(
+    hits: DataFrame,
+    values: DataFrame,
+    field: str,
+    pcts: list[int] = [25, 50, 75, 95, 99],
+) -> DataFrame:
+    """(qid, pct, value, n): nearest-rank percentiles of ``field`` over each
+    query's hit set — value at row ceil(pct*n/100) of the ascending
+    (field, docid) order. Integer selection end-to-end."""
+    if not pcts or any(not 0 < p <= 100 for p in pcts):
+        raise ValueError(f"pcts must be in (0, 100], got {pcts}")
+    joined = hits.select("qid", "docid").join(
+        values.select("docid", F.col(field).cast("long").alias("_v")),
+        "docid",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_v").asc(), F.col("docid").asc()
+    )
+    ranked = joined.select(
+        "qid",
+        "_v",
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count("*").over(Window.partitionBy("qid")).cast("long").alias("n"),
+    )
+    p = F.explode(
+        F.array(*[F.lit(int(x)).cast("int") for x in sorted(set(pcts))])
+    ).alias("pct")
+    # nearest-rank: ceil(pct*n/100) in exact integer arithmetic
+    target = -F.floor(-(F.col("pct").cast("long") * F.col("n")) / F.lit(100))
+    return (
+        ranked.select("qid", "_v", "_rn", "n", p)
+        .filter(F.col("_rn") == target)
+        .select("qid", "pct", F.col("_v").alias("value"), "n")
+    )

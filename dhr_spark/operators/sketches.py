@@ -1,0 +1,246 @@
+"""Mergeable sketches: HyperLogLog cardinality and Count-Min frequency.
+
+The training-data curation loop needs corpus-scale *approximate* statistics
+long before it needs exact ones: "how many distinct shingles / terms /
+conv_ids are in this 10^12-row table" (dedup sizing, vocabulary budgeting)
+and "what is roughly the frequency of this term" (head-term skew detection
+for the salting decisions operators/termfreq.py makes). Exact answers need a
+full-width shuffle keyed on the value (`count_distinct` / `groupBy(term)`);
+a sketch needs a constant-size state that partial aggregation folds
+map-side, so the shuffle moves O(tasks * sketch_size) rows no matter how
+many input rows there are. That is the whole 100-TB story of this module:
+every sketch here is a groupBy whose key domain is FIXED (m registers,
+depth*width counters), so Spark's map-side combine bounds the shuffle.
+
+The reference counts exact unique ids in driver memory (e.g. the dict
+accumulation in /root/reference/retrieval/gip_retrieval.py and the eval
+set handling in /root/reference/custom_metrics.py) — viable at single-node
+corpus sizes, not at 10^12 rows. These sketches are the distributed
+replacement.
+
+Determinism / oracle discipline (same rules as operators/similarity.py's
+md5-derived hyperplanes): all hash bits come from ``tokhash60`` (60 bits of
+md5), so DuckDB regenerates the exact registers/counters from the same
+parquet and the estimates are bit-for-bit comparable. Estimates touch
+floats only through exactly-rounded IEEE ops (int->double casts, one
+multiply chain, divisions) in a fixed order — no ``ln``/``exp`` anywhere on
+the oracle-checked path (the HyperLogLog linear-counting correction, which
+needs ``ln``, lives in the Python helper ``hll_corrected`` and is
+pytest-only, because Java's Math.log and libm's log are not guaranteed to
+round identically).
+
+HyperLogLog (Flajolet et al. 2007):
+  * ``p`` index bits -> m = 2**p registers; the next ``HLL_SUB_BITS`` = 24
+    hash bits form the rank substream, so register values are in [1, 25].
+  * register[j] = max rank of any value hashing to bucket j -> the register
+    table is mergeable by ``groupBy(bucket).max`` (union of sketches ==
+    sketch of union; tested).
+  * raw estimate = alpha_m * m^2 / sum_j 2^(-M[j]). We carry the indicator
+    sum as the exact INTEGER ``sum_pow = sum_j 2^(24 - M[j])`` (empty
+    registers contribute 2^24), so
+    raw_est = (alpha_micros*m*m as double) * 2^24 / sum_pow / 1e6.
+  * standard error ~ 1.04/sqrt(m).
+
+Count-Min (Cormode & Muthukrishnan 2005):
+  * ``depth`` rows x ``width`` counters; row d hashes value v to bucket
+    tokhash60(d || ':' || v) % width.
+  * point estimate = min over rows of counter[d][bucket_d(v)] — always an
+    OVERESTIMATE (never under), within e/width * N with prob 1 - e^-depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dhr_spark.operators.textstats import tokhash60
+
+HLL_SUB_BITS = 24  # rank substream width; registers in [1, HLL_SUB_BITS+1]
+
+# Flajolet's bias-correction constants, in integer micros so the estimate
+# numerator is exact integer arithmetic until the final double chain.
+_ALPHA_MICROS = {4: 673000, 5: 697000, 6: 709000}
+
+
+def hll_alpha_micros(p: int) -> int:
+    """alpha_m * 1e6 for m = 2**p (0.7213/(1+1.079/m) above m=64)."""
+    if p in _ALPHA_MICROS:
+        return _ALPHA_MICROS[p]
+    m = 1 << p
+    return round(0.7213 / (1.0 + 1.079 / m) * 1_000_000)
+
+
+def _hll_rank(sub: Column) -> Column:
+    """1-based position of the leftmost 1-bit in the 24-bit substream
+    (leading zeros + 1); 25 when the substream is all zeros. String-domain
+    on purpose: lpad(bin(x)) + instr is portable to any engine with the
+    same two functions, where a float log2 would not be exact."""
+    padded = F.lpad(F.bin(sub), HLL_SUB_BITS, "0")
+    pos = F.instr(padded, "1")
+    return F.when(pos == 0, F.lit(HLL_SUB_BITS + 1)).otherwise(pos)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """(bucket int, register int): the HyperLogLog register table of the
+    values in ``df[col]`` with m = 2**p buckets.
+
+    One md5 per row, then a fixed-key groupBy: partial aggregation folds
+    each task's rows into <= m register rows map-side, so the shuffle is
+    O(tasks * m) regardless of input size. Buckets no value hashed to are
+    absent (treated as register 0 by the estimator)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    h = tokhash60(F.col(col).cast("string"))
+    sub = F.pmod(F.floor(h / F.lit(m)).cast("long"), F.lit(1 << HLL_SUB_BITS))
+    return (
+        df.select(
+            F.pmod(h, F.lit(m)).cast("int").alias("bucket"),
+            _hll_rank(sub).cast("int").alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge sketches built with the same ``p``: union + per-bucket max.
+    This is why the sketch distributes: shard-local sketches merge into
+    exactly the sketch of the whole corpus (associative max)."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("register").alias("register"))
+
+
+def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
+    """One row (m, used, zeros, sum_pow, raw_est) from a register table.
+
+    ``sum_pow`` = sum over ALL m registers of 2^(24 - register) (absent
+    buckets contribute 2^24) — the exact-integer carrier of the HLL
+    indicator sum; ``raw_est`` is Flajolet's raw estimate reached from
+    integers through one fixed chain of exactly-rounded double ops, so an
+    oracle in any IEEE engine reproduces it bit-for-bit. The small-range
+    linear-counting correction needs ln() and is applied by
+    ``hll_corrected`` (driver-side, pytest-only)."""
+    m = 1 << p
+    alpha = hll_alpha_micros(p)
+    agg = registers.agg(
+        F.count("*").cast("long").alias("used"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {HLL_SUB_BITS} - register)")),
+            F.lit(0),
+        ).cast("long").alias("present_pow"),
+    )
+    sum_pow = (
+        F.col("present_pow")
+        + (F.lit(m) - F.col("used")) * F.lit(1 << HLL_SUB_BITS)
+    ).cast("long")
+    return agg.select(
+        F.lit(m).cast("int").alias("m"),
+        F.col("used"),
+        (F.lit(m) - F.col("used")).cast("long").alias("zeros"),
+        sum_pow.alias("sum_pow"),
+        (
+            F.lit(float(alpha * m * m))
+            * F.lit(float(1 << HLL_SUB_BITS))
+            / sum_pow.cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("raw_est"),
+    )
+
+
+def hll_cardinality(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """Convenience: registers -> estimate in one call."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+def hll_corrected(raw_est: float, zeros: int, p: int) -> float:
+    """Flajolet's small-range correction (linear counting when the raw
+    estimate is under 2.5m and empty registers remain). Python-side: the
+    ln() makes it non-portable under the bit-exact oracle discipline, and
+    it consumes a 5-field estimate row, not a DataFrame."""
+    import math
+
+    m = 1 << p
+    if raw_est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw_est
+
+
+# --------------------------------------------------------------- Count-Min
+
+
+def _cms_bucket(col: Column, d: int, width: int) -> Column:
+    """Row-``d`` bucket for a value: md5-derived, engine-portable."""
+    return F.pmod(
+        tokhash60(F.concat(F.lit(f"{d}:"), col.cast("string"))), F.lit(width)
+    ).cast("int")
+
+
+def cms_counters(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(depth int, bucket int, count long): the Count-Min counter table of
+    the values in ``df[col]`` (each row counts ``weight_col`` or 1).
+
+    ``depth`` md5 hashes per row feed a groupBy over the FIXED key domain
+    depth*width, so partial aggregation bounds the shuffle at
+    O(tasks * depth * width) — the sketch's whole point at corpus scale."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("depth"),
+                _cms_bucket(F.col(col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("r"), w.alias("w"))
+        .groupBy(F.col("r.depth").alias("depth"), F.col("r.bucket").alias("bucket"))
+        .agg(F.sum("w").alias("count"))
+    )
+
+
+def cms_lookup(
+    counters: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(<col>, est long): Count-Min point estimates for each item.
+
+    The counter table is depth*width rows — broadcast it; items never
+    shuffle. ``est`` is min over the ``depth`` rows, so it never
+    underestimates the true total (CM guarantee). ``depth``/``width`` must
+    match the ``cms_counters`` call that built ``counters``."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("depth"),
+                _cms_bucket(F.col(col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        items.select(col, F.explode(probes).alias("r"))
+        .join(
+            F.broadcast(counters),
+            (F.col("r.depth") == counters["depth"])
+            & (F.col("r.bucket") == counters["bucket"]),
+        )
+        .groupBy(col)
+        .agg(F.min("count").cast("long").alias("est"))
+    )

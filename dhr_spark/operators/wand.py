@@ -1492,6 +1492,37 @@ class Searcher:
             )
         )
 
+    def result_stats(self, queries: DataFrame, field: str) -> DataFrame:
+        """(qid, n, min, max, sum, avg, variance, std_dev): ES
+        extended_stats over an integer docvalues field of each query's
+        MATCHING documents. Exact OR-match enumeration (docid blocks only)
+        joined to the columnar field; moments ride exact integer sums
+        (operators/hitstats.py)."""
+        from dhr_spark.operators.hitstats import hit_stats
+
+        return hit_stats(
+            self._matched_docs(queries), self.docvalues_frame([field]), field
+        )
+
+    def result_percentiles(
+        self,
+        queries: DataFrame,
+        field: str,
+        pcts: list[int] = [25, 50, 75, 95, 99],
+    ) -> DataFrame:
+        """(qid, pct, value, n): ES percentiles aggregation (nearest-rank,
+        exact — no TDigest approximation needed: the sort is per-hit-set,
+        not per-corpus) over an integer docvalues field of each query's
+        MATCHING documents."""
+        from dhr_spark.operators.hitstats import hit_percentiles
+
+        return hit_percentiles(
+            self._matched_docs(queries),
+            self.docvalues_frame([field]),
+            field,
+            pcts,
+        )
+
     def search_collapse(
         self,
         queries: DataFrame,

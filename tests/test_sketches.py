@@ -1,0 +1,201 @@
+"""Sketches (HLL / Count-Min) and hit-set statistics.
+
+Contracts: HLL register tables merge associatively (shard sketches ==
+whole-corpus sketch), estimates land inside the published error envelopes
+on deterministic inputs, and Count-Min NEVER underestimates. Hit stats
+match a driver-side recount, and the Searcher twins equal the corpus-scan
+path on the same matched sets.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.operators.hitstats import hit_percentiles, hit_stats
+from dhr_spark.operators.sketches import (
+    cms_counters,
+    cms_lookup,
+    hll_cardinality,
+    hll_corrected,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _values(spark, n, prefix="v"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("val")
+    )
+
+
+# ------------------------------------------------------------------- HLL
+
+
+def test_hll_merge_equals_whole(spark):
+    df = _values(spark, 3000)
+    whole = hll_registers(df, "val", p=7)
+    a = hll_registers(df.filter(F.col("val").substr(-1, 1).isin("0", "2", "4")), "val", p=7)
+    b = hll_registers(df.filter(~F.col("val").substr(-1, 1).isin("0", "2", "4")), "val", p=7)
+    merged = hll_merge(a, b)
+    lhs = sorted(map(tuple, merged.collect()))
+    rhs = sorted(map(tuple, whole.collect()))
+    assert lhs == rhs and lhs
+
+
+def test_hll_accuracy_raw(spark):
+    # n >> 2.5m: the raw estimate applies; 1.04/sqrt(256) ~ 6.5% stderr,
+    # give 4 sigma on this fixed (md5-deterministic) draw
+    n = 5000
+    row = hll_cardinality(_values(spark, n), "val", p=8).collect()[0]
+    assert row["m"] == 256
+    assert row["used"] + row["zeros"] == 256
+    assert abs(row["raw_est"] - n) / n < 0.26
+
+
+def test_hll_corrected_small_range(spark):
+    # n ~ m: raw HLL is biased high, linear counting recovers the count
+    n = 100
+    row = hll_cardinality(_values(spark, n), "val", p=6).collect()[0]
+    est = hll_corrected(row["raw_est"], row["zeros"], p=6)
+    assert est != row["raw_est"]  # LC branch actually fired (n < 2.5m)
+    assert abs(est - n) / n < 0.2
+    # above the LC regime the helper is the identity
+    assert hll_corrected(1000.0, 0, p=6) == 1000.0
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    df = _values(spark, 500)
+    dup = df.unionByName(df).unionByName(df)
+    a = sorted(map(tuple, hll_registers(df, "val", p=6).collect()))
+    b = sorted(map(tuple, hll_registers(dup, "val", p=6).collect()))
+    assert a == b
+
+
+def test_hll_p_validation(spark):
+    with pytest.raises(ValueError, match="p must be"):
+        hll_registers(_values(spark, 10), "val", p=2)
+    with pytest.raises(ValueError, match="at least one"):
+        hll_merge()
+
+
+# -------------------------------------------------------------- Count-Min
+
+
+def test_cms_never_underestimates_and_bound(spark):
+    # zipf-ish stream: value v_k appears k times, k = 1..60 (N = 1830)
+    rows = spark.range(1, 61).select(
+        F.concat(F.lit("t"), F.col("id")).alias("val"), F.col("id").alias("k")
+    )
+    stream = rows.select(
+        F.explode(F.expr("sequence(1, k)")).alias("_"), "val"
+    ).select("val")
+    n_total = 1830
+    depth, width = 4, 64
+    ctr = cms_counters(stream, "val", depth=depth, width=width)
+    # counter table state is bounded by the fixed key domain
+    assert ctr.count() <= depth * width
+    tot = {r["depth"]: r["s"] for r in ctr.groupBy("depth").agg(F.sum("count").alias("s")).collect()}
+    assert tot == {d: n_total for d in range(depth)}  # each row counts everything
+    est = {
+        r["val"]: r["est"]
+        for r in cms_lookup(ctr, rows.select("val"), "val", depth=depth, width=width).collect()
+    }
+    exact = {f"t{k}": k for k in range(1, 61)}
+    assert set(est) == set(exact)
+    for v, e in est.items():
+        assert e >= exact[v]  # the CM one-sided guarantee
+        assert e - exact[v] <= math.ceil(2 * math.e * n_total / width)
+
+
+def test_cms_weighted_matches_pre_aggregated(spark):
+    # weighting by a count column == hashing the expanded stream
+    rows = spark.range(1, 31).select(
+        F.concat(F.lit("w"), F.col("id")).alias("val"), F.col("id").alias("k")
+    )
+    stream = rows.select(F.explode(F.expr("sequence(1, k)")).alias("_"), "val").select("val")
+    a = sorted(map(tuple, cms_counters(stream, "val", 4, 128).collect()))
+    b = sorted(map(tuple, cms_counters(rows, "val", 4, 128, weight_col="k").collect()))
+    assert a == b and a
+
+
+def test_cms_validation(spark):
+    with pytest.raises(ValueError, match="depth"):
+        cms_counters(_values(spark, 5), "val", depth=0)
+
+
+# ------------------------------------------------------------- hit stats
+
+
+@pytest.fixture(scope="module")
+def hits_env(spark):
+    hits = spark.createDataFrame(
+        [("q1", 1), ("q1", 2), ("q1", 3), ("q2", 2), ("q2", 4)],
+        "qid string, docid long",
+    )
+    values = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 40), (4, 7), (5, 999)],
+        "docid long, f long",
+    )
+    return hits, values
+
+
+def test_hit_stats_matches_manual(spark, hits_env):
+    hits, values = hits_env
+    got = {r["qid"]: r for r in hit_stats(hits, values, "f").collect()}
+    # q1: [10, 20, 40] — population moments
+    q1 = got["q1"]
+    assert (q1["n"], q1["min"], q1["max"], q1["sum"]) == (3, 10, 40, 70)
+    assert q1["avg"] == pytest.approx(70 / 3)
+    var = (3 * (100 + 400 + 1600) - 70 * 70) / 9
+    assert q1["variance"] == pytest.approx(var)
+    assert q1["std_dev"] == pytest.approx(math.sqrt(var))
+    q2 = got["q2"]
+    assert (q2["n"], q2["min"], q2["max"], q2["sum"]) == (2, 7, 20, 27)
+    assert q2["variance"] == pytest.approx(((20 - 13.5) ** 2 + (7 - 13.5) ** 2) / 2)
+
+
+def test_hit_percentiles_nearest_rank(spark, hits_env):
+    hits, values = hits_env
+    got = {
+        (r["qid"], r["pct"]): (r["value"], r["n"])
+        for r in hit_percentiles(hits, values, "f", [25, 50, 100]).collect()
+    }
+    # q1 ascending: [10, 20, 40]; ceil(.25*3)=1, ceil(.5*3)=2, ceil(1*3)=3
+    assert got[("q1", 25)] == (10, 3)
+    assert got[("q1", 50)] == (20, 3)
+    assert got[("q1", 100)] == (40, 3)
+    # q2 ascending: [7, 20]; ceil(.25*2)=1, ceil(.5*2)=1, ceil(1*2)=2
+    assert got[("q2", 25)] == (7, 2)
+    assert got[("q2", 50)] == (7, 2)
+    assert got[("q2", 100)] == (20, 2)
+    with pytest.raises(ValueError, match="pcts"):
+        hit_percentiles(hits, values, "f", [0])
+
+
+def test_searcher_result_stats_percentiles_identity(spark, tmp_path):
+    """Index-backed twins equal the corpus-scan recount over the same
+    matched sets (ts docvalue cast to epoch-seconds longs)."""
+    from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+    from dhr_spark.index.builder import build_index
+    from dhr_spark.operators.docids import with_docids
+    from dhr_spark.operators.wand import Searcher
+
+    idx = str(tmp_path / "hs_idx")
+    tr = synth_transcripts(spark, 30)
+    build_index(spark, tr, idx, chunk_bits=6, block_size=8,
+                docid_strategy="window", docvalues=["ts"])
+    s = Searcher(spark, idx)
+    q = synth_queries(spark, 4)
+    matched = s._matched_docs(q)
+    dv = with_docids(tr, "window").select(
+        "docid", F.col("ts").cast("long").alias("ts")
+    )
+    a = sorted(map(tuple, s.result_stats(q, "ts").collect()))
+    b = sorted(map(tuple, hit_stats(matched, dv, "ts").collect()))
+    assert a == b and a
+    c = sorted(map(tuple, s.result_percentiles(q, "ts", [50, 95]).collect()))
+    d = sorted(map(tuple, hit_percentiles(matched, dv, "ts", [50, 95]).collect()))
+    assert c == d and c
