@@ -797,6 +797,55 @@ SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
 FROM documents d LEFT JOIN hits h USING (doc_id)"""
 
 
+def _decontaminate_bloom_sql() -> str:
+    """Oracle for dedup.decontaminate_bloom: the 1024-bit/k=4 Bloom filter
+    of the benchmark shingles replayed from the same md5 bits (packed
+    32-bit words, bit_or), every corpus shingle probed, member =
+    all-probe-bits-set."""
+    vals = ", ".join(f"('{t}')" for _, t in DECON_BENCH)
+    tri = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len({c}) - 1, 1)), "
+        "j -> array_to_string(array_slice({c}, j, j + 2), ' ')))"
+    )
+    h = _HASH60.format(arg="'b' || i.i::VARCHAR || ':' || shingle")
+    return f"""WITH {_TOKS_CTE},
+i AS (SELECT unnest(range(0, 4)) AS i),
+dsh AS (
+  SELECT doc_id, unnest({tri.format(c='toks')}) AS shingle FROM toks
+),
+bt AS (
+  SELECT list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                     x -> x <> '') AS btoks
+  FROM (VALUES {vals}) v(t)
+),
+bsh AS (SELECT DISTINCT unnest({tri.format(c='btoks')}) AS shingle FROM bt),
+bloom AS (
+  SELECT ((({h}) % 1024) // 32)::INTEGER AS word,
+         bit_or(1::BIGINT << ((({h}) % 1024) % 32)::INTEGER) AS bits
+  FROM bsh, i GROUP BY 1
+),
+probe AS (
+  SELECT dsh.doc_id, dsh.shingle,
+         ((({h}) % 1024) // 32)::INTEGER AS word,
+         (1::BIGINT << ((({h}) % 1024) % 32)::INTEGER) AS mask
+  FROM dsh, i
+),
+mem AS (
+  SELECT doc_id, shingle,
+         bool_and((coalesce(b.bits, 0) & p.mask) <> 0) AS member
+  FROM probe p LEFT JOIN bloom b USING (word)
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT doc_id, count(*) FILTER (WHERE member)::BIGINT AS n_hits
+  FROM mem GROUP BY 1
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) >= {DECON_MIN_HITS} AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+
 def _sorted_hits_sql() -> str:
     """Oracle for Searcher.search_sorted: OR-matching docs ranked by the
     n_chars docvalue DESC, docid ASC."""
@@ -4277,6 +4326,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         items = stream.distinct().orderBy("term").limit(10)
         return cms_lookup(ctr, items, "term", depth=4, width=256)
 
+    def cardinality_hits_q(spark, sf):
+        # ES cardinality aggregation: grouped HyperLogLog (p=6) of the
+        # n_chars docvalue over each query's OR-match set — fixed
+        # 64-register state per qid, never an exact per-hit shuffle
+        return _searcher(spark, sf).result_cardinality(
+            _queries_df(spark), "n_chars", p=6
+        )
+
+    def sketch_bloom_q(spark, sf):
+        # Bloom filter of the corpus dictionary: m_bits/32 packed words
+        # via one bounded bit_or groupBy (operators/sketches.py)
+        from dhr_spark.operators.sketches import bloom_bits
+
+        terms = (
+            _docs_tok(spark, sf)
+            .select(F.explode("tokens").alias("term"))
+            .distinct()
+        )
+        return bloom_bits(terms, "term", m_bits=2048, k=4)
+
+    def decontaminate_bloom_q(spark, sf):
+        # constant-memory decontamination: benchmark shingles folded into
+        # a 1024-bit Bloom filter, corpus probed map-side (superset of the
+        # exact op — no false negatives)
+        from dhr_spark.operators.dedup import decontaminate_bloom
+
+        bench = spark.createDataFrame(DECON_BENCH, "doc_id string, text string")
+        return decontaminate_bloom(
+            _docs(spark, sf), bench, n=DECON_N, min_hits=DECON_MIN_HITS,
+            m_bits=1024, k=4,
+        )
+
     # then the long-green round-1 entries fill the remaining window.  Every
     # entry past slot 50 stays registered and is still verified by the
     # in-repo DuckDB-oracle pytest (tests/test_entry_oracle.py runs ALL of
@@ -4454,6 +4535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_hits": percentile_hits_q,
         "sketch_hll": sketch_hll_q,
         "sketch_cms": sketch_cms_q,
+        "cardinality_hits": cardinality_hits_q,
+        "sketch_bloom": sketch_bloom_q,
+        "decontaminate_bloom": decontaminate_bloom_q,
     }
 
 
@@ -5625,6 +5709,49 @@ probe AS (
 SELECT p.term, min(c.cnt)::BIGINT AS est
 FROM probe p JOIN ctr c USING (depth, bucket)
 GROUP BY 1""",
+        # ES cardinality agg: per-qid HLL register tables over the
+        # OR-match set's n_chars docvalue, replayed from the same md5 bits
+        "cardinality_hits": f"""WITH {_TOKS_CTE}, {_q_values()},
+{_matched_cte()},
+vals AS (
+  SELECT m.qid, d.n_chars::VARCHAR AS v
+  FROM matched m JOIN documents d ON d.doc_id = m.docid
+),
+hashed AS (SELECT qid, ({_HASH60.format(arg='v')}) AS h FROM vals),
+pre AS (
+  SELECT qid, h % 64 AS bucket, (h // 64) % 16777216 AS sub FROM hashed
+),
+reg AS (
+  SELECT qid, bucket,
+         max(CASE WHEN sub = 0 THEN 25
+             ELSE strpos(lpad(bin(sub), 24, '0'), '1') END) AS register
+  FROM pre GROUP BY 1, 2
+),
+agg AS (
+  SELECT qid, count(*)::BIGINT AS used,
+         sum(1::BIGINT << (24 - register))::BIGINT AS present_pow
+  FROM reg GROUP BY 1
+)
+SELECT qid, 64 AS m, used, (64 - used)::BIGINT AS zeros,
+       (present_pow + (64 - used) * 16777216)::BIGINT AS sum_pow,
+       CAST(709000::BIGINT * 64 * 64 AS DOUBLE) * CAST(16777216 AS DOUBLE)
+         / CAST(present_pow + (64 - used) * 16777216 AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS raw_est
+FROM agg""",
+        # dictionary Bloom filter: packed 32-bit words, bit_or over the k=4
+        # md5-derived positions of every distinct term
+        "sketch_bloom": f"""WITH {_TOKS_CTE},
+terms AS (SELECT DISTINCT term FROM tok),
+i AS (SELECT unnest(range(0, 4)) AS i),
+pos AS (
+  SELECT ({_HASH60.format(arg="'b' || i.i::VARCHAR || ':' || term")}) % 2048
+           AS p
+  FROM terms, i
+)
+SELECT (p // 32)::INTEGER AS word,
+       bit_or(1::BIGINT << (p % 32)::INTEGER)::BIGINT AS bits
+FROM pos GROUP BY 1""",
+        "decontaminate_bloom": _decontaminate_bloom_sql(),
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

@@ -626,6 +626,62 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    m_bits: int = 65536,
+    k: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_hits, contaminated): Bloom-filter decontamination — the
+    constant-memory variant of ``decontaminate`` for benchmark suites whose
+    shingle SET outgrows broadcast range. The filter is m_bits/32 packed
+    words no matter how many benchmark shingles exist (operators/
+    sketches.py), shipped to every task as ONE map row, so the corpus
+    shingle stream is probed map-side with zero extra shuffles: the only
+    aggregation is the same per-doc groupBy the exact op has.
+
+    Bloom guarantees no false negatives: ``n_hits`` >= the exact op's and
+    ``contaminated`` is a superset — the right direction for hygiene
+    (over-drop, never under-drop). Size ``m_bits`` ~ 16x the benchmark
+    shingle count for ~2% false-positive rate at k=4."""
+    from dhr_spark.operators.sketches import _bloom_probes, bloom_bits
+
+    bench_sh = shingle_sets(bench, n, "doc_id").select("shingle").distinct()
+    bloom_map = bloom_bits(bench_sh, "shingle", m_bits, k).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("_bloom")
+    )
+    doc_sh = shingle_sets(docs, n, id_col)
+    member = F.forall(
+        _bloom_probes(F.col("shingle"), k, m_bits),
+        lambda p: (
+            F.coalesce(
+                F.element_at(F.col("_bloom"), p["word"]), F.lit(0).cast("long")
+            ).bitwiseAND(p["mask"])
+            != 0
+        ),
+    )
+    hits = (
+        doc_sh.crossJoin(F.broadcast(bloom_map))
+        .select(id_col, member.alias("_m"))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_m").cast("long")).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def duplicate_ngram_fraction(
     docs: DataFrame, n: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -80,43 +80,56 @@ def _hll_rank(sub: Column) -> Column:
     return F.when(pos == 0, F.lit(HLL_SUB_BITS + 1)).otherwise(pos)
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 6) -> DataFrame:
-    """(bucket int, register int): the HyperLogLog register table of the
-    values in ``df[col]`` with m = 2**p buckets.
+def hll_registers(
+    df: DataFrame, col: str, p: int = 6, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(*group_cols, bucket int, register int): the HyperLogLog register
+    table of the values in ``df[col]`` with m = 2**p buckets — one
+    independent sketch per ``group_cols`` key (ES ``cardinality``
+    sub-aggregation shape) when given.
 
     One md5 per row, then a fixed-key groupBy: partial aggregation folds
-    each task's rows into <= m register rows map-side, so the shuffle is
-    O(tasks * m) regardless of input size. Buckets no value hashed to are
-    absent (treated as register 0 by the estimator)."""
+    each task's rows into <= m register rows map-side (per group), so the
+    shuffle is O(tasks * m * |groups|) regardless of input size. Buckets
+    no value hashed to are absent (treated as register 0 by the
+    estimator)."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
+    g = list(group_cols or [])
     m = 1 << p
     h = tokhash60(F.col(col).cast("string"))
     sub = F.pmod(F.floor(h / F.lit(m)).cast("long"), F.lit(1 << HLL_SUB_BITS))
     return (
         df.select(
+            *g,
             F.pmod(h, F.lit(m)).cast("int").alias("bucket"),
             _hll_rank(sub).cast("int").alias("rank"),
         )
-        .groupBy("bucket")
+        .groupBy(*g, "bucket")
         .agg(F.max("rank").alias("register"))
     )
 
 
-def hll_merge(*register_tables: DataFrame) -> DataFrame:
+def hll_merge(
+    *register_tables: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Merge sketches built with the same ``p``: union + per-bucket max.
     This is why the sketch distributes: shard-local sketches merge into
     exactly the sketch of the whole corpus (associative max)."""
     if not register_tables:
         raise ValueError("need at least one register table")
+    g = list(group_cols or [])
     out = register_tables[0]
     for t in register_tables[1:]:
         out = out.unionByName(t)
-    return out.groupBy("bucket").agg(F.max("register").alias("register"))
+    return out.groupBy(*g, "bucket").agg(F.max("register").alias("register"))
 
 
-def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
-    """One row (m, used, zeros, sum_pow, raw_est) from a register table.
+def hll_estimate(
+    registers: DataFrame, p: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(*group_cols, m, used, zeros, sum_pow, raw_est) — one row per group
+    (one total row without ``group_cols``) from a register table.
 
     ``sum_pow`` = sum over ALL m registers of 2^(24 - register) (absent
     buckets contribute 2^24) — the exact-integer carrier of the HLL
@@ -125,9 +138,10 @@ def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
     oracle in any IEEE engine reproduces it bit-for-bit. The small-range
     linear-counting correction needs ln() and is applied by
     ``hll_corrected`` (driver-side, pytest-only)."""
+    g = list(group_cols or [])
     m = 1 << p
     alpha = hll_alpha_micros(p)
-    agg = registers.agg(
+    agg = registers.groupBy(*g).agg(
         F.count("*").cast("long").alias("used"),
         F.coalesce(
             F.sum(F.expr(f"shiftleft(1L, {HLL_SUB_BITS} - register)")),
@@ -139,6 +153,7 @@ def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
         + (F.lit(m) - F.col("used")) * F.lit(1 << HLL_SUB_BITS)
     ).cast("long")
     return agg.select(
+        *g,
         F.lit(m).cast("int").alias("m"),
         F.col("used"),
         (F.lit(m) - F.col("used")).cast("long").alias("zeros"),
@@ -152,9 +167,11 @@ def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
     )
 
 
-def hll_cardinality(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+def hll_cardinality(
+    df: DataFrame, col: str, p: int = 6, group_cols: list[str] | None = None
+) -> DataFrame:
     """Convenience: registers -> estimate in one call."""
-    return hll_estimate(hll_registers(df, col, p), p)
+    return hll_estimate(hll_registers(df, col, p, group_cols), p, group_cols)
 
 
 def hll_corrected(raw_est: float, zeros: int, p: int) -> float:
@@ -243,4 +260,101 @@ def cms_lookup(
         )
         .groupBy(col)
         .agg(F.min("count").cast("long").alias("est"))
+    )
+
+
+# ------------------------------------------------------------------- Bloom
+#
+# Packed 32-bit words on purpose: every mask is a positive long in both
+# engines (1 << 31 would be the int32 sign bit; at 64 the long sign bit),
+# so bit_or never crosses a signedness edge and the DuckDB oracle replays
+# the table verbatim. The word domain m_bits/32 is FIXED, so the build is
+# one bounded groupBy — same scale shape as the sketches above — and the
+# finished filter is m_bits/32 rows: broadcastable at any corpus size.
+# That is the decontamination story at 10^12 rows: the benchmark shingle
+# SET may be too big to broadcast, its Bloom filter never is.
+
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_probes(col: Column, k: int, m_bits: int) -> Column:
+    """array<struct<word int, mask long>>: the k bit positions of a value
+    (md5-derived, engine-portable), packed as (word index, 32-bit mask)."""
+    pos = [
+        F.pmod(
+            tokhash60(F.concat(F.lit(f"b{i}:"), col.cast("string"))),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+    return F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.floor(p / F.lit(BLOOM_WORD_BITS)).cast("int").alias("word"),
+                    # F.shiftleft only takes a literal shift; call the SQL
+                    # function directly for a column shift
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        F.pmod(p, F.lit(BLOOM_WORD_BITS)).cast("int"),
+                    ).alias("mask"),
+                )
+                for p in pos
+            ]
+        )
+    )
+
+
+def _bloom_validate(m_bits: int, k: int) -> None:
+    if m_bits < BLOOM_WORD_BITS or m_bits % BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def bloom_bits(df: DataFrame, col: str, m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """(word int, bits long): the Bloom filter of the values in ``df[col]``
+    as m_bits/32 packed words (absent words are all-zero). ``k`` hash
+    functions; false-positive rate ~ (1 - e^(-k*n/m))^k, zero false
+    negatives. bit_or's partial aggregation folds each task into at most
+    m_bits/32 rows map-side — bounded shuffle, any input size."""
+    _bloom_validate(m_bits, k)
+    return (
+        df.select(F.explode(_bloom_probes(F.col(col), k, m_bits)).alias("r"))
+        .groupBy(F.col("r.word").alias("word"))
+        .agg(F.bit_or("r.mask").alias("bits"))
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame, items: DataFrame, col: str, m_bits: int = 4096, k: int = 4
+) -> DataFrame:
+    """(<col>, member boolean): Bloom membership probe for each item.
+    ``member`` is true iff ALL k probe bits are set — may be a false
+    positive, never a false negative. The filter table is m_bits/32 rows:
+    broadcast, so items never shuffle. ``m_bits``/``k`` must match the
+    ``bloom_bits`` call that built ``bloom``."""
+    _bloom_validate(m_bits, k)
+    probes = items.select(
+        col,
+        F.size(_bloom_probes(F.col(col), k, m_bits)).alias("_np"),
+        F.explode(_bloom_probes(F.col(col), k, m_bits)).alias("r"),
+    )
+    return (
+        probes.join(
+            F.broadcast(bloom), probes["r.word"] == bloom["word"], "left"
+        )
+        .select(
+            col,
+            "_np",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("r.mask"))
+                != 0
+            ).cast("int").alias("_hit"),
+        )
+        .groupBy(col)
+        .agg(
+            (F.sum("_hit") == F.first("_np")).alias("member"),
+        )
     )

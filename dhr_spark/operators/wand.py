@@ -1523,6 +1523,22 @@ class Searcher:
             pcts,
         )
 
+    def result_cardinality(
+        self, queries: DataFrame, field: str, p: int = 10
+    ) -> DataFrame:
+        """(qid, m, used, zeros, sum_pow, raw_est): ES ``cardinality``
+        aggregation (HyperLogLog) of a docvalues field over each query's
+        MATCHING documents — approximate distinct count carried as fixed
+        O(2^p) register state per query, the only shape that survives hit
+        sets of 10^10 docs (an exact count_distinct would shuffle every
+        hit on the value)."""
+        from dhr_spark.operators.sketches import hll_cardinality
+
+        hits = self._matched_docs(queries).join(
+            self.docvalues_frame([field]), "docid"
+        )
+        return hll_cardinality(hits, field, p, group_cols=["qid"])
+
     def search_collapse(
         self,
         queries: DataFrame,

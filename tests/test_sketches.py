@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from dhr_spark.operators.hitstats import hit_percentiles, hit_stats
 from dhr_spark.operators.sketches import (
+    bloom_bits,
+    bloom_contains,
     cms_counters,
     cms_lookup,
     hll_cardinality,
@@ -79,6 +81,87 @@ def test_hll_p_validation(spark):
         hll_registers(_values(spark, 10), "val", p=2)
     with pytest.raises(ValueError, match="at least one"):
         hll_merge()
+
+
+def test_hll_grouped_matches_per_group_sketches(spark):
+    # a grouped sketch row set == independently-built per-group sketches
+    df = spark.range(1200).select(
+        F.concat(F.lit("g"), F.pmod(F.col("id"), F.lit(3))).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    grouped = sorted(
+        map(tuple, hll_cardinality(df, "val", p=6, group_cols=["grp"]).collect())
+    )
+    single = sorted(
+        (g,) + tuple(
+            hll_cardinality(df.filter(F.col("grp") == g), "val", p=6)
+            .collect()[0]
+        )
+        for g in ("g0", "g1", "g2")
+    )
+    assert grouped == single and len(grouped) == 3
+
+
+# ------------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    members = _values(spark, 400, "in")
+    bloom = bloom_bits(members, "val", m_bits=8192, k=4)
+    # the packed table never exceeds the fixed word domain; masks positive
+    rows = bloom.collect()
+    assert len(rows) <= 8192 // 32
+    assert all(r["bits"] > 0 for r in rows)
+    got = {
+        r["val"]: r["member"]
+        for r in bloom_contains(bloom, members, "val", 8192, 4).collect()
+    }
+    assert all(got.values()) and len(got) == 400  # zero false negatives
+    outside = _values(spark, 400, "out")
+    fp = sum(
+        r["member"]
+        for r in bloom_contains(bloom, outside, "val", 8192, 4).collect()
+    )
+    # ~ (1 - e^{-4*400/8192})^4 ~ 0.1%; allow a generous deterministic cap
+    assert fp <= 12
+
+
+def test_bloom_validation(spark):
+    df = _values(spark, 5)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_bits(df, "val", m_bits=100)
+    with pytest.raises(ValueError, match="k must"):
+        bloom_contains(df, df, "val", 4096, 0)
+
+
+def test_decontaminate_bloom_superset_of_exact(spark):
+    from dhr_spark.operators.dedup import decontaminate, decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha beta gamma delta epsilon"),
+            ("d2", "the quick brown fox jumps over the dog"),
+            ("d3", "no overlap here at all friends"),
+            ("d4", "xy"),  # shorter than n tokens: never flagged
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", "beta gamma delta"), ("b2", "quick brown fox jumps")],
+        "doc_id string, text string",
+    )
+    exact = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    # big filter: no false positives at this scale -> exact equality
+    big = {
+        r["doc_id"]: r
+        for r in decontaminate_bloom(docs, bench, n=3, m_bits=65536).collect()
+    }
+    assert set(big) == set(exact)
+    for d, r in big.items():
+        assert r["n_hits"] >= exact[d]["n_hits"], d  # never under
+        assert exact[d]["contaminated"] <= r["contaminated"], d
+    assert big["d1"]["contaminated"] and big["d2"]["contaminated"]
+    assert not exact["d4"]["contaminated"] and big["d4"]["n_hits"] == 0
 
 
 # -------------------------------------------------------------- Count-Min
@@ -199,3 +282,17 @@ def test_searcher_result_stats_percentiles_identity(spark, tmp_path):
     c = sorted(map(tuple, s.result_percentiles(q, "ts", [50, 95]).collect()))
     d = sorted(map(tuple, hit_percentiles(matched, dv, "ts", [50, 95]).collect()))
     assert c == d and c
+    # ES cardinality agg: grouped HLL over the same matched sets, and the
+    # estimate tracks the exact per-qid distinct count at p=8 (~6.5% se)
+    card = {r["qid"]: r for r in s.result_cardinality(q, "ts", p=8).collect()}
+    exact = {
+        r["qid"]: r["n"]
+        for r in matched.join(dv, "docid")
+        .groupBy("qid")
+        .agg(F.count_distinct("ts").alias("n"))
+        .collect()
+    }
+    assert set(card) == set(exact) and card
+    for qid, n in exact.items():
+        est = hll_corrected(card[qid]["raw_est"], card[qid]["zeros"], p=8)
+        assert abs(est - n) / max(n, 1) < 0.3, (qid, est, n)
