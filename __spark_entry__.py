@@ -891,6 +891,77 @@ WHERE d.n_chars >= {FACET_BOUNDS[0]} AND d.n_chars < {FACET_BOUNDS[-1]}
 GROUP BY 1, 2, 3, 4"""
 
 
+def _paragraph_dedup_sql() -> str:
+    """Oracle for dedup.paragraph_dedup over the synthesized multi-paragraph
+    corpus (each doc = its own text + the next doc's text, wrapping): first
+    corpus-wide occurrence of each paragraph survives (order = doc_id,
+    paragraph index); survivors reassemble in original order."""
+    return """WITH src AS (
+  SELECT doc_id,
+         text || chr(10) || coalesce(
+           lead(text) OVER (ORDER BY doc_id),
+           first_value(text) OVER (ORDER BY doc_id)
+         ) AS text
+  FROM documents
+),
+plist AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM src),
+pidx AS (
+  SELECT doc_id, parts,
+         unnest(range(0, len(parts)))::BIGINT AS par_idx
+  FROM plist
+),
+par1 AS (SELECT doc_id, par_idx, parts[par_idx + 1] AS par FROM pidx),
+rk AS (
+  SELECT doc_id, par_idx, par,
+         row_number() OVER (
+           PARTITION BY md5(par) ORDER BY doc_id, par_idx
+         ) AS rn
+  FROM par1
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(par, chr(10) ORDER BY par_idx) AS text_clean
+  FROM rk WHERE rn = 1 GROUP BY 1
+)
+SELECT s.doc_id,
+       len(string_split(s.text, chr(10)))::BIGINT AS n_pars,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.text_clean, '') AS text_clean
+FROM src s LEFT JOIN agg a USING (doc_id)"""
+
+
+TOPHITS_BUCKETS = 3  # ES terms-agg size: largest lang buckets kept per query
+TOPHITS_PER = 2      # ES top_hits size: best hits returned per bucket
+
+
+def _top_hits_sql() -> str:
+    """Oracle for Searcher.result_top_hits: ES terms agg + top_hits — the
+    TOPHITS_BUCKETS largest lang buckets of each query's hit set (ties by
+    lang ASC), best TOPHITS_PER hits per bucket by BM25 (docid ASC ties)."""
+    return f"""WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE},
+joined AS (
+  SELECT s.qid, s.docid, round(s.score, 6) AS s6, d.lang
+  FROM scored s JOIN documents d ON d.doc_id = s.docid
+),
+bk AS (
+  SELECT qid, lang, count(*)::BIGINT AS bucket_n,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY count(*) DESC, lang ASC
+         ) AS _b
+  FROM joined GROUP BY qid, lang
+),
+h AS (
+  SELECT qid, lang, docid, s6,
+         CAST(row_number() OVER (
+           PARTITION BY qid, lang ORDER BY s6 DESC, docid ASC
+         ) AS INTEGER) AS rank
+  FROM joined
+)
+SELECT h.qid, h.lang, b.bucket_n, h.docid, h.rank, round(h.s6, 4) AS score
+FROM h JOIN bk b ON b.qid = h.qid AND b.lang = h.lang
+WHERE b._b <= {TOPHITS_BUCKETS} AND h.rank <= {TOPHITS_PER}"""
+
+
 def _syntax_sql() -> str:
     """Oracle for Searcher.search_syntax over SX_QUERIES (simple analyzer:
     clause text lowercases to itself). Scoring-boolean re-derivation:
@@ -4102,6 +4173,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def top_hits_q(spark, sf):
+        # ES terms agg + top_hits: largest lang buckets per query, best
+        # hits inside each — exhaustive scoring, hit-set-only windows
+        return _round4(
+            _searcher(spark, sf).result_top_hits(
+                _queries_df(spark), "lang",
+                n_buckets=TOPHITS_BUCKETS, hits_per_bucket=TOPHITS_PER,
+            )
+        )
+
+    def paragraph_dedup_q(spark, sf):
+        # Dolma paragraph-level exact dedup over a synthesized
+        # multi-paragraph corpus: doc i = text(i) + '\n' + text(i_next),
+        # so every original text appears as a paragraph of two docs
+        from pyspark.sql import Window
+
+        from dhr_spark.operators.dedup import paragraph_dedup
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        w = Window.orderBy("doc_id")
+        wfull = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        multi = d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.coalesce(
+                    F.lead("text", 1).over(w), F.first("text").over(wfull)
+                ),
+            ).alias("text"),
+        )
+        return paragraph_dedup(multi)
+
     def decontaminate_q(spark, sf):
         # pretraining hygiene: flag docs sharing n-grams with the eval set
         from dhr_spark.operators.dedup import decontaminate
@@ -4538,6 +4644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_hits": cardinality_hits_q,
         "sketch_bloom": sketch_bloom_q,
         "decontaminate_bloom": decontaminate_bloom_q,
+        "top_hits_buckets": top_hits_q,
+        "dedup_paragraphs": paragraph_dedup_q,
     }
 
 
@@ -5752,6 +5860,8 @@ SELECT (p // 32)::INTEGER AS word,
        bit_or(1::BIGINT << (p % 32)::INTEGER)::BIGINT AS bits
 FROM pos GROUP BY 1""",
         "decontaminate_bloom": _decontaminate_bloom_sql(),
+        "top_hits_buckets": _top_hits_sql(),
+        "dedup_paragraphs": _paragraph_dedup_sql(),
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

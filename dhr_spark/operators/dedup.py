@@ -736,3 +736,68 @@ def duplicate_ngram_fraction(
             .alias("dup_fraction"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", sep: str = "\n"
+) -> DataFrame:
+    """(id, n_pars, n_kept, text_clean): Dolma-style paragraph-level exact
+    deduplication — each document is split into paragraphs on ``sep``, and
+    only the FIRST occurrence corpus-wide of each distinct paragraph
+    survives (first = smallest (id, paragraph index); every later
+    occurrence is dropped, including repeats inside the same document).
+    Surviving paragraphs are reassembled in original order; a document
+    whose every paragraph was seen earlier emits text_clean = ''. This is
+    the paragraph arm of Dolma's exact dedup (Soldaini et al. 2024 §4.1;
+    CCNet and RefinedWeb run the same line/paragraph hash pass) — finer
+    than document ``exact_dedup`` (boilerplate paragraphs inside otherwise
+    unique docs) and far cheaper than MinHash, so curation pipelines run
+    it first. The reference has no corpus curation ops (its corpus pass is
+    a per-doc encoder, /root/reference/densify/corpus_vectorizer.py); this
+    extends the documents-table curation family.
+
+    Plan shape (two shuffles, both key-combinable): posexplode paragraphs
+    -> groupBy(md5(paragraph)) keeping min(struct(id, idx)) — map-side
+    partial agg makes boilerplate-paragraph skew harmless — -> equi-join
+    the one-row-per-hash keeper table back (AQE handles hot hashes) ->
+    groupBy(id) reassembly. The widest intermediate is the (id, paragraph)
+    relation itself, linear in corpus bytes; no pairs, no windows over
+    corpus-sized partitions."""
+    pars = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col("text"), sep)).alias("par_idx", "par"),
+    ).withColumn("par_hash", F.md5(F.col("par")))
+    first = pars.groupBy("par_hash").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("par_idx").alias("x")))
+        .alias("_first")
+    )
+    kept = (
+        pars.join(first, "par_hash")
+        .filter(
+            (F.col(id_col) == F.col("_first.i"))
+            & (F.col("par_idx") == F.col("_first.x"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("par_idx", "par"))
+                    ),
+                    lambda s: s["par"],
+                ),
+            ).alias("text_clean"),
+        )
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col("text"), sep)).cast("long").alias("n_pars"),
+    )
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_pars",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )

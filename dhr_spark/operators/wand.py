@@ -1575,6 +1575,60 @@ class Searcher:
             .select("qid", "docid", "rank", r6.alias("score"), field)
         )
 
+    def result_top_hits(
+        self,
+        queries: DataFrame,
+        field: str,
+        n_buckets: int = 10,
+        hits_per_bucket: int = 3,
+    ) -> DataFrame:
+        """(qid, <field>, bucket_n, docid, rank, score): Elasticsearch's
+        ``terms`` aggregation with a ``top_hits`` sub-aggregation — for each
+        query, the ``n_buckets`` largest buckets of a docvalues field over
+        the MATCHING documents (bucket size = hit count, ties by field value
+        ascending), and inside each bucket the ``hits_per_bucket`` best hits
+        by BM25 (docid tie-break). ``rank`` is the in-bucket hit rank.
+
+        Exact by the same argument as search_collapse: scoring is
+        exhaustive (a pruned top-k could starve a large-but-low-scoring
+        bucket entirely), then two windows over the HIT SET only — bucket
+        sizing and in-bucket ranking never touch non-matching docs, and
+        the docvalues join is hit-set-proportional. At 10^12 turns the
+        scored frame is the dominant cost and is identical to the plain
+        exhaustive-search plan; the aggregation adds one hash agg and two
+        hit-set windows, no corpus shuffle."""
+        from pyspark.sql import Window
+
+        qinfo, all_terms = self._query_info(queries)
+        chunk_docs = 1 << int(self.manifest["chunk_bits"])
+        scored = self._scored_frame(qinfo, all_terms, chunk_docs, prune=False)
+        dv = self.docvalues_frame([field])
+        r6 = F.round(F.col("score"), 6)
+        j = scored.join(dv, "docid").select(
+            "qid", "docid", r6.alias("s6"), field
+        )
+        wb = Window.partitionBy("qid").orderBy(
+            F.col("bucket_n").desc(), F.col(field).asc()
+        )
+        buckets = (
+            j.groupBy("qid", field)
+            .agg(F.count("*").alias("bucket_n"))
+            .withColumn("_b", F.row_number().over(wb))
+            .filter(F.col("_b") <= n_buckets)
+            .drop("_b")
+        )
+        wh = Window.partitionBy("qid", field).orderBy(
+            F.col("s6").desc(), F.col("docid").asc()
+        )
+        hits = (
+            j.withColumn("rank", F.row_number().over(wh).cast("int"))
+            .filter(F.col("rank") <= hits_per_bucket)
+        )
+        return hits.join(buckets, ["qid", field]).select(
+            "qid", field, "bucket_n", "docid", "rank",
+            F.col("s6").alias("score"),
+        )
+
     def search_parents(
         self,
         queries: DataFrame,

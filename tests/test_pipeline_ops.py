@@ -757,3 +757,32 @@ def test_mmr_rerank_properties(spark):
     )
     with _pt.raises(Exception, match="missing embeddings"):
         mmr_rerank(missing, embs, lam=0.75, k=2).collect()
+
+
+def test_paragraph_dedup_semantics(spark):
+    from dhr_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha"),   # within-doc repeat of alpha
+            (2, "beta\ngamma"),          # beta already seen in doc 1
+            (3, "alpha\nbeta"),          # nothing new -> empty text_clean
+            (4, "delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs).collect()
+    }
+    # first occurrence (min doc_id, min par_idx) survives; repeats drop
+    assert out[1]["text_clean"] == "alpha\nbeta"
+    assert (out[1]["n_pars"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["text_clean"] == "gamma"
+    assert (out[2]["n_pars"], out[2]["n_kept"]) == (2, 1)
+    # all paragraphs previously seen -> empty string, zero kept
+    assert out[3]["text_clean"] == ""
+    assert (out[3]["n_pars"], out[3]["n_kept"]) == (2, 0)
+    assert out[4]["text_clean"] == "delta"
+    # survivors reassemble in original paragraph order
+    assert out[1]["text_clean"].split("\n") == ["alpha", "beta"]

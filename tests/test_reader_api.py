@@ -282,3 +282,51 @@ def test_significant_terms_guards(spark, env, tmp_path):
         sig(empty, empty.select("docid", F.lit("t").alias("term")),
             empty.select(F.lit("t").alias("term"), F.lit(1).alias("df")),
             10, k=0)
+
+
+def test_result_top_hits_matches_manual_recompute(spark, tmp_path):
+    """ES terms+top_hits: buckets are the n_buckets largest by hit count
+    (field-asc ties), hits inside each are the best by exhaustive BM25
+    (docid-asc ties) — recomputed manually from search(prune=False) joined
+    to the docvalues column."""
+    from collections import Counter
+
+    from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+    from dhr_spark.operators.docids import with_docids
+
+    idx = str(tmp_path / "th_idx")
+    tr = synth_transcripts(spark, 40)
+    build_index(spark, tr, idx, chunk_bits=6, block_size=8,
+                docid_strategy="window", docvalues=["role"])
+    s = Searcher(spark, idx)
+    q = synth_queries(spark, 4)
+    n_buckets, per = 2, 2
+
+    got = s.result_top_hits(q, "role", n_buckets=n_buckets,
+                            hits_per_bucket=per).collect()
+    assert got
+
+    roles = {r["docid"]: r["role"]
+             for r in with_docids(tr, "window").select("docid", "role").collect()}
+    full = s.search(q, k=10**6, prune=False).collect()
+    by_q: dict = {}
+    for r in full:
+        by_q.setdefault(r["qid"], []).append(
+            (roles[r["docid"]], r["docid"], round(r["score"], 6))
+        )
+    expect = set()
+    bucket_n = {}
+    for qid, rows in by_q.items():
+        counts = Counter(role for role, _, _ in rows)
+        top = sorted(counts, key=lambda v: (-counts[v], v))[:n_buckets]
+        for role in top:
+            bucket_n[(qid, role)] = counts[role]
+            hits = sorted(
+                [(d, sc) for v, d, sc in rows if v == role],
+                key=lambda t: (-t[1], t[0]),
+            )[:per]
+            for rank, (d, _) in enumerate(hits, 1):
+                expect.add((qid, role, d, rank))
+    assert {(r["qid"], r["role"], r["docid"], r["rank"]) for r in got} == expect
+    for r in got:
+        assert r["bucket_n"] == bucket_n[(r["qid"], r["role"])]
