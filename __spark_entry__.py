@@ -4464,6 +4464,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             m_bits=1024, k=4,
         )
 
+    def _impacts_frame(spark, sf):
+        # deterministic integer impacts standing in for a learned-sparse
+        # encoder's output (uniCOIL JSONL shape): impact = tf · (1 +
+        # tokhash60(term) % 7) — all-integer, DuckDB-replayable
+        from dhr_spark.operators.textstats import tokhash60
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return term_freqs(tok).select(
+            "docid",
+            "term",
+            (F.col("tf") * (F.lit(1) + tokhash60(F.col("term")) % 7))
+            .cast("long")
+            .alias("impact"),
+        )
+
+    def impact_quantize_q(spark, sf):
+        # Anserini b-bit linear quantization of float encoder weights —
+        # synthesized as tf + (tokhash60 % 8)/4 (exact binary quarters, so
+        # the integer-micros lift is exact in both engines)
+        from dhr_spark.operators.impact import quantize_impacts
+        from dhr_spark.operators.textstats import tokhash60
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        w = term_freqs(tok).select(
+            "docid",
+            "term",
+            (
+                F.col("tf").cast("double")
+                + (tokhash60(F.col("term")) % 8).cast("double") / 4.0
+            ).alias("weight"),
+        )
+        return quantize_impacts(w, bits=8)
+
+    def impact_topk_q(spark, sf):
+        # learned-sparse retrieval slow path: score = Σ qweight · impact
+        # (the reference's gated inner product with precomputed weights,
+        # gip_retrieval.py:117-126; model switch densify_corpus.py:109)
+        from dhr_spark.operators.impact import impact_topk
+
+        qw = _qtfs(spark).withColumnRenamed("qtf", "qweight")
+        return impact_topk(_impacts_frame(spark, sf), qw, k=TOPK)
+
+    def impact_index_identity_q(spark, sf):
+        # block-max WAND over the impact index == the DataFrame slow path;
+        # oracle pins the disagreement count to 0
+        from dhr_spark.index.impact import build_impact_index
+        from dhr_spark.operators.impact import impact_topk
+        from dhr_spark.operators.wand import Searcher
+
+        key = "impact_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+        idx = f"/tmp/dhr_spark_{key}"
+        if key not in _INDEX_CACHE:
+            from dhr_spark.index.builder import load_manifest
+
+            if load_manifest(idx) is None:
+                build_impact_index(
+                    spark,
+                    _impacts_frame(spark, sf),
+                    idx,
+                    analyzer_mode="simple",
+                    chunk_bits=10,
+                    block_size=64,
+                )
+            _INDEX_CACHE[key] = idx
+        fast = Searcher(spark, idx).search_impact(_queries_df(spark), k=TOPK)
+        qw = _qtfs(spark).withColumnRenamed("qtf", "qweight")
+        slow = impact_topk(_impacts_frame(spark, sf), qw, k=TOPK)
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     # then the long-green round-1 entries fill the remaining window.  Every
     # entry past slot 50 stays registered and is still verified by the
     # in-repo DuckDB-oracle pytest (tests/test_entry_oracle.py runs ALL of
@@ -4646,6 +4716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": decontaminate_bloom_q,
         "top_hits_buckets": top_hits_q,
         "dedup_paragraphs": paragraph_dedup_q,
+        "impact_quantize": impact_quantize_q,
+        "impact_topk": impact_topk_q,
+        "impact_index_identity": impact_index_identity_q,
     }
 
 
@@ -5862,6 +5935,44 @@ FROM pos GROUP BY 1""",
         "decontaminate_bloom": _decontaminate_bloom_sql(),
         "top_hits_buckets": _top_hits_sql(),
         "dedup_paragraphs": _paragraph_dedup_sql(),
+        # Anserini b-bit quantization in exact integer arithmetic: weights
+        # are exact binary quarters, so the micros lift is lossless and the
+        # round-half-up scale is pure BIGINT math in both engines
+        "impact_quantize": f"""WITH {_TOKS_CTE},
+w6 AS (
+  SELECT doc_id AS docid, term,
+         (tf * 1000000 + (({_HASH60.format(arg="term")}) % 8) * 250000)::BIGINT
+           AS w6
+  FROM tf
+),
+mx AS (SELECT max(w6) AS mx6 FROM w6)
+SELECT docid, term,
+       greatest(1::BIGINT, ((w6 * 255 + mx6 // 2) // mx6))::BIGINT AS impact
+FROM w6 CROSS JOIN mx
+WHERE w6 > 0""",
+        # learned-sparse top-k: Σ qtf · impact with the synthesized integer
+        # impacts — exact integer scores, no float anywhere before round6
+        "impact_topk": f"""WITH {_TOKS_CTE}, {_q_values()},
+imp AS (
+  SELECT doc_id AS docid, term,
+         (tf * (1 + ({_HASH60.format(arg="term")}) % 7))::BIGINT AS impact
+  FROM tf
+),
+scored AS (
+  SELECT q.qid, imp.docid,
+         sum(q.qtf * imp.impact)::DOUBLE AS score
+  FROM q JOIN imp USING (term) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(score, 6) AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= 20""",
+        "impact_index_identity": "SELECT 0::BIGINT AS mismatches",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

@@ -1,0 +1,110 @@
+"""Impact-scored retrieval — the learned-sparse family (uniCOIL / DeepImpact /
+SPLADE) as data-flow, minus the neural encoder.
+
+The reference's corpus pipeline is model-pluggable: ``--model bm25 |
+deepimpact | unicoil | splade`` switches which per-(doc, term) weights get
+densified and searched (/root/reference/densify/densify_corpus.py:109,
+/root/reference/densify/densify_query.py:45-61). For every non-BM25 model the
+weights are NOT computed from (tf, df, dl) at query time — they are
+**precomputed integer impacts** attached to each posting (uniCOIL emits
+``{"vector": {term: int_weight}}`` JSONL), and scoring is the plain gated
+inner product score(q, d) = Σ_t qw(t) · impact(t, d) with no length
+normalization (gip_retrieval.py:117-126 with the query side carrying encoder
+weights instead of term counts).
+
+This module is the engine's impact arm:
+
+* :func:`quantize_impacts` — Anserini's linear quantization of float weights
+  into b-bit integer impacts (``JsonVectorCollection`` convention), done in
+  exact integer arithmetic so Spark and DuckDB agree bit-for-bit.
+* :func:`impact_topk` — the DataFrame slow path / oracle: broadcast the query
+  weights, equi-join on term, sum, top-k. Scores are exact integers whenever
+  query weights are integers.
+
+The index-backed fast path lives in :mod:`dhr_spark.index.impact`
+(build) and ``Searcher.search_impact`` (block-max WAND over impacts — the
+block bound is just max-impact, dl-independent).
+
+Learned weights themselves stay out of scope exactly as SURVEY §2.4 A5/A6
+declare: the engine takes the encoder's OUTPUT table as input, which is the
+boundary the reference itself draws between tevatron (training/encoding) and
+densify/retrieval (indexing/search).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dhr_spark.operators.topk import topk
+
+__all__ = ["quantize_impacts", "impact_topk"]
+
+
+def quantize_impacts(
+    impacts: DataFrame,
+    bits: int = 8,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Linear b-bit quantization of float term weights into integer impacts.
+
+    Anserini's impact-index convention: scale so the corpus-max weight maps
+    to 2^bits − 1, round half-up, and clamp nonzero weights to >= 1 so a
+    term the encoder kept never silently vanishes from the index. Zero and
+    negative weights are dropped (the encoder's own sparsification —
+    uniCOIL/SPLADE emit only positive activations).
+
+    Exactness contract: weights are lifted to integer micros
+    (round6 · 1e6), and the scaled value is computed as the all-integer
+    round-half-up ``(w6 · (2^b − 1) + max6 // 2) // max6`` — no float ever
+    enters the quantizer, so any engine reproduces the codes bit-for-bit.
+
+    Input ``(docid, term, <weight_col> double)`` → ``(docid, term,
+    impact long)``.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    levels = (1 << bits) - 1
+    w6 = F.round(F.round(F.col(weight_col), 6) * 1e6).cast("long")
+    pos = impacts.withColumn("_w6", w6).filter(F.col("_w6") > 0)
+    mx = pos.agg(F.max("_w6").alias("_mx6"))
+    # integer division via DIV (Spark's `/` on longs returns double, which
+    # loses exactness past 2^53); half-up bias = mx6 DIV 2
+    q = F.expr(f"(_w6 * CAST({levels} AS BIGINT) + (_mx6 DIV 2)) DIV _mx6")
+    return (
+        pos.crossJoin(F.broadcast(mx))
+        .select(
+            "docid",
+            "term",
+            F.greatest(F.lit(1).cast("long"), q.cast("long")).alias("impact"),
+        )
+    )
+
+
+def impact_topk(
+    impacts: DataFrame,
+    qweights: DataFrame,
+    k: int = 1000,
+) -> DataFrame:
+    """Top-k impact retrieval, declarative slow path (the oracle twin of
+    ``Searcher.search_impact``).
+
+    ``impacts``: (docid long, term string, impact) — integer impacts
+    (quantized or encoder-native). ``qweights``: (qid, term, qweight) — the
+    query-side weights (analyzed term counts for DeepImpact-style queries,
+    encoder weights for uniCOIL-style). score(q, d) = Σ qweight · impact —
+    the reference's gated inner product with both sides precomputed
+    (gip_retrieval.py:117-126).
+
+    The query side broadcasts; the impacts table never shuffles for the
+    join (same plan shape as the BM25 slow path, operators/topk.score_all).
+    """
+    scored = (
+        impacts.join(F.broadcast(qweights), "term")
+        .groupBy("qid", "docid")
+        .agg(
+            F.sum(F.col("qweight").cast("double") * F.col("impact")).alias(
+                "score"
+            )
+        )
+    )
+    return topk(scored, k)

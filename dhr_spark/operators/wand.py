@@ -356,6 +356,19 @@ def _score_chunk(
         def _bound(tf_b, dl_b, stat):
             tfn = tf_b * np.log2(1.0 + mu * avgdl / dl_b)
             return _spl_w(tfn, stat) + 5e-7
+    elif sim == "impact":
+        # learned-sparse impact scoring (index/impact.py): the stored "tf"
+        # IS the integer impact and the unit weight is the impact itself —
+        # score(q, d) = Σ qweight · impact, no length normalization
+        # (gip_retrieval.py:117-126 with encoder weights on both sides).
+        # Exact: integers in float64 carry no rounding, so no 6-round and
+        # no bound headroom; the block bound is just block_max_tf (= the
+        # block-max impact), dl-independent and trivially admissible.
+        def _unit_w(tfs_a, dls_a, stat):
+            return np.asarray(tfs_a, dtype=np.float64)
+
+        def _bound(tf_b, dl_b, stat):
+            return np.asarray(tf_b, dtype=np.float64)
     elif sim == "bm25":
 
         def _unit_w(tfs_a, dls_a, stat):
@@ -366,7 +379,7 @@ def _score_chunk(
     else:
         raise ValueError(
             f"unknown similarity {sim!r} "
-            "(bm25 | qld | lmjm | f2exp | tfidf | inl2 | spl)"
+            "(bm25 | qld | lmjm | f2exp | tfidf | inl2 | spl | impact)"
         )
 
     def _empty() -> pd.DataFrame:
@@ -651,6 +664,10 @@ class Searcher:
                 "rebuild it with the current builder"
             )
         self.manifest = man
+        # "bm25" family (tf/dl postings) vs "impact" (learned-sparse integer
+        # impacts, index/impact.py) — the stored per-posting integer means a
+        # different thing in each, so cross-use is refused in _scored_frame
+        self._scoring = man.get("scoring", "bm25")
         self.k1 = float(man["k1"]) if k1 is None else float(k1)
         self.b = float(man["b"]) if b is None else float(b)
         if self.k1 <= 0 or not (0.0 <= self.b <= 1.0):
@@ -872,6 +889,81 @@ class Searcher:
         """queries (qid, text) -> (qid, docid, rank, score) top-k."""
         qinfo, all_terms = self._query_info(queries)
         return self._search_prepared(qinfo, all_terms, k, prune)
+
+    def search_impact(
+        self, queries: DataFrame, k: int = 1000, prune: bool = True
+    ) -> DataFrame:
+        """Impact top-k over a learned-sparse index (index/impact.py):
+        score(q, d) = Σ_t qweight(t) · impact(t, d) — the reference's gated
+        inner product with precomputed weights on both sides
+        (gip_retrieval.py:117-126; densify_corpus.py:109 model switch).
+
+        ``queries`` is either (qid, text) — analyzed with the manifest's
+        analyzer and term COUNTS become query weights (the DeepImpact query
+        convention, densify_query.py:81-91) — or (qid, term, weight) rows
+        from a query encoder (uniCOIL convention), which bypass the
+        analyzer entirely. Runs the ordinary block-max WAND kernel with the
+        per-block bound qweight · block_max_impact (dl-independent)."""
+        if self._scoring != "impact":
+            raise ValueError(
+                f"search_impact needs an impact index (manifest scoring="
+                f"{self._scoring!r}); build one with "
+                "index.impact.build_impact_index"
+            )
+        cols = set(queries.columns)
+        if {"term", "weight"} <= cols:
+            qrows = (
+                queries.select("qid", "term", "weight")
+                .limit(self.MAX_COLLECTED_QUERIES + 1)
+                .collect()
+            )
+            if len(qrows) > self.MAX_COLLECTED_QUERIES:
+                raise ValueError(
+                    f"weighted query set exceeds {self.MAX_COLLECTED_QUERIES}"
+                    " rows; run huge offline evals through the distributed "
+                    "slow path (operators.impact.impact_topk)"
+                )
+            by_q: dict[str, dict[str, float]] = {}
+            for r in qrows:
+                w = float(r["weight"])
+                if w > 0:
+                    qd = by_q.setdefault(r["qid"], {})
+                    qd[r["term"]] = qd.get(r["term"], 0.0) + w
+            terms = sorted({t for qd in by_q.values() for t in qd})
+            if self._tid_cache is not None:
+                tid = {
+                    t: self._tid_cache[t][0]
+                    for t in terms
+                    if t in self._tid_cache
+                }
+            else:
+                tid = {
+                    r["term"]: int(r["term_id"])
+                    for r in self._tdict.filter(
+                        F.col("term").isin(terms)
+                    ).collect()
+                }
+            qinfo: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+            for qid, qd in by_q.items():
+                trips = sorted(
+                    (tid[t], w) for t, w in qd.items() if t in tid
+                )
+                if trips:
+                    qinfo[qid] = (
+                        np.array([t for t, _ in trips], dtype=np.int64),
+                        np.array([w for _, w in trips], dtype=np.float64),
+                        np.ones(len(trips), dtype=np.float64),
+                    )
+            all_terms = sorted(tid.values())
+        else:
+            qinfo, all_terms = self._query_info(queries)
+            # the stat slot (idf for BM25) is unused by the impact kernel;
+            # normalize it to 1 so qinfo is similarity-agnostic
+            qinfo = {
+                qid: (tids, qtfs, np.ones_like(idfs))
+                for qid, (tids, qtfs, idfs) in qinfo.items()
+            }
+        return self._search_prepared(qinfo, all_terms, k, prune, sim="impact")
 
     def search_qld(
         self,
@@ -2371,6 +2463,14 @@ class Searcher:
         with at most k rows per (chunk, qid). ``min_chunk`` restricts the
         scan to chunk partitions >= it (partition pruning; the percolation
         path's 'only the chunks appended since the watermark')."""
+        if (self._scoring == "impact") != (sim == "impact"):
+            raise ValueError(
+                f"index scoring is {self._scoring!r} but the requested "
+                f"similarity is {sim!r}: impact indexes store integer "
+                "impacts (not term frequencies) in the tf stream — use "
+                "search_impact on impact indexes and the tf/dl similarities "
+                "on text-built indexes"
+            )
         seg = self._seg_for_terms(all_terms)
         dl = self._dl
         if min_chunk is not None:

@@ -1,0 +1,222 @@
+"""Impact-scored retrieval (uniCOIL / DeepImpact / SPLADE analogue).
+
+Covers: quantization exactness, the index == slow-path identity (text and
+weighted queries), prune == noprune, and the scoring-mismatch guards.
+Reference semantics anchor: densify_corpus.py:109 model switch +
+gip_retrieval.py:117-126 gated inner product.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.index.impact import build_impact_index
+from dhr_spark.operators.impact import impact_topk, quantize_impacts
+from dhr_spark.operators.wand import Searcher
+
+CORPUS = [
+    (0, "spark streams data fast spark"),
+    (1, "slow batch data"),
+    (2, "spark spark spark engine"),
+    (3, "data data data data lake house"),
+    (4, "query engine joins fast"),
+    (5, "hash join shuffle spark data"),
+]
+
+QUERIES = [
+    ("q1", "spark data"),
+    ("q2", "fast engine"),
+    ("q3", "zzyzx"),
+]
+
+
+def _impacts_df(spark):
+    """Deterministic integer impacts: tf · (1 + len(term) % 3)."""
+    rows = []
+    for docid, text in CORPUS:
+        tf: dict[str, int] = {}
+        for t in text.split():
+            tf[t] = tf.get(t, 0) + 1
+        for t, c in tf.items():
+            rows.append((docid, t, c * (1 + len(t) % 3)))
+    return spark.createDataFrame(rows, "docid long, term string, impact long")
+
+
+def _queries_df(spark):
+    return spark.createDataFrame(QUERIES, "qid string, text string")
+
+
+def _qweights_df(spark):
+    rows = []
+    for qid, text in QUERIES:
+        tf: dict[str, int] = {}
+        for t in text.split():
+            tf[t] = tf.get(t, 0) + 1
+        rows += [(qid, t, float(c)) for t, c in tf.items()]
+    return spark.createDataFrame(rows, "qid string, term string, weight double")
+
+
+@pytest.fixture(scope="module")
+def impact_idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("impact_idx") / "idx")
+    build_impact_index(
+        spark,
+        _impacts_df(spark),
+        d,
+        analyzer_mode="simple",
+        chunk_bits=2,  # docids 0..5 span 2 chunks — exercises the merge
+        block_size=4,
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _runs(df):
+    return sorted(
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 6))
+        for r in df.collect()
+    )
+
+
+# ------------------------------------------------------------- quantization
+
+
+def test_quantize_maps_max_to_levels_and_nonzero_to_at_least_one(spark):
+    w = spark.createDataFrame(
+        [
+            (0, "a", 10.0),
+            (0, "b", 0.0390625),  # tiny but nonzero -> clamps to 1
+            (1, "a", 5.0),
+            (1, "c", 0.0),  # dropped (encoder sparsification)
+            (2, "d", -1.0),  # dropped
+        ],
+        "docid long, term string, weight double",
+    )
+    got = {
+        (r["docid"], r["term"]): r["impact"]
+        for r in quantize_impacts(w, bits=8).collect()
+    }
+    assert got[(0, "a")] == 255  # corpus max -> 2^8 - 1
+    assert got[(1, "a")] == 128  # 5/10*255 = 127.5 -> half-up 128
+    assert got[(0, "b")] == 1  # 0.039.../10*255 ~ 0.996 -> floor 0 -> clamp 1
+    assert (1, "c") not in got and (2, "d") not in got
+
+
+def test_quantize_bits_guard(spark):
+    w = spark.createDataFrame([(0, "a", 1.0)], "docid long, term string, weight double")
+    with pytest.raises(ValueError, match="bits"):
+        quantize_impacts(w, bits=0)
+
+
+def test_quantized_scores_are_exact_integers(spark):
+    # integer impacts x integer query weights -> integer scores end-to-end
+    q = quantize_impacts(
+        spark.createDataFrame(
+            [(0, "a", 2.5), (1, "a", 1.25), (1, "b", 5.0)],
+            "docid long, term string, weight double",
+        ),
+        bits=4,
+    )
+    qw = spark.createDataFrame(
+        [("q", "a", 3), ("q", "b", 1)], "qid string, term string, qweight long"
+    )
+    scores = {r["docid"]: r["score"] for r in impact_topk(q, qw, 10).collect()}
+    assert all(s == int(s) for s in scores.values())
+    # max weight 5.0 -> 15; 2.5 -> 7.5 half-up 8; 1.25 -> 3.75 -> 4
+    assert scores[0] == 3 * 8 and scores[1] == 3 * 4 + 15
+
+
+# ------------------------------------------------- index == slow path
+
+
+def test_search_impact_matches_slow_path(spark, impact_idx):
+    s = Searcher(spark, impact_idx)
+    fast = s.search_impact(_queries_df(spark), k=10)
+    qw = _qweights_df(spark).withColumnRenamed("weight", "qweight")
+    slow = impact_topk(_impacts_df(spark), qw, k=10)
+    assert _runs(fast) == _runs(slow)
+
+
+def test_search_impact_weighted_queries(spark, impact_idx):
+    s = Searcher(spark, impact_idx)
+    # fractional encoder weights exercise the non-analyzer path
+    qw = spark.createDataFrame(
+        [("qa", "spark", 1.5), ("qa", "data", 0.5), ("qb", "engine", 2.0)],
+        "qid string, term string, weight double",
+    )
+    fast = s.search_impact(qw, k=10)
+    slow = impact_topk(
+        _impacts_df(spark), qw.withColumnRenamed("weight", "qweight"), k=10
+    )
+    assert _runs(fast) == _runs(slow)
+    # zero/negative weights contribute nothing
+    qw0 = qw.union(
+        spark.createDataFrame(
+            [("qa", "fast", 0.0), ("qb", "join", -3.0)],
+            "qid string, term string, weight double",
+        )
+    )
+    assert _runs(s.search_impact(qw0, k=10)) == _runs(fast)
+
+
+def test_prune_equals_noprune(spark, impact_idx):
+    s = Searcher(spark, impact_idx)
+    q = _queries_df(spark)
+    assert _runs(s.search_impact(q, k=3, prune=True)) == _runs(
+        s.search_impact(q, k=3, prune=False)
+    )
+
+
+def test_oov_query_empty(spark, impact_idx):
+    s = Searcher(spark, impact_idx)
+    q = spark.createDataFrame([("q", "zzyzx")], "qid string, text string")
+    assert s.search_impact(q, k=5).count() == 0
+
+
+# --------------------------------------------------------------- guards
+
+
+def test_bm25_refused_on_impact_index(spark, impact_idx):
+    s = Searcher(spark, impact_idx)
+    with pytest.raises(ValueError, match="impact"):
+        s.search(_queries_df(spark), k=5).collect()
+
+
+def test_search_impact_refused_on_text_index(spark, tmp_path):
+    from dhr_spark.index.builder import build_index_from_docs
+
+    docs = spark.createDataFrame(
+        [(0, "spark data"), (1, "fast engine")], "docid long, text string"
+    )
+    d = str(tmp_path / "txt_idx")
+    build_index_from_docs(spark, docs, d, analyzer_mode="simple", chunk_bits=2)
+    s = Searcher(spark, d)
+    with pytest.raises(ValueError, match="impact"):
+        s.search_impact(_queries_df(spark), k=5)
+
+
+def test_build_rejects_nonpositive_impacts(spark, tmp_path):
+    bad = spark.createDataFrame(
+        [(0, "a", 1), (1, "b", 0)], "docid long, term string, impact long"
+    )
+    with pytest.raises(ValueError, match=">= 1"):
+        build_impact_index(spark, bad, str(tmp_path / "bad_idx"))
+
+
+def test_resume_skips_committed_chunks(spark, tmp_path):
+    d = str(tmp_path / "res_idx")
+    imp = _impacts_df(spark)
+    m1 = build_impact_index(spark, imp, d, analyzer_mode="simple", chunk_bits=2)
+    m2 = build_impact_index(
+        spark, imp, d, analyzer_mode="simple", chunk_bits=2, resume=True
+    )
+    assert m2["chunks"] == m1["chunks"]
+    assert m2["resumed_from"] == sorted(m1["chunks"].keys())
+    s = Searcher(spark, d)
+    qw = _qweights_df(spark).withColumnRenamed("weight", "qweight")
+    assert _runs(s.search_impact(_queries_df(spark), k=10)) == _runs(
+        impact_topk(imp, qw, k=10)
+    )
