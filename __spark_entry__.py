@@ -4464,6 +4464,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             m_bits=1024, k=4,
         )
 
+    def dup_spans_q(spark, sf):
+        # Lee et al. 2022 exact-substring dedup: maximal duplicated token
+        # spans (union of repeated 8-gram windows == suffix-array marks for
+        # spans >= n)
+        from dhr_spark.operators.dedup import duplicate_spans
+
+        return duplicate_spans(_docs(spark, sf), n=8)
+
+    def strip_spans_q(spark, sf):
+        # the removal step: covered tokens dropped, survivors rejoined
+        from dhr_spark.operators.dedup import strip_duplicate_spans
+
+        return strip_duplicate_spans(_docs(spark, sf), n=8)
+
     def _impacts_frame(spark, sf):
         # deterministic integer impacts standing in for a learned-sparse
         # encoder's output (uniCOIL JSONL shape): impact = tf · (1 +
@@ -4719,6 +4733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impact_quantize": impact_quantize_q,
         "impact_topk": impact_topk_q,
         "impact_index_identity": impact_index_identity_q,
+        "dedup_dup_spans": dup_spans_q,
+        "dedup_strip_spans": strip_spans_q,
     }
 
 
@@ -5973,6 +5989,76 @@ ranked AS (
 )
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= 20""",
         "impact_index_identity": "SELECT 0::BIGINT AS mismatches",
+        # Lee et al. exact-substring dedup: positional 8-gram windows,
+        # corpus-wide repeat tag, gaps-and-islands merge (gap > n breaks)
+        "dedup_dup_spans": f"""WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 7], ' ') AS shingle
+  FROM toks, unnest(range(1, len(toks) - 6)) AS r(i)
+),
+rep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM sh WHERE shingle IN (SELECT shingle FROM rep)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end
+  FROM isl2 GROUP BY doc_id, island
+)
+SELECT doc_id, span_start, span_end,
+       (span_end - span_start)::BIGINT AS span_len
+FROM spans WHERE span_end - span_start >= 8""",
+        "dedup_strip_spans": f"""WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 7], ' ') AS shingle
+  FROM toks, unnest(range(1, len(toks) - 6)) AS r(i)
+),
+rep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM sh WHERE shingle IN (SELECT shingle FROM rep)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end
+  FROM isl2 GROUP BY doc_id, island
+),
+perdoc AS (
+  SELECT doc_id, sum(span_end - span_start)::BIGINT AS n_dup FROM spans GROUP BY 1
+),
+toku AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM toks
+),
+keptt AS (
+  SELECT t.doc_id, t.i, t.tok FROM toku t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.i - 1 >= s.span_start AND t.i - 1 < s.span_end
+  )
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean
+  FROM keptt GROUP BY 1
+)
+SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+       coalesce(p.n_dup, 0)::BIGINT AS n_dup_tokens,
+       coalesce(c.text_clean, '') AS text_clean
+FROM toks d LEFT JOIN perdoc p USING (doc_id) LEFT JOIN clean c USING (doc_id)""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

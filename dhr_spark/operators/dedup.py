@@ -801,3 +801,156 @@ def paragraph_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    within_doc: bool = True,
+) -> DataFrame:
+    """(id, span_start, span_end, span_len): maximal duplicated token spans —
+    the exact-substring deduplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), whose
+    suffix-array pass marks every substring of >= K tokens that occurs twice
+    anywhere in the corpus. The scalable Spark re-expression: a substring of
+    length >= n repeats iff ALL of its length-n windows repeat, so the union
+    of duplicated n-gram windows is exactly the token mass a suffix array
+    would mark (conservative only at spans shorter than n, which the
+    ``min_len`` floor excludes anyway). Spans are half-open token-index
+    intervals [span_start, span_end) over the simple-tokenization stream.
+
+    ``within_doc=True`` counts total corpus occurrences (the suffix-array
+    semantics: a phrase repeated twice inside ONE doc is duplicated);
+    ``False`` counts distinct docs only (the Dolma/RefinedWeb inter-document
+    form, matching duplicate_ngram_fraction).
+
+    Plan shape: positional shingle explode -> ONE exchange on the shingle
+    key where a count-only window tags repeated shingles (skew-proof:
+    boilerplate shingles only COUNT, same argument as
+    duplicate_ngram_fraction) -> per-doc gaps-and-islands merge (window by
+    id; bounded by max doc length). Equal-width intervals sorted by start
+    merge iff gap <= n, so one lag() comparison builds the islands — no
+    interval algebra, no self-join.
+
+    The reference has no corpus curation surface (its pipeline starts from
+    an already-cleaned collection, tokenize_corpus.py:31-36); this extends
+    the training-data family alongside duplicate_ngram_fraction and
+    paragraph_dedup.
+    """
+    from pyspark.sql import Window
+
+    if min_len is None:
+        min_len = n
+    if n < 1 or min_len < n:
+        raise ValueError(f"need n >= 1 and min_len >= n, got n={n} min_len={min_len}")
+
+    with_toks = docs.select(
+        F.col(id_col), simple_tokens_col(F.col("text")).alias("_toks")
+    )
+    k = F.size(F.col("_toks")) - (n - 1)
+    # positional (non-distinct) shingles: pos is the 0-based token index of
+    # the window start
+    sh = with_toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.slice(F.col("_toks"), 1, F.greatest(k, F.lit(0))),
+                lambda _, i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
+            )
+        ).alias("pos", "shingle"),
+    )
+    if within_doc:
+        tagged = sh.withColumn(
+            "_c", F.count("*").over(Window.partitionBy("shingle"))
+        )
+    else:
+        # distinct-doc count without a DISTINCT window agg (unsupported) or
+        # a collect_set window (materializes the doc set per row — skew
+        # hazard on boilerplate shingles): mark each (shingle, doc)'s first
+        # occurrence, then SUM the markers per shingle — count-only state
+        w_sd = Window.partitionBy("shingle", id_col).orderBy("pos")
+        tagged = sh.withColumn(
+            "_f", (F.row_number().over(w_sd) == 1).cast("long")
+        ).withColumn("_c", F.sum("_f").over(Window.partitionBy("shingle")))
+    dup = tagged.filter(F.col("_c") >= 2).select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = (
+        F.when(F.lag("pos").over(w).isNull(), F.lit(1))
+        .when(F.col("pos") - F.lag("pos").over(w) > n, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    islands = dup.withColumn(
+        "_island", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+        )
+        .withColumn(
+            "span_len", (F.col("span_end") - F.col("span_start")).cast("long")
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(id_col, "span_start", "span_end", "span_len")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    within_doc: bool = True,
+) -> DataFrame:
+    """(id, n_tokens, n_dup_tokens, text_clean): Lee et al.'s REMOVAL step —
+    every token covered by a duplicate_spans interval is dropped and the
+    survivors rejoin with single spaces (token-stream reconstruction: the
+    simple tokenizer already collapsed case/punctuation, exactly like
+    dropping byte ranges from a normalized training stream).
+
+    Zero additional shuffles beyond duplicate_spans' two: spans fold back
+    per doc (groupBy id — same key as the island merge), broadcast-join the
+    corpus, and a filter-with-index higher-order function keeps uncovered
+    tokens. Docs with no spans pass through intact (n_dup_tokens 0).
+    Spans are disjoint by construction, so n_dup_tokens = Σ span_len."""
+    spans = duplicate_spans(docs, n, min_len, id_col, within_doc)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum("span_len").cast("long").alias("n_dup_tokens"),
+    )
+    with_toks = docs.select(
+        F.col(id_col), simple_tokens_col(F.col("text")).alias("_toks")
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (F.lit(i) >= s["span_start"]) & (F.lit(i) < s["span_end"]),
+    )
+    joined = with_toks.join(per_doc, id_col, "left")
+    # sequence(0, -1) on an empty token array would yield [0, -1] (inferred
+    # negative step) — guard the index stream explicitly
+    idxs = F.when(F.size("_toks") > 0, F.sequence(F.lit(0), F.size("_toks") - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("_toks"),
+            idxs,
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<span_start:long,span_end:long>>"),
+            ),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_clean"),
+    )
