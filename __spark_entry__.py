@@ -4478,6 +4478,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return strip_duplicate_spans(_docs(spark, sf), n=8)
 
+    KMV_K = 64
+
+    def _lang_terms(spark, sf):
+        from dhr_spark.functions.analyzer import simple_tokens_col
+
+        return _docs(spark, sf).select(
+            "lang", F.explode(simple_tokens_col(F.col("text"))).alias("term")
+        )
+
+    def kmv_sketch_q(spark, sf):
+        # bottom-k distinct sketch per language (Beyer et al. 2007) — the
+        # mergeable KMV complement to the HLL register sketch
+        from dhr_spark.operators.sketches import kmv_sketch
+
+        return kmv_sketch(_lang_terms(spark, sf), "term", k=KMV_K, group_cols=("lang",))
+
+    def kmv_estimate_q(spark, sf):
+        from dhr_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+        sk = kmv_sketch(_lang_terms(spark, sf), "term", k=KMV_K, group_cols=("lang",))
+        return kmv_estimate(sk, k=KMV_K)
+
+    def kmv_jaccard_q(spark, sf):
+        # term-set resemblance of two language sub-corpora from their
+        # sketches alone (domain-overlap triage without an exact join)
+        from dhr_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+        lt = _lang_terms(spark, sf)
+        a = kmv_sketch(lt.filter(F.col("lang") == "en"), "term", k=KMV_K)
+        b = kmv_sketch(lt.filter(F.col("lang") == "de"), "term", k=KMV_K)
+        return kmv_jaccard(a, b, k=KMV_K)
+
     def _impacts_frame(spark, sf):
         # deterministic integer impacts standing in for a learned-sparse
         # encoder's output (uniCOIL JSONL shape): impact = tf · (1 +
@@ -4735,6 +4767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impact_index_identity": impact_index_identity_q,
         "dedup_dup_spans": dup_spans_q,
         "dedup_strip_spans": strip_spans_q,
+        "sketch_kmv": kmv_sketch_q,
+        "sketch_kmv_estimate": kmv_estimate_q,
+        "sketch_kmv_jaccard": kmv_jaccard_q,
     }
 
 
@@ -6059,6 +6094,60 @@ SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
        coalesce(p.n_dup, 0)::BIGINT AS n_dup_tokens,
        coalesce(c.text_clean, '') AS text_clean
 FROM toks d LEFT JOIN perdoc p USING (doc_id) LEFT JOIN clean c USING (doc_id)""",
+        # KMV bottom-k distinct sketch per language: k smallest distinct
+        # tokhash60 values (global min-k == the partial-merge the Spark
+        # plan computes)
+        "sketch_kmv": f"""WITH t AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+h AS (SELECT DISTINCT lang, ({_HASH60.format(arg="term")})::BIGINT AS h FROM t),
+r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h)
+SELECT lang, list(h ORDER BY h) AS kmv FROM r WHERE rn <= 64 GROUP BY lang""",
+        # unbiased estimator (k-1)*DOMAIN/h_k, exact when unsaturated;
+        # HUGEINT // mirrors Spark's decimal(38,0) DIV
+        "sketch_kmv_estimate": f"""WITH t AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+h AS (SELECT DISTINCT lang, ({_HASH60.format(arg="term")})::BIGINT AS h FROM t),
+r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+sk AS (SELECT lang, count(*)::BIGINT AS n, max(h) AS hk FROM r WHERE rn <= 64 GROUP BY lang)
+SELECT lang, n AS n_in_sketch,
+       CASE WHEN n < 64 THEN n
+            ELSE ((63::HUGEINT * 1152921504606846976::HUGEINT) // hk::HUGEINT)::BIGINT
+       END AS est
+FROM sk""",
+        # resemblance from the union sketch: k smallest of A ∪ B, counted
+        # against membership in both
+        "sketch_kmv_jaccard": f"""WITH t AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents WHERE lang IN ('en', 'de')
+),
+h AS (SELECT DISTINCT lang, ({_HASH60.format(arg="term")})::BIGINT AS h FROM t),
+r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+sk AS (SELECT lang, list(h ORDER BY h) AS kmv FROM r WHERE rn <= 64 GROUP BY lang),
+u AS (
+  SELECT h FROM (
+    SELECT DISTINCT unnest(kmv) AS h FROM sk
+  ) ORDER BY h LIMIT 64
+),
+m AS (
+  SELECT count(*)::BIGINT AS n_union,
+         sum(CASE WHEN h IN (SELECT unnest(kmv) FROM sk WHERE lang = 'en')
+                   AND h IN (SELECT unnest(kmv) FROM sk WHERE lang = 'de')
+             THEN 1 ELSE 0 END)::BIGINT AS n_common
+  FROM u
+)
+SELECT n_union AS n_union_sketch, n_common,
+       n_common::DOUBLE / n_union::DOUBLE AS jaccard
+FROM m""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

@@ -358,3 +358,134 @@ def bloom_contains(
             (F.sum("_hit") == F.first("_np")).alias("member"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / K-Minimum-Values) distinct sketch + set resemblance
+# --------------------------------------------------------------------------
+
+KMV_DOMAIN = 1 << 60  # tokhash60 values are uniform in [0, 2^60)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """(group..., kmv array<long>): the k smallest DISTINCT tokhash60 values
+    of ``col`` per group — the classic KMV / bottom-k distinct sketch
+    (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007). Complements the HLL
+    register sketch: same mergeability (union = merge-sort + cut at k), and
+    additionally supports SET RESEMBLANCE between corpora (kmv_jaccard) —
+    the domain-overlap triage a curation loop runs before any exact join.
+
+    Scale shape: a mapInPandas PARTIAL pass keeps only the k smallest
+    uniques per (partition, group) — O(groups*k) state per task, nothing
+    proportional to input rows — then ONE groupBy merges the partials
+    (flatten + distinct + sort + cut, <= n_partitions*k values per group).
+    No distinct-shuffle of the raw value stream, which is what makes this a
+    sketch rather than an exact bottom-k.
+
+    Determinism: md5-derived hashes + set algebra; any engine replaying
+    tokhash60 produces the identical array (the DuckDB oracle does).
+    Groups with fewer than k distinct values carry ALL of them — the
+    estimate is then exact (kmv_estimate returns size(kmv) directly).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    gcols = list(group_cols)
+    hashed = df.select(*gcols, tokhash60(F.col(col)).alias("_h"))
+
+    out_fields = ", ".join(f"{g} string" for g in gcols)
+    schema = (out_fields + ", " if out_fields else "") + "partial array<long>"
+
+    def partial(it):
+        state: dict[tuple, np.ndarray] = {}
+        for pdf in it:
+            if gcols:
+                groups = pdf.groupby(gcols, sort=False)
+            else:
+                groups = [((), pdf)]
+            for key, sub in groups:
+                if gcols and not isinstance(key, tuple):
+                    key = (key,)
+                hs = np.unique(sub["_h"].to_numpy(dtype=np.int64))
+                cur = state.get(key)
+                merged = hs if cur is None else np.union1d(cur, hs)
+                state[key] = merged[:k]
+        rows = [
+            dict(zip(gcols, key), partial=arr.tolist())
+            for key, arr in state.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=gcols + ["partial"])
+        else:
+            # empty partition: object-dtype empties (a float64 empty column
+            # fails Arrow's ndarray -> list<int64> conversion)
+            yield pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in gcols + ["partial"]}
+            )
+
+    partials = hashed.mapInPandas(partial, schema)
+    agg = partials.groupBy(*gcols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("partial")))),
+            1,
+            k,
+        ).alias("kmv")
+    )
+    return agg
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """(group..., n_in_sketch, est): distinct-count estimate from a KMV
+    sketch — exact size when the sketch is unsaturated (< k values), else
+    the unbiased (k-1) * DOMAIN / h_k with integer division (h_k > 0 by
+    construction, hashes are uniform in [0, 2^60))."""
+    others = [c for c in sketch.columns if c != "kmv"]
+    n = F.size("kmv").cast("long")
+    # (k-1) * 2^60 overflows int64 for k > 8 — run the multiply/divide in
+    # decimal(38,0) (exact; DuckDB's twin uses HUGEINT //)
+    est = F.when(n < k, n).otherwise(
+        F.expr(
+            f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * CAST({KMV_DOMAIN} AS DECIMAL(38,0))"
+            f" DIV CAST(element_at(kmv, {k}) AS DECIMAL(38,0)) AS BIGINT)"
+        )
+    )
+    return sketch.select(
+        *others, n.alias("n_in_sketch"), est.cast("long").alias("est")
+    )
+
+
+def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame, k: int = 256) -> DataFrame:
+    """(n_union_sketch, n_common, jaccard): set resemblance of two KMV
+    sketches (Beyer et al. 2007): take the k smallest values of the sketch
+    UNION (itself a valid sketch of A ∪ B), count how many of those lie in
+    both sketches, divide. One row in, one row out — pure column math over
+    two <= k arrays; the only float is ONE exactly-rounded int/int division.
+
+    Exact when both sides are unsaturated (the union sketch then IS
+    A ∪ B)."""
+    a = sk_a.select(F.col("kmv").alias("_a"))
+    b = sk_b.select(F.col("kmv").alias("_b"))
+    both = a.crossJoin(b)
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("_a"), F.col("_b"))), 1, k
+    )
+    common = F.size(
+        F.filter(
+            union_k,
+            lambda x: F.array_contains(F.col("_a"), x)
+            & F.array_contains(F.col("_b"), x),
+        )
+    )
+    nu = F.size(union_k)
+    return both.select(
+        nu.cast("long").alias("n_union_sketch"),
+        common.cast("long").alias("n_common"),
+        (common.cast("double") / nu.cast("double")).alias("jaccard"),
+    )

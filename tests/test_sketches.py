@@ -296,3 +296,57 @@ def test_searcher_result_stats_percentiles_identity(spark, tmp_path):
     for qid, n in exact.items():
         est = hll_corrected(card[qid]["raw_est"], card[qid]["zeros"], p=8)
         assert abs(est - n) / max(n, 1) < 0.3, (qid, est, n)
+
+
+# ------------------------------------------------------------------ KMV
+
+
+def test_kmv_merge_equals_whole_and_partition_invariance(spark):
+    from dhr_spark.operators.sketches import kmv_sketch
+
+    df = _values(spark, 3000)
+    whole = kmv_sketch(df, "val", k=32).collect()[0]["kmv"]
+    re = kmv_sketch(df.repartition(17), "val", k=32).collect()[0]["kmv"]
+    assert list(whole) == list(re) and len(whole) == 32
+    # shard sketches merged == whole-corpus sketch: union arrays, cut k
+    a = kmv_sketch(df.filter(F.col("val") < "v1"), "val", k=32).collect()[0]["kmv"]
+    b = kmv_sketch(df.filter(F.col("val") >= "v1"), "val", k=32).collect()[0]["kmv"]
+    merged = sorted(set(a) | set(b))[:32]
+    assert merged == sorted(whole)
+
+
+def test_kmv_estimate_exact_when_unsaturated_and_close_when_not(spark):
+    from dhr_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    small = _values(spark, 20)
+    r = kmv_estimate(kmv_sketch(small, "val", k=64), k=64).collect()[0]
+    assert (r["n_in_sketch"], r["est"]) == (20, 20)
+    big = _values(spark, 5000)
+    r = kmv_estimate(kmv_sketch(big, "val", k=256), k=256).collect()[0]
+    assert r["n_in_sketch"] == 256
+    assert abs(r["est"] - 5000) / 5000 < 0.25, r["est"]
+
+
+def test_kmv_jaccard_tracks_true_overlap(spark):
+    from dhr_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    # A = v0..v999, B = v500..v1499 -> true J = 500/1500 = 1/3
+    a_df = _values(spark, 1000)
+    b_df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(500, 1500)], "val string"
+    )
+    a = kmv_sketch(a_df, "val", k=128)
+    b = kmv_sketch(b_df, "val", k=128)
+    r = kmv_jaccard(a, b, k=128).collect()[0]
+    assert r["n_union_sketch"] == 128
+    assert abs(r["jaccard"] - 1 / 3) < 0.15, r["jaccard"]
+    # identical sets -> exactly 1.0
+    r2 = kmv_jaccard(a, kmv_sketch(a_df, "val", k=128), k=128).collect()[0]
+    assert r2["jaccard"] == 1.0
+
+
+def test_kmv_k_guard(spark):
+    from dhr_spark.operators.sketches import kmv_sketch
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(_values(spark, 5), "val", k=1)
