@@ -4478,6 +4478,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return strip_duplicate_spans(_docs(spark, sf), n=8)
 
+    def cori_ranks_q(spark, sf):
+        # CORI resource selection (Callan et al. SIGIR 1995) over the
+        # 4-shard range-sharded layout: which shards look promising per
+        # query, from dictionaries + manifests alone
+        import json
+
+        from dhr_spark.operators.federate import MultiSearcher
+
+        root = _sharded_index_dir(spark, sf)
+        with open(f"{root}/sharded_manifest.json") as f:
+            man = json.load(f)
+        dirs = [s["dir"] for s in man["shards"] if s["dir"]]
+        return MultiSearcher(spark, dirs).rank_shards(_queries_df(spark))
+
     KMV_K = 64
 
     def _lang_terms(spark, sf):
@@ -4770,6 +4784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv": kmv_sketch_q,
         "sketch_kmv_estimate": kmv_estimate_q,
         "sketch_kmv_jaccard": kmv_jaccard_q,
+        "cori_shard_ranks": cori_ranks_q,
     }
 
 
@@ -6148,6 +6163,52 @@ m AS (
 SELECT n_union AS n_union_sketch, n_common,
        n_common::DOUBLE / n_union::DOUBLE AS jaccard
 FROM m""",
+        # CORI collection ranking: per-term beliefs lifted to integer
+        # micros (round-half-up), mean = ONE exact-int division — the
+        # summation-order-independent contract rank_shards documents
+        "cori_shard_ranks": f"""WITH {_TOKS_CTE}, {_q_values()},
+shard AS (
+  SELECT doc_id, CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1
+                      WHEN n_chars < 450 THEN 2 ELSE 3 END AS index_id
+  FROM documents
+),
+cw AS (
+  SELECT s.index_id, sum(dl.dl)::BIGINT AS cw
+  FROM dl JOIN shard s ON s.doc_id = dl.doc_id GROUP BY 1
+),
+nshard AS (SELECT count(*)::BIGINT AS n_c, avg(cw) AS avg_cw FROM cw),
+dfi AS (
+  SELECT s.index_id, tf.term, count(*)::BIGINT AS df
+  FROM tf JOIN shard s ON s.doc_id = tf.doc_id GROUP BY 1, 2
+),
+qt AS (SELECT DISTINCT qid, term FROM q),
+cf AS (
+  SELECT term, count(*)::BIGINT AS cf FROM dfi
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+),
+live AS (SELECT qt.qid, qt.term, cf.cf FROM qt JOIN cf USING (term)),
+pt AS (
+  SELECT l.qid, c.index_id,
+         round((0.4 + 0.6
+           * (coalesce(d.df, 0) / (coalesce(d.df, 0) + 50.0 + 150.0 * c.cw / n.avg_cw))
+           * (ln((n.n_c + 0.5) / l.cf) / ln(n.n_c + 1.0))
+         ) * 1000000)::BIGINT AS p6
+  FROM live l
+  CROSS JOIN cw c
+  CROSS JOIN nshard n
+  LEFT JOIN dfi d ON d.index_id = c.index_id AND d.term = l.term
+),
+bel AS (
+  SELECT qid, index_id, sum(p6)::BIGINT AS tot, count(*)::BIGINT AS n_terms
+  FROM pt GROUP BY 1, 2
+)
+SELECT qid, index_id::INTEGER AS index_id,
+       tot::DOUBLE / (n_terms * 1000000)::DOUBLE AS belief,
+       CAST(row_number() OVER (
+         PARTITION BY qid
+         ORDER BY tot::DOUBLE / (n_terms * 1000000)::DOUBLE DESC, index_id ASC
+       ) AS INTEGER) AS rank
+FROM bel""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

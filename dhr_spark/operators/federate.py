@@ -548,3 +548,163 @@ class MultiSearcher:
             size,
         )
         return self._unpack(merged)
+
+    # --------------------------------------------------------- CORI selection
+
+    def rank_shards(
+        self,
+        queries: DataFrame,
+        b: float = 0.4,
+        k_t: float = 50.0,
+        b_t: float = 150.0,
+    ) -> DataFrame:
+        """(qid, index_id, belief, rank): CORI resource ranking (Callan,
+        Lu & Croft, SIGIR 1995) — which member collections look most
+        promising for each query, from per-shard term statistics alone:
+
+            T = df_i(t) / (df_i(t) + k_t + b_t * cw_i / avg_cw)
+            I = ln((N_c + 0.5) / cf(t)) / ln(N_c + 1.0)
+            p(t|C_i) = b + (1 - b) * T * I,   belief = mean over query terms
+
+        df_i = term's doc frequency in shard i (its dictionary), cw_i =
+        shard collection length (total_dl), cf(t) = number of shards whose
+        dictionary contains t, N_c = member count. Terms no shard contains
+        are skipped (OOV — same treatment as query scoring); terms the
+        SHARD lacks contribute the default belief ``b``. Everything reads
+        dictionaries and manifests only — no postings are touched, which is
+        the point: selection cost is O(|q| * N_c) rows, independent of
+        corpus size.
+
+        Determinism contract: each per-term belief is lifted to integer
+        micros (floor(p * 1e6 + 0.5) — round-half-up, the engines' shared
+        convention), and the mean is ONE exactly-rounded IEEE division of
+        the exact integer sum — summation-order independence for the
+        cross-engine oracle.
+
+        Queries collect to the driver (the Searcher convention); all member
+        dictionaries are probed with a term isin pushdown.
+        """
+        import math
+
+        if not (0.0 <= b < 1.0):
+            raise ValueError(f"default belief b must be in [0, 1), got {b}")
+        s0 = self.searchers[0]
+        qrows = (
+            queries.select("qid", "text")
+            .limit(s0.MAX_COLLECTED_QUERIES + 1)
+            .collect()
+        )
+        if len(qrows) > s0.MAX_COLLECTED_QUERIES:
+            raise ValueError(
+                "query set too large for driver-side CORI ranking; batch it"
+            )
+        qterms: dict[str, list[str]] = {}
+        for r in qrows:
+            toks = sorted(set(s0._analyze(r["text"] or "")))
+            if toks:
+                qterms[r["qid"]] = toks
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        if not all_terms:
+            return self.spark.createDataFrame(
+                [], "qid string, index_id int, belief double, rank int"
+            )
+        # per-shard df of the query terms, straight from each dictionary
+        dfs: list[dict[str, int]] = []
+        cws: list[int] = []
+        for d, s in zip(self.index_dirs, self.searchers):
+            man = s.manifest
+            td = self.spark.read.parquet(
+                f"{d}/{man.get('term_dict_dir', 'term_dict')}"
+            )
+            rows = td.filter(F.col("term").isin(all_terms)).select(
+                "term", "df"
+            ).collect()
+            dfs.append({r["term"]: int(r["df"]) for r in rows})
+            cws.append(int(man["total_dl"]))
+        n_c = len(self.searchers)
+        avg_cw = sum(cws) / n_c
+        cf = {
+            t: sum(1 for dfi in dfs if dfi.get(t, 0) > 0) for t in all_terms
+        }
+        log_den = math.log(n_c + 1.0)
+        out = []
+        for qid, terms in qterms.items():
+            live = [t for t in terms if cf[t] > 0]
+            if not live:
+                continue
+            for i in range(n_c):
+                tot = 0
+                for t in live:
+                    df_i = dfs[i].get(t, 0)
+                    tval = df_i / (df_i + k_t + b_t * cws[i] / avg_cw)
+                    ival = math.log((n_c + 0.5) / cf[t]) / log_den
+                    p = b + (1.0 - b) * tval * ival
+                    tot += int(math.floor(p * 1e6 + 0.5))
+                out.append((qid, i, tot / (len(live) * 1e6)))
+        ranked = self.spark.createDataFrame(
+            out, "qid string, index_id int, belief double"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("belief").desc(), F.col("index_id").asc()
+        )
+        return ranked.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        )
+
+    def search_cori(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        n_select: int = 1,
+        prune: bool = True,
+        b: float = 0.4,
+    ) -> DataFrame:
+        """Approximate federated search with CORI shard selection: each
+        query runs only against its top-``n_select`` shards by belief.
+        Scores stay EXACT (merged global statistics, like every federated
+        pass) — the approximation is recall-only: documents living in
+        unselected shards cannot be returned. ``n_select >= N_c`` is
+        therefore identical to ``search`` (pytest-pinned). The standard
+        large-federation latency/recall knob (Callan 2000, distributed IR
+        survey)."""
+        if n_select < 1:
+            raise ValueError(f"n_select must be >= 1, got {n_select}")
+        if n_select >= len(self.searchers):
+            return self.search(queries, k=k, prune=prune)
+        sel_rows = (
+            self.rank_shards(queries, b=b)
+            .filter(F.col("rank") <= n_select)
+            .collect()
+        )
+        by_shard: dict[int, list[str]] = {}
+        for r in sel_rows:
+            by_shard.setdefault(int(r["index_id"]), []).append(r["qid"])
+        per = []
+        for i, qids in sorted(by_shard.items()):
+            sub = queries.filter(F.col("qid").isin(qids))
+            per.append(
+                self.searchers[i]
+                .search(sub, k=k, prune=prune)
+                .withColumn("index_id", F.lit(i))
+            )
+        if not per:
+            return self.spark.createDataFrame(
+                [], "qid string, index_id int, docid long, rank int, score double"
+            )
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)

@@ -360,3 +360,93 @@ def test_federated_boosted_and_recency_equal_union_index(spark, sharded, queries
         fed = _by_turn(spark, fed_res, sharded["dirs"], fed=True)
         single = _by_turn(spark, single_res, sharded["full"], fed=False)
         assert fed == single, name
+
+
+# -------------------------------------------------------- CORI selection
+
+
+def test_cori_rank_shards_shape_and_sanity(spark, sharded, queries):
+    ms = MultiSearcher(spark, sharded["dirs"])
+    ranks = ms.rank_shards(queries)
+    rows = ranks.collect()
+    assert rows, "no shard rankings produced"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    n = len(sharded["dirs"])
+    for qid, rs in by_q.items():
+        assert len(rs) == n  # every member ranked for every live query
+        assert sorted(r["rank"] for r in rs) == list(range(1, n + 1))
+        # belief order matches the emitted rank order
+        by_belief = sorted(rs, key=lambda r: (-r["belief"], r["index_id"]))
+        assert [r["rank"] for r in by_belief] == list(range(1, n + 1))
+        for r in rs:
+            assert 0.4 <= r["belief"] <= 1.0  # b floor, beliefs bounded
+
+
+def test_cori_belief_hand_computed(spark, tmp_path):
+    import math
+
+    a = spark.createDataFrame(
+        [(0, "apple banana"), (1, "apple cherry")], "docid long, text string"
+    )
+    b_ = spark.createDataFrame(
+        [(2, "apple apple durian")], "docid long, text string"
+    )
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    from dhr_spark.index.builder import build_index_from_docs
+
+    build_index_from_docs(spark, a, da, analyzer_mode="simple", chunk_bits=4)
+    build_index_from_docs(spark, b_, db, analyzer_mode="simple", chunk_bits=4)
+    ms = MultiSearcher(spark, [da, db])
+    q = spark.createDataFrame([("q", "apple banana")], "qid string, text string")
+    got = {
+        r["index_id"]: r["belief"] for r in ms.rank_shards(q).collect()
+    }
+    # replicate: cw_a = 4 tokens, cw_b = 3; avg 3.5; cf(apple)=2, cf(banana)=1
+    cws, n_c = [4, 3], 2
+    avg = 3.5
+    dfs = [{"apple": 2, "banana": 1}, {"apple": 1}]
+    exp = {}
+    for i in range(2):
+        tot = 0
+        for t in ["apple", "banana"]:
+            df_i = dfs[i].get(t, 0)
+            tval = df_i / (df_i + 50.0 + 150.0 * cws[i] / avg)
+            ival = math.log((n_c + 0.5) / (2 if t == "apple" else 1)) / math.log(n_c + 1.0)
+            tot += int(math.floor((0.4 + 0.6 * tval * ival) * 1e6 + 0.5))
+        exp[i] = tot / 2e6
+    assert got == exp
+
+
+def test_cori_select_all_equals_full_search(spark, sharded, queries):
+    ms = MultiSearcher(spark, sharded["dirs"])
+    full = ms.search(queries, k=15)
+    sel = ms.search_cori(queries, k=15, n_select=len(sharded["dirs"]))
+    fs = sorted(map(tuple, full.collect()))
+    ss = sorted(map(tuple, sel.collect()))
+    assert fs == ss
+
+
+def test_cori_select_one_is_subset_with_exact_scores(spark, sharded, queries):
+    ms = MultiSearcher(spark, sharded["dirs"])
+    # effectively-unbounded reference run: a selected shard's local top-k
+    # can include docs outside a truncated global top-k
+    full = {
+        (r["qid"], r["index_id"], r["docid"]): r["score"]
+        for r in ms.search(queries, k=100_000, prune=False).collect()
+    }
+    sel = ms.search_cori(queries, k=50, n_select=1)
+    rows = sel.collect()
+    assert rows
+    for r in rows:
+        key = (r["qid"], r["index_id"], r["docid"])
+        # scores are the global-stats scores — exact wherever the doc exists
+        assert key in full and full[key] == r["score"], key
+    # one shard per query only
+    shards_per_q = {}
+    for r in rows:
+        shards_per_q.setdefault(r["qid"], set()).add(r["index_id"])
+    assert all(len(s) == 1 for s in shards_per_q.values())
+    with pytest.raises(ValueError, match="n_select"):
+        ms.search_cori(queries, k=5, n_select=0)
