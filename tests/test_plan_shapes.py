@@ -392,3 +392,43 @@ def test_search_boosted_no_cartesian_prunes_docvalue_columns(spark, idx):
     dm = [p for p in scans if "turn_idx" in p]
     assert dm, plan[:2000]
     assert not any("conv_id" in p for p in dm), dm
+
+
+def test_duplicate_spans_no_cartesian_and_codegen(spark, docs_small):
+    """Span dedup must plan as a shingle-key window + per-doc window — no
+    self-join, no pair blow-up, no Python UDF (pure column math)."""
+    from dhr_spark.operators.dedup import duplicate_spans
+
+    plan = _plan(duplicate_spans(docs_small, n=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_impact_slow_path_broadcasts_query_side(spark, docs_small):
+    """The impact slow path mirrors the BM25 plan: the query-weight side
+    broadcasts; the impacts relation never shuffles for the join."""
+    from dhr_spark.operators.impact import impact_topk
+
+    imp = docs_small.selectExpr(
+        "doc_id AS docid", "lower(text) AS term", "1 AS impact"
+    )
+    qw = spark.createDataFrame(
+        [("q", "spark", 1)], "qid string, term string, qweight long"
+    )
+    plan = _plan(impact_topk(imp, qw, k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_no_raw_distinct_shuffle(spark, docs_small):
+    """KMV must aggregate through the mapInPandas partial (FlatMapGroups /
+    MapInPandas stage) — the merge groupBy sees only bounded partial arrays,
+    never the raw hashed value stream."""
+    from dhr_spark.operators.sketches import kmv_sketch
+
+    df = docs_small.selectExpr("text AS v")
+    plan = _plan(kmv_sketch(df, "v", k=8))
+    assert "MapInPandas" in plan
+    # no distinct aggregation of the raw values before the partial stage
+    assert "CartesianProduct" not in plan
