@@ -353,6 +353,14 @@ def main() -> None:
                 queries, searcher.search(queries, k=args.k,
                                          prune=not args.no_prune)
             )
+        elif getattr(searcher, "_scoring", "bm25") == "impact":
+            # learned-sparse index (index/impact.py): the manifest says the
+            # postings carry integer impacts, so plain queries route to
+            # impact scoring automatically (similarity flags are refused by
+            # the Searcher with a pointed error)
+            run = searcher.search_impact(
+                queries, k=args.k, prune=not args.no_prune
+            )
         else:
             run = searcher.search(queries, k=args.k, prune=not args.no_prune)
     if args.output:
