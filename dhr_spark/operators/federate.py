@@ -708,3 +708,33 @@ class MultiSearcher:
             k,
         )
         return self._unpack(merged)
+
+    def search_impact(
+        self, queries: DataFrame, k: int = 1000, prune: bool = True
+    ) -> DataFrame:
+        """Federated impact search (learned-sparse shards, index/impact.py).
+        Impact scores carry NO corpus statistics — score(q, d) = Σ qweight ·
+        impact reads only the posting — so federation needs no stat merge at
+        all: per-shard top-k, one global merge, bit-identical to a single
+        union-corpus impact index by construction. Every member must be an
+        impact index (each Searcher refuses otherwise)."""
+        per = [
+            s.search_impact(queries, k=k, prune=prune)
+            .withColumn("index_id", F.lit(i))
+            for i, s in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)

@@ -220,3 +220,27 @@ def test_resume_skips_committed_chunks(spark, tmp_path):
     assert _runs(s.search_impact(_queries_df(spark), k=10)) == _runs(
         impact_topk(imp, qw, k=10)
     )
+
+
+def test_federated_impact_equals_union_index(spark, tmp_path):
+    from dhr_spark.operators.federate import MultiSearcher
+
+    imp = _impacts_df(spark)
+    a = imp.filter(F.col("docid") < 3)
+    b = imp.filter(F.col("docid") >= 3)
+    da, db, du = (str(tmp_path / x) for x in ("a", "b", "u"))
+    for d, part in ((da, a), (db, b), (du, imp)):
+        build_impact_index(
+            spark, part, d, analyzer_mode="simple", chunk_bits=2, block_size=4
+        )
+    ms = MultiSearcher(spark, [da, db])
+    fed = ms.search_impact(_queries_df(spark), k=10)
+    uni = Searcher(spark, du).search_impact(_queries_df(spark), k=10)
+    # drop index_id (shard-local detail); scores/ranks must match exactly
+    fs = sorted(
+        (r["qid"], r["rank"], r["docid"], r["score"]) for r in fed.collect()
+    )
+    us = sorted(
+        (r["qid"], r["rank"], r["docid"], r["score"]) for r in uni.collect()
+    )
+    assert fs == us
