@@ -40,7 +40,7 @@ from dhr_spark.index.builder import (
 from dhr_spark.index.segments import build_doclens, build_segments
 from dhr_spark.operators.stats import term_dictionary
 
-__all__ = ["build_impact_index"]
+__all__ = ["build_impact_index", "append_impacts_to_index"]
 
 
 def build_impact_index(
@@ -239,3 +239,188 @@ def build_impact_index(
     rows.unpersist()
     tdict.unpersist()
     return manifest
+
+
+def append_impacts_to_index(
+    spark: SparkSession,
+    impacts: DataFrame,
+    index_dir: str,
+    doc_map_df: DataFrame | None = None,
+    extra_manifest: dict | None = None,
+) -> dict:
+    """Fold a batch of (docid, term, impact) rows into an existing impact
+    index — the learned-sparse twin of incremental.append_docs_to_index,
+    with the SAME no-read-modify-write contract: batch docids are
+    caller-assigned (encoders shard corpora themselves) and must sit
+    at-or-above the next chunk boundary, so the append creates only
+    brand-new chunk partitions; dictionary df/ctf merge additively with
+    fresh term ids allocated past the old maximum; every write is dynamic
+    partition overwrite (crash-and-retry idempotent) and the manifest
+    rewrite is the atomic commit. Impact scoring reads no corpus stats, so
+    committed segments stay exactly valid — appends cannot shift scores of
+    existing documents at all (stronger than BM25's idf drift)."""
+    from dhr_spark.operators.docids import with_global_ids
+
+    t0 = time.time()
+    man = load_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    if man.get("scoring") != "impact":
+        raise ValueError(
+            f"append_impacts_to_index needs an impact index (manifest "
+            f"scoring={man.get('scoring')!r}); text indexes append via "
+            "index.incremental"
+        )
+    chunk_bits = int(man["chunk_bits"])
+    chunk_docs = 1 << chunk_bits
+    floor = -(-int(man["next_docid"]) // chunk_docs) * chunk_docs
+
+    rows = impacts.select(
+        F.col("docid").cast("long").alias("docid"),
+        F.col("term").cast("string").alias("term"),
+        F.col("impact").cast("long").alias("impact"),
+    ).cache()
+    bad = rows.filter(
+        F.col("impact").isNull() | (F.col("impact") < 1)
+    ).limit(1).count()
+    if bad:
+        rows.unpersist()
+        raise ValueError("impacts must be integers >= 1")
+    dup = rows.groupBy("docid", "term").count().filter(F.col("count") > 1)
+    if dup.limit(1).count():
+        rows.unpersist()
+        raise ValueError(
+            "append batch has duplicate (docid, term) rows — encoder output "
+            "must carry one impact per posting"
+        )
+    dls = rows.groupBy("docid").agg(F.count("*").alias("dl"))
+    cs = dls.agg(
+        F.min("docid").alias("lo"),
+        F.max("docid").alias("hi"),
+        F.count("*").alias("n"),
+        F.sum("dl").alias("dl_sum"),
+    ).collect()[0]
+    if int(cs["n"]) == 0:
+        rows.unpersist()
+        raise ValueError("append batch is empty (0 documents)")
+    if int(cs["lo"]) < floor:
+        rows.unpersist()
+        raise ValueError(
+            f"batch docid {int(cs['lo'])} is below the next chunk boundary "
+            f"{floor} — appends may only create brand-new chunks"
+        )
+    n_docs = int(man["n_docs"]) + int(cs["n"])
+    total_dl = int(man["total_dl"]) + int(cs["dl_sum"])
+
+    old = spark.read.parquet(
+        os.path.join(index_dir, man.get("term_dict_dir", "term_dict"))
+    ).select("term", "term_id", "df", "ctf")
+    batch = rows.groupBy("term").agg(
+        F.count("*").alias("df_b"), F.sum("impact").cast("long").alias("ctf_b")
+    )
+    joined = old.join(batch, "term", "full_outer")
+    known = joined.filter(F.col("term_id").isNotNull()).select(
+        "term",
+        "term_id",
+        (F.coalesce("df", F.lit(0)) + F.coalesce("df_b", F.lit(0))).alias("df"),
+        (F.coalesce("ctf", F.lit(0)) + F.coalesce("ctf_b", F.lit(0)))
+        .cast("long")
+        .alias("ctf"),
+    )
+    fresh_base = with_global_ids(
+        joined.filter(F.col("term_id").isNull()).select("term", "df_b", "ctf_b"),
+        [F.col("df_b").desc(), F.col("term").asc()],
+        "_new_id",
+    )
+    fresh = fresh_base.select(
+        "term",
+        (F.col("_new_id") + F.lit(int(man["n_terms"]))).cast("long").alias("term_id"),
+        F.col("df_b").alias("df"),
+        F.col("ctf_b").cast("long").alias("ctf"),
+    )
+    tdict = (
+        known.unionByName(fresh)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .cache()
+    )
+    n_terms = tdict.count()
+    fresh_cached = getattr(fresh_base, "_dhr_persisted", None)
+
+    post = (
+        rows.join(F.broadcast(tdict.select("term", "term_id")), "term")
+        .join(dls, "docid")
+        .select("term_id", "docid", F.col("impact").alias("tf"), "dl")
+    )
+    append_no = int(man.get("appends", 0)) + 1
+    dyn = {"partitionOverwriteMode": "dynamic"}
+    seg = build_segments(post, chunk_bits, int(man["block_size"]))
+    seg_path = os.path.join(index_dir, "segments")
+    seg.repartition("chunk").write.mode("overwrite").options(**dyn).partitionBy(
+        "chunk"
+    ).parquet(seg_path)
+    build_doclens(dls, chunk_bits).write.mode("overwrite").options(
+        **dyn
+    ).partitionBy("chunk").parquet(os.path.join(index_dir, "doclens"))
+    dm_path = os.path.join(index_dir, "doc_map")
+    if os.path.isdir(dm_path):
+        if doc_map_df is None:
+            rows.unpersist()
+            tdict.unpersist()
+            raise ValueError(
+                "index carries a doc_map; pass doc_map_df for the batch"
+            )
+        doc_map_df.withColumn("seg_batch", F.lit(append_no)).write.mode(
+            "overwrite"
+        ).options(**dyn).partitionBy("seg_batch").parquet(dm_path)
+    td_dir = f"term_dict_v{append_no}"
+    tdict.write.mode("overwrite").parquet(os.path.join(index_dir, td_dir))
+
+    new_chunk_lo = (int(cs["lo"]) // chunk_docs) * chunk_docs >> chunk_bits
+    written = spark.read.parquet(seg_path).filter(F.col("chunk") >= new_chunk_lo)
+    metrics = (
+        written.groupBy("chunk")
+        .agg(
+            F.sum("n").alias("postings"),
+            F.sum("bytes").alias("bytes"),
+            F.count("*").alias("terms"),
+            (F.max("n") / F.avg("n")).alias("skew_ratio"),
+        )
+        .collect()
+    )
+    chunks = dict(man["chunks"])
+    for r in metrics:
+        chunks[str(r["chunk"])] = {
+            "postings": int(r["postings"]),
+            "bytes": int(r["bytes"]),
+            "terms": int(r["terms"]),
+            "skew_ratio": round(float(r["skew_ratio"]), 3),
+        }
+    man2 = dict(man)
+    man2.update(
+        {
+            "n_docs": n_docs,
+            "avgdl": total_dl / n_docs,
+            "total_dl": total_dl,
+            "next_docid": int(cs["hi"]) + 1,
+            "n_terms": int(n_terms),
+            "appends": append_no,
+            "term_dict_dir": td_dir,
+            "last_append_seconds": round(time.time() - t0, 2),
+            "chunks": chunks,
+        }
+    )
+    if extra_manifest:
+        man2.update(extra_manifest)
+    _write_manifest(index_dir, man2)
+    rows.unpersist()
+    tdict.unpersist()
+    if fresh_cached is not None:
+        fresh_cached.unpersist()
+    return man2

@@ -244,3 +244,50 @@ def test_federated_impact_equals_union_index(spark, tmp_path):
         (r["qid"], r["rank"], r["docid"], r["score"]) for r in uni.collect()
     )
     assert fs == us
+
+
+def test_append_impacts_equals_rebuild(spark, tmp_path):
+    from dhr_spark.index.impact import append_impacts_to_index
+
+    imp = _impacts_df(spark)
+    base = imp.filter(F.col("docid") < 4)
+    d = str(tmp_path / "app_idx")
+    build_impact_index(spark, base, d, analyzer_mode="simple", chunk_bits=2, block_size=4)
+    # batch at the next chunk boundary (chunk_bits=2 -> next boundary 4)
+    batch = imp.filter(F.col("docid") >= 4).union(
+        spark.createDataFrame(
+            [(6, "brandnewterm", 5)], "docid long, term string, impact long"
+        )
+    )
+    man = append_impacts_to_index(spark, batch, d)
+    assert man["appends"] == 1 and man["n_docs"] == 7
+    du = str(tmp_path / "reb_idx")
+    build_impact_index(
+        spark, imp.union(spark.createDataFrame(
+            [(6, "brandnewterm", 5)], "docid long, term string, impact long"
+        )), du, analyzer_mode="simple", chunk_bits=2, block_size=4,
+    )
+    q = _queries_df(spark).union(
+        spark.createDataFrame([("q4", "brandnewterm")], "qid string, text string")
+    )
+    got = _runs(Searcher(spark, d).search_impact(q, k=10))
+    want = _runs(Searcher(spark, du).search_impact(q, k=10))
+    assert got == want and any(r[0] == "q4" for r in got)
+    # guards: wrong index kind, below-boundary docid, dup (docid, term)
+    with pytest.raises(ValueError, match="below the next chunk boundary"):
+        append_impacts_to_index(
+            spark,
+            spark.createDataFrame(
+                [(2, "x", 1)], "docid long, term string, impact long"
+            ),
+            d,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        append_impacts_to_index(
+            spark,
+            spark.createDataFrame(
+                [(64, "x", 1), (64, "x", 2)],
+                "docid long, term string, impact long",
+            ),
+            d,
+        )
