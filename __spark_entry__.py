@@ -4478,6 +4478,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return strip_duplicate_spans(_docs(spark, sf), n=8)
 
+    def corr_hits_q(spark, sf):
+        # ES matrix_stats correlation cell over each query's OR-match set:
+        # are longer hits (tokens) also longer in characters?
+        from dhr_spark.operators.hitstats import hit_correlation
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        tfs = term_freqs(tok).select("docid", "term")
+        hits = (
+            _qtfs(spark).select("qid", "term")
+            .join(tfs, "term")
+            .select("qid", "docid")
+            .distinct()
+        )
+        vals = doc_lengths(tok).join(
+            _docs(spark, sf).select(F.col("doc_id").alias("docid"), "n_chars"),
+            "docid",
+        )
+        return hit_correlation(hits, vals, "n_chars", "dl")
+
     def cori_ranks_q(spark, sf):
         # CORI resource selection (Callan et al. SIGIR 1995) over the
         # 4-shard range-sharded layout: which shards look promising per
@@ -4785,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_estimate": kmv_estimate_q,
         "sketch_kmv_jaccard": kmv_jaccard_q,
         "cori_shard_ranks": cori_ranks_q,
+        "corr_hits": corr_hits_q,
     }
 
 
@@ -6209,6 +6229,28 @@ SELECT qid, index_id::INTEGER AS index_id,
          ORDER BY tot::DOUBLE / (n_terms * 1000000)::DOUBLE DESC, index_id ASC
        ) AS INTEGER) AS rank
 FROM bel""",
+        # ES matrix_stats correlation: exact HUGEINT moments, then the fixed
+        # two-sqrt/one-divide double shape (hit_correlation's contract)
+        "corr_hits": f"""WITH {_TOKS_CTE}, {_q_values()},
+hits AS (SELECT DISTINCT q.qid, tf.doc_id AS docid FROM q JOIN tf USING (term)),
+v AS (
+  SELECT dl.doc_id AS docid, d.n_chars::BIGINT AS a, dl.dl::BIGINT AS b
+  FROM dl JOIN documents d ON d.doc_id = dl.doc_id
+),
+m AS (
+  SELECT h.qid, count(*)::BIGINT AS n,
+         sum(v.a)::HUGEINT AS sa, sum(v.b)::HUGEINT AS sb,
+         sum(v.a::HUGEINT * v.b)::HUGEINT AS sab,
+         sum(v.a::HUGEINT * v.a)::HUGEINT AS saa,
+         sum(v.b::HUGEINT * v.b)::HUGEINT AS sbb
+  FROM hits h JOIN v USING (docid) GROUP BY 1
+)
+SELECT qid, n,
+       CASE WHEN n >= 2 AND (n*saa - sa*sa) > 0 AND (n*sbb - sb*sb) > 0
+            THEN (n*sab - sa*sb)::DOUBLE
+                 / (sqrt((n*saa - sa*sa)::DOUBLE) * sqrt((n*sbb - sb*sb)::DOUBLE))
+       END AS corr
+FROM m""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

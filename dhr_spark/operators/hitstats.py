@@ -108,3 +108,56 @@ def hit_percentiles(
         .filter(F.col("_rn") == target)
         .select("qid", "pct", F.col("_v").alias("value"), "n")
     )
+
+
+def hit_correlation(
+    hits: DataFrame, values: DataFrame, field_a: str, field_b: str
+) -> DataFrame:
+    """(qid, n, corr): Pearson correlation of two integer-contracted fields
+    over each query's hit set — the correlation cell of Elasticsearch's
+    ``matrix_stats`` aggregation ("do longer hits skew newer?" style result
+    diagnostics).
+
+    Same determinism discipline as hit_stats: all five moments ride exact
+    decimal(38,0) integer sums; floats appear only as
+
+      corr = (n*sab - sa*sb) / (sqrt(n*saa - sa^2) * sqrt(n*sbb - sb^2))
+
+    — two exactly-rounded sqrts, one multiply, one division, in a fixed
+    shape both engines reproduce bit-for-bit. NULL when either field has
+    zero variance over the hit set or n < 2 (ES returns nothing there too).
+    """
+    joined = hits.select("qid", "docid").join(
+        values.select(
+            "docid",
+            F.col(field_a).cast("long").alias("_a"),
+            F.col(field_b).cast("long").alias("_b"),
+        ),
+        "docid",
+    )
+    a19 = F.col("_a").cast("decimal(19,0)")
+    b19 = F.col("_b").cast("decimal(19,0)")
+    agg = joined.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_a").alias("_sa"),
+        F.sum("_b").alias("_sb"),
+        F.sum(a19 * b19).alias("_sab"),
+        F.sum(a19 * a19).alias("_saa"),
+        F.sum(b19 * b19).alias("_sbb"),
+    )
+    n19 = F.col("n").cast("decimal(19,0)")
+    sa19 = F.col("_sa").cast("decimal(19,0)")
+    sb19 = F.col("_sb").cast("decimal(19,0)")
+    num = n19 * F.col("_sab") - sa19 * sb19
+    var_a = n19 * F.col("_saa") - sa19 * sa19
+    var_b = n19 * F.col("_sbb") - sb19 * sb19
+    corr = num.cast("double") / (
+        F.sqrt(var_a.cast("double")) * F.sqrt(var_b.cast("double"))
+    )
+    return agg.select(
+        "qid",
+        "n",
+        F.when((F.col("n") >= 2) & (var_a > 0) & (var_b > 0), corr).alias(
+            "corr"
+        ),
+    )

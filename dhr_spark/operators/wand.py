@@ -1615,6 +1615,24 @@ class Searcher:
             pcts,
         )
 
+    def result_correlation(
+        self, queries: DataFrame, field_a: str, field_b: str
+    ) -> DataFrame:
+        """(qid, n, corr): Pearson correlation of two integer docvalues
+        fields over each query's MATCHING documents — ES ``matrix_stats``'
+        correlation cell (operators/hitstats.hit_correlation; exact integer
+        moments, fixed two-sqrt/one-divide float shape)."""
+        from dhr_spark.operators.hitstats import hit_correlation
+
+        return hit_correlation(
+            self._matched_docs(queries),
+            self.docvalues_frame(
+                [field_a, field_b] if field_a != field_b else [field_a]
+            ),
+            field_a,
+            field_b,
+        )
+
     def result_cardinality(
         self, queries: DataFrame, field: str, p: int = 10
     ) -> DataFrame:

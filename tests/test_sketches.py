@@ -350,3 +350,55 @@ def test_kmv_k_guard(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketch(_values(spark, 5), "val", k=1)
+
+
+def test_hit_correlation_and_index_twin(spark, tmp_path):
+    from dhr_spark.index.builder import build_index_from_docs
+    from dhr_spark.operators.hitstats import hit_correlation
+    from dhr_spark.operators.wand import Searcher
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", 10, 100),
+            (1, "alpha gamma", 20, 210),
+            (2, "alpha beta gamma", 30, 290),
+            (3, "delta", 40, 400),
+            (4, "alpha", 50, 505),
+        ],
+        "docid long, text string, xa long, xb long",
+    )
+    d = str(tmp_path / "corr_idx")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="simple", chunk_bits=3,
+        doc_map_df=docs.select("docid", "xa", "xb"), docvalues=["xa", "xb"],
+    )
+    q = spark.createDataFrame(
+        [("q1", "alpha"), ("q2", "beta gamma"), ("q3", "delta")],
+        "qid string, text string",
+    )
+    s = Searcher(spark, d)
+    got = {r["qid"]: (r["n"], r["corr"]) for r in
+           s.result_correlation(q, "xa", "xb").collect()}
+    # manual twin over the same match sets
+    hits = spark.createDataFrame(
+        [("q1", i) for i in (0, 1, 2, 4)]
+        + [("q2", i) for i in (0, 1, 2)]
+        + [("q3", 3)],
+        "qid string, docid long",
+    )
+    want = {r["qid"]: (r["n"], r["corr"]) for r in
+            hit_correlation(hits, docs, "xa", "xb").collect()}
+    assert got == want
+    # near-linear (xb ~ 10*xa) -> corr close to 1; n<2 -> NULL
+    assert got["q1"][1] is not None and got["q1"][1] > 0.99
+    assert got["q3"] == (1, None)
+    # zero variance -> NULL
+    zv = spark.createDataFrame(
+        [(0, 1, 5), (1, 1, 9)], "docid long, xa long, xb long"
+    )
+    h2 = spark.createDataFrame([("q", 0), ("q", 1)], "qid string, docid long")
+    r = hit_correlation(h2, zv, "xa", "xb").collect()[0]
+    assert r["corr"] is None and r["n"] == 2
+    # same-field correlation == 1.0 exactly (num == denominator squared)
+    r2 = s.result_correlation(q.filter(F.col("qid") == "q1"), "xa", "xa").collect()[0]
+    assert r2["corr"] == 1.0
