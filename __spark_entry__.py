@@ -4478,6 +4478,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return strip_duplicate_spans(_docs(spark, sf), n=8)
 
+    def qpp_q(spark, sf):
+        # pre-retrieval query performance prediction: avg/max idf, SCS,
+        # SCQ from corpus aggregates only (He & Ounis 2004; Zhao et al.
+        # 2008) — the routing signal a serving tier reads before choosing
+        # a candidate budget
+        from dhr_spark.operators.qpp import qpp_predictors
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        tfs = term_freqs(tok)
+        dls = doc_lengths(tok)
+        cs = dls.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        ts = tfs.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").cast("long").alias("ctf")
+        )
+        return qpp_predictors(
+            _qtfs(spark), ts, int(cs["n"]), int(cs["t"])
+        )
+
     def corr_hits_q(spark, sf):
         # ES matrix_stats correlation cell over each query's OR-match set:
         # are longer hits (tokens) also longer in characters?
@@ -4805,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_jaccard": kmv_jaccard_q,
         "cori_shard_ranks": cori_ranks_q,
         "corr_hits": corr_hits_q,
+        "qpp_predictors": qpp_q,
     }
 
 
@@ -6251,6 +6272,47 @@ SELECT qid, n,
                  / (sqrt((n*saa - sa*sa)::DOUBLE) * sqrt((n*sbb - sb*sb)::DOUBLE))
        END AS corr
 FROM m""",
+        # pre-retrieval QPP: per-term quantities in integer micros, means
+        # as one exact-int division (qpp_predictors' contract)
+        "qpp_predictors": f"""WITH {_TOKS_CTE}, {_q_values()},
+ctfs AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+tot AS (SELECT sum(dl)::BIGINT AS total_dl FROM dl),
+j AS (
+  SELECT q.qid, q.qtf, c.df, c.ctf,
+         sum(q.qtf) OVER (PARTITION BY q.qid) AS ql
+  FROM q LEFT JOIN ctfs c USING (term)
+),
+per AS (
+  SELECT qid,
+    CASE WHEN df IS NULL THEN 1 ELSE 0 END AS oov,
+    CASE WHEN df IS NOT NULL THEN
+      round(ln(1 + (cs.n_docs - df + 0.5) / (df + 0.5)) * 1000000)::BIGINT
+    END AS idf6,
+    CASE WHEN df IS NOT NULL THEN
+      round((1 + ln(ctf)) * ln(1 + (cs.n_docs - df + 0.5) / (df + 0.5))
+            * 1000000)::BIGINT
+    END AS scq6,
+    CASE WHEN df IS NOT NULL THEN
+      round((qtf::DOUBLE / ql)
+            * log2((qtf::DOUBLE / ql) / (ctf::DOUBLE / tot.total_dl::DOUBLE))
+            * 1000000)::BIGINT
+    END AS scs6
+  FROM j CROSS JOIN cs CROSS JOIN tot
+),
+agg AS (
+  SELECT qid, count(*)::BIGINT AS n_terms, sum(oov)::BIGINT AS n_oov,
+         count(idf6)::BIGINT AS n_in, sum(idf6)::BIGINT AS sidf,
+         max(idf6)::BIGINT AS midf, sum(scq6)::BIGINT AS sscq,
+         max(scq6)::BIGINT AS mscq, sum(scs6)::BIGINT AS sscs
+  FROM per GROUP BY 1
+)
+SELECT qid, n_terms, n_oov,
+  CASE WHEN n_in > 0 THEN sidf::DOUBLE / (n_in * 1000000)::DOUBLE END AS avg_idf,
+  CASE WHEN n_in > 0 THEN midf::DOUBLE / 1000000 END AS max_idf,
+  CASE WHEN n_in > 0 THEN sscs::DOUBLE / 1000000 END AS scs,
+  CASE WHEN n_in > 0 THEN sscq::DOUBLE / 1000000 END AS sum_scq,
+  CASE WHEN n_in > 0 THEN mscq::DOUBLE / 1000000 END AS max_scq
+FROM agg""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

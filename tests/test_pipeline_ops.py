@@ -786,3 +786,38 @@ def test_paragraph_dedup_semantics(spark):
     assert out[4]["text_clean"] == "delta"
     # survivors reassemble in original paragraph order
     assert out[1]["text_clean"].split("\n") == ["alpha", "beta"]
+
+
+def test_qpp_predictors_hand_computed(spark):
+    import math
+
+    from dhr_spark.operators.qpp import qpp_predictors
+
+    # corpus stats: N=4 docs, total_dl=10; dictionary df/ctf fixed
+    ts = spark.createDataFrame(
+        [("apple", 2, 3), ("banana", 1, 1)], "term string, df long, ctf long"
+    )
+    qtfs = spark.createDataFrame(
+        [("q1", "apple", 2), ("q1", "zzz", 1), ("q2", "banana", 1)],
+        "qid string, term string, qtf long",
+    )
+    got = {r["qid"]: r.asDict() for r in
+           qpp_predictors(qtfs, ts, n_docs=4, total_dl=10).collect()}
+    assert got["q1"]["n_terms"] == 2 and got["q1"]["n_oov"] == 1
+    idf_apple = math.log(1 + (4 - 2 + 0.5) / 2.5)
+    i6 = math.floor(idf_apple * 1e6 + 0.5)
+    assert got["q1"]["avg_idf"] == i6 / 1e6 == got["q1"]["max_idf"]
+    # SCS for q1: only apple in vocab; p(t|q)=2/3 (OOV mass counts), p(t|C)=0.3
+    scs = (2 / 3) * math.log2((2 / 3) / 0.3)
+    assert abs(got["q1"]["scs"] - scs) < 2e-6
+    scq = (1 + math.log(3)) * idf_apple
+    assert abs(got["q1"]["sum_scq"] - scq) < 2e-6
+    assert got["q2"]["n_oov"] == 0
+    # all-OOV query -> NULL predictors, counts still reported
+    q3 = spark.createDataFrame([("q3", "zzz", 1)], "qid string, term string, qtf long")
+    r3 = qpp_predictors(q3, ts, 4, 10).collect()[0]
+    assert r3["n_oov"] == 1 and r3["avg_idf"] is None and r3["scs"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_docs"):
+        qpp_predictors(qtfs, ts, 0, 10)
