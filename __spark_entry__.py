@@ -4478,6 +4478,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return strip_duplicate_spans(_docs(spark, sf), n=8)
 
+    PRUNE_KEEP = 3
+
+    def bm25_topk_pruned_q(spark, sf):
+        # static index pruning (Carmel et al. 2001): every posting list cut
+        # to its top-PRUNE_KEEP weights, then scored under FULL corpus stats
+        from dhr_spark.operators.postings import prune_postings_topk
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        tfs = term_freqs(tok)
+        dls = doc_lengths(tok)
+        cs = dls.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+        n_docs, avgdl = int(cs["n"]), float(cs["a"])
+        post = tfs.join(dls, "docid").select(
+            F.col("term").alias("term_id"), "docid", "tf", "dl"
+        )
+        pruned = prune_postings_topk(
+            post, PRUNE_KEEP, avgdl, n_docs=n_docs
+        ).withColumnRenamed("term_id", "term")
+        ts = tfs.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+            "idf", idf_col(F.col("df"), n_docs)
+        )
+        post_w = pruned.join(F.broadcast(ts.select("term", "idf")), "term").select(
+            "term",
+            "docid",
+            bm25_weight_col(
+                F.col("tf"), F.col("dl"), F.col("idf"), F.lit(avgdl), K1, B
+            ).alias("weight"),
+        )
+        return _round4(topk(score_all(_qtfs(spark), post_w, on="term"), TOPK))
+
     def qpp_q(spark, sf):
         # pre-retrieval query performance prediction: avg/max idf, SCS,
         # SCQ from corpus aggregates only (He & Ounis 2004; Zhao et al.
@@ -4826,6 +4856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cori_shard_ranks": cori_ranks_q,
         "corr_hits": corr_hits_q,
         "qpp_predictors": qpp_q,
+        "bm25_topk_pruned": bm25_topk_pruned_q,
     }
 
 
@@ -6313,6 +6344,33 @@ SELECT qid, n_terms, n_oov,
   CASE WHEN n_in > 0 THEN sscq::DOUBLE / 1000000 END AS sum_scq,
   CASE WHEN n_in > 0 THEN mscq::DOUBLE / 1000000 END AS max_scq
 FROM agg""",
+        # static pruning replay: per-term top-3 by round6 weight (docid
+        # tie-break), then the standard BM25 sum under FULL corpus stats
+        "bm25_topk_pruned": f"""WITH {_TOKS_CTE}, {_q_values()},
+pruned AS (
+  SELECT doc_id, term, w FROM (
+    SELECT tf.doc_id, tf.term, {_W_EXPR} AS w,
+           row_number() OVER (
+             PARTITION BY tf.term
+             ORDER BY round({_W_EXPR}, 6) DESC, tf.doc_id ASC
+           ) AS rn
+    FROM tf JOIN ts USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT q.qid, p.doc_id AS docid, sum(q.qtf * p.w) AS score
+  FROM q JOIN pruned p USING (term) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(round(score, 6), 4) AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= 20""",
     }
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction

@@ -285,8 +285,17 @@ def build_index_from_docs(
     positional: bool = False,
     stored: bool = False,
     docvalues: tuple[str, ...] | list[str] = (),
+    prune_per_term: int | None = None,
 ) -> dict:
     """Build (or resume) the index over any corpus with (docid long, text).
+
+    ``prune_per_term``: opt-in static index pruning (Carmel et al. 2001,
+    term-centric top-k — operators/postings.prune_postings_topk): every
+    posting list is cut to its ``prune_per_term`` highest-BM25-weight
+    entries before segment encode. LOSSY by design (the head-term tail can
+    no longer score); the manifest records the setting, corpus statistics
+    (n_docs/avgdl/df/dl) stay those of the FULL corpus so kept postings
+    score identically to the unpruned index.
 
     The generic entry: the transcripts pipeline, the driver-contract
     documents corpus, and pytest fixtures all funnel through here.
@@ -379,11 +388,31 @@ def build_index_from_docs(
     post = tfs.join(
         F.broadcast(tdict.select("term", "term_id")), "term"
     ).select("term_id", "docid", "tf", "dl")
+    # static pruning applies to the SCORING postings (segments) only — the
+    # forward index / positions / stored fields keep the full data, exactly
+    # as Lucene pruning leaves stored term vectors intact. The cut is
+    # decided over the FULL corpus before any resume filter, so a resumed
+    # build keeps bit-identical decisions.
+    seg_src = post
+    if prune_per_term is not None:
+        from dhr_spark.operators.postings import prune_postings_topk
+
+        seg_src = prune_postings_topk(
+            post, prune_per_term, avgdl, k1, b, n_docs=n_docs
+        )
     if done_chunks:
         done_ints = [int(c) for c in done_chunks]
         post = post.filter(
             ~F.shiftright(F.col("docid"), chunk_bits).cast("int").isin(done_ints)
         )
+        if prune_per_term is not None:
+            seg_src = seg_src.filter(
+                ~F.shiftright(F.col("docid"), chunk_bits)
+                .cast("int")
+                .isin(done_ints)
+            )
+        else:
+            seg_src = post
 
     if forward_index:
         # doc-major term vectors (the forward index): what pseudo-relevance
@@ -443,7 +472,7 @@ def build_index_from_docs(
             .parquet(os.path.join(index_dir, "stored"))
         )
 
-    seg = build_segments(post, chunk_bits, block_size)
+    seg = build_segments(seg_src, chunk_bits, block_size)
     seg_path = os.path.join(index_dir, "segments")
     dl_path = os.path.join(index_dir, "doclens")
     mode = "append" if done_chunks else "overwrite"
@@ -516,6 +545,7 @@ def build_index_from_docs(
         "stored": bool(stored),
         "n_terms": int(n_terms),
         "docvalues": list(docvalues),
+        "prune_per_term": prune_per_term,
         "build_seconds": round(time.time() - t0, 2),
         "resumed_from": sorted(done_chunks) if done_chunks else [],
         "chunks": chunks,

@@ -159,6 +159,13 @@ def _append_docs(
     t0: float,
     extra_manifest: dict | None = None,
 ) -> dict:
+    if man.get("prune_per_term"):
+        raise ValueError(
+            "index was built with static pruning (prune_per_term="
+            f"{man['prune_per_term']}) — the per-term cut is a corpus-global "
+            "decision an append cannot extend consistently; rebuild with the "
+            "new corpus to re-prune"
+        )
     chunk_bits = int(man["chunk_bits"])
     fused = doc_term_freqs(docs, mode=man["analyzer_mode"]).cache()
     cs = fused.agg(
