@@ -76,14 +76,17 @@ def build_impact_index(
         F.col("impact").cast("long").alias("impact"),
     ).cache()
     bad = rows.filter(
-        F.col("impact").isNull() | (F.col("impact") < 1)
+        F.col("impact").isNull()
+        | (F.col("impact") < 1)
+        | (F.col("impact") > 0x7FFFFFFF)
     ).limit(1).count()
     if bad:
         rows.unpersist()
         raise ValueError(
-            "impacts must be integers >= 1 (quantize float weights with "
-            "operators.impact.quantize_impacts; zero/negative weights are "
-            "the encoder's sparsification — drop them upstream)"
+            "impacts must be integers in [1, 2^31-1] (quantize float "
+            "weights with operators.impact.quantize_impacts; zero/negative "
+            "weights are the encoder's sparsification — drop them upstream; "
+            "the segment tf stream is 31-bit)"
         )
 
     # per-doc "length" = number of posting terms. Impact scoring never reads
@@ -281,11 +284,13 @@ def append_impacts_to_index(
         F.col("impact").cast("long").alias("impact"),
     ).cache()
     bad = rows.filter(
-        F.col("impact").isNull() | (F.col("impact") < 1)
+        F.col("impact").isNull()
+        | (F.col("impact") < 1)
+        | (F.col("impact") > 0x7FFFFFFF)
     ).limit(1).count()
     if bad:
         rows.unpersist()
-        raise ValueError("impacts must be integers >= 1")
+        raise ValueError("impacts must be integers in [1, 2^31-1]")
     dup = rows.groupBy("docid", "term").count().filter(F.col("count") > 1)
     if dup.limit(1).count():
         rows.unpersist()

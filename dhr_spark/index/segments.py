@@ -149,9 +149,19 @@ def build_segments(
     can split a group, so the kernel carries the trailing partial group into
     the next batch and flushes at partition end.
     """
+    # tf/dl travel the build's one wide exchange as int32: both are
+    # per-document counts (or 31-bit-capped impacts, index/impact.py) —
+    # the encode stage is memory-bandwidth-bound (BASELINE.md r03 profile),
+    # so every byte off the shuffled row is wall-clock
     src = postings.withColumn(
         "chunk", F.shiftright(F.col("docid"), chunk_bits).cast("int")
-    ).select("chunk", "term_id", "docid", "tf", "dl")
+    ).select(
+        "chunk",
+        "term_id",
+        "docid",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("dl").cast("int").alias("dl"),
+    )
     parted = src.repartition("chunk", "term_id").sortWithinPartitions(
         "chunk", "term_id", "docid"
     )

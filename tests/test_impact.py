@@ -202,7 +202,7 @@ def test_build_rejects_nonpositive_impacts(spark, tmp_path):
     bad = spark.createDataFrame(
         [(0, "a", 1), (1, "b", 0)], "docid long, term string, impact long"
     )
-    with pytest.raises(ValueError, match=">= 1"):
+    with pytest.raises(ValueError, match=r"\[1, 2\^31-1\]"):
         build_impact_index(spark, bad, str(tmp_path / "bad_idx"))
 
 
