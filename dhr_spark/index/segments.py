@@ -134,6 +134,102 @@ def _encode_batch_vectorized(
     return pd.DataFrame(rows)
 
 
+def _encode_batch_arrow(
+    chunks: np.ndarray,
+    tids: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int,
+):
+    """Arrow-native twin of _encode_batch_vectorized: identical encode math,
+    but the OUTPUT is assembled zero-copy — (chunk, term_id) groups tile the
+    varint buffers and the block arrays contiguously, so the per-row binary
+    and list columns are just offset vectors over the already-built numpy
+    buffers (pa.BinaryArray/ListArray.from_buffers), never a Python dict or
+    pandas row. The old per-group Python loop was the encode stage's
+    residual per-row work (BASELINE.md r03 profile)."""
+    import pyarrow as pa
+
+    n = len(docids)
+    bounds = np.flatnonzero((np.diff(chunks) != 0) | (np.diff(tids) != 0))
+    starts = np.concatenate(([0], bounds + 1))
+    ends = np.concatenate((bounds + 1, [n]))
+
+    ingroup = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts)
+    bstarts = np.flatnonzero(ingroup % block_size == 0)
+    block_max_tf_all = np.maximum.reduceat(tfs, bstarts)
+    block_min_dl_all = np.minimum.reduceat(dls, bstarts)
+    block_first_all = docids[bstarts]
+
+    gaps = np.empty_like(docids)
+    gaps[0] = docids[0]
+    np.subtract(docids[1:], docids[:-1], out=gaps[1:])
+    gaps[bstarts] = docids[bstarts]
+    if (gaps[ingroup % block_size != 0] <= 0).any():
+        raise ValueError("docids must be strictly increasing per group")
+    u = gaps.astype(np.uint64)
+    doc_cum = np.concatenate(([0], np.cumsum(varint_lengths(u))))
+    doc_buf = varint_encode(u)
+    tf_u = tfs.astype(np.uint64)
+    tf_cum = np.concatenate(([0], np.cumsum(varint_lengths(tf_u))))
+    tf_buf = varint_encode(tf_u)
+
+    b0 = np.searchsorted(bstarts, starts)
+    b1 = np.searchsorted(bstarts, ends)
+    bstart_doc_bytes = doc_cum[bstarts]
+    bstart_tf_bytes = tf_cum[bstarts]
+
+    n_groups = len(starts)
+    sb = np.append(starts, n)  # group boundaries incl. final end
+    d_off = doc_cum[sb]  # contiguous tiling: ends[g] == starts[g+1]
+    t_off = tf_cum[sb]
+    blk_off = np.append(b0, len(bstarts))
+
+    def _bin(buf: bytes, off: np.ndarray) -> "pa.Array":
+        return pa.BinaryArray.from_buffers(
+            pa.binary(),
+            n_groups,
+            [None, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
+        )
+
+    def _lst(values: np.ndarray) -> "pa.Array":
+        return pa.ListArray.from_arrays(
+            pa.array(blk_off.astype(np.int32)),
+            pa.array(values.astype(np.int64)),
+        )
+
+    # per-block byte offsets relative to each group's buffer start
+    rep = (b1 - b0).astype(np.int64)
+    doc_rel = bstart_doc_bytes - np.repeat(d_off[:-1], rep)
+    tf_rel = bstart_tf_bytes - np.repeat(t_off[:-1], rep)
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(chunks[starts].astype(np.int32)),
+            pa.array(tids[starts].astype(np.int64)),
+            pa.array((ends - starts).astype(np.int64)),
+            _bin(doc_buf, d_off),
+            _bin(tf_buf, t_off),
+            _lst(block_max_tf_all),
+            _lst(block_min_dl_all),
+            _lst(block_first_all),
+            _lst(doc_rel),
+            _lst(tf_rel),
+            pa.array(
+                ((d_off[1:] - d_off[:-1]) + (t_off[1:] - t_off[:-1])).astype(
+                    np.int64
+                )
+            ),
+        ],
+        names=[
+            "chunk", "term_id", "n", "doc_gaps", "tfs", "block_max_tf",
+            "block_min_dl", "block_first", "block_doc_off", "block_tf_off",
+            "bytes",
+        ],
+    )
+
+
 def build_segments(
     postings: DataFrame,
     chunk_bits: int = 17,
@@ -166,28 +262,41 @@ def build_segments(
         "chunk", "term_id", "docid"
     )
 
-    def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_batch_vectorized(pdf, block_size)
-
     def _build(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        # Arrow-native: input columns come out zero-copy as numpy views,
+        # output batches are offset vectors over the encode buffers
+        # (_encode_batch_arrow) — no pandas construction on either side.
+        # The trailing (chunk, term_id) group of each batch carries into
+        # the next so a group split across Arrow batches encodes once.
+        carry: tuple | None = None
+        for rb in batches:
+            cols = (
+                rb.column(0).to_numpy(zero_copy_only=False),          # chunk
+                rb.column(1).to_numpy(zero_copy_only=False),          # term_id
+                rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64),
+                rb.column(3).to_numpy(zero_copy_only=False),          # tf
+                rb.column(4).to_numpy(zero_copy_only=False),          # dl
+            )
+            if carry is not None and len(carry[0]):
+                cols = tuple(
+                    np.concatenate([c, b]) for c, b in zip(carry, cols)
+                )
+            n = len(cols[0])
+            if n == 0:
                 carry = None
                 continue
-            last_c = pdf["chunk"].iloc[-1]
-            last_t = pdf["term_id"].iloc[-1]
-            tail = (pdf["chunk"] == last_c) & (pdf["term_id"] == last_t)
-            carry = pdf[tail]
-            head = pdf[~tail]
-            if len(head):
-                yield _encode_batch(head)
-        if carry is not None and len(carry):
-            yield _encode_batch(carry)
+            tail_mask = (cols[0] == cols[0][-1]) & (cols[1] == cols[1][-1])
+            head_idx = np.flatnonzero(~tail_mask)
+            head_end = int(head_idx[-1]) + 1 if head_idx.size else 0
+            carry = tuple(c[head_end:] for c in cols)
+            if head_end:
+                yield _encode_batch_arrow(
+                    *(c[:head_end] for c in cols), block_size
+                )
+        if carry is not None and len(carry[0]):
+            yield _encode_batch_arrow(*carry, block_size)
 
-    return parted.mapInPandas(_build, SEGMENT_SCHEMA)
+    return parted.mapInArrow(_build, SEGMENT_SCHEMA)
 
 
 def build_doclens(dls: DataFrame, chunk_bits: int = 17) -> DataFrame:
