@@ -4663,6 +4663,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def sql_views_topk_q(spark, sf):
+        # SQL-parity layer (dhr_spark/sql.py): the BM25 top-k as ONE pure
+        # spark.sql statement over the registered index views (analyzer UDF
+        # + dictionary/forward/doclens/stats) — same oracle as wand_topk,
+        # third execution path for the same ranking
+        from dhr_spark.sql import register_functions, register_index_views
+
+        idx = _wand_index_dir(spark, sf)
+        register_functions(spark)
+        register_index_views(spark, idx, prefix="dhrsql")
+        _queries_df(spark).createOrReplaceTempView("dhrsql_queries")
+        return spark.sql(f"""
+WITH q AS (
+  SELECT qid, term, COUNT(*) AS qtf
+  FROM (SELECT qid, explode(dhr_analyze_simple(text)) AS term
+        FROM dhrsql_queries)
+  GROUP BY qid, term
+),
+scored AS (
+  SELECT q.qid, f.docid,
+         SUM(q.qtf
+             * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * f.tf / (f.tf + s.k1 * (1 - s.b + s.b * l.dl / s.avgdl))
+         ) AS score
+  FROM q
+  JOIN dhrsql_dictionary d USING (term)
+  JOIN dhrsql_forward f USING (term_id)
+  JOIN dhrsql_doclens l USING (docid)
+  CROSS JOIN dhrsql_stats s
+  GROUP BY q.qid, f.docid
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY ROUND(score, 6) DESC, docid ASC
+         ) AS INT) AS rank,
+         ROUND(ROUND(score, 6), 4) AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
+
     # then the long-green round-1 entries fill the remaining window.  Every
     # entry past slot 50 stays registered and is still verified by the
     # in-repo DuckDB-oracle pytest (tests/test_entry_oracle.py runs ALL of
@@ -4857,6 +4898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_hits": corr_hits_q,
         "qpp_predictors": qpp_q,
         "bm25_topk_pruned": bm25_topk_pruned_q,
+        "sql_bm25_topk": sql_views_topk_q,
     }
 
 
@@ -6375,4 +6417,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= 20""",
     # the index-backed SynonymQuery must reproduce the corpus-scan semantics
     # bit-for-bit — same oracle by construction
     out["synonym_index_topk"] = out["synonym_topk"]
+    # the SQL-parity layer answers the SAME ranking as bm25_topk/wand_topk
+    # (third execution path: pure spark.sql over registered index views)
+    out["sql_bm25_topk"] = _TOPK_SQL
     return out
