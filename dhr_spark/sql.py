@@ -86,6 +86,9 @@ def register_index_views(
       live docs only.
     * ``<prefix>_forward``    — (docid, term_id, tf, chunk) doc-major term
       vectors, live docs only (present iff built with forward_index=True).
+    * ``<prefix>_stored``     — (docid, text, chunk) original text, live
+      docs only (present iff built with stored=True) — join it to a hit
+      list for SQL-side fetch, the Lucene stored-field read.
     * ``<prefix>_stats``      — one row (n_docs, avgdl, total_dl, n_terms,
       k1, b) from the manifest — already net of exact-stats deletes.
 
@@ -123,6 +126,12 @@ def register_index_views(
     if os.path.isdir(dm_path):
         dm = spark.read.parquet(dm_path).drop("seg_batch")
         _live(dm, tombs).createOrReplaceTempView(f"{prefix}_doc_map")
+
+    if man.get("stored"):
+        st = spark.read.parquet(os.path.join(index_dir, "stored")).where(
+            F.col("chunk").isin(chunks)
+        )
+        _live(st, tombs).createOrReplaceTempView(f"{prefix}_stored")
 
     if man.get("forward_index"):
         fwd = spark.read.parquet(os.path.join(index_dir, "forward")).where(

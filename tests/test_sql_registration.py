@@ -57,7 +57,7 @@ def built(spark, tmp_path_factory):
     tr = synth_transcripts(spark, N_CONVS)
     build_index(
         spark, tr, idx, chunk_bits=6, block_size=8,
-        docid_strategy="window", forward_index=True,
+        docid_strategy="window", forward_index=True, stored=True,
     )
     register_functions(spark)
     queries = synth_queries(spark, 12).cache()
@@ -93,6 +93,15 @@ def test_views_registered_and_consistent(spark, built):
         ") j JOIN dhr_doclens l USING (docid) WHERE j.s != l.dl"
     ).first()["c"]
     assert bad == 0
+    # stored view serves the original text, keyed by docid
+    n_stored = spark.sql(
+        "SELECT COUNT(*) c FROM dhr_stored WHERE text IS NULL OR text = ''"
+    ).first()["c"]
+    assert n_stored == 0
+    joined = spark.sql(
+        "SELECT COUNT(*) c FROM dhr_stored s JOIN dhr_doc_map m USING (docid)"
+    ).first()["c"]
+    assert joined == spark.sql("SELECT COUNT(*) c FROM dhr_doc_map").first()["c"]
 
 
 def test_pure_sql_bm25_matches_searcher(spark, built):
@@ -124,7 +133,7 @@ def test_views_are_live_after_delete(spark, built):
     delete_docs(spark, built["idx"], match=("conv_id", [victim]))
     man = register_index_views(spark, built["idx"])
     assert man["n_docs"] < man0["n_docs"]
-    for view in ("dhr_doclens", "dhr_doc_map", "dhr_forward"):
+    for view in ("dhr_doclens", "dhr_doc_map", "dhr_forward", "dhr_stored"):
         n = spark.sql(
             f"SELECT COUNT(*) c FROM {view} l JOIN dhr_doc_map m USING (docid) "
             f"WHERE m.conv_id = '{victim}'"
