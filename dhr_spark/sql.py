@@ -89,6 +89,11 @@ def register_index_views(
     * ``<prefix>_stored``     — (docid, text, chunk) original text, live
       docs only (present iff built with stored=True) — join it to a hit
       list for SQL-side fetch, the Lucene stored-field read.
+    * ``<prefix>_positions``  — (docid, term_id, positions array<int>,
+      chunk), live docs only (present iff built with positional=True);
+      positions count Lucene increments (stopwords consume slots), the
+      same stream ``<prefix>analyze_gaps`` emits, so SQL phrase checks
+      compose with the analyzer UDF.
     * ``<prefix>_stats``      — one row (n_docs, avgdl, total_dl, n_terms,
       k1, b) from the manifest — already net of exact-stats deletes.
 
@@ -132,6 +137,12 @@ def register_index_views(
             F.col("chunk").isin(chunks)
         )
         _live(st, tombs).createOrReplaceTempView(f"{prefix}_stored")
+
+    if man.get("positional"):
+        pos = spark.read.parquet(os.path.join(index_dir, "positions")).where(
+            F.col("chunk").isin(chunks)
+        )
+        _live(pos, tombs).createOrReplaceTempView(f"{prefix}_positions")
 
     if man.get("forward_index"):
         fwd = spark.read.parquet(os.path.join(index_dir, "forward")).where(

@@ -58,6 +58,7 @@ def built(spark, tmp_path_factory):
     build_index(
         spark, tr, idx, chunk_bits=6, block_size=8,
         docid_strategy="window", forward_index=True, stored=True,
+        positional=True,
     )
     register_functions(spark)
     queries = synth_queries(spark, 12).cache()
@@ -102,6 +103,29 @@ def test_views_registered_and_consistent(spark, built):
         "SELECT COUNT(*) c FROM dhr_stored s JOIN dhr_doc_map m USING (docid)"
     ).first()["c"]
     assert joined == spark.sql("SELECT COUNT(*) c FROM dhr_doc_map").first()["c"]
+    # three-way parity: positions recomputed from the STORED text with the
+    # gap analyzer UDF must equal the positional artifact exactly
+    mism = spark.sql(
+        """
+        WITH toks AS (
+          SELECT docid, pos, term FROM (
+            SELECT docid, posexplode(dhr_analyze_gaps(text)) AS (pos, term)
+            FROM dhr_stored
+          ) WHERE term IS NOT NULL
+        ),
+        re AS (
+          SELECT t.docid, d.term_id,
+                 sort_array(collect_list(t.pos)) AS positions
+          FROM toks t JOIN dhr_dictionary d USING (term)
+          GROUP BY t.docid, d.term_id
+        )
+        SELECT COUNT(*) c FROM re
+        FULL OUTER JOIN dhr_positions p USING (docid, term_id)
+        WHERE re.positions IS NULL OR p.positions IS NULL
+           OR re.positions != p.positions
+        """
+    ).first()["c"]
+    assert mism == 0
 
 
 def test_pure_sql_bm25_matches_searcher(spark, built):
