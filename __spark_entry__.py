@@ -2841,6 +2841,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def prec_q(spark, sf):
         return M.precision_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
 
+    def rprec_q(spark, sf):
+        # A10: RPrec (reference tevatron/utils/metrics.py:69-71) — per-query
+        # cutoff R = |relevant|, run depth TOPK
+        return M.r_precision(_bm25_topk(spark, sf), _qrels(spark, sf))
+
     def judged_q(spark, sf):
         return M.judged_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
 
@@ -3506,6 +3511,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         a, b = ranked(inc), ranked(full)
+        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
+    def merge_identity_q(spark, sf):
+        # physical index merge (Lucene IndexWriter.addIndexes analogue,
+        # index/merge.py): two indexes built over docid-disjoint halves of
+        # the corpus, merged with zero postings decode (term-id column remap
+        # only), must rank identically to one index built over the union
+        # (oracle: SELECT 0 mismatches)
+        import shutil
+
+        from dhr_spark.index.builder import build_index_from_docs
+        from dhr_spark.index.merge import merge_indexes
+        from dhr_spark.operators.docids import with_docids
+        from dhr_spark.operators.wand import Searcher
+
+        cb = 6
+        docs = with_docids(_tturns(spark, sf))
+        # chunk-aligned split point near the middle (>=1 chunk per side;
+        # documents is 500 rows at sf0.01, so cb=6 gives A 4 chunks / B 4)
+        chunk_docs = 1 << cb
+        n = docs.count()
+        cut = max(chunk_docs, (n // 2 // chunk_docs) * chunk_docs)
+        key = hashlib.md5(f"merge|{sf}".encode()).hexdigest()[:10]
+        da = f"/tmp/dhr_spark_mrga_{key}"
+        db = f"/tmp/dhr_spark_mrgb_{key}"
+        full = f"/tmp/dhr_spark_mrgfull_{key}"
+        for d, src in (
+            (da, docs.filter(F.col("docid") < cut)),
+            (db, docs.filter(F.col("docid") >= cut)),
+            (full, docs),
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+            build_index_from_docs(spark, src, d, chunk_bits=cb, block_size=32)
+        merge_indexes(spark, da, db)
+
+        def ranked(idx):
+            res = Searcher(spark, idx).search(_queries_df(spark), k=1_000_000)
+            return res.select(
+                "qid", "docid", F.round("score", 4).alias("score")
+            )
+
+        a, b = ranked(da), ranked(full)
         mism = a.exceptAll(b).unionAll(b.exceptAll(a))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
@@ -4764,6 +4812,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "delete_identity": delete_identity_q,
         # -- past the driver's 50-entry window: pytest-oracled only --
         "facet_ranges": facet_ranges_q,
+        "merge_identity": merge_identity_q,
         # -- long-green round-1 entries --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -4849,6 +4898,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "f2exp_vs_slow_identity": f2exp_vs_slow_q,
         "precision_at_10": prec_q,
         "judged_at_10": judged_q,
+        "rprec": rprec_q,
         "inl2_topk": inl2_topk_q,
         "inl2_vs_slow_identity": inl2_vs_slow_q,
         "spl_topk": spl_topk_q,
@@ -5004,6 +5054,19 @@ SELECT qlist.qid,
        round(CASE WHEN coalesce(n_top, 0) > 0
              THEN coalesce(n_judged, 0) * 1.0 / n_top ELSE 0.0 END, 6) AS judged
 FROM qlist LEFT JOIN ntop USING (qid) LEFT JOIN nj USING (qid)""",
+        "rprec": f"""{metric_prefix},
+nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY 1),
+nhit AS (
+  SELECT r.qid, count(*) AS n_hit
+  FROM (SELECT * FROM ranked WHERE rank <= {TOPK}) r
+  JOIN nrel USING (qid)
+  JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
+  WHERE r.rank <= n_rel GROUP BY 1
+)
+SELECT qlist.qid,
+       round(coalesce(n_hit, 0) * 1.0
+             / greatest(coalesce(n_rel, 0), 1), 6) AS rprec
+FROM qlist LEFT JOIN nrel USING (qid) LEFT JOIN nhit USING (qid)""",
         "events_sessionize": """
 WITH lagged AS (
   SELECT event_id, user_id, ts,
@@ -5117,6 +5180,7 @@ GROUP BY r.qid""",
         "range_topk": _RANGE_TOPK_SQL,
         "highlight_topk": _highlight_sql(),
         "federated_identity": "SELECT 0::BIGINT AS mismatches",
+        "merge_identity": "SELECT 0::BIGINT AS mismatches",
         "prefix_topk": _expand_topk_sql(
             PREFIX_QUERIES, lambda p: f"term LIKE '{p}%'", PREFIX_MAXEXP
         ),

@@ -200,6 +200,38 @@ def map_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def r_precision(run: DataFrame, qrels: DataFrame) -> DataFrame:
+    """(qid, rprec): precision at the per-query cutoff R = |relevant docs| —
+    |relevant ∩ top-R| / max(1, R) (reference tevatron/utils/metrics.py:69-71:
+    ``intersec = len(gt & set(pred[:len(gt)]))``).  The cutoff varies per
+    query, unlike precision_at_k's fixed k; queries with no qrels score 0.0
+    via the reference's max(1, |gt|) denominator.  Ranks beyond the run's
+    depth count as misses (the reference's pred list is likewise finite)."""
+    n_rel = qrels.groupBy("qid").agg(F.count("*").alias("n_rel"))
+    hits = (
+        run.join(n_rel, "qid")
+        .filter(F.col("rank") <= F.col("n_rel"))
+        .join(qrels.select("qid", "docid"), ["qid", "docid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        _qids(run, qrels)
+        .join(n_rel, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.greatest(
+                    F.coalesce(F.col("n_rel"), F.lit(0)), F.lit(1)
+                ),
+                6,
+            ).alias("rprec"),
+        )
+    )
+
+
 def precision_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     """(qid, prec): |relevant ∩ top-k| / k — trec_eval ``P_k`` semantics:
     the denominator is the cutoff k even when fewer than k docs were
