@@ -3557,6 +3557,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = a.exceptAll(b).unionAll(b.exceptAll(a))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def dv_update_identity_q(spark, sf):
+        # in-place docvalue updates (Lucene updateDocValues analogue,
+        # index/dvupdate.py): updating a numeric field must make every
+        # docvalues-driven ranking — here FunctionScore boosting in exact
+        # mode — identical to an index REBUILT with the updated values
+        # (oracle: SELECT 0 mismatches)
+        import shutil
+
+        from dhr_spark.index.builder import build_index_from_docs
+        from dhr_spark.index.dvupdate import update_docvalues
+        from dhr_spark.operators.docids import doc_map, with_docids
+        from dhr_spark.operators.wand import Searcher
+
+        docs = with_docids(_tturns(spark, sf)).withColumn(
+            "pop", (F.col("docid") % 7).cast("long")
+        )
+        key = hashlib.md5(f"dvu|{sf}".encode()).hexdigest()[:10]
+        idx = f"/tmp/dhr_spark_dvu_{key}"
+        ref = f"/tmp/dhr_spark_dvuref_{key}"
+        docs2 = docs.withColumn(
+            "pop",
+            F.when(F.col("docid") % 3 == 0, F.col("docid") + 1000)
+            .otherwise(F.col("pop"))
+            .cast("long"),
+        )
+        for d, src in ((idx, docs), (ref, docs2)):
+            shutil.rmtree(d, ignore_errors=True)
+            build_index_from_docs(
+                spark, src, d, chunk_bits=8, block_size=32,
+                doc_map_df=doc_map(src, ("pop",)), docvalues=("pop",),
+            )
+        update_docvalues(
+            spark, idx,
+            docs2.filter(F.col("docid") % 3 == 0).select("docid", "pop"),
+        )
+
+        def ranked(d):
+            res = Searcher(spark, d).search_boosted(
+                _queries_df(spark), "pop", scale=10.0, k=1_000_000
+            )
+            return res.select(
+                "qid", "docid", F.round("score", 4).alias("score")
+            )
+
+        a, b = ranked(idx), ranked(ref)
+        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def phrase_match_q(spark, sf):
         docs = _docs(spark, sf)
         out = None
@@ -4813,6 +4861,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         # -- past the driver's 50-entry window: pytest-oracled only --
         "facet_ranges": facet_ranges_q,
         "merge_identity": merge_identity_q,
+        "dv_update_identity": dv_update_identity_q,
         # -- long-green round-1 entries --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -5181,6 +5230,7 @@ GROUP BY r.qid""",
         "highlight_topk": _highlight_sql(),
         "federated_identity": "SELECT 0::BIGINT AS mismatches",
         "merge_identity": "SELECT 0::BIGINT AS mismatches",
+        "dv_update_identity": "SELECT 0::BIGINT AS mismatches",
         "prefix_topk": _expand_topk_sql(
             PREFIX_QUERIES, lambda p: f"term LIKE '{p}%'", PREFIX_MAXEXP
         ),

@@ -338,9 +338,52 @@ def compact_index(
         .parquet(os.path.join(index_dir, "doc_map"))
     )
 
+    # ---- docvalue update sidecars (index/dvupdate.py): compaction remaps
+    # docids, so compacted docs' update rows move to their new docids in a
+    # fresh VERSIONED dv dir (pointer flip in this commit, old dir GC'd);
+    # rows of dead (tombstoned) compacted docs drop; untouched docs' rows
+    # copy verbatim with their generations — latest-wins is preserved ----
+    dv_gens = dict(man.get("dv_gens") or {})
+    new_dv_rel = old_dv_rel = None
+    if dv_gens:
+        from dhr_spark.index.dvupdate import dv_dir as _dv_rel
+
+        old_dv_rel = _dv_rel(man)
+        new_dv_rel = f"dv_updates_v{comp_no}"
+        for fld, g in dv_gens.items():
+            rows = spark.read.parquet(
+                os.path.join(index_dir, old_dv_rel, fld)
+            ).filter(F.col("gen") <= int(g))
+            in_target = (
+                F.shiftright(F.col("docid"), chunk_bits)
+                .cast("int")
+                .isin(targets)
+            )
+            (
+                rows.join(
+                    remap.select(
+                        F.col("docid").alias("_od"), "new_docid"
+                    ),
+                    rows["docid"] == F.col("_od"),
+                    "left",
+                )
+                .filter(~in_target | F.col("new_docid").isNotNull())
+                .select(
+                    F.coalesce("new_docid", "docid").alias("docid"),
+                    "value",
+                    "gen",
+                )
+                .repartition(1)
+                .write.mode("overwrite")
+                .partitionBy("gen")
+                .parquet(os.path.join(index_dir, new_dv_rel, fld))
+            )
+
     # ---- tombstones: survivors outside the compacted chunks, written to a
     # VERSIONED dir so the old manifest's pointer stays valid on crash ----
     man2 = dict(man)
+    if new_dv_rel is not None:
+        man2["dv_dir"] = new_dv_rel
     if tomb is not None and tomb.size:
         remaining = tomb[~np.isin(tomb, t_in)]
         new_tomb_dir = f"tombstones_v{comp_no}"
@@ -396,6 +439,9 @@ def compact_index(
                 "chunks": targets,
                 "doc_map_batches": affected,
                 "remap_dir": comp_dir,
+                # superseded dv-updates dir (pointer flipped above); []
+                # when the index has no committed docvalue updates
+                "dv_dirs": [old_dv_rel] if old_dv_rel is not None else [],
             },
         }
     )
@@ -449,6 +495,10 @@ def gc_index(spark: SparkSession, index_dir: str) -> dict:
             shutil.rmtree(
                 os.path.join(dm_path, f"seg_batch={b}"), ignore_errors=True
             )
+    # superseded dv-updates dirs (docvalue generations remapped into the
+    # manifest's current dv_dir at compaction commit)
+    for d in pending.get("dv_dirs") or []:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     live = {int(c) for c in man["chunks"]}
     for art in ("segments", "doclens", "positions", "forward", "stored"):
         base = os.path.join(index_dir, art)

@@ -137,6 +137,14 @@ def delete_docs(
                 f"{sorted(set(doc_map.columns) - {'docid', 'seg_batch'})}); "
                 "declare it at build time via doc_map_df/docvalues"
             )
+        # match against CURRENT values: committed in-place docvalue updates
+        # (index/dvupdate.py) overlay the build-time column, so deleting
+        # ("status", ["expired"]) hits docs whose status was updated to
+        # expired after indexing — Lucene deleteDocuments-after-
+        # updateDocValues parity
+        from dhr_spark.index.dvupdate import overlay_fields
+
+        doc_map = overlay_fields(spark, index_dir, man, doc_map, [field])
         targets = doc_map.filter(
             F.col(field).isin([v for v in values])
         ).select("docid")

@@ -109,6 +109,13 @@ def _validate(dst: dict, src: dict, dst_dir: str, src_dir: str) -> None:
             f"docvalues differ: dst={sorted(dst.get('docvalues') or [])} vs "
             f"src={sorted(src.get('docvalues') or [])}"
         )
+    if src.get("dv_gens"):
+        problems.append(
+            f"{src_dir}: has committed docvalue update generations "
+            f"({sorted(src['dv_gens'])}) — the merge copies doc_map rows, "
+            "not dv sidecars, and would silently lose the updates; "
+            "materialize or drop them first (dst generations are kept)"
+        )
     overlap = set(dst["chunks"]) & set(src["chunks"])
     if overlap:
         problems.append(

@@ -1486,8 +1486,13 @@ class Searcher:
     def docvalues_frame(self, fields: list[str]) -> DataFrame:
         """(docid, *fields) from the doc_map docvalues columns (Lucene
         DocValues). Fields must have been declared at build time
-        (build_index(docvalues=[...]))."""
+        (build_index(docvalues=[...])). Committed in-place updates
+        (index/dvupdate.update_docvalues — Lucene updateDocValues) are
+        overlaid latest-generation-wins, snapshot-consistently (the
+        manifest's dv_gens is the watermark)."""
         import os
+
+        from dhr_spark.index.dvupdate import overlay_fields
 
         if not os.path.isdir(os.path.join(self.index_dir, "doc_map")):
             raise ValueError(
@@ -1502,7 +1507,13 @@ class Searcher:
                 f"docvalues {missing} not in this index's doc_map (has "
                 f"{sorted(have)}); rebuild with build_index(docvalues=[...])"
             )
-        return dm.select("docid", *fields)
+        return overlay_fields(
+            self.spark,
+            self.index_dir,
+            self.manifest,
+            dm.select("docid", *fields),
+            fields,
+        )
 
     def search_sorted(
         self,

@@ -129,7 +129,13 @@ def register_index_views(
 
     dm_path = os.path.join(index_dir, "doc_map")
     if os.path.isdir(dm_path):
+        from dhr_spark.index.dvupdate import overlay_fields
+
         dm = spark.read.parquet(dm_path).drop("seg_batch")
+        # committed in-place docvalue updates (dv_gens) overlay the view —
+        # SQL reads see current values, snapshot= sees that snapshot's gens
+        dv_fields = [f for f in (man.get("dv_gens") or {}) if f in dm.columns]
+        dm = overlay_fields(spark, index_dir, man, dm, dv_fields)
         _live(dm, tombs).createOrReplaceTempView(f"{prefix}_doc_map")
 
     if man.get("stored"):
