@@ -3605,6 +3605,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = a.exceptAll(b).unionAll(b.exceptAll(a))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def by_query_identity_q(spark, sf):
+        # ES _update_by_query + _delete_by_query (index/byquery.py): after
+        # update_by_query(q1, pop+=1000) then delete_by_query(q2), boosted
+        # rankings must equal an index REBUILT from the corpus with q1's
+        # corpus-side match set bumped and q2's removed (the match sets are
+        # recomputed here with pure token column math — an independent
+        # path from the index's presence kernel). Oracle: 0 mismatches.
+        import shutil
+
+        from dhr_spark.functions.analyzer import simple_tokens_col
+        from dhr_spark.index.builder import build_index_from_docs
+        from dhr_spark.index.byquery import delete_by_query, update_by_query
+        from dhr_spark.operators.docids import doc_map, with_docids
+        from dhr_spark.operators.wand import Searcher
+
+        docs = with_docids(_tturns(spark, sf)).withColumn(
+            "pop", (F.col("docid") % 7).cast("long")
+        )
+        # "line" hits ~75% of docs (the update sweep), "dup" ~5% (a bounded
+        # delete — unbounded deletes belong to filtered rebuilds)
+        q_upd, q_del = "line vector", "dup"
+
+        def match_col(q):
+            terms = F.array(*[F.lit(t) for t in q.split()])
+            return (
+                F.size(
+                    F.array_intersect(
+                        F.array_distinct(simple_tokens_col(F.col("text"))),
+                        terms,
+                    )
+                )
+                > 0
+            )
+
+        key = hashlib.md5(f"byq|{sf}".encode()).hexdigest()[:10]
+        idx = f"/tmp/dhr_spark_byq_{key}"
+        ref = f"/tmp/dhr_spark_byqref_{key}"
+        ref_docs = (
+            docs.withColumn(
+                "pop",
+                F.when(match_col(q_upd), F.col("pop") + 1000).otherwise(
+                    F.col("pop")
+                ),
+            )
+            .filter(~match_col(q_del))
+        )
+        for d, src in ((idx, docs), (ref, ref_docs)):
+            shutil.rmtree(d, ignore_errors=True)
+            build_index_from_docs(
+                spark, src, d, analyzer_mode="simple",
+                chunk_bits=8, block_size=32, forward_index=True,
+                doc_map_df=doc_map(src, ("pop",)), docvalues=("pop",),
+            )
+        update_by_query(spark, idx, q_upd, {"pop": F.col("pop") + 1000})
+        delete_by_query(spark, idx, q_del)
+
+        def ranked(d):
+            res = Searcher(spark, d).search_boosted(
+                _queries_df(spark), "pop", scale=10.0, k=1_000_000
+            )
+            return res.select(
+                "qid", "docid", F.round("score", 4).alias("score")
+            )
+
+        a, b = ranked(idx), ranked(ref)
+        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def phrase_match_q(spark, sf):
         docs = _docs(spark, sf)
         out = None
@@ -4862,6 +4930,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "facet_ranges": facet_ranges_q,
         "merge_identity": merge_identity_q,
         "dv_update_identity": dv_update_identity_q,
+        "by_query_identity": by_query_identity_q,
         # -- long-green round-1 entries --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
@@ -5231,6 +5300,7 @@ GROUP BY r.qid""",
         "federated_identity": "SELECT 0::BIGINT AS mismatches",
         "merge_identity": "SELECT 0::BIGINT AS mismatches",
         "dv_update_identity": "SELECT 0::BIGINT AS mismatches",
+        "by_query_identity": "SELECT 0::BIGINT AS mismatches",
         "prefix_topk": _expand_topk_sql(
             PREFIX_QUERIES, lambda p: f"term LIKE '{p}%'", PREFIX_MAXEXP
         ),
