@@ -1515,6 +1515,48 @@ ranked AS (
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
 
 
+def _dph_topk_sql() -> str:
+    """DFR DPH (operators/dfr.py, Terrier's parameter-free default): with
+    f = tf/dl, λ = ctf/N,
+    w = [(1−f)²/(tf+1)]·(tf·log2((tf·avgdl/dl)/λ) + 0.5·log2(2π·tf·(1−f)))
+    clamped at 0 (QLD contract — zero-weight matches are non-matches) and
+    the explicit tf == dl analytic-limit branch (weight 0; the raw
+    expression is NaN there in every engine). Op order and the single 2π
+    double literal are pinned to the Spark/kernel paths."""
+    lam = "(ctf.ctf / CAST(cs.n_docs AS DOUBLE))"
+    f = "(tf.tf / CAST(dl.dl AS DOUBLE))"
+    two_pi = repr(6.283185307179586)
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.term, tf.doc_id AS docid,
+         CASE WHEN tf.tf >= dl.dl THEN 0.0
+         ELSE round(greatest(
+           ((1 - {f}) * (1 - {f}) / (tf.tf + 1))
+           * (tf.tf * log2(tf.tf * cs.avgdl / dl.dl / {lam})
+              + 0.5 * log2({two_pi} * tf.tf * (1 - {f}))), 0.0), 6)
+         END AS weight
+  FROM tf JOIN ctf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cs
+),
+scored AS (
+  SELECT q.qid, w.docid, sum(q.qtf * w.weight) AS score
+  FROM q JOIN w USING (term)
+  WHERE w.weight > 0
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(CAST(round(score, 6) AS DECIMAL(18, 6)), 4)::DOUBLE AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}"""
+
+
 # C4 line cleaning / Gopher shape rules (operators/curation.py): the line
 # and word CTEs mirror the Spark lambdas literally (trimmed non-empty
 # \n-lines; non-empty single-space words); every threshold comparison is
@@ -3890,6 +3932,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def dph_topk_q(spark, sf):
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return _round4(
+            DFR.dph_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok), k=TOPK
+            )
+        )
+
+    def dph_vs_slow_q(spark, sf):
+        # ninth pluggable similarity — Terrier's parameter-free DPH: the
+        # WAND pass (λ = ctf/N query-side stat, clamped weights, factored
+        # non-monotone block bound — operators/dfr.py has the proof) must
+        # equal the DataFrame slow path exactly
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        fast = _round4(
+            Searcher(spark, idx).search_dph(_queries_df(spark), k=TOPK)
+        )
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        slow = _round4(
+            DFR.dph_topk(
+                _qtfs(spark), term_freqs(tok), doc_lengths(tok), k=TOPK
+            )
+        )
+        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def sharded_range_q(spark, sf):
         # range-sharded index: whole-shard pruning on the shard key, exact
         # identity with single-index filtered search (same oracle SQL as
@@ -5021,6 +5091,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "inl2_vs_slow_identity": inl2_vs_slow_q,
         "spl_topk": spl_topk_q,
         "spl_vs_slow_identity": spl_vs_slow_q,
+        "dph_topk": dph_topk_q,
+        "dph_vs_slow_identity": dph_vs_slow_q,
         "multimodal_decode_image": mm_decode_image_q,
         "multimodal_decode_rgb": mm_decode_rgb_q,
         "multimodal_decode_audio": mm_decode_audio_q,
@@ -5742,6 +5814,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         "inl2_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "spl_topk": _spl_topk_sql(),
         "spl_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
+        "dph_topk": _dph_topk_sql(),
+        "dph_vs_slow_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "curation_c4": _CURATION_C4_SQL,
         "curation_gopher": _CURATION_GOPHER_SQL,
         "curation_pipeline": _CURATION_PIPELINE_SQL,

@@ -153,3 +153,79 @@ def spl_topk(
     weight. Every weight is > 0 (λ^x > λ for x < 1; log2(tfn+1) > 0 on the
     limit branch), so no clamp/filter."""
     return topk(score_all(qtfs, spl_weights(tfs, dls, c=c), on="term"), k)
+
+
+# 2π as ONE shared double literal: the numpy kernel, the Column path and the
+# DuckDB oracle must multiply by the identical constant or round-6
+# boundaries drift across engines
+TWO_PI = 6.283185307179586
+
+
+def dph_weights(tfs: DataFrame, dls: DataFrame) -> DataFrame:
+    """(term, docid, weight): per-match DFR DPH weights (Amati's
+    hypergeometric model with Popper normalization — Terrier's
+    parameter-free default similarity):
+
+        f    = tf / dl
+        norm = (1 − f)² / (tf + 1)
+        w    = norm · (tf·log2((tf·avgdl/dl) / λ) + 0.5·log2(2π·tf·(1−f)))
+
+    with λ = ctf/N (the SPL collection stat, same dictionary column).
+
+    Two defined edge semantics:
+    * tf == dl (a one-term document): the raw formula is 0·(−∞); the
+      (1 − f)² → 0 quadratic limit dominates the logarithmic pole, so the
+      weight is its analytic limit 0 — emitted as an explicit branch in
+      every engine (numpy would produce NaN, DuckDB too).
+    * common terms (λ high enough that the inner log goes negative) can
+      take the raw formula negative; weights CLAMP at 0 exactly like the
+      repo's QLD (Lucene LMDirichletSimilarity precedent) — a negative
+      information contribution is a non-match. This is also what makes
+      block-max pruning sound: WAND's theta bootstrap (k-th best
+      single-term score as a lower bound on the final k-th score) is
+      invalid under negative contributions.
+
+    DPH is NOT monotone ↑tf at fixed dl (norm falls as f → 1), so the
+    point evaluation w(max_tf, min_dl) is NOT an admissible block bound.
+    The kernel uses the factored bound
+
+        max(0, log2((max_tf·avgdl/min_dl)/λ)) + 0.5·max(0, Bmax),
+        Bmax = 0.5·log2(2π·max_tf)
+
+    admissible because w ≤ max(0, norm·A) + max(0, norm·B) with
+    norm·A ≤ (tf/(tf+1))·Lmax ≤ Lmax (L is monotone ↑tf ↓dl) and
+    norm·B ≤ B/(tf+1) ≤ Bmax/2 (tf+1 ≥ 2, (1−f) < 1). Looser than a
+    monotone sim's bound — less pruning, never a wrong result."""
+    row = dls.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+    ctf_stats = tfs.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    lam = F.col("ctf") / F.lit(float(n_docs))
+    f = F.col("tf") / F.col("dl")
+    om = F.lit(1.0) - f
+    norm = om * om / (F.col("tf") + F.lit(1))
+    a = F.col("tf") * F.log2(
+        F.col("tf") * F.lit(avgdl) / F.col("dl") / lam
+    )
+    bb = F.lit(0.5) * F.log2(F.lit(TWO_PI) * F.col("tf") * om)
+    w = F.when(F.col("tf") >= F.col("dl"), F.lit(0.0)).otherwise(
+        F.round(F.greatest(norm * (a + bb), F.lit(0.0)), 6)
+    )
+    return (
+        tfs.join(dls, "docid")
+        .join(F.broadcast(ctf_stats), "term")
+        .select("term", "docid", w.alias("weight"))
+        .filter(F.col("weight") > 0)
+    )
+
+
+def dph_topk(
+    qtfs: DataFrame,
+    tfs: DataFrame,
+    dls: DataFrame,
+    k: int = 1000,
+) -> DataFrame:
+    """(qid, docid, rank, score): DPH top-k — parameter-free (no c/mu/s
+    knob anywhere); zero-clamped matches are non-matches (QLD contract)."""
+    return topk(score_all(qtfs, dph_weights(tfs, dls), on="term"), k)

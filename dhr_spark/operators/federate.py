@@ -371,6 +371,34 @@ class MultiSearcher:
         )
         return self._unpack(merged)
 
+    def search_dph(
+        self, queries: DataFrame, k: int = 1000, prune: bool = True,
+    ) -> DataFrame:
+        """Federated DFR DPH — parameter-free; every member scores under
+        the merged ctf/n_docs (global λ = ctf/N) and merged avgdl, the
+        same override contract as federated SPL, so the federation is
+        score-identical to a union-corpus index under DPH."""
+        per = [
+            sr.search_dph(queries, k=k, prune=prune)
+            .withColumn("index_id", F.lit(i))
+            for i, sr in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        merged = topk(
+            u.select(
+                "qid",
+                (
+                    F.shiftleft(F.col("index_id").cast("long"), _INDEX_SHIFT)
+                    + F.col("docid")
+                ).alias("docid"),
+                "score",
+            ),
+            k,
+        )
+        return self._unpack(merged)
+
     @staticmethod
     def _unpack(merged: DataFrame) -> DataFrame:
         return merged.select(

@@ -266,11 +266,12 @@ def _score_chunk(
     monotone ↑tf ↓dl, so the (max_tf, min_dl) stats-free block bound is
     admissible for either — one index serves both ranking models."""
 
-    # drop_zero: QLD's clamp yields weight-0 matches, which are NON-matches
-    # (qld_weights filters them; Lucene never surfaces a zero-scoring
-    # term-only hit) — mask them out of decoded postings so a doc matched
-    # only by clamped terms is never emitted. BM25 weights are always > 0.
-    drop_zero = sim == "qld"
+    # drop_zero: QLD's and DPH's clamps yield weight-0 matches, which are
+    # NON-matches (qld_weights/dph_weights filter them; Lucene never
+    # surfaces a zero-scoring term-only hit) — mask them out of decoded
+    # postings so a doc matched only by clamped terms is never emitted.
+    # BM25 weights are always > 0.
+    drop_zero = sim in ("qld", "dph")
     if sim == "qld":
 
         def _unit_w(tfs_a, dls_a, stat):
@@ -356,6 +357,34 @@ def _score_chunk(
         def _bound(tf_b, dl_b, stat):
             tfn = tf_b * np.log2(1.0 + mu * avgdl / dl_b)
             return _spl_w(tfn, stat) + 5e-7
+    elif sim == "dph":
+        # DFR DPH (operators/dfr.py — Terrier's parameter-free default;
+        # Amati hypergeometric + Popper normalization). Per-term stat =
+        # λ = ctf/N (the SPL dictionary stat); no knob, ``mu`` unused.
+        # Clamped at 0 like QLD; tf == dl lanes take the (1−f)²→0
+        # analytic-limit branch (weight 0; dummy denominators keep the
+        # discarded lanes finite). DPH is NOT monotone ↑tf — dfr.py
+        # proves the factored block bound used here admissible.
+        from dhr_spark.operators.dfr import TWO_PI
+
+        def _unit_w(tfs_a, dls_a, stat):
+            dls_s = np.where(tfs_a >= dls_a, tfs_a + 1.0, dls_a)
+            f = tfs_a / dls_s
+            om = 1.0 - f
+            norm = om * om / (tfs_a + 1.0)
+            a = tfs_a * np.log2(tfs_a * avgdl / dls_s / stat)
+            bb = 0.5 * np.log2(TWO_PI * tfs_a * om)
+            w = np.round(np.maximum(norm * (a + bb), 0.0), 6)
+            return np.where(tfs_a >= dls_a, 0.0, w)
+
+        def _bound(tf_b, dl_b, stat):
+            lmax = np.log2(tf_b * avgdl / dl_b / stat)
+            bmax = 0.5 * np.log2(TWO_PI * tf_b)
+            return (
+                np.maximum(lmax, 0.0)
+                + 0.5 * np.maximum(bmax, 0.0)
+                + 5e-7
+            )
     elif sim == "impact":
         # learned-sparse impact scoring (index/impact.py): the stored "tf"
         # IS the integer impact and the unit weight is the impact itself —
@@ -379,7 +408,7 @@ def _score_chunk(
     else:
         raise ValueError(
             f"unknown similarity {sim!r} "
-            "(bm25 | qld | lmjm | f2exp | tfidf | inl2 | spl | impact)"
+            "(bm25 | qld | lmjm | f2exp | tfidf | inl2 | spl | dph | impact)"
         )
 
     def _empty() -> pd.DataFrame:
@@ -1037,7 +1066,7 @@ class Searcher:
         defaults = {
             "bm25": 0.0, "qld": 1000.0, "lmjm": 0.1,
             "f2exp": 0.5, "f2log": 0.5, "tfidf": 0.0,
-            "inl2": 0.1, "spl": 0.1,
+            "inl2": 0.1, "spl": 0.1, "dph": 0.0,
         }
         if sim not in defaults:
             raise ValueError(
@@ -1052,14 +1081,16 @@ class Searcher:
             raise ValueError(f"s must be > 0, got {mu}")
         if sim in ("inl2", "spl") and mu <= 0:
             raise ValueError(f"c must be > 0, got {mu}")
+        if sim == "dph" and param is not None:
+            raise ValueError("dph is parameter-free — no knob to pass")
         qinfo, all_terms = self._query_info(queries)
         if not all_terms:
             return {}, [], "bm25", 0.0
         if sim in ("qld", "lmjm"):
             return self._lm_query_probs(qinfo, all_terms), all_terms, sim, mu
-        if sim == "spl":
+        if sim in ("spl", "dph"):
             q2 = self._lm_query_probs(qinfo, all_terms, per_doc=True)
-            return q2, all_terms, "spl", mu
+            return q2, all_terms, sim, mu
         if sim == "inl2":
             q2 = self._f2_query_stats(qinfo, all_terms, 0.0, shape="inl2")
             return q2, all_terms, "inl2", mu
@@ -1334,6 +1365,37 @@ class Searcher:
         qinfo2 = self._lm_query_probs(qinfo, all_terms, per_doc=True)
         return self._search_prepared(
             qinfo2, all_terms, k, prune, sim="spl", mu=c
+        )
+
+    def search_dph(
+        self,
+        queries: DataFrame,
+        k: int = 1000,
+        prune: bool = True,
+    ) -> DataFrame:
+        """DFR DPH top-k over the same index (Amati's hypergeometric model
+        with Popper normalization — Terrier's PARAMETER-FREE default
+        similarity; semantics = operators/dfr.dph_weights):
+
+            f = tf/dl;  λ = ctf/N
+            w = [(1−f)²/(tf+1)] · (tf·log2((tf·avgdl/dl)/λ)
+                                    + 0.5·log2(2π·tf·(1−f)))
+
+        clamped at 0 (QLD contract; dfr.py documents why negatives would
+        also invalidate WAND's theta bootstrap), with the tf == dl
+        analytic-limit branch (weight 0). Ninth pluggable similarity; no
+        knob at all — the point of DPH is zero tuning. The per-term stat
+        shares SPL's λ = ctf/N dictionary column and the federated
+        ctf/n_docs override contract; raises on a pre-ctf legacy
+        dictionary like search_qld. DPH is not monotone ↑tf, so the
+        kernel scores it under a factored (looser, admissible) block
+        bound — dfr.py has the proof."""
+        qinfo, all_terms = self._query_info(queries)
+        if not all_terms:
+            return self._search_prepared({}, [], k, prune)
+        qinfo2 = self._lm_query_probs(qinfo, all_terms, per_doc=True)
+        return self._search_prepared(
+            qinfo2, all_terms, k, prune, sim="dph", mu=0.0
         )
 
     def _f2_query_stats(

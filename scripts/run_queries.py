@@ -71,6 +71,9 @@ def main() -> None:
                         "(idf^2*sqrt(tf)/sqrt(dl)) instead of BM25")
     p.add_argument("--inl2", action="store_true",
                    help="rank with DFR InL2 instead of BM25 (uses --dfr-c)")
+    p.add_argument("--dph", action="store_true",
+                   help="rank with DFR DPH (parameter-free; "
+                        "Searcher.search_dph)")
     p.add_argument("--spl", action="store_true",
                    help="rank with information-based SPL instead of BM25 "
                         "(ctf-bearing dictionary required; uses --dfr-c)")
@@ -78,7 +81,7 @@ def main() -> None:
                    help="normalization-2 c for --inl2/--spl (default 0.1)")
     p.add_argument("--fuse", default=None,
                    choices=["qld", "lmjm", "f2exp", "f2log", "tfidf",
-                            "inl2", "spl"],
+                            "inl2", "spl", "dph"],
                    help="RRF-fuse BM25 with this second similarity over "
                         "the same index (search_fused, k_rrf=60)")
     p.add_argument("--f2exp-k", type=float, default=0.35,
@@ -183,7 +186,7 @@ def main() -> None:
     if len(args.index_dirs) > 1 and (
         args.phrases or args.rm3 or args.rocchio or args.qld
         or args.lmjm or args.f2exp or args.f2log or args.tfidf
-        or args.inl2 or args.spl or args.fuse
+        or args.inl2 or args.spl or args.dph or args.fuse
         or args.highlight
         or args.rewrite or args.explain or args.count or args.syntax
     ):
@@ -219,6 +222,8 @@ def main() -> None:
         sim, sim_param = "inl2", args.dfr_c
     elif args.spl:
         sim, sim_param = "spl", args.dfr_c
+    elif args.dph:
+        sim, sim_param = "dph", None
     if (args.boost or args.recency) and sim != "bm25" and len(
         args.index_dirs
     ) > 1:
@@ -294,6 +299,10 @@ def main() -> None:
         elif args.spl:
             run = searcher.search_spl(
                 queries, k=args.k, c=args.dfr_c, prune=not args.no_prune,
+            )
+        elif args.dph:
+            run = searcher.search_dph(
+                queries, k=args.k, prune=not args.no_prune,
             )
         elif args.fuse:
             run = searcher.search_fused(

@@ -22,6 +22,9 @@ import pytest
 
 from dhr_spark.operators.dfr import (
     SPL_LAMBDA_LIMIT,
+    TWO_PI,
+    dph_topk,
+    dph_weights,
     inl2_topk,
     inl2_weights,
     spl_topk,
@@ -35,6 +38,9 @@ DOCS = [
     (2, "slow query window query"),
     (3, "spark spark spark spark spark spark spark spark"),
     (4, "hash"),
+    # tf("spark")=1 at dl=8 with λ("spark") ≈ 1.83: the raw DPH formula
+    # goes NEGATIVE here (A = log2(avgdl/8/λ) < −B), pinning the clamp
+    (5, "spark join order hash window slow scan table"),
 ]
 
 
@@ -250,3 +256,115 @@ def test_filtered_composes_with_dfr_sims(spark, sfdocs, dfr_idx, tmp_path):
         }
         gmap = {(r["qid"], r["docid"]): r["score"] for r in gated.collect()}
         assert fmap == gmap
+
+
+# ------------------------------------------------------------- DPH (ninth)
+
+def _py_dph_weights():
+    toks, n, avgdl, _, ctf = _corpus_stats()
+    out = {}
+    for d, v in toks.items():
+        dl = len(v)
+        for t in set(v):
+            tf = v.count(t)
+            if tf >= dl:
+                continue  # analytic (1-f)^2 -> 0 limit: weight 0, filtered
+            lam = ctf[t] / n
+            f = tf / dl
+            norm = (1 - f) * (1 - f) / (tf + 1)
+            a = tf * math.log2(tf * avgdl / dl / lam)
+            b = 0.5 * math.log2(TWO_PI * tf * (1 - f))
+            w = round(max(norm * (a + b), 0.0), 6)
+            if w > 0:
+                out[(t, d)] = w
+    return out
+
+
+def test_dph_weights_match_reference(corpus):
+    got = {
+        (r["term"], r["docid"]): r["weight"]
+        for r in dph_weights(corpus["tfs"], corpus["dls"]).collect()
+    }
+    assert got == _py_dph_weights()
+    assert all(w > 0 for w in got.values())
+
+
+def test_dph_clamp_and_tf_eq_dl_limit(corpus):
+    got = {
+        (r["term"], r["docid"]): r["weight"]
+        for r in dph_weights(corpus["tfs"], corpus["dls"]).collect()
+    }
+    # tf == dl single-term docs: "hash" doc 4 and "spark" doc 3 take the
+    # analytic limit (weight 0) and are filtered as non-matches
+    assert ("hash", 4) not in got
+    assert ("spark", 3) not in got
+    # the negative-raw case (doc 5 fixture comment) clamps to 0 -> absent
+    toks, n, avgdl, _, ctf = _corpus_stats()
+    lam = ctf["spark"] / n
+    raw = (
+        (1 - 1 / 8) ** 2 / 2
+        * (math.log2(avgdl / 8 / lam) + 0.5 * math.log2(TWO_PI * (1 - 1 / 8)))
+    )
+    assert raw < 0
+    assert ("spark", 5) not in got
+
+
+def test_dph_block_bound_admissible():
+    # dfr.py's factored bound proof, checked numerically: for every
+    # (tf, dl) with tf <= max_tf, dl >= min_dl, tf < dl, the (rounded)
+    # weight never exceeds bound(max_tf, min_dl) + headroom
+    avgdl = 6.3
+    for lam in (0.01, 0.3, 1.0, 2.5):
+        for max_tf, min_dl in ((1, 1), (3, 2), (10, 4), (50, 9)):
+            lmax = math.log2(max_tf * avgdl / min_dl / lam)
+            bmax = 0.5 * math.log2(TWO_PI * max_tf)
+            bound = max(lmax, 0.0) + 0.5 * max(bmax, 0.0) + 5e-7
+            for tf in range(1, max_tf + 1):
+                for dl in range(max(min_dl, tf + 1), 80):
+                    f = tf / dl
+                    norm = (1 - f) * (1 - f) / (tf + 1)
+                    a = tf * math.log2(tf * avgdl / dl / lam)
+                    b = 0.5 * math.log2(TWO_PI * tf * (1 - f))
+                    w = round(max(norm * (a + b), 0.0), 6)
+                    assert w <= bound, (lam, max_tf, min_dl, tf, dl, w, bound)
+
+
+def test_search_dph_equals_slow_path(spark, sfdocs, dfr_idx, dfr_queries):
+    from dhr_spark.operators.termfreq import query_term_freqs
+    from dhr_spark.operators.wand import Searcher
+
+    fast = Searcher(spark, dfr_idx).search_dph(dfr_queries, k=20)
+    tok = with_tokens(sfdocs, mode="simple")
+    qtfs = query_term_freqs(with_tokens(dfr_queries, mode="simple"))
+    slow = dph_topk(qtfs, term_freqs(tok), doc_lengths(tok), k=20)
+    assert _as_map(fast.collect()) == _as_map(slow.collect())
+
+
+def test_dph_prune_matches_noprune(spark, dfr_idx, dfr_queries):
+    from dhr_spark.operators.wand import Searcher
+
+    sr = Searcher(spark, dfr_idx)
+    a = sr.search_dph(dfr_queries, k=15, prune=True)
+    b = sr.search_dph(dfr_queries, k=15, prune=False)
+    assert _as_map(a.collect()) == _as_map(b.collect())
+
+
+def test_dph_is_parameter_free(spark, dfr_idx, dfr_queries):
+    # the filter-context dispatch must refuse a knob for dph
+    from dhr_spark.operators.wand import Searcher
+
+    sr = Searcher(spark, dfr_idx)
+    with pytest.raises(ValueError, match="parameter-free"):
+        sr.search_min_docid(dfr_queries, min_docid=0, sim="dph", sim_param=0.5)
+    # and compose without one: gated == full restricted (same as inl2/spl)
+    q = spark.createDataFrame(
+        [("q1", "spark table scan")], "qid string, text string"
+    )
+    full = sr.search_min_docid(q, min_docid=0, k=500, sim="dph")
+    gated = sr.search_min_docid(q, min_docid=40, k=500, sim="dph")
+    fmap = {
+        (r["qid"], r["docid"]): r["score"] for r in full.collect()
+        if r["docid"] >= 40
+    }
+    gmap = {(r["qid"], r["docid"]): r["score"] for r in gated.collect()}
+    assert fmap == gmap

@@ -339,6 +339,23 @@ def test_federated_spl_equals_union_index(spark, sharded, queries):
     assert fed == single and fed
 
 
+def test_federated_dph_equals_union_index(spark, sharded, queries):
+    """DPH federates through the same merged ctf + global n_docs override
+    as SPL (λ = ctf/N) plus merged avgdl — parameter-free, so the
+    federation has no knob to disagree on."""
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = _by_turn(
+        spark, ms.search_dph(queries, k=100_000), sharded["dirs"], fed=True
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search_dph(queries, k=100_000),
+        sharded["full"],
+        fed=False,
+    )
+    assert fed == single and fed
+
+
 def test_federated_boosted_and_recency_equal_union_index(spark, sharded, queries):
     """FunctionScore federates exactly: per-member exhaustive boosted sets
     under merged global relevance stats == union-corpus index, for both the
