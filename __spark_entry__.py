@@ -4638,6 +4638,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sums, floats appear only as one division each + one sqrt
         return _searcher(spark, sf).result_stats(_queries_df(spark), "n_chars")
 
+    def histogram_hits_q(spark, sf):
+        # ES histogram / fixed-interval date_histogram over the OR-match
+        # set: fixed-width integer buckets via the positive-mod floor
+        # identity — all-integer, non-empty buckets only (min_doc_count=1)
+        return _searcher(spark, sf).result_histogram(
+            _queries_df(spark), "n_chars", interval=50, offset=10
+        )
+
     def percentile_hits_q(spark, sf):
         # ES percentiles over the OR-match set: nearest-rank (exact — the
         # sort is per-hit-set, not per-corpus, so no TDigest needed)
@@ -5118,6 +5126,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "significant_terms": significant_terms_q,
         "mmr_rerank": mmr_rerank_q,
         "stats_hits": stats_hits_q,
+        "histogram_hits": histogram_hits_q,
         "percentile_hits": percentile_hits_q,
         "sketch_hll": sketch_hll_q,
         "sketch_cms": sketch_cms_q,
@@ -6261,6 +6270,19 @@ SELECT qid, n, "min", "max", "sum",
        sqrt(CAST(n::HUGEINT * sum_sq - "sum"::HUGEINT * "sum"::HUGEINT
                  AS DOUBLE) / CAST(n * n AS DOUBLE)) AS std_dev
 FROM agg""",
+        # ES histogram over the OR-match set: all-integer fixed-width
+        # buckets — floor((v-10)/50)*50+10 via the positive-mod identity
+        # (DuckDB % follows the dividend sign; the +i %i wrap matches
+        # Spark's pmod exactly)
+        "histogram_hits": f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()},
+vals AS (
+  SELECT m.qid, d.n_chars::BIGINT AS v
+  FROM matched m JOIN documents d ON d.doc_id = m.docid
+)
+SELECT qid,
+       (v - (((v - 10) % 50 + 50) % 50))::BIGINT AS bucket,
+       count(*)::BIGINT AS n
+FROM vals GROUP BY 1, 2""",
         # nearest-rank percentiles: pure integer selection, ceil(p*n/100)
         # = (p*n + 99) // 100 exactly (p*n is exact in both engines)
         "percentile_hits": f"""WITH {_TOKS_CTE}, {_q_values()},

@@ -161,3 +161,50 @@ def hit_correlation(
             "corr"
         ),
     )
+
+
+def hit_histogram(
+    hits: DataFrame,
+    values: DataFrame,
+    field: str,
+    interval: int,
+    offset: int = 0,
+) -> DataFrame:
+    """(qid, bucket, n): Elasticsearch ``histogram`` aggregation over each
+    query's hit set — fixed-width integer buckets
+
+        bucket = floor((v − offset) / interval) · interval + offset
+
+    emitting non-empty buckets only (ES ``min_doc_count: 1``; the
+    default's empty-bucket back-fill is a rendering concern, not an
+    aggregation — callers can sequence-join the gaps). ES
+    ``date_histogram`` with a ``fixed_interval`` IS this aggregation on an
+    epoch timestamp field: pass the interval in the field's time unit
+    (e.g. 86400 on epoch seconds for daily buckets). Calendar intervals
+    (months, DST-aware days) are intentionally out of scope.
+
+    All-integer bucket arithmetic — the floor for negative values rides a
+    positive-mod identity (v − pmod(v − offset, interval)), never float
+    division, so a DuckDB oracle hashes bit-for-bit. One shuffle on
+    (qid, bucket) with map-side combine; keyed on the hit set, never the
+    corpus."""
+    interval = int(interval)
+    offset = int(offset)
+    if interval <= 0:
+        raise ValueError(f"interval must be a positive integer, got {interval}")
+    if not 0 <= offset < interval:
+        raise ValueError(
+            f"offset must be in [0, interval), got {offset} for {interval}"
+        )
+    joined = hits.select("qid", "docid").join(
+        values.select("docid", F.col(field).cast("long").alias("_v")),
+        "docid",
+    )
+    bucket = F.col("_v") - F.pmod(
+        F.col("_v") - F.lit(offset), F.lit(interval)
+    )
+    return (
+        joined.select("qid", bucket.alias("bucket"))
+        .groupBy("qid", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -1669,6 +1669,29 @@ class Searcher:
             self._matched_docs(queries), self.docvalues_frame([field]), field
         )
 
+    def result_histogram(
+        self,
+        queries: DataFrame,
+        field: str,
+        interval: int,
+        offset: int = 0,
+    ) -> DataFrame:
+        """(qid, bucket, n): ES ``histogram`` / fixed-interval
+        ``date_histogram`` over an integer docvalues field of each query's
+        MATCHING documents — fixed-width buckets
+        floor((v−offset)/interval)·interval + offset, non-empty only,
+        all-integer arithmetic (operators/hitstats.hit_histogram; pass a
+        time-unit interval on an epoch field for the date variant)."""
+        from dhr_spark.operators.hitstats import hit_histogram
+
+        return hit_histogram(
+            self._matched_docs(queries),
+            self.docvalues_frame([field]),
+            field,
+            interval,
+            offset,
+        )
+
     def result_percentiles(
         self,
         queries: DataFrame,

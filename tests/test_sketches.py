@@ -402,3 +402,66 @@ def test_hit_correlation_and_index_twin(spark, tmp_path):
     # same-field correlation == 1.0 exactly (num == denominator squared)
     r2 = s.result_correlation(q.filter(F.col("qid") == "q1"), "xa", "xa").collect()[0]
     assert r2["corr"] == 1.0
+
+
+def test_hit_histogram_buckets_and_guards(spark, hits_env):
+    from dhr_spark.operators.hitstats import hit_histogram
+
+    hits, values = hits_env
+    got = {
+        (r["qid"], r["bucket"]): r["n"]
+        for r in hit_histogram(hits, values, "f", 15, offset=5).collect()
+    }
+    # q1 values [10, 20, 40] -> buckets 5, 20, 35; q2 [20, 7] -> 20, 5
+    assert got == {
+        ("q1", 5): 1, ("q1", 20): 1, ("q1", 35): 1,
+        ("q2", 20): 1, ("q2", 5): 1,
+    }
+    # negative values floor correctly (ES Math.floorDiv semantics):
+    # v=-7, interval=15, offset=5 -> floor(-12/15)=-1 -> bucket -10
+    neg = spark.createDataFrame([(1, -7)], "docid long, f long")
+    one = spark.createDataFrame([("q", 1)], "qid string, docid long")
+    assert hit_histogram(one, neg, "f", 15, offset=5).collect()[0][
+        "bucket"
+    ] == -10
+    with pytest.raises(ValueError, match="interval"):
+        hit_histogram(hits, values, "f", 0)
+    with pytest.raises(ValueError, match="offset"):
+        hit_histogram(hits, values, "f", 15, offset=15)
+
+
+def test_searcher_result_histogram_identity(spark, tmp_path):
+    """Index-backed date-histogram (epoch-seconds ts, daily buckets) equals
+    a corpus-scan recount over the same matched sets."""
+    from pyspark.sql import functions as F
+
+    from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+    from dhr_spark.index.builder import build_index
+    from dhr_spark.operators.docids import with_docids
+    from dhr_spark.operators.hitstats import hit_histogram
+    from dhr_spark.operators.wand import Searcher
+
+    idx = str(tmp_path / "hist_idx")
+    tr = synth_transcripts(spark, 20)
+    build_index(
+        spark, tr, idx, chunk_bits=6, block_size=16,
+        docvalues=["ts"], docid_strategy="window",
+    )
+    sr = Searcher(spark, idx)
+    q = synth_queries(spark, 5)
+    day = 86_400
+    fast = {
+        (r["qid"], r["bucket"]): r["n"]
+        for r in sr.result_histogram(q, "ts", interval=day).collect()
+    }
+    docs = with_docids(tr)
+    vals = docs.select(
+        "docid", F.col("ts").cast("long").alias("ts")
+    )
+    slow = {
+        (r["qid"], r["bucket"]): r["n"]
+        for r in hit_histogram(
+            sr._matched_docs(q), vals, "ts", day
+        ).collect()
+    }
+    assert fast == slow and fast
