@@ -4259,6 +4259,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def _kgram_searcher(spark, sf):
+        # shared index + k-gram term table (index/kgram.py; idempotent
+        # refresh), with the resident dictionary DISABLED so the query
+        # runs the distributed gram-candidates -> verify path — the one
+        # that matters at 10^9-term dictionaries
+        from dhr_spark.index.builder import load_manifest
+        from dhr_spark.index.kgram import build_kgram_index
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        build_kgram_index(spark, idx)
+        s = Searcher(spark, idx)
+        s.manifest = dict(load_manifest(idx))
+        s._tid_cache = None
+        return s
+
+    def kgram_wildcard_topk_q(spark, sf):
+        # gram pre-filter + exact verification must reproduce the plain
+        # wildcard ranking bit-for-bit (same oracle SQL as wildcard_topk)
+        return _round4(
+            _kgram_searcher(spark, sf).search_wildcard(
+                WILDCARD_QUERIES, k=TOPK, max_expansions=WILDCARD_MAXEXP
+            )
+        )
+
+    def kgram_fuzzy_topk_q(spark, sf):
+        # count-threshold fuzzy candidates (>= |grams| − k·e distinct
+        # shared grams) + levenshtein verification == plain fuzzy ranking
+        return _round4(
+            _kgram_searcher(spark, sf).search_fuzzy(
+                FUZZY_QUERIES, k=TOPK, max_edits=FUZZY_MAX_EDITS,
+                prefix_len=FUZZY_PREFIX_LEN, max_expansions=FUZZY_MAXEXP,
+            )
+        )
+
     def regexp_topk_q(spark, sf):
         return _round4(
             _searcher(spark, sf).search_regexp(
@@ -4988,6 +5023,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "prefix_topk": prefix_topk_q,
         "wildcard_topk": wildcard_topk_q,
         "fuzzy_topk": fuzzy_topk_q,
+        "kgram_wildcard_topk": kgram_wildcard_topk_q,
+        "kgram_fuzzy_topk": kgram_fuzzy_topk_q,
         "mlt_topk": mlt_topk_q,
         "bm25f_topk": bm25f_topk_q,
         "dismax_topk": dismax_topk_q,
@@ -5390,7 +5427,27 @@ GROUP BY r.qid""",
             lambda p: f"regexp_matches(term, '{wildcard_to_regex(p)}')",
             WILDCARD_MAXEXP,
         ),
+        # kgram acceleration is a pre-filter with exact verification, so
+        # its oracles ARE the plain expansion oracles
+        "kgram_wildcard_topk": _expand_topk_sql(
+            WILDCARD_QUERIES,
+            lambda p: f"regexp_matches(term, '{wildcard_to_regex(p)}')",
+            WILDCARD_MAXEXP,
+        ),
         "fuzzy_topk": _expand_topk_sql(
+            FUZZY_QUERIES,
+            lambda p: (
+                f"levenshtein(term, '{p}') <= {FUZZY_MAX_EDITS}"
+                + (
+                    f" AND substr(term, 1, {FUZZY_PREFIX_LEN})"
+                    f" = '{p[:FUZZY_PREFIX_LEN]}'"
+                    if FUZZY_PREFIX_LEN
+                    else ""
+                )
+            ),
+            FUZZY_MAXEXP,
+        ),
+        "kgram_fuzzy_topk": _expand_topk_sql(
             FUZZY_QUERIES,
             lambda p: (
                 f"levenshtein(term, '{p}') <= {FUZZY_MAX_EDITS}"

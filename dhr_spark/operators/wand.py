@@ -2070,6 +2070,10 @@ class Searcher:
                 cap = max_expansions
             hits.sort(key=lambda x: (x[0], x[1]))
             return [(tid, idf) for idf, _, tid in hits[:cap]]
+        from dhr_spark.index.kgram import fuzzy_grams, wildcard_grams
+
+        grams = None
+        kg = self.manifest.get("kgram")
         if kind == FUZZY:
             body_t, edits = body
             cond = F.levenshtein(F.col("term"), F.lit(body_t)) <= edits
@@ -2079,11 +2083,18 @@ class Searcher:
                     == body_t[:prefix_len]
                 )
             cap = 50
+            if kg:
+                grams = fuzzy_grams(body_t, edits, int(kg["k"]))
         else:
             cond = F.col("term").rlike(_rx_pattern(body))
             cap = max_expansions
+            # REGEXP stays a dictionary scan (no literal-extraction pass);
+            # WILDCARD pre-filters through the k-gram table when present
+            if kg and kind != REGEXP:
+                grams = wildcard_grams(body, int(kg["k"]))
         rows = (
-            self._tdict.filter(cond)
+            self._dict_for_grams(grams)
+            .filter(cond)
             .orderBy(F.col("idf").asc(), F.col("term").asc())
             .limit(cap)
             .collect()
@@ -2929,8 +2940,35 @@ class Searcher:
     # override the cap orders by the OVERRIDDEN (global) idf — that is the
     # correct federation behavior (all shards cap identically).
 
+    def _dict_for_grams(self, grams) -> DataFrame:
+        """Dictionary rows pre-filtered through the k-gram term index
+        (index/kgram.py) when the index carries one and the pattern yields
+        required grams — a NECESSARY-condition cut, so the caller's exact
+        pattern verification keeps results bit-identical to the full |V|
+        scan. Terms above the committed gram watermark (appended/merged
+        after the last build_kgram_index) scan the plain dictionary slice,
+        keeping a stale gram table exact rather than wrong."""
+        kg = self.manifest.get("kgram")
+        if not kg or grams is None:
+            return self._tdict
+        from dhr_spark.index.kgram import kgram_candidates
+
+        cand = kgram_candidates(
+            self.spark, self.index_dir, self.manifest, grams
+        )
+        covered = self._tdict.filter(
+            F.col("term_id") <= int(kg["max_term_id"])
+        ).join(cand, "term_id", "left_semi")
+        newer = self._tdict.filter(F.col("term_id") > int(kg["max_term_id"]))
+        return covered.unionByName(newer)
+
     def _expanded_qinfo(
-        self, pairs: list[tuple[str, str]], match_py, match_col, max_expansions: int
+        self,
+        pairs: list[tuple[str, str]],
+        match_py,
+        match_col,
+        max_expansions: int,
+        grams_fn=None,
     ) -> tuple[dict, list[int]]:
         qinfo: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for qid, pat in pairs:
@@ -2943,8 +2981,11 @@ class Searcher:
                 hits.sort(key=lambda x: (x[0], x[1]))
                 trips = [(tid, 1.0, idf) for idf, _, tid in hits[:max_expansions]]
             else:
+                base = self._dict_for_grams(
+                    grams_fn(pat) if grams_fn is not None else None
+                )
                 rows = (
-                    self._tdict.filter(match_col(pat))
+                    base.filter(match_col(pat))
                     .orderBy(F.col("idf").asc(), F.col("term").asc())
                     .limit(max_expansions)
                     .collect()
@@ -2969,13 +3010,24 @@ class Searcher:
     ) -> DataFrame:
         """PrefixQuery: ``pairs`` = [(qid, prefix)] -> (qid, docid, rank,
         score) top-k over terms starting with each prefix."""
+        from dhr_spark.index.kgram import prefix_grams
+
         qinfo, all_terms = self._expanded_qinfo(
             pairs,
             lambda p, t: t.startswith(p),
             lambda p: F.col("term").startswith(p),
             max_expansions,
+            grams_fn=self._kgram_fn(prefix_grams),
         )
         return self._search_prepared(qinfo, all_terms, k, prune)
+
+    def _kgram_fn(self, fn, *extra):
+        """Bind a kgram query-gram extractor to this index's gram geometry;
+        None (no gram table) keeps the full-dictionary path."""
+        kg = self.manifest.get("kgram")
+        if not kg:
+            return None
+        return lambda pat: fn(pat, *extra, int(kg["k"]))
 
     def search_wildcard(
         self,
@@ -2995,11 +3047,14 @@ class Searcher:
                 rx = _c[p] = re.compile(wildcard_to_regex(p))
             return rx.match(t) is not None
 
+        from dhr_spark.index.kgram import wildcard_grams
+
         qinfo, all_terms = self._expanded_qinfo(
             pairs,
             py,
             lambda p: F.col("term").rlike(wildcard_to_regex(p)),
             max_expansions,
+            grams_fn=self._kgram_fn(wildcard_grams),
         )
         return self._search_prepared(qinfo, all_terms, k, prune)
 
@@ -3059,7 +3114,12 @@ class Searcher:
                 )
             return c
 
-        qinfo, all_terms = self._expanded_qinfo(pairs, py, col, max_expansions)
+        from dhr_spark.index.kgram import fuzzy_grams
+
+        qinfo, all_terms = self._expanded_qinfo(
+            pairs, py, col, max_expansions,
+            grams_fn=self._kgram_fn(fuzzy_grams, max_edits),
+        )
         return self._search_prepared(qinfo, all_terms, k, prune)
 
     def search_like(

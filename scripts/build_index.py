@@ -63,6 +63,10 @@ def main() -> None:
                         "DocValues; backs search_sorted / result_facets / "
                         "search_filtered / search_boosted / search_recency; "
                         "turn-level indexes only)")
+    p.add_argument("--kgram", action="store_true",
+                   help="also build the k-gram term index (accelerates "
+                        "wildcard/fuzzy/prefix at huge dictionaries; "
+                        "index/kgram.py)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
     docvalues = (
@@ -126,6 +130,10 @@ def main() -> None:
             stored=args.stored,
             docvalues=docvalues,
         )
+    if args.kgram:
+        from dhr_spark.index.kgram import build_kgram_index
+
+        manifest = build_kgram_index(spark, args.index_dir)
     print(json.dumps({k: v for k, v in manifest.items() if k != "chunks"}))
     spark.stop()
 
