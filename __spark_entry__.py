@@ -4493,6 +4493,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _queries_df(spark), by="n_chars", k=TOPK
         )
 
+    def sorted_index_topk_q(spark, sf):
+        # index-time sorting (Lucene setIndexSort, index/builder.py
+        # index_sort=): docids assigned in (n_chars DESC, doc_id) order, so
+        # search_sorted early-terminates (per-chunk first-k presence cut +
+        # candidate-only merge) instead of sorting the full match set —
+        # results must hash-equal the exhaustive sorted_hits oracle
+        import shutil
+
+        from pyspark.sql import Window
+
+        from dhr_spark.index.builder import build_index_from_docs
+        from dhr_spark.operators.wand import Searcher
+
+        d0 = _docs(spark, sf).select(
+            "doc_id", "text", F.col("n_chars").cast("long").alias("n_chars")
+        )
+        w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        docs = d0.withColumn(
+            "docid", (F.row_number().over(w) - 1).cast("long")
+        )
+        key = hashlib.md5(f"isort|{sf}".encode()).hexdigest()[:10]
+        idx = f"/tmp/dhr_spark_isort_{key}"
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index_from_docs(
+            spark, docs, idx, analyzer_mode="simple",
+            chunk_bits=8, block_size=32,
+            doc_map_df=docs.select("docid", "doc_id", "n_chars"),
+            docvalues=("doc_id", "n_chars"),
+            index_sort=("n_chars", False),
+        )
+        s = Searcher(spark, idx)
+        res = s.search_sorted(_queries_df(spark), by="n_chars", k=TOPK)
+        ids = s.docvalues_frame(["doc_id"])
+        return res.join(ids, "docid").select(
+            "qid", F.col("doc_id").alias("docid"), "rank", "n_chars"
+        )
+
     def facet_hits_q(spark, sf):
         # Lucene faceting over the HITS (not the corpus): lang counts of
         # each query's matching documents
@@ -5032,6 +5069,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "syntax_topk": syntax_topk_q,
         "hit_counts": hit_counts_q,
         "sorted_hits": sorted_hits_q,
+        "sorted_index_topk": sorted_index_topk_q,
         "facet_hits": facet_hits_q,
         "collapse_hits": collapse_hits_q,
         "decontaminate": decontaminate_q,
@@ -5467,6 +5505,9 @@ GROUP BY r.qid""",
         "syntax_topk": _syntax_sql(),
         "hit_counts": _hit_counts_sql(),
         "sorted_hits": _sorted_hits_sql(),
+        # the sorted-index fast path must be invisible in results: same
+        # oracle as the exhaustive sorted_hits
+        "sorted_index_topk": _sorted_hits_sql(),
         "facet_hits": _facet_hits_sql(),
         "facet_ranges": _facet_ranges_sql(),
         "collapse_hits": _collapse_sql(),

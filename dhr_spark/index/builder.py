@@ -191,14 +191,44 @@ def build_index(
     positional: bool = False,
     stored: bool = False,
     docvalues: tuple[str, ...] | list[str] = (),
+    index_sort: tuple[str, bool] | None = None,
 ) -> dict:
     """Build (or resume) an index over transcripts (conv_id, turn_idx, ...,
     text): assigns stable docids, then delegates to build_index_from_docs.
 
     ``docvalues``: transcript columns (e.g. role, ts) carried into doc_map
     as per-doc columnar fields — the Lucene DocValues analogue backing
-    Searcher.search_sorted / result_facets."""
-    docs = with_docids(transcripts, docid_strategy)
+    Searcher.search_sorted / result_facets.
+
+    ``index_sort``: ``(field, ascending)`` — Lucene
+    ``IndexWriterConfig.setIndexSort``: docids are assigned in (field,
+    conv_id, turn_idx) order instead of corpus order, so matching-docs-
+    sorted-by-field queries early-terminate per chunk instead of sorting
+    the full match set (Searcher.search_sorted fast path; the field is
+    auto-declared a docvalue). Appends keep the PER-CHUNK invariant
+    (index/incremental.py sorts each batch), which is all the query path
+    needs."""
+    order = None
+    if index_sort is not None:
+        field, asc = index_sort
+        if field not in transcripts.columns:
+            raise ValueError(
+                f"index_sort field {field!r} not in transcript columns "
+                f"{sorted(transcripts.columns)}"
+            )
+        from dhr_spark.operators.docids import ORDER_COLS
+
+        if field in ORDER_COLS:
+            raise ValueError(
+                f"index_sort on identity column {field!r} is the default "
+                "corpus order — pick a docvalues field"
+            )
+        order = [F.col(field).asc() if asc else F.col(field).desc()] + [
+            F.col(c).asc() for c in ORDER_COLS
+        ]
+        if field not in docvalues:
+            docvalues = tuple(docvalues) + (field,)
+    docs = with_docids(transcripts, docid_strategy, order=order)
     try:
         return build_index_from_docs(
             spark,
@@ -215,6 +245,7 @@ def build_index(
             positional=positional,
             stored=stored,
             docvalues=docvalues,
+            index_sort=index_sort,
         )
     finally:
         # the scalable docid path persists its range-partitioned base so the
@@ -269,6 +300,44 @@ def write_positions(
     w.partitionBy("chunk").parquet(os.path.join(index_dir, "positions"))
 
 
+def _assert_index_sorted(
+    doc_map_df: DataFrame, index_sort: tuple[str, bool], chunk_bits: int
+) -> None:
+    """Verify the index-sort contract: within every chunk, docid order
+    agrees with the sort field's order (one lag-window pass; fails the
+    build rather than letting the search_sorted fast path mis-rank)."""
+    from pyspark.sql import Window
+
+    field, asc = index_sort
+    if field not in doc_map_df.columns:
+        raise ValueError(
+            f"index_sort field {field!r} must be carried in doc_map "
+            "(declare it in docvalues)"
+        )
+    w = Window.partitionBy(
+        F.shiftright(F.col("docid"), int(chunk_bits))
+    ).orderBy(F.col("docid").asc())
+    prev = F.lag(F.col(field)).over(w)
+    bad = F.when(
+        prev.isNotNull()
+        & (prev > F.col(field) if asc else prev < F.col(field)),
+        1,
+    )
+    n_bad = (
+        doc_map_df.select(bad.alias("_bad"))
+        .agg(F.count("_bad").alias("n"))
+        .collect()[0]["n"]
+    )
+    if int(n_bad):
+        raise ValueError(
+            f"index_sort contract violated: {int(n_bad)} within-chunk "
+            f"docid pairs disagree with {field!r} "
+            f"{'ascending' if asc else 'descending'} order — assign docids "
+            "in sort order (build_index does; generic corpora must order "
+            "before build_index_from_docs)"
+        )
+
+
 def build_index_from_docs(
     spark: SparkSession,
     docs: DataFrame,
@@ -286,8 +355,17 @@ def build_index_from_docs(
     stored: bool = False,
     docvalues: tuple[str, ...] | list[str] = (),
     prune_per_term: int | None = None,
+    index_sort: tuple[str, bool] | None = None,
 ) -> dict:
     """Build (or resume) the index over any corpus with (docid long, text).
+
+    ``index_sort``: ``(field, ascending)`` metadata (Lucene setIndexSort) —
+    the CALLER promises docids were assigned in that field's order (the
+    transcripts entrypoint build_index does it; generic corpora order
+    before assigning). The promise is VERIFIED here against doc_map_df
+    (one lag-window pass per build: a chunk whose docid order disagrees
+    with the field order fails the build rather than silently mis-ranking
+    the search_sorted fast path), and recorded in the manifest.
 
     ``prune_per_term``: opt-in static index pruning (Carmel et al. 2001,
     term-centric top-k — operators/postings.prune_postings_topk): every
@@ -502,6 +580,8 @@ def build_index_from_docs(
             doc_map_df.withColumn("seg_batch", F.lit(0)).write.mode(
                 "overwrite"
             ).partitionBy("seg_batch").parquet(os.path.join(index_dir, "doc_map"))
+        if index_sort is not None:
+            _assert_index_sorted(doc_map_df, index_sort, chunk_bits)
     else:
         n_terms = prior["n_terms"]
 
@@ -546,6 +626,11 @@ def build_index_from_docs(
         "n_terms": int(n_terms),
         "docvalues": list(docvalues),
         "prune_per_term": prune_per_term,
+        "index_sort": (
+            {"field": index_sort[0], "ascending": bool(index_sort[1])}
+            if index_sort is not None
+            else None
+        ),
         "build_seconds": round(time.time() - t0, 2),
         "resumed_from": sorted(done_chunks) if done_chunks else [],
         "chunks": chunks,

@@ -100,6 +100,17 @@ def append_docs_to_index(
             f"boundary {floor} — appends may only create brand-new chunks"
         )
     base = (int(stats["lo"]) // chunk_docs) * chunk_docs
+    iso = man.get("index_sort")
+    if iso:
+        # caller-assigned docids on a sorted index: verify the per-chunk
+        # invariant over THIS batch (one lag-window pass, batch-sized) —
+        # fail fast rather than let search_sorted mis-rank
+        from dhr_spark.index.builder import _assert_index_sorted
+
+        _assert_index_sorted(
+            docs, (iso["field"], bool(iso.get("ascending"))),
+            int(man["chunk_bits"]),
+        )
     return _append_docs(spark, docs, index_dir, man, base, t0, extra_manifest)
 
 
@@ -140,7 +151,27 @@ def append_to_index(
     # NEW DataFrame without the _dhr_persisted attribute, and reading the
     # attribute off the derived frame would leak one cached copy of the
     # batch into executor storage per append (builder.py:98-103 hazard)
-    base_docs = with_docids(transcripts)
+    order = None
+    iso = man.get("index_sort")
+    if iso:
+        # a sorted index (builder.py index_sort) keeps its PER-CHUNK
+        # invariant across appends: the batch's docids are assigned in the
+        # index sort order, so the new chunks are internally sorted and
+        # search_sorted's early-termination cut stays exact (the global
+        # candidate merge re-ranks across chunks by field value)
+        from dhr_spark.operators.docids import ORDER_COLS
+
+        field = iso["field"]
+        if field not in transcripts.columns:
+            raise ValueError(
+                f"index is sorted by {field!r} — append batches must carry "
+                "the sort field"
+            )
+        f_ord = (
+            F.col(field).asc() if iso.get("ascending") else F.col(field).desc()
+        )
+        order = [f_ord] + [F.col(c).asc() for c in ORDER_COLS]
+    base_docs = with_docids(transcripts, order=order)
     docs = base_docs.withColumn("docid", F.col("docid") + F.lit(base))
     try:
         return _append_docs(spark, docs, index_dir, man, base, t0, extra_manifest)

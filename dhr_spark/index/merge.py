@@ -109,6 +109,13 @@ def _validate(dst: dict, src: dict, dst_dir: str, src_dir: str) -> None:
             f"docvalues differ: dst={sorted(dst.get('docvalues') or [])} vs "
             f"src={sorted(src.get('docvalues') or [])}"
         )
+    if (dst.get("index_sort") or None) != (src.get("index_sort") or None):
+        problems.append(
+            f"index_sort differs: dst={dst.get('index_sort')} vs "
+            f"src={src.get('index_sort')} — the sorted-search fast path "
+            "needs every chunk internally sorted by the SAME field/"
+            "direction"
+        )
     if src.get("dv_gens"):
         problems.append(
             f"{src_dir}: has committed docvalue update generations "

@@ -78,12 +78,18 @@ def with_global_ids(
 
 
 def with_docids(
-    transcripts: DataFrame, strategy: str = "scalable", num_partitions: int | None = None
+    transcripts: DataFrame,
+    strategy: str = "scalable",
+    num_partitions: int | None = None,
+    order: list | None = None,
 ) -> DataFrame:
     """Returns transcripts + ``docid`` (int64, dense, 0-based, ordered by
-    (conv_id, turn_idx))."""
+    (conv_id, turn_idx) — or by ``order`` (a list of Column sort
+    expressions) when given: the index-sort build path prepends its sort
+    field so docid order IS the index sort order."""
+    order_exprs = order or [F.col(c).asc() for c in ORDER_COLS]
     if strategy == "window":
-        w = Window.orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+        w = Window.orderBy(*order_exprs)
         # cast: row_number is int32, but docid is contractually int64 — the
         # scalable path emits int64, and an int64 append onto an
         # int32-built artifact leaves mixed parquet schemas that fail at
@@ -92,10 +98,7 @@ def with_docids(
             "docid", (F.row_number().over(w) - 1).cast("long")
         )
 
-    return with_global_ids(
-        transcripts, [F.col(c).asc() for c in ORDER_COLS], "docid",
-        num_partitions,
-    )
+    return with_global_ids(transcripts, order_exprs, "docid", num_partitions)
 
 
 def doc_map(docs: DataFrame, extra: tuple[str, ...] | list[str] = ()) -> DataFrame:

@@ -149,12 +149,17 @@ def _presence_chunk(
     block_size: int,
     chunk_bits: int,
     tombstones: np.ndarray | None = None,
+    limit: int | None = None,
 ):
     """Per-chunk term-presence counting for boolean masks: ``qsets`` maps
     qid -> np.ndarray of term_ids; emits one (qid, docid, n_hit) row per
     doc containing >= 1 of the qid's terms, n_hit = how many of them.
     Same docid-blocks-only decode as _count_chunk (no tf bytes, no
-    scores)."""
+    scores). ``limit``: keep only each qid's FIRST ``limit`` matching
+    docids in the chunk — the sorted-index early-termination cut
+    (Searcher.search_sorted): when docid order within the chunk IS the
+    index sort order, the chunk's contribution to a global top-k by that
+    sort can never exceed its first k matches."""
 
     def kernel(key, seg: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"qid": [], "docid": [], "n_hit": []}).astype(
@@ -200,6 +205,8 @@ def _presence_chunk(
             if dead is not None:
                 counts[dead] = 0
             nz = np.flatnonzero(counts)
+            if limit is not None:
+                nz = nz[: int(limit)]
             if nz.size:
                 out_qid.append(qid)
                 out_doc.append(nz + base)
@@ -1588,13 +1595,55 @@ class Searcher:
         docvalues field instead of score — Lucene's Sort(SortField). Exact:
         every matching doc is enumerated (docid-blocks-only decode, no
         scoring work), joined to the columnar field, and ranked per query
-        with docid as the deterministic tie-break. Lucene pays the same
-        visit-all-matches cost unless the whole index is pre-sorted."""
+        with docid as the deterministic tie-break.
+
+        When the index was built with ``index_sort=(by, ascending)`` (same
+        field AND direction — Lucene early-terminates under the same
+        condition), this early-terminates instead: within every chunk,
+        docid order IS the requested order (appends preserve the per-chunk
+        invariant), so the kernel keeps only each chunk's first k matches
+        and only n_chunks·k·|Q| candidate rows reach the field join and
+        the global window — the full match set is never materialized,
+        sorted, or joined. At 10^12 turns that is the difference between
+        sorting a billion-row match set for "the latest 10 matching
+        turns" and merging a few thousand candidates. Results are
+        bit-identical to the exhaustive path (each chunk's first-k by
+        docid is a superset of its contribution to the global top-k; ties
+        agree because within-tie docid order is corpus order on both
+        paths). A direction mismatch falls back to the exhaustive path
+        (a reversed in-chunk cut would break tie semantics)."""
         from pyspark.sql import Window
 
         dv = self.docvalues_frame([by])
         order = F.col(by).asc() if ascending else F.col(by).desc()
         w = Window.partitionBy("qid").orderBy(order, F.col("docid").asc())
+        iso = self.manifest.get("index_sort")
+        if (
+            iso
+            and iso.get("field") == by
+            and bool(iso.get("ascending")) == bool(ascending)
+        ):
+            qinfo, all_terms = self._query_info(queries)
+            qsets = {qid: tids for qid, (tids, _, _) in qinfo.items()}
+            kern = _presence_chunk(
+                qsets,
+                int(self.manifest["block_size"]),
+                int(self.manifest["chunk_bits"]),
+                tombstones=self._tombstones,
+                limit=int(k),
+            )
+            cand = (
+                self._seg_for_terms(all_terms)
+                .groupBy("chunk")
+                .applyInPandas(kern, "qid string, docid long, n_hit long")
+                .select("qid", "docid")
+            )
+            return (
+                cand.join(dv, "docid")
+                .withColumn("rank", F.row_number().over(w).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select("qid", "docid", "rank", by)
+            )
         return (
             self._matched_docs(queries)
             .join(dv, "docid")

@@ -63,6 +63,11 @@ def main() -> None:
                         "DocValues; backs search_sorted / result_facets / "
                         "search_filtered / search_boosted / search_recency; "
                         "turn-level indexes only)")
+    p.add_argument("--index-sort", default=None, metavar="FIELD[:asc]",
+                   help="Lucene setIndexSort: assign docids in this "
+                        "docvalues field's order (default :desc — e.g. "
+                        "ts:desc = newest-first) so search_sorted "
+                        "early-terminates; turn granularity only")
     p.add_argument("--kgram", action="store_true",
                    help="also build the k-gram term index (accelerates "
                         "wildcard/fuzzy/prefix at huge dictionaries; "
@@ -76,6 +81,8 @@ def main() -> None:
     if docvalues and args.granularity == "conversation":
         p.error("--docvalues is turn-level only (a conversation doc has no "
                 "single per-turn field value)")
+    if args.index_sort and args.granularity == "conversation":
+        p.error("--index-sort is turn-level only (it rides docvalues)")
 
     from dhr_spark.session import get_spark
     from dhr_spark.index.builder import build_index
@@ -115,6 +122,12 @@ def main() -> None:
             stored=args.stored,
         )
     else:
+        index_sort = None
+        if args.index_sort:
+            f, _, d = args.index_sort.partition(":")
+            if d not in ("", "asc", "desc"):
+                p.error(f"--index-sort direction must be asc|desc, got {d!r}")
+            index_sort = (f, d == "asc")
         manifest = build_index(
             spark,
             transcripts,
@@ -129,6 +142,7 @@ def main() -> None:
             positional=args.positional,
             stored=args.stored,
             docvalues=docvalues,
+            index_sort=index_sort,
         )
     if args.kgram:
         from dhr_spark.index.kgram import build_kgram_index

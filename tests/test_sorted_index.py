@@ -1,0 +1,155 @@
+"""Index-time sorting (Lucene IndexWriterConfig.setIndexSort) + the
+early-terminating search_sorted fast path.
+
+Exactness contract: the fast path (per-chunk first-k presence cut + a
+candidate-only field join and window) must be bit-identical to the
+exhaustive path on an unsorted index over the same corpus — across
+appends, deletes, and direction mismatches (which must fall back)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+from dhr_spark.index.builder import build_index, load_manifest
+from dhr_spark.index.incremental import append_to_index
+from dhr_spark.operators.wand import Searcher
+
+CB, BS = 6, 16
+
+
+def _keyed(spark, idx, q, k=12, ascending=False):
+    """search_sorted results keyed by (conv, turn) so they compare across
+    indexes whose docid spaces differ."""
+    res = Searcher(spark, idx).search_sorted(q, by="ts", k=k,
+                                             ascending=ascending)
+    dm = spark.read.parquet(f"{idx}/doc_map")
+    out = res.join(dm.select("docid", "conv_id", "turn_idx"), "docid")
+    return sorted(
+        (r.qid, r.conv_id, r.turn_idx, r.rank, str(r.ts))
+        for r in out.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("isort")
+    tr = synth_transcripts(spark, 40, seed=3)
+    s_idx, u_idx = str(root / "sorted"), str(root / "unsorted")
+    man = build_index(spark, tr, s_idx, chunk_bits=CB, block_size=BS,
+                      index_sort=("ts", False))
+    build_index(spark, tr, u_idx, chunk_bits=CB, block_size=BS,
+                docvalues=["ts"])
+    assert man["index_sort"] == {"field": "ts", "ascending": False}
+    assert "ts" in man["docvalues"]  # auto-declared
+    return {"root": root, "tr": tr, "s": s_idx, "u": u_idx,
+            "q": synth_queries(spark, 8)}
+
+
+def test_fast_path_equals_exhaustive(spark, env):
+    fast = _keyed(spark, env["s"], env["q"])
+    slow = _keyed(spark, env["u"], env["q"])
+    assert fast == slow and fast
+
+
+def test_direction_mismatch_falls_back_exactly(spark, env):
+    # ascending query on a descending-sorted index: exhaustive fallback
+    fast = _keyed(spark, env["s"], env["q"], ascending=True)
+    slow = _keyed(spark, env["u"], env["q"], ascending=True)
+    assert fast == slow and fast
+
+
+def test_kernel_emits_at_most_k_per_chunk(spark, env):
+    # the early-termination cut itself: candidate rows <= n_chunks * k
+    from dhr_spark.operators.wand import _presence_chunk
+
+    s = Searcher(spark, env["s"])
+    qinfo, all_terms = s._query_info(env["q"])
+    qsets = {qid: tids for qid, (tids, _, _) in qinfo.items()}
+    k = 3
+    kern = _presence_chunk(qsets, BS, CB, limit=k)
+    cand = (
+        s._seg_for_terms(all_terms)
+        .groupBy("chunk")
+        .applyInPandas(kern, "qid string, docid long, n_hit long")
+    )
+    per = cand.withColumn(
+        "chunk", F.shiftright("docid", CB)
+    ).groupBy("qid", "chunk").count()
+    assert per.agg(F.max("count")).collect()[0][0] <= k
+    n_chunks = len(load_manifest(env["s"])["chunks"])
+    full = s._matched_docs(env["q"]).count()
+    assert cand.count() <= n_chunks * k * env["q"].count() < full
+
+
+def test_append_preserves_fast_path_exactness(spark, env):
+    s_idx = str(env["root"] / "sorted_app")
+    build_index(spark, env["tr"], s_idx, chunk_bits=CB, block_size=BS,
+                index_sort=("ts", False))
+    extra = synth_transcripts(spark, 10, seed=99).withColumn(
+        "conv_id", F.concat(F.lit("x"), F.col("conv_id"))
+    )
+    append_to_index(spark, extra, s_idx)
+    u2 = str(env["root"] / "unsorted_union")
+    build_index(spark, env["tr"].unionByName(extra), u2,
+                chunk_bits=CB, block_size=BS, docvalues=["ts"])
+    assert _keyed(spark, s_idx, env["q"]) == _keyed(spark, u2, env["q"])
+    # the appended index keeps its sort metadata
+    assert load_manifest(s_idx)["index_sort"]["field"] == "ts"
+
+
+def test_append_missing_sort_field_raises(spark, env):
+    s_idx = str(env["root"] / "sorted_guard")
+    build_index(spark, env["tr"], s_idx, chunk_bits=CB, block_size=BS,
+                index_sort=("ts", False))
+    bad = synth_transcripts(spark, 3, seed=5).drop("ts").withColumn(
+        "conv_id", F.concat(F.lit("y"), F.col("conv_id"))
+    )
+    with pytest.raises(ValueError, match="sort field"):
+        append_to_index(spark, bad, s_idx)
+
+
+def test_build_guards(spark, env):
+    with pytest.raises(ValueError, match="not in transcript columns"):
+        build_index(spark, env["tr"], str(env["root"] / "g1"),
+                    chunk_bits=CB, block_size=BS, index_sort=("nope", True))
+    with pytest.raises(ValueError, match="identity column"):
+        build_index(spark, env["tr"], str(env["root"] / "g2"),
+                    chunk_bits=CB, block_size=BS,
+                    index_sort=("turn_idx", True))
+
+
+def test_unsorted_generic_append_rejected(spark, env):
+    # caller-assigned docids violating the per-chunk invariant must fail
+    from dhr_spark.index.incremental import append_docs_to_index
+    from dhr_spark.operators.docids import doc_map, with_docids
+
+    s_idx = str(env["root"] / "sorted_generic")
+    build_index(spark, env["tr"], s_idx, chunk_bits=CB, block_size=BS,
+                index_sort=("ts", False))
+    man = load_manifest(s_idx)
+    chunk_docs = 1 << CB
+    base = -(-int(man["next_docid"]) // chunk_docs) * chunk_docs
+    extra = with_docids(
+        synth_transcripts(spark, 6, seed=77).withColumn(
+            "conv_id", F.concat(F.lit("z"), F.col("conv_id"))
+        )
+    ).withColumn("docid", F.col("docid") + F.lit(base))
+    # corpus-order docids on a ts-desc index: within-chunk order broken
+    with pytest.raises(ValueError, match="index_sort contract violated"):
+        append_docs_to_index(spark, extra, s_idx)
+
+
+def test_delete_respected_by_fast_path(spark, env):
+    from dhr_spark.index.delete import delete_docs
+
+    s_idx = str(env["root"] / "sorted_del")
+    build_index(spark, env["tr"], s_idx, chunk_bits=CB,
+                block_size=BS, index_sort=("ts", False))
+    top = Searcher(spark, s_idx).search_sorted(env["q"], by="ts", k=5)
+    victims = [r.docid for r in top.filter(F.col("rank") == 1).collect()]
+    delete_docs(spark, s_idx, docids=victims, exact_stats=False)
+    after = Searcher(spark, s_idx).search_sorted(env["q"], by="ts", k=5)
+    alive = {r.docid for r in after.collect()}
+    assert not (set(victims) & alive)
