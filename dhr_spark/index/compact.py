@@ -223,7 +223,12 @@ def compact_index(
     target_set = set(targets)
 
     # ---- remap: live docids in the target chunks -> dense ids from
-    # new_base, ordered by old docid (scalable two-phase numbering) ----
+    # new_base, ordered by old docid (scalable two-phase numbering).
+    # On a sorted index (manifest index_sort) the order is (field, old
+    # docid) instead: merging chunks from different appends in plain
+    # docid order would interleave their field ranges and break the
+    # per-chunk sorted invariant search_sorted's early-termination cut
+    # relies on — Lucene merges re-sort segments for the same reason ----
     dl_t = decode_doclens(dl_all.filter(F.col("chunk").isin(targets)))
     if tomb is not None and tomb.size:
         t_in = tomb[np.isin(tomb >> chunk_bits, np.array(targets))]
@@ -234,7 +239,21 @@ def compact_index(
             dl_t = dl_t.join(F.broadcast(tdf), "docid", "left_anti")
     else:
         t_in = np.empty(0, dtype=np.int64)
-    numbered = with_global_ids(dl_t, [F.col("docid").asc()], "_rank")
+    iso = man.get("index_sort")
+    if iso:
+        dmf = spark.read.parquet(os.path.join(index_dir, "doc_map")).select(
+            "docid", iso["field"]
+        )
+        dl_t = dl_t.join(dmf, "docid")
+        f_ord = (
+            F.col(iso["field"]).asc()
+            if iso.get("ascending")
+            else F.col(iso["field"]).desc()
+        )
+        order = [f_ord, F.col("docid").asc()]
+    else:
+        order = [F.col("docid").asc()]
+    numbered = with_global_ids(dl_t, order, "_rank")
     remap = numbered.select(
         "docid",
         (F.col("_rank") + F.lit(new_base)).alias("new_docid"),

@@ -150,6 +150,16 @@ def update_docvalues(
             f"columns {bad} are identity columns, not docvalues — changing "
             "them is a reindex, not an update"
         )
+    iso = man.get("index_sort")
+    if iso and iso["field"] in fields:
+        # Lucene likewise forbids updating the index-sort field: the docid
+        # layout physically encodes its order, and an overlaid value would
+        # silently break search_sorted's early-termination cut
+        raise ValueError(
+            f"field {iso['field']!r} is this index's index_sort key — its "
+            "order is baked into the docid layout; changing it is a "
+            "reindex, not a docvalue update"
+        )
     dm_schema = {
         f.name: f.dataType
         for f in spark.read.parquet(dm_path).schema.fields

@@ -153,3 +153,44 @@ def test_delete_respected_by_fast_path(spark, env):
     after = Searcher(spark, s_idx).search_sorted(env["q"], by="ts", k=5)
     alive = {r.docid for r in after.collect()}
     assert not (set(victims) & alive)
+
+def test_update_sort_field_refused(spark, env):
+    # the docid layout physically encodes the sort field's order — an
+    # overlay would silently break the early-termination cut (Lucene
+    # forbids updating the index-sort field for the same reason)
+    from dhr_spark.index.dvupdate import update_docvalues
+
+    upd = spark.createDataFrame([(0, "2020-01-01 00:00:00")],
+                                "docid long, ts string")
+    with pytest.raises(ValueError, match="index_sort key"):
+        update_docvalues(spark, env["s"], upd)
+
+
+def test_compaction_resorts_merged_chunks(spark, env):
+    # merging chunks from different appends in plain docid order would
+    # interleave their ts ranges; compaction must re-sort (Lucene merges
+    # re-sort segments under an index sort)
+    from dhr_spark.index.builder import _assert_index_sorted
+    from dhr_spark.index.compact import compact_index
+
+    s_idx = str(env["root"] / "sorted_compact")
+    build_index(spark, env["tr"], s_idx, chunk_bits=CB, block_size=BS,
+                index_sort=("ts", False))
+    for seed, tag in ((21, "a"), (22, "b")):
+        extra = synth_transcripts(spark, 6, seed=seed).withColumn(
+            "conv_id", F.concat(F.lit(tag), F.col("conv_id"))
+        )
+        append_to_index(spark, extra, s_idx)
+    before = _keyed(spark, s_idx, env["q"])
+    man = compact_index(spark, s_idx, fill_threshold=1.01)
+    assert int(man.get("compactions", 0)) >= 1
+    # per-chunk invariant holds on the rewritten layout…
+    dm = spark.read.parquet(f"{s_idx}/doc_map")
+    live = dm.join(
+        spark.read.parquet(f"{s_idx}/doclens").select("chunk").distinct()
+        .select(F.col("chunk").cast("long").alias("c")),
+        F.shiftright("docid", CB) == F.col("c"), "left_semi",
+    )
+    _assert_index_sorted(live, ("ts", False), CB)
+    # …and the fast path still returns the exact same hits
+    assert _keyed(spark, s_idx, env["q"]) == before
