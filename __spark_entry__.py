@@ -92,6 +92,8 @@ DECON_BENCH: list[tuple[str, str]] = [
 DECON_N, DECON_MIN_HITS = 3, 1
 SUGGEST_TERMS = ["tabel", "quary", "sow", "zzzzzzz"]
 SUGGEST_N, SUGGEST_EDITS, SUGGEST_PREFIX = 5, 2, 1
+COMPLETE_PREFIXES = ["pro", "de", "s", "table", "zzzz"]
+COMPLETE_N = 5
 # docvalues range filter (search_filtered): mid-length docs only (~60% of
 # the corpus at sf0.01 — selective enough to reorder every query's top-k)
 RANGE_LO, RANGE_HI = 150, 300
@@ -1080,6 +1082,23 @@ SELECT input, suggestion, dist, rank FROM (
          ) AS INTEGER) AS rank
   FROM cand
 ) WHERE rank <= {SUGGEST_N}"""
+
+
+def _complete_sql() -> str:
+    """Oracle for Searcher.suggest_complete: dictionary terms extending
+    each prefix, ranked df DESC then term ASC (the engine ranks idf ASC —
+    identical order); the exact term is a legal completion."""
+    vals = ", ".join(f"('{t}')" for t in COMPLETE_PREFIXES)
+    return f"""WITH {_TOKS_CTE},
+inp(input) AS (VALUES {vals})
+SELECT input, suggestion, rank FROM (
+  SELECT inp.input, ts.term AS suggestion,
+         CAST(row_number() OVER (
+           PARTITION BY inp.input ORDER BY ts.df DESC, ts.term ASC
+         ) AS INTEGER) AS rank
+  FROM ts CROSS JOIN inp
+  WHERE ts.term LIKE inp.input || '%'
+) WHERE rank <= {COMPLETE_N}"""
 
 
 def _index_stats_sql() -> str:
@@ -4342,6 +4361,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             prefix_len=SUGGEST_PREFIX, n=SUGGEST_N,
         )
 
+    def complete_suggest_q(spark, sf):
+        # Lucene suggest-module / ES completion analogue: df-weighted
+        # prefix autocomplete over the term dictionary
+        return _searcher(spark, sf).suggest_complete(
+            COMPLETE_PREFIXES, n=COMPLETE_N
+        )
+
     def index_stats_q(spark, sf):
         # CheckIndex-style one-row stats; avgdl double-rounded for parity
         return _searcher(spark, sf).stats_df().select(
@@ -5223,6 +5249,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "qpp_predictors": qpp_q,
         "bm25_topk_pruned": bm25_topk_pruned_q,
         "sql_bm25_topk": sql_views_topk_q,
+        "complete_suggest": complete_suggest_q,
     }
 
 
@@ -6798,4 +6825,5 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= 20""",
     # the SQL-parity layer answers the SAME ranking as bm25_topk/wand_topk
     # (third execution path: pure spark.sql over registered index views)
     out["sql_bm25_topk"] = _TOPK_SQL
+    out["complete_suggest"] = _complete_sql()
     return out

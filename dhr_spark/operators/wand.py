@@ -3925,6 +3925,49 @@ class Searcher:
             .drop("idf")
         )
 
+    def suggest_complete(self, prefixes: list[str], n: int = 5) -> DataFrame:
+        """(input, suggestion, rank): prefix autocomplete over the term
+        dictionary — the Lucene suggest-module / ES completion-suggester
+        shape with document frequency as the suggestion weight. Candidates
+        are dictionary terms extending (or equal to) the lowercased prefix,
+        ranked df DESC (idf ASC — identical order) then term ASC, top ``n``
+        kept. Unlike ``suggest`` (spell correction) the input itself IS a
+        legal completion — ES returns the exact match first. Touches only
+        the |V|-row dictionary; the resident-dictionary fast path costs
+        zero Spark jobs, and the distributed twin broadcast-joins the
+        prefix batch against the dictionary scan (never the corpus)."""
+        inputs = [p.lower() for p in prefixes]
+        if self._tid_cache is not None:
+            rows = []
+            for inp in inputs:
+                cands = sorted(
+                    (idf, t)
+                    for t, (_, idf) in self._tid_cache.items()
+                    if t.startswith(inp)
+                )
+                rows += [
+                    (inp, t, r + 1) for r, (_, t) in enumerate(cands[:n])
+                ]
+            return self.spark.createDataFrame(
+                rows, "input string, suggestion string, rank int"
+            )
+        from pyspark.sql import Window
+
+        inp_df = self.spark.createDataFrame(
+            [(t,) for t in inputs], "input string"
+        )
+        cand = self._tdict.join(
+            F.broadcast(inp_df), F.col("term").startswith(F.col("input"))
+        ).select("input", F.col("term").alias("suggestion"), "idf")
+        w = Window.partitionBy("input").orderBy(
+            F.col("idf").asc(), F.col("suggestion").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= n)
+            .drop("idf")
+        )
+
     def stats_df(self) -> DataFrame:
         """One-row index statistics — the Lucene CheckIndex/IndexReader
         stats surface: (n_docs, n_terms, total_dl, avgdl, total_postings,

@@ -330,3 +330,43 @@ def test_result_top_hits_matches_manual_recompute(spark, tmp_path):
     assert {(r["qid"], r["role"], r["docid"], r["rank"]) for r in got} == expect
     for r in got:
         assert r["bucket_n"] == bucket_n[(r["qid"], r["role"])]
+
+
+def test_suggest_complete_resident_equals_distributed(spark, env):
+    s = env["searcher"]
+    prefixes = ["Pro", "de", "xqzwv", "s"]
+    fast = sorted(map(tuple, s.suggest_complete(prefixes, n=4).collect()))
+    assert s._tid_cache is not None
+    saved = s._tid_cache
+    try:
+        s._tid_cache = None
+        slow = sorted(
+            map(tuple, s.suggest_complete(prefixes, n=4).collect())
+        )
+    finally:
+        s._tid_cache = saved
+    assert fast == slow and fast
+    for inp, sug, rank in fast:
+        assert sug.startswith(inp.lower()) and 1 <= rank <= 4
+
+
+def test_suggest_complete_df_weight_order(spark, env):
+    # rank order == document frequency DESC (idf ASC), term ASC — and the
+    # exact term is a legal completion (ES returns the exact match too)
+    s = env["searcher"]
+    tok = with_tokens(with_docids(synth_transcripts(spark, 40), "window"),
+                      mode="lucene")
+    df = (
+        tok.select("docid", F.explode(F.array_distinct("tokens")).alias("t"))
+        .groupBy("t").count()
+    )
+    rows = {r["t"]: r["count"] for r in df.collect() if r["t"].startswith("s")}
+    want = sorted(((-c, t) for t, c in rows.items()))[:4]
+    got = [
+        (r.suggestion, r.rank)
+        for r in s.suggest_complete(["s"], n=4).orderBy("rank").collect()
+    ]
+    assert [t for _, t in want] == [t for t, _ in got]
+    exact = [t for t in rows if t == "s"]
+    if exact:
+        assert any(t == "s" for t, _ in got) or len(got) == 4
