@@ -861,6 +861,20 @@ SELECT qid, docid, rank, n_chars FROM (
 ) WHERE rank <= {TOPK}"""
 
 
+def _sorted_after_sql() -> str:
+    """Oracle for search_sorted(after=): ranks PAGE_SIZE+1..2*PAGE_SIZE of
+    the full (n_chars DESC, docid ASC) order, page-locally renumbered;
+    qids with <= PAGE_SIZE hits fall out (no cursor on the engine side)."""
+    return f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()}
+SELECT qid, docid, (rank - {PAGE_SIZE})::INTEGER AS rank, n_chars FROM (
+  SELECT m.qid, m.docid, d.n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY m.qid ORDER BY d.n_chars DESC, m.docid ASC
+         ) AS INTEGER) AS rank
+  FROM matched m JOIN documents d ON d.doc_id = m.docid
+) WHERE rank > {PAGE_SIZE} AND rank <= {2 * PAGE_SIZE}"""
+
+
 def _facet_hits_sql() -> str:
     """Oracle for Searcher.result_facets: lang counts over each query's
     OR-match set."""
@@ -4556,6 +4570,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", F.col("doc_id").alias("docid"), "rank", "n_chars"
         )
 
+    def sorted_after_page_q(spark, sf):
+        # cursor pagination over field-sorted hits on a SORTED index: the
+        # per-(qid, chunk) start-docid cursor is pushed into the
+        # early-termination kernel; page 2 must hash-equal the exhaustive
+        # ranks PAGE_SIZE+1..2*PAGE_SIZE renumbered (qids with <= PAGE_SIZE
+        # hits have no cursor and drop out, like search_after_page).
+        # docid<->doc_id mapping is rank-preserving: within an n_chars tie
+        # the index assigned docids in doc_id order
+        import shutil
+
+        from pyspark.sql import Window
+
+        from dhr_spark.index.builder import build_index_from_docs
+        from dhr_spark.operators.wand import Searcher
+
+        d0 = _docs(spark, sf).select(
+            "doc_id", "text", F.col("n_chars").cast("long").alias("n_chars")
+        )
+        w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        docs = d0.withColumn(
+            "docid", (F.row_number().over(w) - 1).cast("long")
+        )
+        key = hashlib.md5(f"isort_page|{sf}".encode()).hexdigest()[:10]
+        idx = f"/tmp/dhr_spark_isortpg_{key}"
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index_from_docs(
+            spark, docs, idx, analyzer_mode="simple",
+            chunk_bits=8, block_size=32,
+            doc_map_df=docs.select("docid", "doc_id", "n_chars"),
+            docvalues=("doc_id", "n_chars"),
+            index_sort=("n_chars", False),
+        )
+        s = Searcher(spark, idx)
+        qdf = _queries_df(spark)
+        p1 = s.search_sorted(qdf, by="n_chars", k=PAGE_SIZE)
+        cur = {
+            r["qid"]: (r["n_chars"], int(r["docid"]))
+            for r in p1.filter(F.col("rank") == PAGE_SIZE).collect()
+        }
+        res = s.search_sorted(
+            qdf.filter(F.col("qid").isin(list(cur))),
+            by="n_chars", k=PAGE_SIZE, after=cur,
+        )
+        ids = s.docvalues_frame(["doc_id"])
+        return res.join(ids, "docid").select(
+            "qid", F.col("doc_id").alias("docid"), "rank", "n_chars"
+        )
+
     def facet_hits_q(spark, sf):
         # Lucene faceting over the HITS (not the corpus): lang counts of
         # each query's matching documents
@@ -5250,6 +5312,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "bm25_topk_pruned": bm25_topk_pruned_q,
         "sql_bm25_topk": sql_views_topk_q,
         "complete_suggest": complete_suggest_q,
+        "sorted_after_page": sorted_after_page_q,
     }
 
 
@@ -6826,4 +6889,5 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= 20""",
     # (third execution path: pure spark.sql over registered index views)
     out["sql_bm25_topk"] = _TOPK_SQL
     out["complete_suggest"] = _complete_sql()
+    out["sorted_after_page"] = _sorted_after_sql()
     return out

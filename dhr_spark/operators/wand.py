@@ -150,6 +150,8 @@ def _presence_chunk(
     chunk_bits: int,
     tombstones: np.ndarray | None = None,
     limit: int | None = None,
+    starts: dict[str, dict[int, int]] | None = None,
+    cursor_qids: frozenset | None = None,
 ):
     """Per-chunk term-presence counting for boolean masks: ``qsets`` maps
     qid -> np.ndarray of term_ids; emits one (qid, docid, n_hit) row per
@@ -159,7 +161,12 @@ def _presence_chunk(
     docids in the chunk — the sorted-index early-termination cut
     (Searcher.search_sorted): when docid order within the chunk IS the
     index sort order, the chunk's contribution to a global top-k by that
-    sort can never exceed its first k matches."""
+    sort can never exceed its first k matches. ``starts``/``cursor_qids``:
+    sorted-index cursor pagination — for a qid in ``cursor_qids``, matches
+    before ``starts[qid][chunk]`` are skipped BEFORE the limit cut (within
+    a sorted chunk the post-cursor matches form a docid suffix); a cursor
+    qid with no starts row for this chunk has no qualifying docs here and
+    is skipped outright."""
 
     def kernel(key, seg: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"qid": [], "docid": [], "n_hit": []}).astype(
@@ -205,6 +212,11 @@ def _presence_chunk(
             if dead is not None:
                 counts[dead] = 0
             nz = np.flatnonzero(counts)
+            if cursor_qids is not None and qid in cursor_qids:
+                st = (starts or {}).get(qid, {}).get(chunk)
+                if st is None:
+                    continue
+                nz = nz[nz >= st - base]
             if limit is not None:
                 nz = nz[: int(limit)]
             if nz.size:
@@ -1590,6 +1602,7 @@ class Searcher:
         by: str,
         k: int = 100,
         ascending: bool = False,
+        after: dict | None = None,
     ) -> DataFrame:
         """(qid, docid, rank, <by>): the top-k MATCHING docs ordered by a
         docvalues field instead of score — Lucene's Sort(SortField). Exact:
@@ -1611,12 +1624,41 @@ class Searcher:
         docid is a superset of its contribution to the global top-k; ties
         agree because within-tie docid order is corpus order on both
         paths). A direction mismatch falls back to the exhaustive path
-        (a reversed in-chunk cut would break tie semantics)."""
+        (a reversed in-chunk cut would break tie semantics).
+
+        ``after``: ``{qid: (value, docid)}`` cursor — resume strictly AFTER
+        that (field value, docid) row in the sort order: searchAfter for
+        field-sorted hits, page-locally renumbered 1..k. Qids absent from
+        the cursor start at the top. On the sorted fast path the cursor is
+        pushed INTO the per-chunk kernel: one doc_map aggregation derives,
+        per (qid, chunk), the first docid past the cursor (within a sorted
+        chunk the post-cursor matches form a docid suffix), so page N of
+        "the latest matching turns" still touches only k candidate rows
+        per chunk — deep pagination never re-materializes the match set."""
         from pyspark.sql import Window
 
         dv = self.docvalues_frame([by])
         order = F.col(by).asc() if ascending else F.col(by).desc()
         w = Window.partitionBy("qid").orderBy(order, F.col("docid").asc())
+
+        cur_df = None
+        if after:
+            if len(after) > self.MAX_COLLECTED_QUERIES:
+                raise ValueError(
+                    f"cursor set of {len(after)} exceeds "
+                    f"{self.MAX_COLLECTED_QUERIES}"
+                )
+            cur_df = self.spark.createDataFrame(
+                [(q, v, int(d)) for q, (v, d) in after.items()],
+                ["qid", "_cv", "_cd"],
+            ).withColumn("_cv", F.col("_cv").cast(dv.schema[by].dataType))
+
+        def _past_cursor(fld):
+            strict = fld > F.col("_cv") if ascending else fld < F.col("_cv")
+            return strict | (
+                fld.eqNullSafe(F.col("_cv")) & (F.col("docid") > F.col("_cd"))
+            )
+
         iso = self.manifest.get("index_sort")
         if (
             iso
@@ -1625,12 +1667,32 @@ class Searcher:
         ):
             qinfo, all_terms = self._query_info(queries)
             qsets = {qid: tids for qid, (tids, _, _) in qinfo.items()}
+            starts, cursor_qids = None, None
+            if after:
+                bits = int(self.manifest["chunk_bits"])
+                rows = (
+                    dv.crossJoin(F.broadcast(cur_df))
+                    .filter(_past_cursor(F.col(by)))
+                    .groupBy(
+                        "qid", F.shiftright("docid", bits).alias("_chunk")
+                    )
+                    .agg(F.min("docid").alias("_start"))
+                    .collect()
+                )
+                starts = {}
+                for r in rows:
+                    starts.setdefault(r["qid"], {})[int(r["_chunk"])] = int(
+                        r["_start"]
+                    )
+                cursor_qids = frozenset(after)
             kern = _presence_chunk(
                 qsets,
                 int(self.manifest["block_size"]),
                 int(self.manifest["chunk_bits"]),
                 tombstones=self._tombstones,
                 limit=int(k),
+                starts=starts,
+                cursor_qids=cursor_qids,
             )
             cand = (
                 self._seg_for_terms(all_terms)
@@ -1644,10 +1706,17 @@ class Searcher:
                 .filter(F.col("rank") <= k)
                 .select("qid", "docid", "rank", by)
             )
+        res = self._matched_docs(queries).join(dv, "docid")
+        if after:
+            res = (
+                res.join(F.broadcast(cur_df), "qid", "left")
+                .filter(
+                    F.col("_cv").isNull() | _past_cursor(F.col(by))
+                )
+                .drop("_cv", "_cd")
+            )
         return (
-            self._matched_docs(queries)
-            .join(dv, "docid")
-            .withColumn("rank", F.row_number().over(w).cast("int"))
+            res.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("qid", "docid", "rank", by)
         )

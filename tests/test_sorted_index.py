@@ -194,3 +194,64 @@ def test_compaction_resorts_merged_chunks(spark, env):
     _assert_index_sorted(live, ("ts", False), CB)
     # …and the fast path still returns the exact same hits
     assert _keyed(spark, s_idx, env["q"]) == before
+
+
+def test_cursor_page_walk_reconstructs_ranking(spark, env):
+    # searchAfter for field-sorted hits: page1 + page2(after=page1's last
+    # row) must equal the one-shot top-10, on BOTH the early-terminating
+    # sorted path and the exhaustive path
+    for idx in (env["s"], env["u"]):
+        s = Searcher(spark, idx)
+        full = sorted((r.qid, r.docid, r.rank)
+                      for r in s.search_sorted(env["q"], by="ts", k=10)
+                      .collect())
+        p1 = s.search_sorted(env["q"], by="ts", k=5)
+        cur = {r.qid: (r.ts, r.docid)
+               for r in p1.filter(F.col("rank") == 5).collect()}
+        q2 = env["q"].filter(F.col("qid").isin(list(cur)))
+        p2 = s.search_sorted(q2, by="ts", k=5, after=cur)
+        got = sorted(
+            [(r.qid, r.docid, r.rank) for r in p1.collect()]
+            + [(r.qid, r.docid, r.rank + 5) for r in p2.collect()]
+        )
+        assert got == full and got
+
+
+def test_cursor_fast_equals_exhaustive(spark, env):
+    # the kernel-pushed cursor (per-(qid, chunk) start docids) must return
+    # the exact rows the exhaustive cursor filter does
+    s, u = Searcher(spark, env["s"]), Searcher(spark, env["u"])
+    p1 = s.search_sorted(env["q"], by="ts", k=3)
+    cur = {r.qid: (r.ts, r.docid)
+           for r in p1.filter(F.col("rank") == 3).collect()}
+    q2 = env["q"].filter(F.col("qid").isin(list(cur)))
+
+    def keyed(idx, res):
+        dm = spark.read.parquet(f"{idx}/doc_map")
+        out = res.join(dm.select("docid", "conv_id", "turn_idx"), "docid")
+        return sorted((r.qid, r.conv_id, r.turn_idx, r.rank, str(r.ts))
+                      for r in out.collect())
+
+    fast = keyed(env["s"], s.search_sorted(q2, by="ts", k=4, after=cur))
+    # same cursor VALUES are valid on the unsorted twin only after mapping
+    # docids through (conv, turn); rebuild them from its own page 1
+    p1u = u.search_sorted(env["q"], by="ts", k=3)
+    cur_u = {r.qid: (r.ts, r.docid)
+             for r in p1u.filter(F.col("rank") == 3).collect()}
+    slow = keyed(env["u"], u.search_sorted(q2, by="ts", k=4, after=cur_u))
+    assert fast == slow and fast
+
+
+def test_cursor_past_end_is_empty(spark, env):
+    s = Searcher(spark, env["s"])
+    tail = s.search_sorted(env["q"], by="ts", k=10_000)
+    # keep only each qid's final row
+    import collections
+    by_q = collections.defaultdict(list)
+    for r in tail.collect():
+        by_q[r.qid].append(r)
+    cur = {q: (rows[-1].ts, rows[-1].docid)
+           for q, rows in ((q, sorted(v, key=lambda r: r.rank))
+                           for q, v in by_q.items())}
+    assert s.search_sorted(env["q"].filter(F.col("qid").isin(list(cur))),
+                           by="ts", k=5, after=cur).count() == 0
