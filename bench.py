@@ -508,7 +508,8 @@ def main() -> None:
         "sharded_range_topk", "percolate_topk",
         "boosted_topk", "recency_topk",
         "impact_topk", "dedup_dup_spans", "sketch_kmv", "cori_shard_ranks",
-        "sql_bm25_topk",
+        "sql_bm25_topk", "sorted_index_topk", "sorted_after_page",
+        "complete_suggest",
     ]:
         # best-of-2: each op is 0.2-4s, so the second draw is cheap and
         # halves the ambient-noise variance in the committed per-op table
