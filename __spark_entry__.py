@@ -62,6 +62,15 @@ SLOPPY_PHRASES: list[tuple[str, str, int]] = [
     ("s1", "table hash", 2),
     ("s2", "slow hash batch", 3),
 ]
+# match_phrase_prefix query set: fixed+prefix, cap-exercising single-term
+# prefix (term-ASC expansion order is load-bearing), and a no-completion
+# prefix (must yield zero rows, not an error)
+PHRASE_PREFIXES: list[tuple[str, str, int]] = [
+    ("x1", "table ha", 50),
+    ("x2", "slow hash bat", 50),
+    ("x3", "qu", 3),
+    ("x4", "table zzyzx", 50),
+]
 
 RM3_FB_DOCS, RM3_FB_TERMS, RM3_BETA = 5, 10, 0.5
 
@@ -1176,6 +1185,54 @@ def _phrase_sql() -> str:
             "WHERE len(starts) > 0"
         )
     return f"WITH {_TOKS_CTE} " + " UNION ALL ".join(selects)
+
+
+def _phrase_prefix_sql() -> str:
+    """Oracle for phrase.phrase_prefix_match (ES match_phrase_prefix /
+    Lucene MultiPhraseQuery): fixed slots intersect exactly as _phrase_sql;
+    the LAST slot unions the positions of every vocabulary term completing
+    the prefix, capped at max_expansions in term ASC (TermsEnum) order."""
+    selects = []
+    for n, (pid, p, cap) in enumerate(PHRASE_PREFIXES):
+        terms = analyze_simple(p)
+        prefix, fixed = terms[-1], terms[:-1]
+        last = len(terms) - 1
+        exp = (
+            f"exp{n} AS (SELECT term FROM ts WHERE term LIKE '{prefix}%' "
+            f"ORDER BY term ASC LIMIT {cap})"
+        )
+        lastp = (
+            f"last{n} AS (SELECT doc_id, "
+            f"list_sort(list(u.pos - {last})) AS plast "
+            f"FROM pp JOIN exp{n} ON pp.u.term = exp{n}.term "
+            "GROUP BY doc_id)"
+        )
+        if fixed:
+            expr = _pos_list(fixed[0])
+            for i, t in enumerate(fixed[1:], start=1):
+                expr = (
+                    f"list_intersect({expr}, "
+                    f"list_transform({_pos_list(t)}, p -> p - {i}))"
+                )
+            starts = f"list_intersect({expr}, plast)"
+        else:
+            starts = "plast"
+        selects.append(
+            (exp, lastp,
+             f"SELECT '{pid}' AS phrase_id, doc_id, "
+             "len(starts)::BIGINT AS n_matches, "
+             "list_sort(starts)[1]::BIGINT AS first_pos "
+             f"FROM (SELECT t.doc_id, {starts} AS starts "
+             f"FROM toks t JOIN last{n} USING (doc_id)) "
+             "WHERE len(starts) > 0")
+        )
+    ctes = ", ".join(c for e, l, _ in selects for c in (e, l))
+    body = " UNION ALL ".join(s for _, _, s in selects)
+    pp = (
+        "pp AS (SELECT doc_id, unnest(list_transform(toks, (t, i) -> "
+        "{'term': t, 'pos': i - 1})) AS u FROM toks)"
+    )
+    return f"WITH {_TOKS_CTE}, {pp}, {ctes} " + body
 
 
 def _sloppy_sql() -> str:
@@ -3759,6 +3816,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = m if out is None else out.unionByName(m)
         return out.select("phrase_id", "doc_id", "n_matches", "first_pos")
 
+    def phrase_prefix_q(spark, sf):
+        docs = _docs(spark, sf)
+        out = None
+        for pid, p, cap in PHRASE_PREFIXES:
+            m = PH.phrase_prefix_match(docs, p, max_expansions=cap)
+            m = m.withColumn("phrase_id", F.lit(pid))
+            out = m if out is None else out.unionByName(m)
+        return out.select("phrase_id", "doc_id", "n_matches", "first_pos")
+
     def positional_postings_q(spark, sf):
         pp = PH.positional_postings(_docs(spark, sf))
         return pp.select(
@@ -5169,6 +5235,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "delete_identity": delete_identity_q,
         # -- past the driver's 50-entry window: pytest-oracled only --
         "facet_ranges": facet_ranges_q,
+        "phrase_prefix": phrase_prefix_q,
         "merge_identity": merge_identity_q,
         "dv_update_identity": dv_update_identity_q,
         "by_query_identity": by_query_identity_q,
@@ -5608,6 +5675,7 @@ GROUP BY r.qid""",
         "index_stats": _index_stats_sql(),
         "phrase_match": _phrase_sql(),
         "phrase_batch": _phrase_sql(),
+        "phrase_prefix": _phrase_prefix_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),
         "phrase_proximity": _prox_sql(),
         "phrase_sloppy": _sloppy_sql(),

@@ -222,6 +222,90 @@ def span_or_match(
     )
 
 
+def prefix_positions(toks: Column, terms: list[str]) -> Column:
+    """0-based positions of ANY member of ``terms`` in the token array.
+
+    Positions across distinct members never collide (one token per slot),
+    so the result is distinct without an explicit dedup. Pure column math,
+    same shape as term_positions."""
+    tagged = F.transform(
+        toks,
+        lambda t, i: F.when(t.isin(list(terms)), i).otherwise(F.lit(-1)),
+    )
+    return F.array_remove(tagged, -1)
+
+
+def phrase_prefix_match(
+    docs: DataFrame,
+    phrase: str,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_matches, first_pos): ES ``match_phrase_prefix`` / Lucene
+    ``MultiPhraseQuery`` with a prefix-expanded LAST slot — every analyzed
+    term but the last must match exactly at its position; the last term is
+    a PREFIX completed by up to ``max_expansions`` vocabulary terms in
+    dictionary (term ASC) order, Lucene's TermsEnum expansion order. A
+    start position qualifies when the fixed slots line up and ANY
+    expansion term sits at the final slot; n_matches counts distinct
+    qualifying starts (two different completions at the same start are one
+    phrase occurrence, as MultiPhraseQuery scores them).
+
+    The expansion set is resolved from the corpus vocabulary with one
+    bounded job (distinct matching terms, globally sorted, LIMIT
+    max_expansions — never more than max_expansions rows move); matching
+    itself is then the same zero-shuffle column math as phrase_match. At
+    100 TB the vocabulary scan is the dictionary-sized prepass the index
+    path (Searcher.search_phrase_prefix) replaces with a dictionary read.
+
+    Reference anchor: Lucene MultiPhraseQuery / ES match_phrase_prefix
+    (max_expansions default 50); castorini/dhr's Lucene backend exposes it
+    through Anserini's query parser.
+    """
+    terms = _phrase_terms(phrase)
+    prefix, fixed = terms[-1], terms[:-1]
+    toks_all = simple_tokens_col(F.col(text_col))
+    exps = [
+        r["term"]
+        for r in (
+            docs.select(F.explode(toks_all).alias("term"))
+            .filter(F.col("term").startswith(prefix))
+            .distinct()
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+    ]
+    if not exps:
+        # no vocabulary term completes the prefix -> nothing can match
+        return (
+            docs.select(
+                F.col(id_col),
+                F.lit(0).cast("long").alias("n_matches"),
+                F.lit(None).cast("long").alias("first_pos"),
+            ).filter(F.lit(False))
+        )
+    toks = simple_tokens_col(F.col(text_col))
+    last = F.transform(
+        prefix_positions(toks, exps),
+        lambda p: p - F.lit(len(terms) - 1),
+    )
+    if fixed:
+        starts = F.array_intersect(phrase_starts(toks, fixed), last)
+    else:
+        starts = last
+    starts = F.array_sort(starts)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(starts).cast("long").alias("n_matches"),
+            F.try_element_at(starts, F.lit(1)).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
 def proximity_match(
     docs: DataFrame,
     terms_raw: list[str],

@@ -3482,6 +3482,133 @@ class Searcher:
             .filter(F.col("n_matches") > 0)
         )
 
+    def search_phrase_prefix(
+        self, phrase: str, max_expansions: int = 50
+    ) -> DataFrame:
+        """(docid, n_matches, first_pos): ES ``match_phrase_prefix`` /
+        Lucene ``MultiPhraseQuery`` served from the positional artifact —
+        every analyzed term but the last matches exactly at its position
+        increment; the LAST term is a prefix completed by up to
+        ``max_expansions`` dictionary terms in term (TermsEnum) order.
+        n_matches counts distinct qualifying starts: completions landing
+        on the same start collapse to one phrase occurrence, exactly as
+        MultiPhraseQuery enumerates positions.
+
+        The prefix is the ANALYZED last token (stemmed under the lucene
+        chain), matched against the equally-stemmed dictionary — ES
+        semantics, where the index analyzer runs before expansion. The
+        expansion resolves against the resident dictionary cache when
+        present, else one k-gram-accelerated (index/kgram.py) bounded
+        dictionary job (<= max_expansions rows collected). Matching reads
+        ONLY the fixed + expansion terms' position rows (term_id pushdown
+        into parquet row groups); the last slot's per-doc position arrays
+        union with one (docid)-keyed aggregation over those rows — never
+        the corpus. Scale shape == search_phrase plus a dictionary-bounded
+        prepass."""
+        from dhr_spark.functions.analyzer import analyze_positions
+        from dhr_spark.index.kgram import prefix_grams
+
+        if not self.manifest.get("positional"):
+            raise ValueError(
+                "index was built without positional=True; phrase-prefix "
+                "search needs the positions artifact (or use operators."
+                "phrase.phrase_prefix_match over the corpus text)"
+            )
+        pairs = analyze_positions(self.manifest["analyzer_mode"], phrase)
+        if not pairs:
+            raise ValueError(f"phrase {phrase!r} has no indexable terms")
+        offs = [p - pairs[0][0] for p, _ in pairs]
+        terms = [t for _, t in pairs]
+        prefix, fixed = terms[-1], terms[:-1]
+        empty = self.spark.createDataFrame(
+            [], "docid long, n_matches long, first_pos long"
+        )
+        # ---- expansion set: dictionary terms completing the prefix ----
+        if self._tid_cache is not None:
+            exp_tids = [
+                tid
+                for _, tid in sorted(
+                    (t, tid)
+                    for t, (tid, _idf) in self._tid_cache.items()
+                    if t.startswith(prefix)
+                )[:max_expansions]
+            ]
+        else:
+            gfn = self._kgram_fn(prefix_grams)
+            base = self._dict_for_grams(gfn(prefix) if gfn else None)
+            exp_tids = [
+                int(r["term_id"])
+                for r in (
+                    base.filter(F.col("term").startswith(prefix))
+                    .orderBy("term")
+                    .limit(max_expansions)
+                    .collect()
+                )
+            ]
+        if not exp_tids:
+            return empty
+        # ---- fixed-slot term ids (any OOV fixed term -> no match) ----
+        if self._tid_cache is not None:
+            tid = {t: self._tid_cache[t][0] for t in set(fixed)
+                   if t in self._tid_cache}
+        else:
+            rows = self._tdict.filter(
+                F.col("term").isin(list(set(fixed)))
+            ).collect()
+            tid = {r["term"]: int(r["term_id"]) for r in rows}
+        if any(t not in tid for t in fixed):
+            return empty
+        pos = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/positions")
+        )
+        needed = sorted({tid[t] for t in fixed} | set(exp_tids))
+        if len(needed) <= 10_000:
+            pos = pos.filter(F.col("term_id").isin(needed))
+        off_last = offs[-1]
+        last = (
+            pos.filter(F.col("term_id").isin(exp_tids))
+            .groupBy("docid")
+            .agg(F.flatten(F.collect_list("positions")).alias("pl"))
+            .select(
+                "docid",
+                F.transform(
+                    F.array_sort("pl"), lambda p: p - F.lit(off_last)
+                ).alias("plast"),
+            )
+        )
+
+        def _shift_by(i: int):
+            # closure, NOT a default arg (PySpark HOF arity rules)
+            return lambda p: p - F.lit(i)
+
+        joined = last
+        arrs = [F.col("plast")]
+        for j, t in enumerate(fixed):
+            col = (
+                F.transform(F.col("positions"), _shift_by(offs[j]))
+                if offs[j]
+                else F.col("positions")
+            )
+            joined = joined.join(
+                pos.filter(F.col("term_id") == tid[t]).select(
+                    "docid", col.alias(f"p{j}")
+                ),
+                "docid",
+            )
+            arrs.append(F.col(f"p{j}"))
+        starts = arrs[0]
+        for a in arrs[1:]:
+            starts = F.array_intersect(starts, a)
+        starts = F.array_sort(starts)
+        return self._filter_live(
+            joined.select(
+                "docid",
+                F.size(starts).cast("long").alias("n_matches"),
+                F.try_element_at(starts, F.lit(1)).cast("long")
+                .alias("first_pos"),
+            ).filter(F.col("n_matches") > 0)
+        )
+
     def _phrase_starts_frame(self, phrase: str):
         """(DataFrame (docid, starts array<int>), span_width) for an exact
         phrase over the positions artifact — the shared front half of the

@@ -336,3 +336,91 @@ def test_span_or_stopword_member_is_noop(spark, tmp_path):
     with_stop = _as_map(s.search_span_or(["the", "york"]).collect())
     without = _as_map(s.search_span_or(["york"]).collect())
     assert with_stop == without and with_stop
+
+
+# ---------------- match_phrase_prefix (MultiPhraseQuery) ----------------
+
+
+@pytest.mark.parametrize("phrase", ["table ha", "big order sc", "ha"])
+def test_phrase_prefix_index_equals_corpus_scan(spark, docs, idx, phrase):
+    from dhr_spark.operators.phrase import phrase_prefix_match
+
+    s = Searcher(spark, idx)
+    fast = _as_map(s.search_phrase_prefix(phrase).collect())
+    slow = _as_map(
+        phrase_prefix_match(docs, phrase, id_col="docid").collect()
+    )
+    assert fast == slow and fast
+    # resident-cache and distributed-dictionary twins must agree
+    s._tid_cache = None
+    assert _as_map(s.search_phrase_prefix(phrase).collect()) == fast
+
+
+def test_phrase_prefix_expansion_cap_is_term_asc(spark):
+    """max_expansions keeps the LEXICOGRAPHICALLY SMALLEST completions
+    (Lucene TermsEnum order), and completions landing on the same start
+    collapse to one match (MultiPhraseQuery position enumeration)."""
+    from dhr_spark.operators.phrase import phrase_prefix_match
+
+    docs = spark.createDataFrame(
+        [
+            (0, "run fast zebra"),   # completion 'fast'
+            (1, "run faze zebra"),   # completion 'faze'
+            (2, "run fb zebra"),     # completion 'fb'
+        ],
+        "doc_id long, text string",
+    )
+    def as_map(rows):
+        return {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in rows}
+
+    full = as_map(
+        phrase_prefix_match(docs, "run f", id_col="doc_id").collect()
+    )
+    assert set(full) == {0, 1, 2}
+    capped = as_map(
+        phrase_prefix_match(
+            docs, "run f", max_expansions=2, id_col="doc_id"
+        ).collect()
+    )
+    assert set(capped) == {0, 1}  # 'fast', 'faze' sort before 'fb'
+    assert capped[0] == (1, 0)
+
+
+def test_phrase_prefix_no_completion_and_oov_fixed(spark, docs, idx):
+    from dhr_spark.operators.phrase import phrase_prefix_match
+
+    s = Searcher(spark, idx)
+    assert s.search_phrase_prefix("table zzyzx").count() == 0
+    assert (
+        phrase_prefix_match(docs, "table zzyzx", id_col="docid").count() == 0
+    )
+    assert s.search_phrase_prefix("zzyzx ta").count() == 0
+    with pytest.raises(ValueError, match="no indexable"):
+        s.search_phrase_prefix("!!!")
+
+
+def test_phrase_prefix_needs_positions(spark, docs, tmp_path):
+    d = str(tmp_path / "noposp")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="simple", chunk_bits=6, block_size=16
+    )
+    with pytest.raises(ValueError, match="positional"):
+        Searcher(spark, d).search_phrase_prefix("table ha")
+
+
+def test_phrase_prefix_respects_lucene_gaps(spark, tmp_path):
+    """Under the lucene chain a stopword consumes a position: 'new york*'
+    must match 'new yorker' but NOT 'new the yorker' (the completion sits
+    at increment 2, not 1)."""
+    docs = spark.createDataFrame(
+        [(0, "new yorker bagel"), (1, "new the yorker bagel")],
+        "docid long, text string",
+    )
+    d = str(tmp_path / "gapidx")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="lucene", chunk_bits=6, block_size=16,
+        positional=True,
+    )
+    s = Searcher(spark, d)
+    got = _as_map(s.search_phrase_prefix("new york").collect())
+    assert got == {0: (1, 0)}
