@@ -4872,6 +4872,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _queries_df(spark), "n_chars", interval=50, offset=10
         )
 
+    def composite_hits_q(spark, sf):
+        # ES composite aggregation over the OR-match set: (lang terms,
+        # n_chars histogram) sources, two size-4 pages walked through the
+        # after_key cursor exactly as an ES client would — page 2's cursor
+        # is DERIVED from page 1's last bucket, so the pagination contract
+        # itself is under the oracle
+        size = 4
+        srcs = [("lang", "terms", "lang"),
+                ("bkt", "histogram", ("n_chars", 100))]
+        s = _searcher(spark, sf)
+        q = _queries_df(spark)
+        p1 = s.result_composite(q, srcs, size=size)
+        by_qid: dict[str, tuple] = {}
+        for r in p1.collect():
+            key = (r["lang"], r["bkt"])
+            if r["qid"] not in by_qid or key > by_qid[r["qid"]]:
+                by_qid[r["qid"]] = key
+        p1df = p1.withColumn("page", F.lit(1).cast("int"))
+        q2 = q.filter(F.col("qid").isin(list(by_qid)))
+        p2 = s.result_composite(q2, srcs, size=size, after=by_qid)
+        p2df = p2.withColumn("page", F.lit(2).cast("int"))
+        return p1df.unionByName(p2df).select(
+            "qid", "page", "lang", "bkt", "n"
+        )
+
     def percentile_hits_q(spark, sf):
         # ES percentiles over the OR-match set: nearest-rank (exact — the
         # sort is per-hit-set, not per-corpus, so no TDigest needed)
@@ -5236,6 +5261,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         # -- past the driver's 50-entry window: pytest-oracled only --
         "facet_ranges": facet_ranges_q,
         "phrase_prefix": phrase_prefix_q,
+        "composite_hits": composite_hits_q,
         "merge_identity": merge_identity_q,
         "dv_update_identity": dv_update_identity_q,
         "by_query_identity": by_query_identity_q,
@@ -6530,6 +6556,27 @@ FROM agg""",
         # buckets — floor((v-10)/50)*50+10 via the positive-mod identity
         # (DuckDB % follows the dividend sign; the +i %i wrap matches
         # Spark's pmod exactly)
+        # composite: buckets in (lang, bkt) key order; page = which size-4
+        # window the bucket falls in — the Spark side reaches page 2 through
+        # a DERIVED after_key cursor, so equality proves cursor resumption
+        "composite_hits": f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()},
+vals AS (
+  SELECT m.qid, d.lang,
+         (d.n_chars - ((d.n_chars % 100 + 100) % 100))::BIGINT AS bkt
+  FROM matched m JOIN documents d ON d.doc_id = m.docid
+  WHERE d.lang IS NOT NULL
+),
+b AS (
+  SELECT qid, lang, bkt, count(*)::BIGINT AS n FROM vals GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT qid, lang, bkt, n,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY lang ASC, bkt ASC) AS rn
+  FROM b
+)
+SELECT qid, ((rn - 1) // 4 + 1)::INTEGER AS page, lang, bkt, n
+FROM r WHERE rn <= 8""",
         "histogram_hits": f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()},
 vals AS (
   SELECT m.qid, d.n_chars::BIGINT AS v

@@ -208,3 +208,98 @@ def hit_histogram(
         .groupBy("qid", "bucket")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def hit_composite(
+    hits: DataFrame,
+    values: DataFrame,
+    sources: list[tuple],
+    size: int,
+    after: dict | None = None,
+) -> DataFrame:
+    """(qid, <source names...>, n): Elasticsearch ``composite`` aggregation
+    over each query's hit set — paginated enumeration of multi-source
+    buckets in composite-key order.
+
+    ``sources`` is the ordered source list, each
+    ``(name, "terms", field)`` or ``(name, "histogram", (field, interval[,
+    offset]))`` — name is the output column, order defines the composite
+    key. Buckets sort ascending by the key (terms: the field's natural
+    order; histogram: the bucket's numeric lower bound — ES's ordering),
+    and each call returns the first ``size`` buckets per qid STRICTLY
+    AFTER ``after[qid]`` (a tuple of key values, ES's ``after_key``; qids
+    without a cursor start at the beginning). Docs with a NULL source
+    value are skipped (ES ``missing_bucket: false``, the default).
+
+    Why composite exists — and why this shape survives 100 TB: a terms
+    aggregation with millions of buckets cannot return in one response;
+    composite pages through the bucket space with a resumable cursor.
+    Here the bucket counts reduce distributed (one (qid, key) shuffle with
+    map-side combine, keyed on the hit set, never the corpus); only the
+    page cut is a per-qid window over the already-reduced buckets, and the
+    cursor predicate prunes BEFORE ranking, so a deep page never pays for
+    the pages before it beyond the reduced bucket relation itself.
+    """
+    if not sources:
+        raise ValueError("composite needs at least one source")
+    names = [s[0] for s in sources]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate source names: {names}")
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if after is not None and any(
+        len(t) != len(sources) for t in after.values()
+    ):
+        raise ValueError(
+            f"after keys must carry {len(sources)} values (one per source)"
+        )
+    cols = []
+    for src in sources:
+        name, kind = src[0], src[1]
+        if kind == "terms":
+            cols.append(F.col(src[2]).alias(name))
+        elif kind == "histogram":
+            field, interval = src[2][0], int(src[2][1])
+            offset = int(src[2][2]) if len(src[2]) > 2 else 0
+            if interval <= 0:
+                raise ValueError(
+                    f"interval must be a positive integer, got {interval}"
+                )
+            if not 0 <= offset < interval:
+                raise ValueError(
+                    f"offset must be in [0, interval), got {offset}"
+                )
+            v = F.col(field).cast("long")
+            cols.append(
+                (v - F.pmod(v - F.lit(offset), F.lit(interval))).alias(name)
+            )
+        else:
+            raise ValueError(f"unknown composite source kind {kind!r}")
+    joined = hits.select("qid", "docid").join(values, "docid")
+    keyed = joined.select("qid", *cols).na.drop(subset=names)
+    buckets = keyed.groupBy("qid", *names).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    if after:
+        spark = hits.sparkSession
+        adf = spark.createDataFrame(
+            [(q, *t) for q, t in after.items()],
+            schema=["qid"] + [f"_a{i}" for i in range(len(sources))],
+        )
+        buckets = buckets.join(F.broadcast(adf), "qid", "left")
+        # strict lexicographic key > cursor; no cursor -> keep everything
+        gt = F.lit(False)
+        eq = F.lit(True)
+        for i, nm in enumerate(names):
+            a = F.col(f"_a{i}")
+            gt = gt | (eq & (F.col(nm) > a))
+            eq = eq & (F.col(nm) == a)
+        buckets = buckets.filter(F.col("_a0").isNull() | gt).drop(
+            *[f"_a{i}" for i in range(len(sources))]
+        )
+    w = Window.partitionBy("qid").orderBy(*[F.col(n).asc() for n in names])
+    return (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+        .drop("_rn")
+    )

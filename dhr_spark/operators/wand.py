@@ -1810,6 +1810,31 @@ class Searcher:
             offset,
         )
 
+    def result_composite(
+        self,
+        queries: DataFrame,
+        sources: list[tuple],
+        size: int,
+        after: dict | None = None,
+    ) -> DataFrame:
+        """(qid, <source names...>, n): ES ``composite`` aggregation over
+        each query's MATCHING documents — paginated multi-source bucket
+        enumeration with a resumable ``after`` cursor (operators/hitstats.
+        hit_composite). Source fields resolve through docvalues (committed
+        dv-update generations overlaid)."""
+        from dhr_spark.operators.hitstats import hit_composite
+
+        fields = sorted(
+            {s[2] if s[1] == "terms" else s[2][0] for s in sources}
+        )
+        return hit_composite(
+            self._matched_docs(queries),
+            self.docvalues_frame(fields),
+            sources,
+            size,
+            after,
+        )
+
     def result_percentiles(
         self,
         queries: DataFrame,

@@ -465,3 +465,113 @@ def test_searcher_result_histogram_identity(spark, tmp_path):
         ).collect()
     }
     assert fast == slow and fast
+
+
+# ------------------------------------------------------- composite agg
+
+
+def test_hit_composite_pages_and_cursor(spark):
+    """ES composite aggregation: buckets enumerate in composite-key order,
+    size cuts the page, the after cursor resumes STRICTLY past its key,
+    and paging walks the full bucket space with no overlap or gap."""
+    from dhr_spark.operators.hitstats import hit_composite
+
+    hits = spark.createDataFrame(
+        [("q1", d) for d in range(1, 7)] + [("q2", 1), ("q2", 6)],
+        "qid string, docid long",
+    )
+    values = spark.createDataFrame(
+        [
+            (1, "a", 10), (2, "a", 17), (3, "a", 31),
+            (4, "b", 5), (5, "b", 12), (6, None, 99),
+        ],
+        "docid long, cat string, f long",
+    )
+    srcs = [("cat", "terms", "cat"), ("bkt", "histogram", ("f", 15))]
+    full = hit_composite(hits, values, srcs, size=100)
+    rows = [
+        (r["cat"], r["bkt"], r["n"])
+        for r in full.filter(F.col("qid") == "q1")
+        .orderBy("cat", "bkt").collect()
+    ]
+    # docid 6 (NULL cat) is skipped (missing_bucket=false); buckets of 15:
+    # a:[10,17,31] -> 0(x1),15(x1),30(x1); b:[5,12] -> 0(x2)
+    assert rows == [("a", 0, 1), ("a", 15, 1), ("a", 30, 1), ("b", 0, 2)]
+    page1 = hit_composite(hits, values, srcs, size=2)
+    p1 = [
+        (r["cat"], r["bkt"])
+        for r in page1.filter(F.col("qid") == "q1")
+        .orderBy("cat", "bkt").collect()
+    ]
+    assert p1 == [("a", 0), ("a", 15)]
+    page2 = hit_composite(
+        hits, values, srcs, size=2, after={"q1": ("a", 15)}
+    )
+    p2 = [
+        (r["cat"], r["bkt"])
+        for r in page2.filter(F.col("qid") == "q1")
+        .orderBy("cat", "bkt").collect()
+    ]
+    assert p2 == [("a", 30), ("b", 0)]
+    # a cursor for q1 leaves q2 (no cursor) starting at its beginning
+    q2rows = page2.filter(F.col("qid") == "q2").count()
+    assert q2rows == 1  # docid 6 skipped (NULL cat); only docid 1 buckets
+
+
+def test_hit_composite_guards(spark):
+    from dhr_spark.operators.hitstats import hit_composite
+
+    hits = spark.createDataFrame([("q", 1)], "qid string, docid long")
+    values = spark.createDataFrame([(1, "a", 3)], "docid long, c string, f long")
+    with pytest.raises(ValueError, match="at least one"):
+        hit_composite(hits, values, [], 5)
+    with pytest.raises(ValueError, match="duplicate"):
+        hit_composite(
+            hits, values,
+            [("x", "terms", "c"), ("x", "histogram", ("f", 5))], 5,
+        )
+    with pytest.raises(ValueError, match="size"):
+        hit_composite(hits, values, [("x", "terms", "c")], 0)
+    with pytest.raises(ValueError, match="one per source"):
+        hit_composite(
+            hits, values, [("x", "terms", "c")], 5, after={"q": ("a", 1)}
+        )
+    with pytest.raises(ValueError, match="unknown composite source"):
+        hit_composite(hits, values, [("x", "range", "c")], 5)
+    with pytest.raises(ValueError, match="interval"):
+        hit_composite(hits, values, [("x", "histogram", ("f", 0))], 5)
+
+
+def test_searcher_result_composite_identity(spark, tmp_path):
+    """Index-backed composite (docvalues role + ts daily histogram) equals
+    the corpus-scan operator over the same matched sets, cursor included."""
+    from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+    from dhr_spark.index.builder import build_index
+    from dhr_spark.operators.docids import with_docids
+    from dhr_spark.operators.hitstats import hit_composite
+    from dhr_spark.operators.wand import Searcher
+
+    idx = str(tmp_path / "comp_idx")
+    tr = synth_transcripts(spark, 20)
+    build_index(
+        spark, tr, idx, chunk_bits=6, block_size=16,
+        docvalues=["role", "ts"], docid_strategy="window",
+    )
+    sr = Searcher(spark, idx)
+    q = synth_queries(spark, 5)
+    srcs = [("role", "terms", "role"), ("day", "histogram", ("ts", 86_400))]
+
+    def as_set(df):
+        return {
+            (r["qid"], r["role"], r["day"], r["n"]) for r in df.collect()
+        }
+
+    vals = with_docids(tr).select(
+        "docid", "role", F.col("ts").cast("long").alias("ts")
+    )
+    for after in (None, {"q0": ("user", 0)}):
+        fast = as_set(sr.result_composite(q, srcs, size=3, after=after))
+        slow = as_set(
+            hit_composite(sr._matched_docs(q), vals, srcs, 3, after)
+        )
+        assert fast == slow and fast
