@@ -3689,6 +3689,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mism = a.exceptAll(b).unionAll(b.exceptAll(a))
         return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
 
+    def alias_rollover_identity_q(spark, sf):
+        # index alias + ILM rollover (index/alias.py): an alias that rolled
+        # a new write member mid-ingest must search exactly like ONE index
+        # built over the whole corpus — federation hides the rollover
+        # (oracle: SELECT 0 mismatches); keys are (conv_id, turn_idx)
+        # because docid spaces are per-member
+        import shutil
+
+        from dhr_spark.index.alias import (
+            append_to_alias, create_alias, load_alias, open_alias,
+        )
+        from dhr_spark.index.builder import build_index
+        from dhr_spark.operators.wand import Searcher
+
+        t = _tturns(spark, sf)
+        a = t.filter(F.col("conv_id") % 3 == 0)
+        b = t.filter(F.col("conv_id") % 3 == 1)
+        c = t.filter(F.col("conv_id") % 3 == 2)
+        key = hashlib.md5(f"alias|{sf}".encode()).hexdigest()[:10]
+        root = f"/tmp/dhr_spark_alias_{key}"
+        shutil.rmtree(root, ignore_errors=True)
+        first = f"{root}/gen0"
+        build_index(spark, a, first, chunk_bits=8, block_size=32)
+        adir = f"{root}/alias"
+        create_alias(adir, [first])
+        append_to_alias(spark, b, adir, max_docs=1)  # forces a rollover
+        append_to_alias(spark, c, adir, max_docs=1_000_000_000)  # appends
+        full = f"{root}/full"
+        build_index(spark, t, full, chunk_bits=8, block_size=32)
+        members = load_alias(adir)["members"]
+        fed = open_alias(spark, adir).search(_queries_df(spark), k=1_000_000)
+        dm = None
+        for i, d in enumerate(members):
+            m = spark.read.parquet(f"{d}/doc_map").withColumn(
+                "index_id", F.lit(i)
+            )
+            dm = m if dm is None else dm.unionByName(m)
+        fed_keys = fed.join(dm, ["index_id", "docid"]).select(
+            "qid", "conv_id", "turn_idx",
+            F.round("score", 4).alias("score"),
+        )
+        sing = Searcher(spark, full).search(
+            _queries_df(spark), k=1_000_000, prune=False
+        )
+        sing_keys = sing.join(
+            spark.read.parquet(f"{full}/doc_map"), "docid"
+        ).select(
+            "qid", "conv_id", "turn_idx",
+            F.round("score", 4).alias("score"),
+        )
+        mism = fed_keys.exceptAll(sing_keys).unionAll(
+            sing_keys.exceptAll(fed_keys)
+        )
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
+    def reindex_identity_q(spark, sf):
+        # reindex-from-stored-fields (index/reindex.py, ES _reindex): after
+        # an exact-stats delete, rebuilding the index from its OWN stored
+        # fields must preserve docids, drop the tombstones, and score every
+        # live doc identically (oracle: SELECT 0 mismatches)
+        import shutil
+
+        from dhr_spark.index.builder import build_index_from_docs
+        from dhr_spark.index.delete import delete_docs
+        from dhr_spark.index.reindex import reindex
+        from dhr_spark.operators.docids import with_docids
+        from dhr_spark.operators.wand import Searcher
+
+        docs = with_docids(_tturns(spark, sf)).select("docid", "text")
+        key = hashlib.md5(f"reix|{sf}".encode()).hexdigest()[:10]
+        src = f"/tmp/dhr_spark_reix_{key}"
+        dst = f"/tmp/dhr_spark_reixd_{key}"
+        for d in (src, dst):
+            shutil.rmtree(d, ignore_errors=True)
+        build_index_from_docs(
+            spark, docs, src, chunk_bits=8, block_size=32,
+            stored=True, forward_index=True,
+        )
+        delete_docs(
+            spark, src, docids=list(range(0, 50, 7)), exact_stats=True
+        )
+        reindex(spark, src, dst)
+
+        def ranked(d):
+            res = Searcher(spark, d).search(_queries_df(spark), k=1_000_000)
+            return res.select(
+                "qid", "docid", F.round("score", 4).alias("score")
+            )
+
+        a, b = ranked(src), ranked(dst)
+        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
+        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
     def dv_update_identity_q(spark, sf):
         # in-place docvalue updates (Lucene updateDocValues analogue,
         # index/dvupdate.py): updating a numeric field must make every
@@ -5262,6 +5355,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "facet_ranges": facet_ranges_q,
         "phrase_prefix": phrase_prefix_q,
         "composite_hits": composite_hits_q,
+        "alias_rollover_identity": alias_rollover_identity_q,
+        "reindex_identity": reindex_identity_q,
         "merge_identity": merge_identity_q,
         "dv_update_identity": dv_update_identity_q,
         "by_query_identity": by_query_identity_q,
@@ -5638,6 +5733,8 @@ GROUP BY r.qid""",
         "highlight_topk": _highlight_sql(),
         "federated_identity": "SELECT 0::BIGINT AS mismatches",
         "merge_identity": "SELECT 0::BIGINT AS mismatches",
+        "alias_rollover_identity": "SELECT 0::BIGINT AS mismatches",
+        "reindex_identity": "SELECT 0::BIGINT AS mismatches",
         "dv_update_identity": "SELECT 0::BIGINT AS mismatches",
         "by_query_identity": "SELECT 0::BIGINT AS mismatches",
         "prefix_topk": _expand_topk_sql(
