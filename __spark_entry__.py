@@ -62,6 +62,12 @@ SLOPPY_PHRASES: list[tuple[str, str, int]] = [
     ("s1", "table hash", 2),
     ("s2", "slow hash batch", 3),
 ]
+# phrase-suggester inputs: single-candidate corrections, a two-candidate
+# slot ("sow" -> row/slow, df-ranked), and an uncorrectable slot (silent
+# drop). max_edits=1, max_per_term=3, top=3 pinned in entry AND oracle.
+SUGGEST_PHRASES: list[str] = [
+    "hash joi", "tabl scan", "sow dat", "zzzz merge",
+]
 # match_phrase_prefix query set: fixed+prefix, cap-exercising single-term
 # prefix (term-ASC expansion order is load-bearing), and a no-completion
 # prefix (must yield zero rows, not an error)
@@ -1233,6 +1239,72 @@ def _phrase_prefix_sql() -> str:
         "{'term': t, 'pos': i - 1})) AS u FROM toks)"
     )
     return f"WITH {_TOKS_CTE}, {pp}, {ctes} " + body
+
+
+def _phrase_suggest_sql() -> str:
+    """Oracle for Searcher.suggest_phrase: per-slot fuzzy candidates
+    (levenshtein <= 1, df DESC / term ASC, top 3) cross-joined into
+    combinations, scored by the stupid-backoff bigram LM as ONE
+    exact-integer numerator/denominator pair (HUGEINT) divided once —
+    bit-identical to the Spark side's float(num)/float(den)."""
+    pre = """
+ctfs AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+tt AS (SELECT sum(dl)::BIGINT AS t FROM dl),
+bg AS (
+  SELECT u.t1 AS t1, u.t2 AS t2, count(*)::BIGINT AS n FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> {'t1': toks[i], 't2': toks[i + 1]})) AS u
+    FROM toks
+  ) GROUP BY 1, 2
+)"""
+    ctes, selects = [], []
+    for qn, inp in enumerate(SUGGEST_PHRASES):
+        terms = analyze_simple(inp)
+        k = len(terms)
+        for i, qt in enumerate(terms):
+            ctes.append(
+                f"cand{qn}_{i} AS (SELECT term, ctf FROM ("
+                "SELECT ts.term, ctfs.ctf, row_number() OVER ("
+                "ORDER BY ts.df DESC, ts.term ASC) AS rn "
+                "FROM ts JOIN ctfs USING (term) "
+                f"WHERE levenshtein(ts.term, '{qt}') <= 1) WHERE rn <= 3)"
+            )
+        froms = [f"cand{qn}_0 c0"] + [
+            f"CROSS JOIN cand{qn}_{i} c{i}" for i in range(1, k)
+        ] + ["CROSS JOIN tt"]
+        joins = [
+            f"LEFT JOIN bg b{i} ON b{i}.t1 = c{i-1}.term "
+            f"AND b{i}.t2 = c{i}.term"
+            for i in range(1, k)
+        ]
+        num = "CAST(c0.ctf AS HUGEINT)"
+        den = "CAST(tt.t AS HUGEINT)"
+        for i in range(1, k):
+            num += (
+                f" * CAST(CASE WHEN b{i}.n IS NULL THEN 2 * c{i}.ctf "
+                f"ELSE b{i}.n END AS HUGEINT)"
+            )
+            den += (
+                f" * CAST(CASE WHEN b{i}.n IS NULL THEN 5 * tt.t "
+                f"ELSE c{i-1}.ctf END AS HUGEINT)"
+            )
+        sugg = " || ' ' || ".join(f"c{i}.term" for i in range(k))
+        not_input = " AND ".join(
+            f"c{i}.term = '{t}'" for i, t in enumerate(terms)
+        )
+        selects.append(
+            f"SELECT '{inp}' AS input, suggestion, score, "
+            "row_number() OVER (ORDER BY score DESC, suggestion ASC)"
+            "::INTEGER AS rank FROM ("
+            f"SELECT {sugg} AS suggestion, "
+            f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) AS score "
+            f"FROM {' '.join(froms)} {' '.join(joins)} "
+            f"WHERE NOT ({not_input})) QUALIFY rank <= 3"
+        )
+    return (
+        f"WITH {_TOKS_CTE}, {pre}, " + ", ".join(ctes) + " "
+        + " UNION ALL ".join(selects)
+    )
 
 
 def _sloppy_sql() -> str:
@@ -4990,6 +5062,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "page", "lang", "bkt", "n"
         )
 
+    def phrase_suggest_q(spark, sf):
+        # ES phrase suggester ("did you mean"): fuzzy per-slot candidates
+        # scored by a stupid-backoff bigram LM over the index's shingle
+        # artifact; scores are exact-integer num/den pairs divided once,
+        # so they hash bit-for-bit against the oracle (no rounding)
+        from dhr_spark.index.shingles import build_bigram_index
+
+        idx = _wand_index_dir(spark, sf)
+        build_bigram_index(spark, idx)  # no-op once built (fresh table)
+        return _searcher(spark, sf).suggest_phrase(
+            SUGGEST_PHRASES, max_per_term=3, top=3
+        )
+
     def percentile_hits_q(spark, sf):
         # ES percentiles over the OR-match set: nearest-rank (exact — the
         # sort is per-hit-set, not per-corpus, so no TDigest needed)
@@ -5355,6 +5440,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "facet_ranges": facet_ranges_q,
         "phrase_prefix": phrase_prefix_q,
         "composite_hits": composite_hits_q,
+        "phrase_suggest": phrase_suggest_q,
         "alias_rollover_identity": alias_rollover_identity_q,
         "reindex_identity": reindex_identity_q,
         "merge_identity": merge_identity_q,
@@ -5799,6 +5885,7 @@ GROUP BY r.qid""",
         "phrase_match": _phrase_sql(),
         "phrase_batch": _phrase_sql(),
         "phrase_prefix": _phrase_prefix_sql(),
+        "phrase_suggest": _phrase_suggest_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),
         "phrase_proximity": _prox_sql(),
         "phrase_sloppy": _sloppy_sql(),

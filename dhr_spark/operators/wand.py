@@ -4189,6 +4189,160 @@ class Searcher:
             .drop("idf")
         )
 
+    def suggest_phrase(
+        self,
+        texts: list[str],
+        max_per_term: int = 3,
+        top: int = 3,
+        max_edits: int = 1,
+    ) -> DataFrame:
+        """(input, suggestion, score, rank): the ES phrase suggester
+        ("did you mean") — whole-phrase spell correction ranked by a
+        bigram language model with stupid backoff (Brants et al. 2007).
+
+        Per analyzed slot, candidates are the dictionary terms within
+        ``max_edits`` Levenshtein of the input term (the input term itself
+        included when in-vocabulary), capped at ``max_per_term`` by
+        (df DESC, term ASC) — DirectSpellChecker's popularity order. Every
+        candidate combination is scored
+
+            P(c) = P(c1) * prod_i P(ci | ci-1)
+            P(c1) = ctf(c1) / T
+            P(ci|ci-1) = bg(ci-1, ci) / ctf(ci-1)     when the bigram exists
+                       = 0.4 * ctf(ci) / T            backoff otherwise
+
+        over the committed bigram artifact (index/shingles.py; T = the
+        manifest's total_dl token count). Scoring is EXACT-integer: one
+        numerator/denominator product pair per combination (the 0.4
+        backoff rides as 2/5), a single IEEE division at the end — so a
+        DuckDB oracle reproduces scores bit-for-bit. The verbatim input
+        phrase is excluded (a correction, not an echo); ties break
+        suggestion ASC.
+
+        Interactive shape: ONE distributed dictionary job resolves all
+        candidates (|texts| broadcast against the |V| scan — the
+        DirectSpellChecker cost), one bounded bigram slice read
+        (candidate-pair pushdown), then driver-side enumeration over at
+        most max_per_term^slots combinations (capped; slots capped at 6,
+        which also keeps the oracle's decimal(38) products exact at test
+        scale). Nothing touches the corpus.
+        """
+        from pyspark.sql import Window
+
+        from dhr_spark.functions.analyzer import analyze_positions
+        from dhr_spark.index.shingles import read_bigrams
+
+        if not 1 <= max_per_term <= 10:
+            raise ValueError(f"max_per_term must be in [1, 10], got {max_per_term}")
+        if max_edits < 1:
+            raise ValueError(f"max_edits must be >= 1, got {max_edits}")
+        # fail fast on a missing/stale bigram table — before any work
+        bg_rel = read_bigrams(self.spark, self.index_dir, self.manifest)
+        mode = self.manifest["analyzer_mode"]
+        plans: dict[str, list[str]] = {}
+        for text in texts:
+            terms = [t for _, t in analyze_positions(mode, text or "")]
+            if not terms:
+                continue
+            if len(terms) > 6:
+                raise ValueError(
+                    f"phrase suggest supports up to 6 terms, got "
+                    f"{len(terms)} for {text!r}"
+                )
+            plans[text] = terms
+        empty = self.spark.createDataFrame(
+            [], "input string, suggestion string, score double, rank int"
+        )
+        if not plans:
+            return empty
+        qterms = sorted({t for ts in plans.values() for t in ts})
+        inp = self.spark.createDataFrame([(t,) for t in qterms], "qt string")
+        w = Window.partitionBy("qt").orderBy(
+            F.col("df").desc(), F.col("term").asc()
+        )
+        full_dict = self.spark.read.parquet(
+            f"{self.index_dir}/{self.manifest.get('term_dict_dir', 'term_dict')}"
+        )
+        cand_rows = (
+            full_dict.join(
+                F.broadcast(inp),
+                F.levenshtein(F.col("term"), F.col("qt")) <= max_edits,
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_per_term)
+            .select("qt", "term", "term_id", "ctf")
+            .collect()
+        )
+        cands: dict[str, list[tuple[str, int, int]]] = {}
+        for r in cand_rows:
+            cands.setdefault(r["qt"], []).append(
+                (r["term"], int(r["term_id"]), int(r["ctf"]))
+            )
+        import itertools
+
+        combos_by_input: dict[str, list[tuple]] = {}
+        t1_ids, t2_ids = set(), set()
+        for text, terms in plans.items():
+            slots = [cands.get(t) for t in terms]
+            if any(not s for s in slots):
+                continue  # an uncorrectable slot -> no suggestion (ES)
+            n_combos = 1
+            for s in slots:
+                n_combos *= len(s)
+            if n_combos > 4096:
+                raise ValueError(
+                    f"{n_combos} candidate combinations for {text!r} — "
+                    "lower max_per_term (cap 4096)"
+                )
+            combos = list(itertools.product(*slots))
+            combos_by_input[text] = combos
+            for c in combos:
+                for a, b in zip(c, c[1:]):
+                    t1_ids.add(a[1])
+                    t2_ids.add(b[1])
+        if not combos_by_input:
+            return empty
+        bg = {
+            (int(r["t1"]), int(r["t2"])): int(r["n"])
+            for r in bg_rel.filter(
+                F.col("t1").isin(sorted(t1_ids))
+                & F.col("t2").isin(sorted(t2_ids))
+            ).collect()
+        }
+        T = int(self.manifest["total_dl"])
+        out = []
+        for text, combos in combos_by_input.items():
+            orig = tuple(plans[text])
+            scored = []
+            for c in combos:
+                terms_c = tuple(t for t, _, _ in c)
+                if terms_c == orig:
+                    continue
+                num, den = c[0][2], T
+                for (pt, pid, pctf), (ct, cid, cctf) in zip(c, c[1:]):
+                    n = bg.get((pid, cid), 0)
+                    if n:
+                        num *= n
+                        den *= pctf
+                    else:
+                        num *= 2 * cctf
+                        den *= 5 * T
+                # float() each side BEFORE dividing: the oracle casts the
+                # exact-integer num/den to DOUBLE then divides, and Python's
+                # int/int true division rounds once from the exact rational
+                # — two roundings vs one can differ by 1 ulp
+                scored.append((float(num) / float(den), " ".join(terms_c)))
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            out += [
+                (text, s, sc, r + 1)
+                for r, (sc, s) in enumerate(scored[:top])
+            ]
+        if not out:
+            return empty
+        return self.spark.createDataFrame(
+            out, "input string, suggestion string, score double, rank int"
+        )
+
     def stats_df(self) -> DataFrame:
         """One-row index statistics — the Lucene CheckIndex/IndexReader
         stats surface: (n_docs, n_terms, total_dl, avgdl, total_postings,

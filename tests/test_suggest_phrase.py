@@ -1,0 +1,165 @@
+"""Bigram artifact (index/shingles.py) + phrase suggester
+(Searcher.suggest_phrase — ES suggest.phrase / "did you mean").
+
+Contracts: index-derived bigrams equal a corpus-scan recount (simple
+chain) and honor lucene position gaps; readers refuse a stale table;
+stupid-backoff scores are hand-verified exact rationals through the
+float(num)/float(den) contract; the verbatim input is never suggested."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dhr_spark.data.synthetic import synth_transcripts
+from dhr_spark.index.builder import build_index, build_index_from_docs
+from dhr_spark.index.shingles import (
+    bigram_counts_scan,
+    build_bigram_index,
+    read_bigrams,
+)
+from dhr_spark.operators.wand import Searcher
+
+CB, BS = 6, 16
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "docid long, text string"
+    )
+
+
+@pytest.fixture()
+def lm_idx(spark, tmp_path):
+    """Tiny corpus with hand-countable bigram mass."""
+    docs = _docs(spark, ["hash join table", "hash join index",
+                         "merge join table"])
+    d = str(tmp_path / "lm")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="simple", chunk_bits=CB,
+        block_size=BS, positional=True,
+    )
+    build_bigram_index(spark, d)
+    return d, docs
+
+
+def test_bigrams_equal_corpus_scan(spark, lm_idx):
+    d, docs = lm_idx
+    td = spark.read.parquet(f"{d}/term_dict").select("term", "term_id")
+    got = {
+        (r["a"], r["b"]): r["n"]
+        for r in read_bigrams(spark, d, Searcher(spark, d).manifest)
+        .join(td.select(F.col("term_id").alias("t1"),
+                        F.col("term").alias("a")), "t1")
+        .join(td.select(F.col("term_id").alias("t2"),
+                        F.col("term").alias("b")), "t2")
+        .collect()
+    }
+    want = {
+        (r["t1"], r["t2"]): r["n"]
+        for r in bigram_counts_scan(docs).collect()
+    }
+    assert got == want
+    assert want[("hash", "join")] == 2 and want[("join", "table")] == 2
+
+
+def test_bigrams_honor_lucene_gaps(spark, tmp_path):
+    """A stopword consumes a position: 'data the table' contributes NO
+    (data, table) bigram under the lucene chain."""
+    docs = _docs(spark, ["data the table", "data table twice data table"])
+    d = str(tmp_path / "gap")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="lucene", chunk_bits=CB,
+        block_size=BS, positional=True,
+    )
+    build_bigram_index(spark, d)
+    s = Searcher(spark, d)
+    td = spark.read.parquet(f"{d}/term_dict").select("term", "term_id")
+    ids = {r["term"]: int(r["term_id"]) for r in td.collect()}
+    got = {
+        (int(r["t1"]), int(r["t2"])): int(r["n"])
+        for r in read_bigrams(spark, d, s.manifest).collect()
+    }
+    assert got.get((ids["data"], ids["tabl"])) == 2  # doc 1 only (stemmed)
+
+
+def test_bigrams_staleness_guard(spark, tmp_path):
+    from dhr_spark.index.incremental import append_to_index
+
+    tr = synth_transcripts(spark, 6, seed=7)
+    d = str(tmp_path / "stale")
+    build_index(spark, tr, d, chunk_bits=7, block_size=BS, positional=True)
+    man = build_bigram_index(spark, d)
+    assert man["bigrams"]["n_docs"] == man["n_docs"]
+    # fresh rebuild is a no-op (same committed record)
+    assert build_bigram_index(spark, d)["bigrams"] == man["bigrams"]
+    extra = synth_transcripts(spark, 3, seed=8).withColumn(
+        "conv_id", F.concat(F.lit("x"), F.col("conv_id"))
+    )
+    append_to_index(spark, extra, d)
+    s = Searcher(spark, d)
+    with pytest.raises(ValueError, match="stale"):
+        read_bigrams(spark, d, s.manifest)
+    with pytest.raises(ValueError, match="stale"):
+        s.suggest_phrase(["hash join"])
+    build_bigram_index(spark, d)
+    read_bigrams(spark, d, Searcher(spark, d).manifest)  # fresh again
+
+
+def test_suggest_phrase_hand_scores(spark, lm_idx):
+    d, _ = lm_idx
+    s = Searcher(spark, d)
+    # corpus: T=9; ctf hash=2 join=3 table=2 index=1 merge=1
+    # bigrams (hash,join)=2 (join,table)=2 (join,index)=1 (merge,join)=1
+    got = s.suggest_phrase(["hash joi table"]).collect()
+    assert got[0]["suggestion"] == "hash join table"
+    assert got[0]["rank"] == 1
+    # 2/9 * 2/2 * 2/3 = 8/54, through the float(num)/float(den) contract
+    assert got[0]["score"] == float(8) / float(54)
+    # backoff transition: (index, table) bigram absent
+    got2 = s.suggest_phrase(["index tble"]).collect()
+    assert got2[0]["suggestion"] == "index table"
+    assert got2[0]["score"] == float(1 * 2 * 2) / float(9 * 5 * 9)
+
+
+def test_suggest_phrase_ranking_and_input_exclusion(spark, tmp_path):
+    docs = _docs(spark, ["big cat", "big car", "big cat"])
+    d = str(tmp_path / "rank")
+    build_index_from_docs(
+        spark, docs, d, analyzer_mode="simple", chunk_bits=CB,
+        block_size=BS, positional=True,
+    )
+    build_bigram_index(spark, d)
+    s = Searcher(spark, d)
+    got = s.suggest_phrase(["big caq"], max_per_term=3).collect()
+    # T=6, ctf big=3 cat=2 car=1; bg (big,cat)=2 (big,car)=1
+    assert [(r["suggestion"], r["rank"]) for r in got] == [
+        ("big cat", 1), ("big car", 2),
+    ]
+    assert got[0]["score"] == float(3 * 2) / float(6 * 3)
+    # the verbatim input is a correction target, never an echo
+    got2 = s.suggest_phrase(["big cat"], max_per_term=3).collect()
+    assert all(r["suggestion"] != "big cat" for r in got2)
+    assert [r["suggestion"] for r in got2] == ["big car"]
+
+
+def test_suggest_phrase_guards(spark, lm_idx, tmp_path):
+    d, _ = lm_idx
+    s = Searcher(spark, d)
+    # uncorrectable slot -> no suggestions for that input, others fine
+    got = s.suggest_phrase(["zzzzqqqq table", "hash joi table"])
+    assert {r["input"] for r in got.collect()} == {"hash joi table"}
+    # empty/unanalyzable inputs are skipped
+    assert s.suggest_phrase(["!!!"]).count() == 0
+    with pytest.raises(ValueError, match="up to 6 terms"):
+        s.suggest_phrase(["a b c d e f g"])
+    with pytest.raises(ValueError, match="max_per_term"):
+        s.suggest_phrase(["hash join"], max_per_term=0)
+    # no bigram artifact -> actionable error
+    d2 = str(tmp_path / "nobg")
+    build_index_from_docs(
+        spark, _docs(spark, ["hash join"]), d2, analyzer_mode="simple",
+        chunk_bits=CB, block_size=BS, positional=True,
+    )
+    with pytest.raises(ValueError, match="bigram"):
+        Searcher(spark, d2).suggest_phrase(["hash joi"])
