@@ -8,7 +8,10 @@ Prints one JSON report line; exit status 1 when corruption is found.
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
