@@ -1241,6 +1241,47 @@ def _phrase_prefix_sql() -> str:
     return f"WITH {_TOKS_CTE}, {pp}, {ctes} " + body
 
 
+def _ltr_features_sql(mu: float = 1000.0, lam: float = 0.1) -> str:
+    """Oracle for operators/ltr.ltr_features: the four per-sim weight
+    expressions (each already proven by its own *_topk oracle) fused into
+    one aggregation, plus exact-integer match-shape features; coverage is
+    one IEEE division of two integers."""
+    jm = (1.0 - lam) / lam
+    return f"""
+WITH {_TOKS_CTE}, {_q_values()},
+coll AS (SELECT sum(dl)::DOUBLE AS cl FROM dl),
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+qlen AS (SELECT qid, count(*)::BIGINT AS qlen FROM q GROUP BY 1),
+w AS (
+  SELECT q.qid, tf.doc_id AS docid, q.qtf, tf.tf, dl.dl,
+         round({_W_EXPR}, 6) AS wb,
+         round(((1 + ln(cs.n_docs::DOUBLE / (ts.df + 1)))
+                * (1 + ln(cs.n_docs::DOUBLE / (ts.df + 1))))
+               * sqrt(tf.tf) / sqrt(dl.dl), 6) AS wt,
+         round(greatest(
+           ln(1 + tf.tf / ({mu} * (ctf.ctf / coll.cl)))
+           + ln({mu} / (dl.dl + {mu})), 0.0), 6) AS wq,
+         round(ln(1 + {jm!r} * tf.tf / dl.dl / (ctf.ctf / coll.cl)), 6)
+           AS wj
+  FROM q JOIN tf USING (term) JOIN ts USING (term) JOIN ctf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs CROSS JOIN coll
+),
+agg AS (
+  SELECT qid, docid,
+         round(sum(qtf * wb), 6) AS bm25,
+         round(sum(qtf * wt), 6) AS tfidf,
+         round(sum(qtf * wq), 6) AS qld,
+         round(sum(qtf * wj), 6) AS lmjm,
+         count(*)::BIGINT AS matched,
+         sum(tf)::BIGINT AS sum_tf,
+         min(dl)::BIGINT AS dl
+  FROM w GROUP BY 1, 2
+)
+SELECT a.qid, a.docid, bm25, tfidf, qld, lmjm, matched, qlen.qlen,
+       matched::DOUBLE / qlen.qlen::DOUBLE AS coverage, sum_tf, dl
+FROM agg a JOIN qlen USING (qid)"""
+
+
 def _phrase_suggest_sql() -> str:
     """Oracle for Searcher.suggest_phrase: per-slot fuzzy candidates
     (levenshtein <= 1, df DESC / term ASC, top 3) cross-joined into
@@ -5062,6 +5103,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "page", "lang", "bkt", "n"
         )
 
+    def ltr_features_q(spark, sf):
+        # LTR feature matrix (operators/ltr.py): BM25 + TF-IDF + QLD + LMJM
+        # plus match-shape features per (query, doc) pair, ONE fused pass;
+        # every similarity column replicates its dedicated scorer's pinned
+        # op order, so the oracle recombines the proven per-sim expressions
+        from dhr_spark.operators.ltr import ltr_features
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        return ltr_features(
+            _qtfs(spark), term_freqs(tok), doc_lengths(tok),
+            mu=1000.0, lam=0.1,
+        )
+
     def phrase_suggest_q(spark, sf):
         # ES phrase suggester ("did you mean"): fuzzy per-slot candidates
         # scored by a stupid-backoff bigram LM over the index's shingle
@@ -5441,6 +5495,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "phrase_prefix": phrase_prefix_q,
         "composite_hits": composite_hits_q,
         "phrase_suggest": phrase_suggest_q,
+        "ltr_features": ltr_features_q,
         "alias_rollover_identity": alias_rollover_identity_q,
         "reindex_identity": reindex_identity_q,
         "merge_identity": merge_identity_q,
@@ -5886,6 +5941,7 @@ GROUP BY r.qid""",
         "phrase_batch": _phrase_sql(),
         "phrase_prefix": _phrase_prefix_sql(),
         "phrase_suggest": _phrase_suggest_sql(),
+        "ltr_features": _ltr_features_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),
         "phrase_proximity": _prox_sql(),
         "phrase_sloppy": _sloppy_sql(),

@@ -4021,6 +4021,58 @@ class Searcher:
         ).select("docid", "term", "tf", "dl")
         return self._filter_live(out)
 
+    def ltr_features(
+        self,
+        queries: DataFrame,
+        k: int = 100,
+        mu: float = 1000.0,
+        lam: float = 0.1,
+    ) -> DataFrame:
+        """(qid, docid, bm25, tfidf, qld, lmjm, matched, qlen, coverage,
+        sum_tf, dl): the LTR feature matrix (operators/ltr.py) for each
+        query's first-pass BM25 top-``k`` candidates — the standard
+        two-stage rerank/training shape. Term vectors come from the
+        forward index (``forward_index=True`` required), collection
+        statistics from the dictionary/manifest (exact under appends and
+        exact-stats deletes), so every feature equals the corpus-scan
+        operator's output on the same candidates. Cost: one search + one
+        candidate-pruned forward read + one aggregation — never a corpus
+        scan."""
+        from dhr_spark.operators.ltr import ltr_features as _ltr
+        from dhr_spark.operators.termfreq import (
+            query_term_freqs, with_tokens,
+        )
+
+        if not self.manifest.get("forward_index"):
+            raise ValueError(
+                "index was built without forward_index=True; LTR features "
+                "read candidate term vectors from the forward index"
+            )
+        cand = self.search(queries, k=k).select("qid", "docid")
+        tv = self.term_vectors(cand.select("docid").distinct())
+        qtfs = query_term_freqs(
+            with_tokens(queries, mode=self.manifest["analyzer_mode"])
+        )
+        full_dict = self.spark.read.parquet(
+            f"{self.index_dir}/{self.manifest.get('term_dict_dir', 'term_dict')}"
+        )
+        return _ltr(
+            qtfs,
+            tv.select("docid", "term", "tf"),
+            tv.select("docid", "dl").distinct(),
+            k1=self.k1,
+            b=self.b,
+            mu=mu,
+            lam=lam,
+            candidates=cand,
+            stats=(
+                int(self.manifest["n_docs"]),
+                float(self.manifest["avgdl"]),
+                float(self.manifest["total_dl"]),
+            ),
+            term_stats=full_dict.select("term", "df", "ctf"),
+        )
+
     def significant_terms(
         self,
         queries: DataFrame,
