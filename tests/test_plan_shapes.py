@@ -432,3 +432,60 @@ def test_kmv_sketch_no_raw_distinct_shuffle(spark, docs_small):
     assert "MapInPandas" in plan
     # no distinct aggregation of the raw values before the partial stage
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_prefix_pushes_term_ids_into_positions(spark, tmp_path):
+    """search_phrase_prefix must read only the fixed + expansion terms'
+    position rows (term_id isin pushdown), never the whole artifact."""
+    from dhr_spark.index.builder import build_index
+    from dhr_spark.operators.wand import Searcher
+
+    d = str(tmp_path / "ppidx")
+    build_index(spark, synth_transcripts(spark, 15), d, chunk_bits=7,
+                block_size=16, positional=True, docid_strategy="window")
+    res = Searcher(spark, d).search_phrase_prefix("the tabl")
+    plan = _plan(res)
+    pushed = plan.split("PushedFilters")
+    assert len(pushed) > 1 and "term_id" in pushed[1][:300], plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_composite_agg_keys_on_hit_set_with_partial_agg(spark):
+    """hit_composite reduces with map-side combine on (qid, keys) and the
+    after-cursor joins BROADCAST (tiny per-qid key rows)."""
+    from dhr_spark.operators.hitstats import hit_composite
+
+    hits = spark.createDataFrame(
+        [("q1", 1), ("q1", 2)], "qid string, docid long"
+    )
+    values = spark.createDataFrame(
+        [(1, "a", 3), (2, "b", 9)], "docid long, c string, f long"
+    )
+    srcs = [("c", "terms", "c"), ("b", "histogram", ("f", 5))]
+    res = hit_composite(hits, values, srcs, 2, after={"q1": ("a", 0)})
+    plan = _plan(res)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # partial (map-side) aggregation before the exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ltr_features_broadcasts_stats_single_agg(spark):
+    """ltr_features pays ONE (qid, docid) aggregation; term stats and qlen
+    broadcast; no cartesian anywhere."""
+    from dhr_spark.operators.ltr import ltr_features
+    from dhr_spark.operators.termfreq import (
+        doc_lengths, query_term_freqs, term_freqs, with_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark table"), (1, "table join")], "docid long, text string"
+    )
+    tok = with_tokens(docs, mode="simple")
+    q = spark.createDataFrame([("q1", "table")], "qid string, text string")
+    res = ltr_features(
+        query_term_freqs(with_tokens(q, mode="simple")),
+        term_freqs(tok), doc_lengths(tok),
+    )
+    plan = _plan(res)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # term stats + qlen
