@@ -1348,6 +1348,59 @@ bg AS (
     )
 
 
+def _snippet_fragments_sql(n_frags: int = 2) -> str:
+    """Oracle for phrase.snippet_fragments (unified-highlighter
+    number_of_fragments): the greedy unrolled — pick 1 = min integer key
+    (missed terms, then start) over all candidate starts, pick 2 = min key
+    over starts not overlapping pick 1's window."""
+    W = SNIPPET_WIDTH
+    pos_defs = ", ".join(
+        f"{_pos_list(t)} AS m{i}" for i, t in enumerate(SNIPPET_TERMS)
+    )
+    n = len(SNIPPET_TERMS)
+    allpos = (
+        "list_sort(list_distinct(flatten(["
+        + ", ".join(f"m{i}" for i in range(n))
+        + "])))"
+    )
+    hits = " + ".join(
+        f"(len(list_filter(m{i}, q -> q >= s AND q < s + {W})) > 0)::BIGINT"
+        for i in range(n)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+m AS (SELECT doc_id, toks, {pos_defs} FROM toks),
+cand AS (
+  SELECT doc_id, toks, unnest({allpos}) AS s,
+         {", ".join(f"m{i}" for i in range(n))}
+  FROM m
+),
+scored_w AS (
+  SELECT doc_id, toks, s, {hits} AS n_hits,
+         (({n} - ({hits})) * 1000000 + s)::BIGINT AS key
+  FROM cand
+),
+p1 AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY key) AS r
+  FROM scored_w
+),
+first AS (SELECT doc_id, toks, s, n_hits FROM p1 WHERE r = 1),
+p2 AS (
+  SELECT w.*, row_number() OVER (
+           PARTITION BY w.doc_id ORDER BY w.key) AS r2
+  FROM scored_w w JOIN first f USING (doc_id)
+  WHERE w.s + {W} <= f.s OR w.s >= f.s + {W}
+)
+SELECT doc_id, 1::INTEGER AS frag, s::BIGINT AS start, n_hits,
+       array_to_string(toks[s + 1 : s + {W}], ' ') AS snippet
+FROM first
+UNION ALL
+SELECT doc_id, 2::INTEGER AS frag, s::BIGINT AS start, n_hits,
+       array_to_string(toks[s + 1 : s + {W}], ' ') AS snippet
+FROM p2 WHERE r2 = 1
+"""
+
+
 def _sloppy_sql() -> str:
     selects = []
     for pid, p, slop in SLOPPY_PHRASES:
@@ -4511,6 +4564,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), SNIPPET_TERMS, width=SNIPPET_WIDTH
         )
 
+    def snippet_fragments_q(spark, sf):
+        # ES unified-highlighter number_of_fragments: up to 2 greedy
+        # non-overlapping windows per doc (integer-key selection, so the
+        # oracle replays the greedy with plain window functions)
+        return PH.snippet_fragments(
+            _docs(spark, sf), SNIPPET_TERMS, width=SNIPPET_WIDTH,
+            n_fragments=2,
+        )
+
     def repetition_q(spark, sf):
         return TS.repetition_stats(_docs(spark, sf))
 
@@ -5496,6 +5558,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "composite_hits": composite_hits_q,
         "phrase_suggest": phrase_suggest_q,
         "ltr_features": ltr_features_q,
+        "snippet_fragments": snippet_fragments_q,
         "alias_rollover_identity": alias_rollover_identity_q,
         "reindex_identity": reindex_identity_q,
         "merge_identity": merge_identity_q,
@@ -5942,6 +6005,7 @@ GROUP BY r.qid""",
         "phrase_prefix": _phrase_prefix_sql(),
         "phrase_suggest": _phrase_suggest_sql(),
         "ltr_features": _ltr_features_sql(),
+        "snippet_fragments": _snippet_fragments_sql(),
         "positional_postings": _POS_POSTINGS_SQL_TMPL.format(toks=_TOKS_CTE),
         "phrase_proximity": _prox_sql(),
         "phrase_sloppy": _sloppy_sql(),

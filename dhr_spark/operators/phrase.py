@@ -500,3 +500,162 @@ def snippet_struct_udf(width: int = 10):
         return pd.DataFrame(rows, columns=["start", "n_hits", "snippet"])
 
     return _snip
+
+
+def snippet_fragments(
+    docs: DataFrame,
+    terms_raw: list[str],
+    width: int = 10,
+    n_fragments: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, frag, start, n_hits, snippet): up to ``n_fragments``
+    NON-OVERLAPPING ``width``-token windows per doc, each covering the
+    most distinct query terms among the remaining candidates (ties ->
+    earliest) — the ES unified-highlighter ``number_of_fragments`` shape;
+    ``n_fragments=1`` degenerates to best_snippet's selection.
+
+    The greedy is unrolled ``n_fragments`` times as pure column math (no
+    shuffle, no recursion): candidate starts are term occurrences, each
+    pick minimizes the integer key
+
+        key(s) = (|terms| − distinct_terms_covered(s)) · 1_000_000 + s
+
+    over candidates not overlapping prior picks, so a DuckDB oracle
+    replays the selection with plain integer list_sort — no struct
+    comparisons, no recursive CTE. Documents are bounded at 1M tokens by
+    the key encoding (far beyond any transcript turn; the bound is a
+    documented contract, not a silent truncation).
+    """
+    if n_fragments < 1:
+        raise ValueError(f"n_fragments must be >= 1, got {n_fragments}")
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    terms = list(dict.fromkeys(
+        t for raw in terms_raw for t in _SIMPLE_RE.findall(raw.lower())
+    ))
+    if not terms:
+        raise ValueError("no indexable terms")
+    L = len(terms)
+    toks = simple_tokens_col(F.col(text_col))
+    pos_arrays = [term_positions(toks, t) for t in terms]
+    cands = F.array_sort(F.array_distinct(F.flatten(F.array(*pos_arrays))))
+
+    def score(s: Column) -> Column:
+        sc = F.lit(0)
+        for pa in pos_arrays:
+            sc = sc + F.when(
+                F.exists(pa, lambda q: (q >= s) & (q < s + F.lit(width))),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        return sc
+
+    def _valid_fn(prior: tuple):
+        # factory closure, NOT a default arg: a 2-param lambda would make
+        # PySpark pass the array index as the second argument (HOF arity)
+        def valid(s: Column) -> Column:
+            ok = F.lit(True)
+            for p in prior:
+                c = F.pmod(p, F.lit(1_000_000))
+                ok = ok & (
+                    (s + F.lit(width) <= c) | (s >= c + F.lit(width))
+                )
+            return ok
+
+        return valid
+
+    picks: list[Column] = []
+    for _ in range(n_fragments):
+        avail = F.filter(cands, _valid_fn(tuple(picks)))
+        key = F.try_element_at(
+            F.array_sort(
+                F.transform(
+                    avail,
+                    lambda s: (
+                        (F.lit(L) - score(s)).cast("long")
+                        * F.lit(1_000_000)
+                        + s
+                    ),
+                )
+            ),
+            F.lit(1),
+        )
+        picks.append(key)
+
+    frag = F.posexplode(
+        F.filter(F.array(*picks), lambda k: k.isNotNull())
+    )
+    start = F.pmod(F.col("_key"), F.lit(1_000_000)).cast("long")
+    n_hits = (F.lit(L) - (F.col("_key") / F.lit(1_000_000)).cast("long")).cast("long")
+    return (
+        docs.select(F.col(id_col), F.col(text_col), frag.alias("_f", "_key"))
+        .select(
+            F.col(id_col),
+            (F.col("_f") + 1).cast("int").alias("frag"),
+            start.alias("start"),
+            n_hits.alias("n_hits"),
+            F.array_join(
+                F.slice(
+                    simple_tokens_col(F.col(text_col)),
+                    start.cast("int") + 1,
+                    width,
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )
+
+
+def snippet_frags_udf(width: int = 10, n_fragments: int = 2):
+    """Arrow-batched row kernel twin of ``snippet_fragments`` for the
+    index-backed multi-fragment highlight (Searcher.highlight with
+    n_fragments > 1) — same greedy selection (integer key: fewest missed
+    terms, then earliest start; non-overlapping windows), applied to only
+    the fetched top-k rows. Rows with no raw-token hits emit an empty
+    array (the analyzer-mismatch case snippet_struct_udf documents)."""
+
+    @F.pandas_udf(
+        "array<struct<frag: int, start: long, n_hits: long, snippet: string>>"
+    )
+    def _frags(text: pd.Series, query: pd.Series) -> pd.Series:
+        out = []
+        for t, q in zip(text, query):
+            toks = _SIMPLE_RE.findall((t or "").lower())
+            terms = list(dict.fromkeys(_SIMPLE_RE.findall((q or "").lower())))
+            occ = {}
+            for i, tok in enumerate(toks):
+                if tok in terms:
+                    occ.setdefault(tok, []).append(i)
+            cands = sorted({i for ps in occ.values() for i in ps})
+            picks: list[tuple] = []
+            for f in range(n_fragments):
+                avail = [
+                    s for s in cands
+                    if all(s + width <= c or s >= c + width
+                           for _, c, _ in picks)
+                ]
+                if not avail:
+                    break
+                best = min(
+                    avail,
+                    key=lambda s: (
+                        -sum(1 for ps in occ.values()
+                             if any(s <= p < s + width for p in ps)),
+                        s,
+                    ),
+                )
+                hits = sum(
+                    1 for ps in occ.values()
+                    if any(best <= p < best + width for p in ps)
+                )
+                picks.append(
+                    (f + 1, best, hits)
+                )
+            out.append([
+                (f, s, h, " ".join(toks[s:s + width]))
+                for f, s, h in picks
+            ])
+        return pd.Series(out)
+
+    return _frags

@@ -4481,6 +4481,46 @@ class Searcher:
             )
         )
 
+    def highlight_fragments(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        width: int = 10,
+        n_fragments: int = 2,
+    ) -> DataFrame:
+        """Multi-fragment highlighting — the ES unified highlighter's
+        ``number_of_fragments``: up to ``n_fragments`` NON-OVERLAPPING
+        ``width``-token windows per hit, greedily covering the most
+        distinct query terms (ties earliest; operators/phrase.
+        snippet_fragments semantics — frag 1 is exactly ``highlight``'s
+        single snippet). Returns (qid, docid, rank, score, frag, start,
+        n_hits, snippet); hits with no raw-token window emit no fragment
+        rows. Same serving shape as highlight: top-k + stored fetch +
+        Arrow row kernel over k x |Q| rows only."""
+        from dhr_spark.operators.phrase import snippet_frags_udf
+
+        if n_fragments < 1:
+            raise ValueError(
+                f"n_fragments must be >= 1, got {n_fragments}"
+            )
+        res = self.search(queries, k=k)
+        fetched = self.fetch_stored(res)
+        q = queries.select("qid", F.col("text").alias("_qtext"))
+        frags = snippet_frags_udf(width, n_fragments)(
+            F.col("text"), F.col("_qtext")
+        )
+        return (
+            fetched.join(F.broadcast(q), "qid")
+            .withColumn("_f", F.explode(frags))
+            .select(
+                "qid", "docid", "rank", "score",
+                F.col("_f.frag").alias("frag"),
+                F.col("_f.start").alias("start"),
+                F.col("_f.n_hits").alias("n_hits"),
+                F.col("_f.snippet").alias("snippet"),
+            )
+        )
+
 
 def search_wand(
     spark: SparkSession,

@@ -109,3 +109,86 @@ def test_stored_survives_append_and_compaction(spark, tmp_path, queries):
     man = compact_index(spark, idx, fill_threshold=0.9)
     assert man["compactions"] == 1
     assert text_by_turn() == before
+
+
+def test_snippet_fragments_greedy_and_single_equals_best(spark):
+    from dhr_spark.operators.phrase import best_snippet, snippet_fragments
+
+    docs = spark.createDataFrame(
+        [
+            # two hit clusters: [cat dog] at 0-1 and [cat] at 8, far apart
+            (0, "cat dog x x x x x x cat y y y"),
+            (1, "nothing relevant here"),
+            (2, "cat z z z z z z z z z z z"),  # single cluster only
+        ],
+        "doc_id long, text string",
+    )
+    frags = {
+        (r["doc_id"], r["frag"]): (r["start"], r["n_hits"], r["snippet"])
+        for r in snippet_fragments(
+            docs, ["cat", "dog"], width=4, n_fragments=2
+        ).collect()
+    }
+    # doc 0: frag1 = window at 0 covering both terms; frag2 = the far
+    # cluster at 8 (non-overlapping), covering just "cat"
+    assert frags[(0, 1)] == (0, 2, "cat dog x x")
+    assert frags[(0, 2)][0] == 8 and frags[(0, 2)][1] == 1
+    # doc 1: no hits -> no rows; doc 2: only one fragment exists
+    assert (1, 1) not in frags
+    assert (2, 1) in frags and (2, 2) not in frags
+    # n_fragments=1 == best_snippet selection on every doc
+    one = {
+        r["doc_id"]: (r["start"], r["n_hits"], r["snippet"])
+        for r in snippet_fragments(
+            docs, ["cat", "dog"], width=4, n_fragments=1
+        ).collect()
+    }
+    best = {
+        r["doc_id"]: (r["start"], r["n_hits"], r["snippet"])
+        for r in best_snippet(docs, ["cat", "dog"], width=4).collect()
+    }
+    assert one == best
+    # fragments never overlap
+    for d in (0, 2):
+        starts = sorted(
+            s for (doc, _), (s, _, _) in frags.items() if doc == d
+        )
+        for a, b in zip(starts, starts[1:]):
+            assert b >= a + 4
+
+
+def test_snippet_fragments_guards(spark):
+    from dhr_spark.operators.phrase import snippet_fragments
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_fragments"):
+        snippet_fragments(docs, ["x"], n_fragments=0)
+    with _pt.raises(ValueError, match="width"):
+        snippet_fragments(docs, ["x"], width=0)
+    with _pt.raises(ValueError, match="no indexable"):
+        snippet_fragments(docs, ["!!!"])
+
+
+def test_highlight_fragments_index_backed(spark, stored_index, queries):
+    from dhr_spark.operators.phrase import snippet_fragments
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, stored_index)
+    multi = s.highlight_fragments(queries, k=5, width=8, n_fragments=2)
+    assert "frag" in multi.columns
+    rows = multi.collect()
+    assert rows and all(r["frag"] in (1, 2) for r in rows)
+    # frag-1 rows must equal the single-fragment highlight exactly
+    single = {
+        (r["qid"], r["docid"]): (r["start"], r["n_hits"], r["snippet"])
+        for r in s.highlight(queries, k=5, width=8).collect()
+        if r["start"] is not None
+    }
+    got1 = {
+        (r["qid"], r["docid"]): (r["start"], r["n_hits"], r["snippet"])
+        for r in rows
+        if r["frag"] == 1
+    }
+    assert got1 == single and got1
