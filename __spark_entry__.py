@@ -5191,6 +5191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SUGGEST_PHRASES, max_per_term=3, top=3
         )
 
+    def pipeline_hits_q(spark, sf):
+        # ES pipeline aggregations (cumulative_sum / derivative /
+        # moving_avg) over the n_chars histogram of each query's hit set;
+        # exact integers until the single moving-average division
+        return _searcher(spark, sf).result_histogram_pipeline(
+            _queries_df(spark), "n_chars", interval=50, offset=10, window=3
+        )
+
     def percentile_hits_q(spark, sf):
         # ES percentiles over the OR-match set: nearest-rank (exact — the
         # sort is per-hit-set, not per-corpus, so no TDigest needed)
@@ -5559,6 +5567,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "phrase_suggest": phrase_suggest_q,
         "ltr_features": ltr_features_q,
         "snippet_fragments": snippet_fragments_q,
+        "pipeline_hits": pipeline_hits_q,
         "alias_rollover_identity": alias_rollover_identity_q,
         "reindex_identity": reindex_identity_q,
         "merge_identity": merge_identity_q,
@@ -6860,6 +6869,26 @@ FROM agg""",
         # buckets — floor((v-10)/50)*50+10 via the positive-mod identity
         # (DuckDB % follows the dividend sign; the +i %i wrap matches
         # Spark's pmod exactly)
+        "pipeline_hits": f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()},
+vals AS (
+  SELECT m.qid, d.n_chars::BIGINT AS v
+  FROM matched m JOIN documents d ON d.doc_id = m.docid
+),
+hist AS (
+  SELECT qid, (v - (((v - 10) % 50 + 50) % 50))::BIGINT AS bucket,
+         count(*)::BIGINT AS n
+  FROM vals GROUP BY 1, 2
+)
+SELECT qid, bucket, n,
+       sum(n) OVER (PARTITION BY qid ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
+       (n - lag(n) OVER (PARTITION BY qid ORDER BY bucket))::BIGINT
+         AS derivative,
+       sum(n) OVER (PARTITION BY qid ORDER BY bucket
+                    ROWS 2 PRECEDING)::DOUBLE
+         / count(n) OVER (PARTITION BY qid ORDER BY bucket
+                          ROWS 2 PRECEDING)::DOUBLE AS moving_avg
+FROM hist""",
         # composite: buckets in (lang, bkt) key order; page = which size-4
         # window the bucket falls in — the Spark side reaches page 2 through
         # a DERIVED after_key cursor, so equality proves cursor resumption

@@ -303,3 +303,41 @@ def hit_composite(
         .filter(F.col("_rn") <= size)
         .drop("_rn")
     )
+
+
+def histogram_pipeline(
+    buckets: DataFrame,
+    window: int = 3,
+) -> DataFrame:
+    """(qid, bucket, n, cum_n, derivative, moving_avg): Elasticsearch
+    PIPELINE aggregations over a per-query histogram — ``cumulative_sum``
+    (running doc count in bucket order), ``derivative`` (delta vs the
+    previous non-empty bucket; NULL for each qid's first bucket, as ES
+    emits no derivative there), and ``moving_avg`` over the trailing
+    ``window`` non-empty buckets (simple model; fewer buckets than the
+    window average what exists — ES ``minimize: false`` behavior).
+
+    Input is any (qid, bucket, n) relation (hit_histogram /
+    Searcher.result_histogram output). Arithmetic is exact-integer until
+    the single moving-average division (sum::double / count::double), so
+    a DuckDB oracle matches bit-for-bit. One window sort per qid over the
+    already-reduced bucket relation — bucket-count-sized, never hit- or
+    corpus-sized, which is what makes pipeline aggs free at any corpus
+    scale."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = Window.partitionBy("qid").orderBy(F.col("bucket").asc())
+    trail = w.rowsBetween(-(window - 1), 0)
+    return buckets.select(
+        "qid",
+        "bucket",
+        "n",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("cum_n"),
+        (F.col("n") - F.lag("n").over(w)).cast("long").alias("derivative"),
+        (
+            F.sum("n").over(trail).cast("double")
+            / F.count("n").over(trail).cast("double")
+        ).alias("moving_avg"),
+    )

@@ -1810,6 +1810,25 @@ class Searcher:
             offset,
         )
 
+    def result_histogram_pipeline(
+        self,
+        queries: DataFrame,
+        field: str,
+        interval: int,
+        offset: int = 0,
+        window: int = 3,
+    ) -> DataFrame:
+        """(qid, bucket, n, cum_n, derivative, moving_avg): ES pipeline
+        aggregations (cumulative_sum / derivative / moving_avg) over each
+        query's date/number histogram (operators/hitstats.
+        histogram_pipeline over result_histogram)."""
+        from dhr_spark.operators.hitstats import histogram_pipeline
+
+        return histogram_pipeline(
+            self.result_histogram(queries, field, interval, offset),
+            window=window,
+        )
+
     def result_composite(
         self,
         queries: DataFrame,

@@ -575,3 +575,56 @@ def test_searcher_result_composite_identity(spark, tmp_path):
             hit_composite(sr._matched_docs(q), vals, srcs, 3, after)
         )
         assert fast == slow and fast
+
+
+def test_histogram_pipeline_hand_values(spark):
+    """cumulative_sum / derivative / moving_avg over hand buckets: ES
+    semantics — no derivative on the first bucket, trailing simple moving
+    average over what exists."""
+    from dhr_spark.operators.hitstats import histogram_pipeline
+
+    b = spark.createDataFrame(
+        [("q", 0, 4), ("q", 10, 1), ("q", 30, 7), ("q2", 5, 2)],
+        "qid string, bucket long, n long",
+    )
+    got = {
+        (r["qid"], r["bucket"]): (r["cum_n"], r["derivative"], r["moving_avg"])
+        for r in histogram_pipeline(b, window=2).collect()
+    }
+    assert got[("q", 0)] == (4, None, 4.0)
+    assert got[("q", 10)] == (5, -3, 2.5)
+    assert got[("q", 30)] == (12, 6, 4.0)
+    assert got[("q2", 5)] == (2, None, 2.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window"):
+        histogram_pipeline(b, window=0)
+
+
+def test_searcher_histogram_pipeline_consistent(spark, tmp_path):
+    """Index-backed pipeline rows recompute exactly from the histogram."""
+    from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+    from dhr_spark.index.builder import build_index
+    from dhr_spark.operators.hitstats import histogram_pipeline
+    from dhr_spark.operators.wand import Searcher
+
+    idx = str(tmp_path / "pipe_idx")
+    build_index(
+        spark, synth_transcripts(spark, 15), idx, chunk_bits=6,
+        block_size=16, docvalues=["ts"], docid_strategy="window",
+    )
+    s = Searcher(spark, idx)
+    q = synth_queries(spark, 4)
+    fast = {
+        (r["qid"], r["bucket"]): (r["cum_n"], r["derivative"], r["moving_avg"])
+        for r in s.result_histogram_pipeline(
+            q, "ts", interval=86_400
+        ).collect()
+    }
+    slow = {
+        (r["qid"], r["bucket"]): (r["cum_n"], r["derivative"], r["moving_avg"])
+        for r in histogram_pipeline(
+            s.result_histogram(q, "ts", interval=86_400)
+        ).collect()
+    }
+    assert fast == slow and fast
