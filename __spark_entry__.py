@@ -5191,6 +5191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SUGGEST_PHRASES, max_per_term=3, top=3
         )
 
+    def random_hits_q(spark, sf):
+        # ES random_score with a seed: deterministic uniform draw per
+        # (seed, docid) over the OR-match set — integer-hash ordering,
+        # score = hash/2^60 in one IEEE division (bit-exact oracle)
+        return _searcher(spark, sf).search_random(
+            _queries_df(spark), seed=7, k=10
+        )
+
     def pipeline_hits_q(spark, sf):
         # ES pipeline aggregations (cumulative_sum / derivative /
         # moving_avg) over the n_chars histogram of each query's hit set;
@@ -5568,6 +5576,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "ltr_features": ltr_features_q,
         "snippet_fragments": snippet_fragments_q,
         "pipeline_hits": pipeline_hits_q,
+        "random_hits": random_hits_q,
         "alias_rollover_identity": alias_rollover_identity_q,
         "reindex_identity": reindex_identity_q,
         "merge_identity": merge_identity_q,
@@ -6869,6 +6878,21 @@ FROM agg""",
         # buckets — floor((v-10)/50)*50+10 via the positive-mod identity
         # (DuckDB % follows the dividend sign; the +i %i wrap matches
         # Spark's pmod exactly)
+        "random_hits": f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()},
+h AS (
+  SELECT qid, docid,
+         {_HASH60.format(arg="'7:' || docid::VARCHAR")} AS hv
+  FROM matched
+),
+r AS (
+  SELECT qid, docid, hv,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY hv DESC, docid ASC
+         )::INTEGER AS rank
+  FROM h
+)
+SELECT qid, docid, rank, hv::DOUBLE / 1152921504606846976.0 AS score
+FROM r WHERE rank <= 10""",
         "pipeline_hits": f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()},
 vals AS (
   SELECT m.qid, d.n_chars::BIGINT AS v

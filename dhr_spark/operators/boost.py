@@ -188,3 +188,37 @@ def recency_topk(
         half_life_s=half_life_s,
         k=k,
     )
+
+
+def random_hits_topk(hits: DataFrame, seed: int, k: int = 10) -> DataFrame:
+    """(qid, docid, rank, score): Elasticsearch ``function_score`` /
+    ``random_score`` with a seed — a DETERMINISTIC uniform draw per
+    (seed, docid), ranked descending, top-``k`` per query. The canonical
+    training-data use: "k uniformly random documents matching each query",
+    reproducible across runs and engines.
+
+    The draw is the portable 60-bit md5 hash (textstats.tokhash60) of
+    ``"{seed}:{docid}"`` — ORDERING uses the integer hash (bit-exact in
+    any engine), and the reported score is the single IEEE division
+    hash / 2^60 in [0, 1). One per-qid window over the hit set; no
+    corpus access, no RNG state."""
+    from dhr_spark.operators.textstats import tokhash60
+
+    h = tokhash60(
+        F.concat(F.lit(f"{int(seed)}:"), F.col("docid").cast("string"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_h").desc(), F.col("docid").asc()
+    )
+    return (
+        hits.select("qid", "docid", h.alias("_h"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "qid",
+            "docid",
+            "rank",
+            (F.col("_h").cast("double") / F.lit(float(2 ** 60)))
+            .alias("score"),
+        )
+    )

@@ -1810,6 +1810,18 @@ class Searcher:
             offset,
         )
 
+    def search_random(
+        self, queries: DataFrame, seed: int, k: int = 10
+    ) -> DataFrame:
+        """(qid, docid, rank, score): seeded random sampling of each
+        query's MATCHING documents — ES function_score random_score
+        (operators/boost.random_hits_topk): deterministic uniform draw per
+        (seed, docid), integer-hash ordering, reproducible across runs."""
+        from dhr_spark.operators.boost import random_hits_topk
+
+        # _matched_docs is already live-only (tombstones mask in-kernel)
+        return random_hits_topk(self._matched_docs(queries), seed, k)
+
     def result_histogram_pipeline(
         self,
         queries: DataFrame,

@@ -229,3 +229,28 @@ def test_recency_bad_half_life_raises(spark, idx, queries):
         Searcher(spark, idx).search_recency(
             queries, "ts_s", now=NOW, half_life_s=0, k=K
         )
+
+
+def test_random_hits_deterministic_and_seed_sensitive(spark):
+    from dhr_spark.operators.boost import random_hits_topk
+
+    hits = spark.createDataFrame(
+        [("q", d) for d in range(40)] + [("q2", 1)],
+        "qid string, docid long",
+    )
+    a = random_hits_topk(hits, seed=7, k=5).collect()
+    b = random_hits_topk(hits, seed=7, k=5).collect()
+    assert [(r["qid"], r["docid"], r["rank"]) for r in a] == [
+        (r["qid"], r["docid"], r["rank"]) for r in b
+    ]
+    qa = sorted(r["docid"] for r in a if r["qid"] == "q")
+    assert len(qa) == 5
+    c = random_hits_topk(hits, seed=8, k=5).collect()
+    qc = sorted(r["docid"] for r in c if r["qid"] == "q")
+    assert qa != qc  # a different seed draws a different sample
+    # scores are the hash/2^60 uniform draw, in [0, 1), rank-descending
+    sq = [r["score"] for r in a if r["qid"] == "q"]
+    assert all(0.0 <= s < 1.0 for s in sq) and sq == sorted(sq, reverse=True)
+    # fewer matches than k -> bounded, dense ranks
+    two = [r for r in a if r["qid"] == "q2"]
+    assert len(two) == 1 and two[0]["rank"] == 1
