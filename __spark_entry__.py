@@ -5191,6 +5191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SUGGEST_PHRASES, max_per_term=3, top=3
         )
 
+    def adjacency_hits_q(spark, sf):
+        # ES adjacency_matrix: pairwise hit-set intersection counts (plus
+        # the diagonal), docid-co-partitioned self-join on the match set
+        return _searcher(spark, sf).result_adjacency(_queries_df(spark))
+
     def random_hits_q(spark, sf):
         # ES random_score with a seed: deterministic uniform draw per
         # (seed, docid) over the OR-match set — integer-hash ordering,
@@ -5577,6 +5582,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "snippet_fragments": snippet_fragments_q,
         "pipeline_hits": pipeline_hits_q,
         "random_hits": random_hits_q,
+        "adjacency_hits": adjacency_hits_q,
         "alias_rollover_identity": alias_rollover_identity_q,
         "reindex_identity": reindex_identity_q,
         "merge_identity": merge_identity_q,
@@ -6878,6 +6884,11 @@ FROM agg""",
         # buckets — floor((v-10)/50)*50+10 via the positive-mod identity
         # (DuckDB % follows the dividend sign; the +i %i wrap matches
         # Spark's pmod exactly)
+        "adjacency_hits": f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()}
+SELECT a.qid AS qid_a, b.qid AS qid_b, count(*)::BIGINT AS n
+FROM matched a JOIN matched b USING (docid)
+WHERE a.qid <= b.qid
+GROUP BY 1, 2""",
         "random_hits": f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()},
 h AS (
   SELECT qid, docid,

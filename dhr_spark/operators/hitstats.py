@@ -341,3 +341,25 @@ def histogram_pipeline(
             / F.count("n").over(trail).cast("double")
         ).alias("moving_avg"),
     )
+
+
+def hit_adjacency(hits: DataFrame) -> DataFrame:
+    """(qid_a, qid_b, n): Elasticsearch ``adjacency_matrix`` aggregation —
+    document counts of every pairwise INTERSECTION of the queries' hit
+    sets, plus the diagonal (qid_a == qid_b, the plain hit count). Pairs
+    emit once in (qid_a < qid_b) order; empty intersections are absent
+    (ES omits zero buckets).
+
+    One self-equi-join on docid + one (qid_a, qid_b) count with map-side
+    combine — keyed on the hit set, never the corpus, and the join is
+    docid-co-partitioned so the matrix costs one exchange. ES caps the
+    filter count (~100) for the same quadratic-output reason; callers
+    pass the query set they can afford to square."""
+    a = hits.select(F.col("qid").alias("qid_a"), "docid")
+    b = hits.select(F.col("qid").alias("qid_b"), "docid")
+    return (
+        a.join(b, "docid")
+        .filter(F.col("qid_a") <= F.col("qid_b"))
+        .groupBy("qid_a", "qid_b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

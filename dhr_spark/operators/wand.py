@@ -1810,6 +1810,14 @@ class Searcher:
             offset,
         )
 
+    def result_adjacency(self, queries: DataFrame) -> DataFrame:
+        """(qid_a, qid_b, n): ES ``adjacency_matrix`` over the queries'
+        MATCHING documents — pairwise hit-set intersection counts plus the
+        diagonal (operators/hitstats.hit_adjacency)."""
+        from dhr_spark.operators.hitstats import hit_adjacency
+
+        return hit_adjacency(self._matched_docs(queries))
+
     def search_random(
         self, queries: DataFrame, seed: int, k: int = 10
     ) -> DataFrame:

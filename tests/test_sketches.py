@@ -628,3 +628,20 @@ def test_searcher_histogram_pipeline_consistent(spark, tmp_path):
         ).collect()
     }
     assert fast == slow and fast
+
+
+def test_hit_adjacency_hand_counts(spark):
+    from dhr_spark.operators.hitstats import hit_adjacency
+
+    hits = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("c", 9)],
+        "qid string, docid long",
+    )
+    got = {
+        (r["qid_a"], r["qid_b"]): r["n"]
+        for r in hit_adjacency(hits).collect()
+    }
+    # diagonal = plain counts; ab intersection = {2,3}; empty pairs absent
+    assert got == {
+        ("a", "a"): 3, ("b", "b"): 2, ("c", "c"): 1, ("a", "b"): 2,
+    }
