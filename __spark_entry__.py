@@ -5191,6 +5191,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SUGGEST_PHRASES, max_per_term=3, top=3
         )
 
+    def rare_terms_q(spark, sf):
+        # ES rare_terms: long-tail terms (background df <= 3/10 of the
+        # corpus — integer arithmetic so both engines cut identically)
+        # within each query's top hits, rarest first
+        s = _searcher(spark, sf)
+        cutoff = int(s.manifest["n_docs"]) * 3 // 10
+        return s.rare_terms(
+            _queries_df(spark), max_doc_count=cutoff, k=20, top_hits=50
+        )
+
     def adjacency_hits_q(spark, sf):
         # ES adjacency_matrix: pairwise hit-set intersection counts (plus
         # the diagonal), docid-co-partitioned self-join on the match set
@@ -5583,6 +5593,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "pipeline_hits": pipeline_hits_q,
         "random_hits": random_hits_q,
         "adjacency_hits": adjacency_hits_q,
+        "rare_terms": rare_terms_q,
         "alias_rollover_identity": alias_rollover_identity_q,
         "reindex_identity": reindex_identity_q,
         "merge_identity": merge_identity_q,
@@ -6884,6 +6895,27 @@ FROM agg""",
         # buckets — floor((v-10)/50)*50+10 via the positive-mod identity
         # (DuckDB % follows the dividend sign; the +i %i wrap matches
         # Spark's pmod exactly)
+        "rare_terms": f"""WITH {_TOKS_CTE}, {_q_values()},
+{_SCORED_CTE},
+hits AS (SELECT qid, docid FROM ranked WHERE rank <= 50),
+rare AS (
+  SELECT ts.term, ts.df::BIGINT AS bg FROM ts CROSS JOIN cs
+  WHERE ts.df <= cs.n_docs * 3 // 10
+),
+fg AS (
+  SELECT h.qid, tf.term, count(DISTINCT tf.doc_id)::BIGINT AS fg,
+         min(r.bg) AS bg
+  FROM hits h
+  JOIN tf ON tf.doc_id = h.docid
+  JOIN rare r ON r.term = tf.term
+  GROUP BY 1, 2
+)
+SELECT qid, term, fg, bg, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY qid ORDER BY bg ASC, term ASC
+  ) AS INTEGER) AS rank
+  FROM fg
+) WHERE rank <= 20""",
         "adjacency_hits": f"""WITH {_TOKS_CTE}, {_q_values()}, {_matched_cte()}
 SELECT a.qid AS qid_a, b.qid AS qid_b, count(*)::BIGINT AS n
 FROM matched a JOIN matched b USING (docid)

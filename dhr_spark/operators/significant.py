@@ -105,3 +105,48 @@ def significant_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rare_terms(
+    hits: DataFrame,
+    doc_terms: DataFrame,
+    term_df: DataFrame,
+    max_doc_count: int = 1,
+    k: int = 100,
+) -> DataFrame:
+    """(qid, term, fg, bg, rank): Elasticsearch ``rare_terms`` aggregation
+    — the long-tail complement of ``terms``: terms occurring in each
+    query's hit set whose BACKGROUND document frequency is at most
+    ``max_doc_count``, ordered rarest-first (bg ASC, term ASC), top ``k``.
+
+    Same input relations as significant_terms (hits = (qid, docid),
+    doc_terms = DISTINCT (docid, term), term_df = (term, df)); the
+    background cutoff pushes into the term_df join before anything
+    aggregates, so at 10^9-term dictionaries only the df <= cutoff slice
+    ever joins. ES implements this with a CuckooFilter to stay one-pass —
+    here the exact distributed join IS one pass, no approximation needed.
+    """
+    if max_doc_count < 1:
+        raise ValueError(f"max_doc_count must be >= 1, got {max_doc_count}")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    rare = term_df.filter(F.col("df") <= int(max_doc_count)).select(
+        "term", F.col("df").alias("bg")
+    )
+    fg = (
+        doc_terms.join(rare, "term")
+        .join(F.broadcast(hits.select("qid", "docid")), "docid")
+        .groupBy("qid", "term")
+        .agg(
+            F.count_distinct("docid").cast("long").alias("fg"),
+            F.first("bg").alias("bg"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("bg").asc(), F.col("term").asc()
+    )
+    return (
+        fg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "term", "fg", "bg", "rank")
+    )

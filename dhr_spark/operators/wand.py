@@ -4166,6 +4166,48 @@ class Searcher:
             min_fg=min_fg,
         )
 
+    def rare_terms(
+        self,
+        queries: DataFrame,
+        max_doc_count: int = 1,
+        k: int = 100,
+        top_hits: int = 100,
+        prune: bool = True,
+    ) -> DataFrame:
+        """(qid, term, fg, bg, rank): ES ``rare_terms`` over each query's
+        top-``top_hits`` result set — long-tail terms with background df
+        <= ``max_doc_count``, rarest first (operators/significant.
+        rare_terms). Index-backed inputs assembled exactly as
+        significant_terms: the df cutoff prunes the dictionary BEFORE the
+        forward-index join, so only the rare slice ever shuffles."""
+        from dhr_spark.operators.significant import rare_terms as _rare
+
+        if not self.manifest.get("forward_index"):
+            raise ValueError(
+                "index was built without forward_index=True; rare_terms "
+                "reads the doc-major vectors (rebuild or append with the "
+                "flag)"
+            )
+        hits = self.search(queries, k=top_hits, prune=prune).select(
+            "qid", "docid"
+        )
+        fwd = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/forward")
+        )
+        fg_rows = fwd.join(
+            F.broadcast(hits.select("docid").distinct()), "docid", "left_semi"
+        )
+        doc_terms = fg_rows.join(
+            F.broadcast(self._tdict.select("term_id", "term")), "term_id"
+        ).select("docid", "term")
+        td_dir = self.manifest.get("term_dict_dir", "term_dict")
+        tdf = self.spark.read.parquet(f"{self.index_dir}/{td_dir}").select(
+            "term", "df"
+        )
+        return _rare(
+            hits, doc_terms, tdf, max_doc_count=max_doc_count, k=k
+        )
+
     def suggest(
         self,
         terms: list[str],

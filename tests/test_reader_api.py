@@ -370,3 +370,33 @@ def test_suggest_complete_df_weight_order(spark, env):
     exact = [t for t in rows if t == "s"]
     if exact:
         assert any(t == "s" for t, _ in got) or len(got) == 4
+
+
+def test_rare_terms_semantics(spark):
+    """rare_terms: background cutoff gates, rarest-first order, diagonal
+    inputs as significant_terms; guards."""
+    import pytest as _pt
+
+    from dhr_spark.operators.significant import rare_terms
+
+    hits = spark.createDataFrame(
+        [("q", 1), ("q", 2)], "qid string, docid long"
+    )
+    doc_terms = spark.createDataFrame(
+        [(1, "common"), (1, "odd"), (2, "common"), (2, "unique")],
+        "docid long, term string",
+    )
+    tdf = spark.createDataFrame(
+        [("common", 90), ("odd", 3), ("unique", 1)],
+        "term string, df long",
+    )
+    got = [
+        (r["term"], r["fg"], r["bg"], r["rank"])
+        for r in rare_terms(hits, doc_terms, tdf, max_doc_count=5, k=10)
+        .orderBy("rank").collect()
+    ]
+    assert got == [("unique", 1, 1, 1), ("odd", 1, 3, 2)]
+    with _pt.raises(ValueError, match="max_doc_count"):
+        rare_terms(hits, doc_terms, tdf, max_doc_count=0)
+    with _pt.raises(ValueError, match="k must be"):
+        rare_terms(hits, doc_terms, tdf, k=0)
