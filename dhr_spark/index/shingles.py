@@ -9,14 +9,22 @@ NOT count as adjacent — the same convention Lucene's ShingleFilter
 exposes as filler tokens, here simply absent mass. Tombstoned docs are
 excluded, so the LM reflects the live corpus.
 
-Scale shape: one posexplode of the positions relation (token-stream-sized,
-the same volume any corpus statistic pays) → one self-join keyed on
-(docid, pos) — co-partitioned, a single exchange — → a (t1, t2) count
-with map-side combine. The artifact is vocabulary-pair-sized, written
-once; queries read slices of it by t1 pushdown. Freshness is manifested:
-the build records the corpus n_docs it saw, and readers refuse a stale
-table instead of silently under-counting (refresh = rebuild; bigram mass
-is corpus-wide, not append-local like k-grams).
+Incremental by construction for the append lifecycle: appends allocate
+docids at the next chunk boundary, so the docid watermark recorded at the
+last build bounds exactly the NEW documents — a refresh after appends
+folds only their positions into a new ``bg_batch`` partition (bigram mass
+is per-doc additive; readers sum across batches). Deletes change existing
+docs' contribution, so a tombstone-count change forces a full rebuild —
+the staleness record (n_docs / appends / tombstones / next_docid) makes
+the choice explicit, and readers REFUSE a stale table instead of
+under-counting.
+
+Scale shape: one posexplode of the (delta) positions relation → one
+self-join keyed on (docid, pos) — co-partitioned, a single exchange — →
+a (t1, t2) count with map-side combine. The artifact is
+vocabulary-pair-sized; queries read slices of it by t1 pushdown, then
+aggregate across batches (batch count grows only with appends and resets
+at each rebuild/compaction).
 
 Reference anchor: Elasticsearch phrase suggester (``suggest.phrase``)
 builds its candidate-scoring LM from index shingles the same way; Lucene
@@ -40,9 +48,24 @@ from dhr_spark.index.builder import (
 BIGRAM_DIR = "bigrams"
 
 
+def _pairs(pos: DataFrame) -> DataFrame:
+    tok = pos.select(
+        "docid", F.col("term_id").alias("t1"),
+        F.explode("positions").alias("pos"),
+    )
+    nxt = tok.select(
+        "docid", F.col("t1").alias("t2"), (F.col("pos") - 1).alias("pos")
+    )
+    return tok.join(nxt, ["docid", "pos"]).groupBy("t1", "t2").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
 def build_bigram_index(spark: SparkSession, index_dir: str) -> dict:
-    """Build (or rebuild) the bigram artifact; returns the committed
-    manifest. Requires ``build_index(..., positional=True)``."""
+    """Build or refresh the bigram artifact; returns the committed
+    manifest. Requires ``build_index(..., positional=True)``. Fresh table
+    -> no-op; append-only growth -> O(batch) delta fold; anything that
+    changed existing docs (deletes, conversation re-emits) -> rebuild."""
     t0 = time.time()
     man = load_manifest(index_dir)
     if man is None:
@@ -53,36 +76,55 @@ def build_bigram_index(spark: SparkSession, index_dir: str) -> dict:
             "build the index with positional=True"
         )
     prev = man.get("bigrams")
-    if prev and int(prev["n_docs"]) == int(man["n_docs"]) and int(
-        prev.get("appends", 0)
-    ) == int(man.get("appends", 0)):
+    n_tomb = int(man.get("tombstones", 0))
+    if (
+        prev
+        and int(prev["n_docs"]) == int(man["n_docs"])
+        and int(prev.get("appends", 0)) == int(man.get("appends", 0))
+        and int(prev.get("tombstones", 0)) == n_tomb
+    ):
         return dict(man)  # corpus unchanged — the table is fresh, no-op
     committed = [int(c) for c in man["chunks"]]
+    chunk_bits = int(man["chunk_bits"])
     pos = (
         spark.read.parquet(os.path.join(index_dir, "positions"))
         .filter(F.col("chunk").isin(committed))
         .select("docid", "term_id", "positions")
     )
+    delta_only = (
+        prev is not None
+        and int(prev.get("tombstones", -1)) == n_tomb
+        and int(man.get("appends", 0)) > int(prev.get("appends", 0))
+        and "next_docid" in prev
+    )
+    if delta_only:
+        # appends only: every new doc sits at docid >= the recorded
+        # watermark (appends allocate at the next chunk boundary), so the
+        # delta fold reads only the new chunks' positions
+        wm = int(prev["next_docid"])
+        pos = pos.filter(F.col("docid") >= wm)
+        batch = int(prev.get("batches", 1))
+    else:
+        batch = 0
     tomb = read_tombstones(spark, index_dir, man)
     if tomb is not None:
         pos = pos.join(tomb, "docid", "left_anti")
-    tok = pos.select(
-        "docid", F.col("term_id").alias("t1"),
-        F.explode("positions").alias("pos"),
+    pairs = _pairs(pos).withColumn("bg_batch", F.lit(batch))
+    writer = pairs.repartition(
+        1 if len(committed) <= 64 else 32, "t1"
+    ).write.mode("overwrite")
+    if batch:
+        writer = writer.options(partitionOverwriteMode="dynamic")
+    writer.partitionBy("bg_batch").parquet(
+        os.path.join(index_dir, BIGRAM_DIR)
     )
-    nxt = tok.select(
-        "docid", F.col("t1").alias("t2"), (F.col("pos") - 1).alias("pos")
-    )
-    pairs = tok.join(nxt, ["docid", "pos"]).groupBy("t1", "t2").agg(
-        F.count("*").cast("long").alias("n")
-    )
-    pairs.repartition(1 if len(committed) <= 64 else 32, "t1").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, BIGRAM_DIR))
     man2 = dict(man)
     man2["bigrams"] = {
         "n_docs": int(man["n_docs"]),
         "appends": int(man.get("appends", 0)),
+        "tombstones": n_tomb,
+        "next_docid": int(man["next_docid"]),
+        "batches": batch + 1,
         "seconds": round(time.time() - t0, 2),
     }
     _write_manifest(index_dir, man2)
@@ -92,22 +134,28 @@ def build_bigram_index(spark: SparkSession, index_dir: str) -> dict:
 def read_bigrams(
     spark: SparkSession, index_dir: str, manifest: dict
 ) -> DataFrame:
-    """The committed bigram relation (t1, t2, n); refuses a stale table
-    (corpus changed since the build) rather than under-counting."""
+    """The committed bigram relation (t1, t2, n) — batches summed; refuses
+    a stale table (corpus changed since the last refresh) rather than
+    under-counting."""
     bg = manifest.get("bigrams")
     if not bg:
         raise ValueError(
             "index has no bigram artifact — run "
             "index.shingles.build_bigram_index first"
         )
-    if int(bg["n_docs"]) != int(manifest["n_docs"]) or int(
-        bg.get("appends", 0)
-    ) != int(manifest.get("appends", 0)):
+    if (
+        int(bg["n_docs"]) != int(manifest["n_docs"])
+        or int(bg.get("appends", 0)) != int(manifest.get("appends", 0))
+        or int(bg.get("tombstones", 0)) != int(manifest.get("tombstones", 0))
+    ):
         raise ValueError(
             "bigram artifact is stale (corpus changed since its build) — "
             "re-run index.shingles.build_bigram_index"
         )
-    return spark.read.parquet(os.path.join(index_dir, BIGRAM_DIR))
+    raw = spark.read.parquet(os.path.join(index_dir, BIGRAM_DIR)).filter(
+        F.col("bg_batch") < int(bg.get("batches", 1))
+    )
+    return raw.groupBy("t1", "t2").agg(F.sum("n").cast("long").alias("n"))
 
 
 def bigram_counts_scan(

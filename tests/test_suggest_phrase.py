@@ -163,3 +163,66 @@ def test_suggest_phrase_guards(spark, lm_idx, tmp_path):
     )
     with pytest.raises(ValueError, match="bigram"):
         Searcher(spark, d2).suggest_phrase(["hash joi"])
+
+
+def test_bigram_refresh_is_incremental_and_exact(spark, tmp_path):
+    """After a turn-level append the refresh folds ONLY the new docs (a
+    new bg_batch partition; old partitions untouched) and the summed
+    relation equals a from-scratch rebuild; a delete forces the rebuild
+    path (tombstone change invalidates per-doc mass)."""
+    import os as _os
+
+    from dhr_spark.index.builder import load_manifest
+    from dhr_spark.index.incremental import append_to_index
+
+    tr = synth_transcripts(spark, 8, seed=21)
+    d = str(tmp_path / "inc")
+    build_index(spark, tr, d, chunk_bits=7, block_size=BS, positional=True)
+    build_bigram_index(spark, d)
+    extra = synth_transcripts(spark, 4, seed=22).withColumn(
+        "conv_id", F.concat(F.lit("n"), F.col("conv_id"))
+    )
+    append_to_index(spark, extra, d)
+    man = build_bigram_index(spark, d)
+    assert man["bigrams"]["batches"] == 2  # delta fold, not a rebuild
+    batches = {
+        p for p in _os.listdir(_os.path.join(d, "bigrams"))
+        if p.startswith("bg_batch=")
+    }
+    assert batches == {"bg_batch=0", "bg_batch=1"}
+    folded = {
+        (r["t1"], r["t2"]): r["n"]
+        for r in read_bigrams(spark, d, load_manifest(d)).collect()
+    }
+    # from-scratch reference over the union corpus
+    ref_dir = str(tmp_path / "ref")
+    build_index(
+        spark, tr.unionByName(extra), ref_dir, chunk_bits=7,
+        block_size=BS, positional=True,
+    )
+    build_bigram_index(spark, ref_dir)
+    ref_td = spark.read.parquet(
+        f"{ref_dir}/{load_manifest(ref_dir).get('term_dict_dir', 'term_dict')}"
+    ).select("term", F.col("term_id").alias("ref_id"))
+    inc_td = spark.read.parquet(
+        f"{d}/{load_manifest(d).get('term_dict_dir', 'term_dict')}"
+    ).select("term", "term_id")
+    remap = {
+        int(r["term_id"]): int(r["ref_id"])
+        for r in inc_td.join(ref_td, "term").collect()
+    }
+    ref = {
+        (r["t1"], r["t2"]): r["n"]
+        for r in read_bigrams(spark, ref_dir, load_manifest(ref_dir))
+        .collect()
+    }
+    assert {
+        (remap[a], remap[b]): n for (a, b), n in folded.items()
+    } == ref
+    # a delete invalidates per-doc mass -> next refresh REBUILDS (batch 0)
+    from dhr_spark.index.delete import delete_docs
+
+    delete_docs(spark, d, docids=[0], exact_stats=False)
+    man2 = build_bigram_index(spark, d)
+    assert man2["bigrams"]["batches"] == 1
+    read_bigrams(spark, d, load_manifest(d))  # fresh again
