@@ -79,6 +79,7 @@ def build_bigram_index(spark: SparkSession, index_dir: str) -> dict:
     n_tomb = int(man.get("tombstones", 0))
     if (
         prev
+        and "batches" in prev  # pre-batch layouts always rebuild
         and int(prev["n_docs"]) == int(man["n_docs"])
         and int(prev.get("appends", 0)) == int(man.get("appends", 0))
         and int(prev.get("tombstones", 0)) == n_tomb
@@ -93,9 +94,10 @@ def build_bigram_index(spark: SparkSession, index_dir: str) -> dict:
     )
     delta_only = (
         prev is not None
+        and "batches" in prev
+        and "next_docid" in prev
         and int(prev.get("tombstones", -1)) == n_tomb
         and int(man.get("appends", 0)) > int(prev.get("appends", 0))
-        and "next_docid" in prev
     )
     if delta_only:
         # appends only: every new doc sits at docid >= the recorded
@@ -144,7 +146,8 @@ def read_bigrams(
             "index.shingles.build_bigram_index first"
         )
     if (
-        int(bg["n_docs"]) != int(manifest["n_docs"])
+        "batches" not in bg  # pre-batch layout: rebuild to upgrade
+        or int(bg["n_docs"]) != int(manifest["n_docs"])
         or int(bg.get("appends", 0)) != int(manifest.get("appends", 0))
         or int(bg.get("tombstones", 0)) != int(manifest.get("tombstones", 0))
     ):
