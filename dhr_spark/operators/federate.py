@@ -172,6 +172,71 @@ class MultiSearcher:
         )
         return self._unpack(merged)
 
+    def search_phrase(self, phrase: str, slop: int = 0) -> DataFrame:
+        """(index_id, docid, n_matches, first_pos): federated phrase
+        matching — positional matching is STATISTICS-FREE (no df/idf in
+        the result), so federation is a plain union of per-member matches;
+        every member needs the positional artifact. Identical rows to
+        search_phrase on a union-corpus index (modulo the member-local
+        docid spaces the index_id column disambiguates)."""
+        per = [
+            s.search_phrase(phrase, slop=slop).withColumn(
+                "index_id", F.lit(i)
+            )
+            for i, s in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        return u.select("index_id", "docid", "n_matches", "first_pos")
+
+    def search_phrase_prefix(
+        self, phrase: str, max_expansions: int = 50
+    ) -> DataFrame:
+        """(index_id, docid, n_matches, first_pos): federated
+        match_phrase_prefix. The expansion set must be GLOBAL for identity
+        with a union-corpus index (a per-member term-ASC cap could admit
+        different completions per shard), so the members' dictionaries
+        merge under one term-ASC cap first — each member contributes its
+        own capped candidate slice (the global top-N is a subset of the
+        union of per-member top-Ns), then matches only the merged set via
+        the ``expansions`` hook."""
+        from dhr_spark.functions.analyzer import analyze_positions
+
+        mode = self.searchers[0].manifest["analyzer_mode"]
+        pairs = analyze_positions(mode, phrase)
+        if not pairs:
+            raise ValueError(f"phrase {phrase!r} has no indexable terms")
+        prefix = pairs[-1][1]
+        cands: set[str] = set()
+        for s in self.searchers:
+            if s._tid_cache is not None:
+                member = sorted(
+                    t for t in s._tid_cache if t.startswith(prefix)
+                )[:max_expansions]
+            else:
+                member = [
+                    r["term"]
+                    for r in s._tdict.filter(
+                        F.col("term").startswith(prefix)
+                    )
+                    .orderBy("term")
+                    .limit(max_expansions)
+                    .collect()
+                ]
+            cands.update(member)
+        merged = sorted(cands)[:max_expansions]
+        per = [
+            s.search_phrase_prefix(phrase, expansions=merged).withColumn(
+                "index_id", F.lit(i)
+            )
+            for i, s in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        return u.select("index_id", "docid", "n_matches", "first_pos")
+
     def search_qld(
         self, queries: DataFrame, k: int = 1000,
         mu: float = 1000.0, prune: bool = True,

@@ -3547,7 +3547,10 @@ class Searcher:
         )
 
     def search_phrase_prefix(
-        self, phrase: str, max_expansions: int = 50
+        self,
+        phrase: str,
+        max_expansions: int = 50,
+        expansions: list[str] | None = None,
     ) -> DataFrame:
         """(docid, n_matches, first_pos): ES ``match_phrase_prefix`` /
         Lucene ``MultiPhraseQuery`` served from the positional artifact —
@@ -3588,7 +3591,25 @@ class Searcher:
             [], "docid long, n_matches long, first_pos long"
         )
         # ---- expansion set: dictionary terms completing the prefix ----
-        if self._tid_cache is not None:
+        # ``expansions`` (federation hook): the candidate completions were
+        # already resolved globally (MultiSearcher merges member
+        # dictionaries under ONE term-ASC cap); this member just maps them
+        # to its own term ids — terms absent here contribute nothing
+        if expansions is not None:
+            if self._tid_cache is not None:
+                exp_tids = [
+                    self._tid_cache[t][0]
+                    for t in expansions
+                    if t in self._tid_cache
+                ]
+            else:
+                exp_tids = [
+                    int(r["term_id"])
+                    for r in self._tdict.filter(
+                        F.col("term").isin(list(expansions))
+                    ).collect()
+                ]
+        elif self._tid_cache is not None:
             exp_tids = [
                 tid
                 for _, tid in sorted(

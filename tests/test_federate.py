@@ -467,3 +467,54 @@ def test_cori_select_one_is_subset_with_exact_scores(spark, sharded, queries):
     assert all(len(s) == 1 for s in shards_per_q.values())
     with pytest.raises(ValueError, match="n_select"):
         ms.search_cori(queries, k=5, n_select=0)
+
+
+def test_federated_phrase_and_prefix_equal_union(spark, tmp_path):
+    """Positional federation: phrase (exact + slop) and phrase-prefix
+    matches over sharded members equal the union-corpus index row-for-row
+    (keys mapped through doc_map; prefix expansion capped GLOBALLY)."""
+    a = _batch(spark, 10, 11, "pa-")
+    b = _batch(spark, 8, 23, "pb-")
+    dirs, parts = [], [a, b]
+    for i, p in enumerate(parts):
+        d = str(tmp_path / f"ps{i}")
+        build_index(spark, p, d, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+                    positional=True)
+        dirs.append(d)
+    full = str(tmp_path / "pfull")
+    build_index(spark, a.unionByName(b), full, chunk_bits=CHUNK_BITS,
+                block_size=BLOCK, positional=True)
+    ms = MultiSearcher(spark, dirs)
+    single = Searcher(spark, full)
+
+    def fed_keys(res):
+        out = {}
+        for i, d in enumerate(dirs):
+            dm = spark.read.parquet(os.path.join(d, "doc_map"))
+            sub = res.filter(F.col("index_id") == i).join(dm, "docid")
+            for r in sub.collect():
+                out[(r["conv_id"], r["turn_idx"])] = (
+                    r["n_matches"], r["first_pos"],
+                )
+        return out
+
+    def single_keys(res):
+        dm = spark.read.parquet(os.path.join(full, "doc_map"))
+        return {
+            (r["conv_id"], r["turn_idx"]): (r["n_matches"], r["first_pos"])
+            for r in res.join(dm, "docid").collect()
+        }
+
+    for fed, sing in (
+        (ms.search_phrase("the table"), single.search_phrase("the table")),
+        (
+            ms.search_phrase("table merge", slop=2),
+            single.search_phrase("table merge", slop=2),
+        ),
+        (
+            ms.search_phrase_prefix("the tabl", max_expansions=3),
+            single.search_phrase_prefix("the tabl", max_expansions=3),
+        ),
+    ):
+        fk, sk = fed_keys(fed), single_keys(sing)
+        assert fk == sk and fk
