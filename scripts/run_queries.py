@@ -183,6 +183,18 @@ def main() -> None:
         p.error("--boost/--recency compose with similarity flags "
                 "(--qld/--lmjm/...) but not with --rm3/--rocchio/--fuse/"
                 "--phrases/--highlight/--rewrite/--syntax/--count/--explain")
+    # an alias directory (index/alias.py) expands to its member indexes —
+    # searching an alias IS federation over its members
+    expanded = []
+    for d in args.index_dirs:
+        if os.path.isfile(os.path.join(d, "alias.json")):
+            from dhr_spark.index.alias import load_alias
+
+            expanded.extend(load_alias(d)["members"])
+        else:
+            expanded.append(d)
+    args.index_dirs = expanded
+
     if len(args.index_dirs) > 1 and (
         args.phrases or args.rm3 or args.rocchio or args.qld
         or args.lmjm or args.f2exp or args.f2log or args.tfidf
