@@ -4343,6 +4343,104 @@ class Searcher:
             .drop("idf")
         )
 
+    def _fuzzy_candidate_rows(
+        self, qterms: list[str], max_edits: int
+    ) -> DataFrame:
+        """(qt, term, term_id, df, ctf): dictionary terms within plain
+        Levenshtein ``max_edits`` of each input term — the phrase
+        suggester's candidate relation, batched across ALL inputs in one
+        job. When the index carries a k-gram table (index/kgram.py) the
+        |V|-row levenshtein scan is cut first: ONE broadcast of the inputs'
+        (qt, gram) pairs against the gram-sorted table resolves every
+        input's candidate slice in a single pass (shared-gram count vs the
+        per-input pigeonhole threshold), exact levenshtein then verifies.
+        Terms above the gram watermark and inputs whose gram bound is
+        vacuous fall back to the dictionary scan — the cut is a NECESSARY
+        condition only, so results are bit-identical to the full join."""
+        full = self.spark.read.parquet(
+            f"{self.index_dir}/"
+            f"{self.manifest.get('term_dict_dir', 'term_dict')}"
+        ).select("term", "term_id", "df", "ctf")
+        sel = ["qt", "term", "term_id", "df", "ctf"]
+
+        def lev_join(terms: list[str]) -> DataFrame:
+            inp = self.spark.createDataFrame(
+                [(t,) for t in terms], "qt string"
+            )
+            return full.join(
+                F.broadcast(inp),
+                F.levenshtein(F.col("term"), F.col("qt")) <= max_edits,
+            ).select(*sel)
+
+        kg = self.manifest.get("kgram")
+        if not kg:
+            return lev_join(qterms)
+        import os as _os
+
+        from dhr_spark.index.kgram import KGRAM_DIR, fuzzy_grams
+
+        gram_rows: list[tuple[str, str]] = []
+        thresh_rows: list[tuple[str, int]] = []
+        vacuous: list[str] = []
+        for qt in qterms:
+            g = fuzzy_grams(qt, max_edits, int(kg["k"]))
+            if g is None:
+                vacuous.append(qt)
+            else:
+                req, thresh = g
+                gram_rows += [(qt, gr) for gr in req]
+                thresh_rows.append((qt, thresh))
+        parts: list[DataFrame] = []
+        if thresh_rows:
+            gdf = self.spark.createDataFrame(
+                gram_rows, "qt string, gram string"
+            )
+            tdf = self.spark.createDataFrame(
+                thresh_rows, "qt string, thresh int"
+            )
+            all_grams = sorted({g for _, g in gram_rows})
+            kgt = self.spark.read.parquet(
+                _os.path.join(self.index_dir, KGRAM_DIR)
+            )
+            # isin (not the join) reaches the row groups of the gram-sorted
+            # table; per-(qt, gram) rows are distinct on both sides, so
+            # count(*) == count_distinct(gram)
+            cand_ids = (
+                kgt.filter(F.col("gram").isin(all_grams))
+                .join(F.broadcast(gdf), "gram")
+                .groupBy("qt", "term_id")
+                .agg(F.count("*").alias("_n"))
+                .join(F.broadcast(tdf), "qt")
+                .filter(F.col("_n") >= F.col("thresh"))
+                .select("qt", "term_id")
+            )
+            parts.append(
+                cand_ids.join(full, "term_id")
+                .filter(
+                    F.levenshtein(F.col("term"), F.col("qt")) <= max_edits
+                )
+                .select(*sel)
+            )
+            # gram'd inputs still levenshtein-scan the post-watermark slice
+            # (terms appended after the last build_kgram_index refresh)
+            inp_g = self.spark.createDataFrame(
+                [(t,) for t, _ in thresh_rows], "qt string"
+            )
+            parts.append(
+                full.filter(F.col("term_id") > int(kg["max_term_id"]))
+                .join(
+                    F.broadcast(inp_g),
+                    F.levenshtein(F.col("term"), F.col("qt")) <= max_edits,
+                )
+                .select(*sel)
+            )
+        if vacuous:
+            parts.append(lev_join(vacuous))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def suggest_phrase(
         self,
         texts: list[str],
@@ -4374,12 +4472,13 @@ class Searcher:
         suggestion ASC.
 
         Interactive shape: ONE distributed dictionary job resolves all
-        candidates (|texts| broadcast against the |V| scan — the
-        DirectSpellChecker cost), one bounded bigram slice read
-        (candidate-pair pushdown), then driver-side enumeration over at
-        most max_per_term^slots combinations (capped; slots capped at 6,
-        which also keeps the oracle's decimal(38) products exact at test
-        scale). Nothing touches the corpus.
+        candidates (_fuzzy_candidate_rows — k-gram-accelerated when the
+        index carries a gram table, the |V| levenshtein scan otherwise),
+        one bounded bigram slice read (candidate-pair pushdown), then
+        driver-side enumeration over at most max_per_term^slots
+        combinations (capped; slots capped at 6, which also keeps the
+        oracle's decimal(38) products exact at test scale). Nothing
+        touches the corpus.
         """
         from pyspark.sql import Window
 
@@ -4410,18 +4509,11 @@ class Searcher:
         if not plans:
             return empty
         qterms = sorted({t for ts in plans.values() for t in ts})
-        inp = self.spark.createDataFrame([(t,) for t in qterms], "qt string")
         w = Window.partitionBy("qt").orderBy(
             F.col("df").desc(), F.col("term").asc()
         )
-        full_dict = self.spark.read.parquet(
-            f"{self.index_dir}/{self.manifest.get('term_dict_dir', 'term_dict')}"
-        )
         cand_rows = (
-            full_dict.join(
-                F.broadcast(inp),
-                F.levenshtein(F.col("term"), F.col("qt")) <= max_edits,
-            )
+            self._fuzzy_candidate_rows(qterms, max_edits)
             .withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= max_per_term)
             .select("qt", "term", "term_id", "ctf")

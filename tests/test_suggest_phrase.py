@@ -143,6 +143,25 @@ def test_suggest_phrase_ranking_and_input_exclusion(spark, tmp_path):
     assert [r["suggestion"] for r in got2] == ["big car"]
 
 
+def test_suggest_phrase_kgram_identity(spark, lm_idx):
+    """With a k-gram table committed the suggester's candidate scan takes
+    the gram cut (_fuzzy_candidate_rows); results stay bit-identical to
+    the plain |V| levenshtein join. Inputs cover both branches: 'tble'
+    yields a usable gram bound, 'joi' is vacuous (3 grams - 3*1 edits < 1)
+    and falls back to the dictionary scan."""
+    from dhr_spark.index.kgram import build_kgram_index
+
+    d, _ = lm_idx
+    texts = ["hash joi table", "index tble", "merge joi tble"]
+    plain = Searcher(spark, d).suggest_phrase(texts, max_per_term=3).collect()
+    build_kgram_index(spark, d)
+    s = Searcher(spark, d)
+    assert s.manifest.get("kgram")
+    accel = s.suggest_phrase(texts, max_per_term=3).collect()
+    assert sorted(map(tuple, accel)) == sorted(map(tuple, plain))
+    assert plain  # non-vacuous comparison
+
+
 def test_suggest_phrase_guards(spark, lm_idx, tmp_path):
     d, _ = lm_idx
     s = Searcher(spark, d)
