@@ -4264,30 +4264,36 @@ class Searcher:
             return self.spark.createDataFrame(
                 rows, "input string, suggestion string, dist int, rank int"
             )
-        # huge-vocabulary fallback: distributed dictionary scan per batch
-        inp_df = self.spark.createDataFrame(
-            [(t,) for t in terms], "input string"
-        )
-        cand = (
-            self._tdict.crossJoin(F.broadcast(inp_df))
+        # huge-vocabulary fallback: gram-cut dictionary scan, batched over
+        # the whole input list (_fuzzy_candidate_rows). The prefix gate and
+        # self-exclusion verify AFTER the cut — extra necessary conditions
+        # narrow, never widen, so results equal the plain |V| scan.
+        slim = (
+            self._fuzzy_candidate_rows(list(terms), max_edits)
             .filter(
-                (F.levenshtein(F.col("term"), F.col("input")) <= max_edits)
-                & (F.col("term") != F.col("input"))
+                (F.col("term") != F.col("qt"))
                 & (
                     F.substring(F.col("term"), 1, prefix_len)
-                    == F.substring(F.col("input"), 1, prefix_len)
+                    == F.substring(F.col("qt"), 1, prefix_len)
                     if prefix_len
                     else F.lit(True)
                 )
             )
             .select(
-                "input",
-                F.col("term").alias("suggestion"),
-                F.levenshtein(F.col("term"), F.col("input"))
+                "qt",
+                "term_id",
+                F.levenshtein(F.col("term"), F.col("qt"))
                 .cast("int")
                 .alias("dist"),
-                "idf",
             )
+        )
+        # idf rides in from _tdict, NOT the helper's raw dictionary column —
+        # under a federated idf override the ranking must use the global idf
+        cand = self._tdict.join(F.broadcast(slim), "term_id").select(
+            F.col("qt").alias("input"),
+            F.col("term").alias("suggestion"),
+            "dist",
+            "idf",
         )
         from pyspark.sql import Window
 
@@ -4356,12 +4362,15 @@ class Searcher:
         per-input pigeonhole threshold), exact levenshtein then verifies.
         Terms above the gram watermark and inputs whose gram bound is
         vacuous fall back to the dictionary scan — the cut is a NECESSARY
-        condition only, so results are bit-identical to the full join."""
+        condition only, so results are bit-identical to the full join.
+        Rows are per DISTINCT input (the shared-gram count assumes distinct
+        (qt, gram) pairs, so duplicates are collapsed up front)."""
+        qterms = sorted(set(qterms))
         full = self.spark.read.parquet(
             f"{self.index_dir}/"
             f"{self.manifest.get('term_dict_dir', 'term_dict')}"
-        ).select("term", "term_id", "df", "ctf")
-        sel = ["qt", "term", "term_id", "df", "ctf"]
+        ).select("term", "term_id", "df", "ctf", "idf")
+        sel = ["qt", "term", "term_id", "df", "ctf", "idf"]
 
         def lev_join(terms: list[str]) -> DataFrame:
             inp = self.spark.createDataFrame(

@@ -87,6 +87,36 @@ def test_suggest_no_candidates(spark, env):
     assert env["searcher"].suggest(["zzzzzzz"]).count() == 0
 
 
+def test_suggest_distributed_kgram_identity(spark, tmp_path):
+    """With a k-gram table the distributed suggest fallback takes the
+    batched gram cut (_fuzzy_candidate_rows); results must equal the
+    resident scan. Inputs cover the vacuous-bound fallback ('sow': 5
+    grams - 3*2 edits < 1), the gram path ('tabel*' shapes), prefix_len=0
+    (no prefix gate), and a no-candidate input."""
+    from dhr_spark.index.kgram import build_kgram_index
+
+    idx = str(tmp_path / "kg")
+    build_index(spark, synth_transcripts(spark, 40), idx, chunk_bits=6,
+                block_size=8, docid_strategy="window")
+    build_kgram_index(spark, idx)
+    s = Searcher(spark, idx)
+    assert s.manifest.get("kgram") and s._tid_cache is not None
+    terms = ["tabel", "quary", "xqzwv", "sow"]
+    for plen in (1, 0):
+        fast = sorted(
+            map(tuple, s.suggest(terms, n=4, prefix_len=plen).collect())
+        )
+        saved = s._tid_cache
+        try:
+            s._tid_cache = None
+            slow = sorted(
+                map(tuple, s.suggest(terms, n=4, prefix_len=plen).collect())
+            )
+        finally:
+            s._tid_cache = saved
+        assert fast == slow and fast
+
+
 def test_stats_df_matches_recount(spark, env):
     row = env["searcher"].stats_df().collect()[0]
     n_docs = env["dls"].count()
