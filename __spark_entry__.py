@@ -1130,6 +1130,75 @@ SELECT input, suggestion, rank FROM (
 ) WHERE rank <= {COMPLETE_N}"""
 
 
+DSIR_B = 10_000  # entry buckets (operators/dsir.DSIR_BUCKETS)
+
+_DSIR_CTE = f"""{{toks}},
+grams AS (
+  SELECT doc_id,
+         unnest(list_concat(toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]))) AS g
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, ({{h60}}) % {DSIR_B} AS bucket, count(*)::BIGINT AS cnt
+  FROM grams GROUP BY 1, 2
+),
+tgt AS (SELECT bucket, sum(cnt)::BIGINT AS c FROM feats
+        WHERE doc_id % 5 = 0 GROUP BY 1),
+rawm AS (SELECT bucket, sum(cnt)::BIGINT AS c FROM feats GROUP BY 1),
+tot AS (SELECT (SELECT sum(c) FROM tgt)::DOUBLE AS tt,
+               (SELECT sum(c) FROM rawm)::DOUBLE AS rt),
+lr AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         CAST(round((ln((coalesce(t.c, 0) + 0.5) / (tot.tt + 0.5 * {DSIR_B}))
+                   - ln((coalesce(r.c, 0) + 0.5) / (tot.rt + 0.5 * {DSIR_B})))
+                   * 1000000) AS BIGINT) AS lrm
+  FROM tgt t FULL JOIN rawm r ON t.bucket = r.bucket CROSS JOIN tot
+),
+w AS (
+  SELECT f.doc_id, sum(f.cnt)::BIGINT AS n_feats,
+         sum(f.cnt * lr.lrm)::BIGINT AS lwm
+  FROM feats f JOIN lr USING (bucket) GROUP BY 1
+)"""
+
+
+def _dsir_cte() -> str:
+    return _DSIR_CTE.format(
+        toks=_TOKS_CTE.strip(), h60=_HASH60.format(arg="g")
+    )
+
+
+def _dsir_weights_sql() -> str:
+    """Oracle for operators/dsir.dsir_log_weights (entry: target = the
+    doc_id % 5 == 0 slice, raw = the whole table). The bucket log-ratio is
+    one libm expression rounded once to integer micros; the per-doc sum is
+    exact integer arithmetic, so logw is the single division lwm/1e6 in
+    both engines."""
+    return f"""WITH {_dsir_cte()}
+SELECT doc_id, n_feats, lwm::DOUBLE / 1000000 AS logw FROM w"""
+
+
+def _dsir_sample_sql() -> str:
+    """Oracle for operators/dsir.dsir_resample (k=50, seed=7): hash-Gumbel
+    key = round(logw - ln(-ln(u)), 6) with u = (md5-hash('7:'||id) % 1e6 +
+    0.5)/1e6 — the engine's exact expression chain."""
+    h = _HASH60.format(arg="'7:' || doc_id::VARCHAR")
+    return f"""WITH {_dsir_cte()},
+keyed AS (
+  SELECT doc_id, lwm::DOUBLE / 1000000 AS logw,
+         round(lwm::DOUBLE / 1000000
+               + -ln(-ln((({h}) % 1000000 + 0.5) / 1000000.0)), 6) AS key
+  FROM w
+)
+SELECT rank, doc_id, logw, key FROM (
+  SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS INTEGER)
+           AS rank,
+         doc_id, round(logw, 6) AS logw, key
+  FROM keyed
+) WHERE rank <= 50"""
+
+
 def _index_stats_sql() -> str:
     """Oracle for Searcher.stats_df: every statistic re-derived from the
     corpus. n_chunks relies on the entry index's dense 0-based docids
@@ -5522,6 +5591,28 @@ ranked AS (
 )
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
 
+    def dsir_weights_q(spark, sf):
+        # DSIR log importance weights: target = the doc_id % 5 == 0 slice,
+        # raw = the whole documents table (its own background model)
+        from dhr_spark.operators.dsir import (
+            dsir_log_weights, hashed_ngram_counts, hashed_ngram_model,
+        )
+
+        docs = _docs(spark, sf)
+        feats = hashed_ngram_counts(docs)
+        tmodel = hashed_ngram_model(
+            hashed_ngram_counts(docs.filter(F.col("doc_id") % 5 == 0))
+        )
+        return dsir_log_weights(feats, tmodel)
+
+    def dsir_sample_q(spark, sf):
+        from dhr_spark.operators.dsir import dsir_resample
+
+        docs = _docs(spark, sf)
+        return dsir_resample(
+            docs, docs.filter(F.col("doc_id") % 5 == 0), k=50, seed=7
+        )
+
     # then the long-green round-1 entries fill the remaining window.  Every
     # entry past slot 50 stays registered and is still verified by the
     # in-repo DuckDB-oracle pytest (tests/test_entry_oracle.py runs ALL of
@@ -5740,6 +5831,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "sql_bm25_topk": sql_views_topk_q,
         "complete_suggest": complete_suggest_q,
         "sorted_after_page": sorted_after_page_q,
+        "dsir_weights": dsir_weights_q,
+        "dsir_sample": dsir_sample_q,
     }
 
 
@@ -7405,4 +7498,6 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= 20""",
     out["sql_bm25_topk"] = _TOPK_SQL
     out["complete_suggest"] = _complete_sql()
     out["sorted_after_page"] = _sorted_after_sql()
+    out["dsir_weights"] = _dsir_weights_sql()
+    out["dsir_sample"] = _dsir_sample_sql()
     return out
