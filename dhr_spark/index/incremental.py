@@ -163,10 +163,22 @@ def append_to_index(
 
         field = iso["field"]
         if field not in transcripts.columns:
-            raise ValueError(
-                f"index is sorted by {field!r} — append batches must carry "
-                "the sort field"
-            )
+            cl = man.get("clustered")
+            if cl and field == "ckey":
+                # clustered layout (index/reorder.py): the sort key is the
+                # canonical text-derived MinHash key — re-derive it with the
+                # committed shingle geometry (streaming refresh batches and
+                # plain CLI appends never carry derived columns)
+                from dhr_spark.index.reorder import with_cluster_key
+
+                transcripts = with_cluster_key(
+                    transcripts, int(cl["shingle_n"])
+                )
+            else:
+                raise ValueError(
+                    f"index is sorted by {field!r} — append batches must "
+                    "carry the sort field"
+                )
         f_ord = (
             F.col(field).asc() if iso.get("ascending") else F.col(field).desc()
         )

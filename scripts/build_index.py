@@ -72,6 +72,14 @@ def main() -> None:
                    help="also build the k-gram term index (accelerates "
                         "wildcard/fuzzy/prefix at huge dictionaries; "
                         "index/kgram.py)")
+    p.add_argument("--clustered", action="store_true",
+                   help="MinHash-clustered docid assignment (index/"
+                        "reorder.py): similar turns get adjacent docids, "
+                        "shrinking delta-gap posting bytes; mutually "
+                        "exclusive with --index-sort, turn granularity "
+                        "only. Appends and streaming refresh re-derive "
+                        "the cluster key automatically (manifest records "
+                        "the shingle geometry)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
     docvalues = (
@@ -83,6 +91,10 @@ def main() -> None:
                 "single per-turn field value)")
     if args.index_sort and args.granularity == "conversation":
         p.error("--index-sort is turn-level only (it rides docvalues)")
+    if args.clustered and args.granularity == "conversation":
+        p.error("--clustered is turn-level only (it rides index_sort)")
+    if args.clustered and args.index_sort:
+        p.error("--clustered assigns its own index sort (ckey); pick one")
 
     from dhr_spark.session import get_spark
     from dhr_spark.index.builder import build_index
@@ -128,10 +140,7 @@ def main() -> None:
             if d not in ("", "asc", "desc"):
                 p.error(f"--index-sort direction must be asc|desc, got {d!r}")
             index_sort = (f, d == "asc")
-        manifest = build_index(
-            spark,
-            transcripts,
-            args.index_dir,
+        kw = dict(
             analyzer_mode=args.analyzer,
             chunk_bits=args.chunk_bits,
             block_size=args.block_size,
@@ -142,8 +151,18 @@ def main() -> None:
             positional=args.positional,
             stored=args.stored,
             docvalues=docvalues,
-            index_sort=index_sort,
         )
+        if args.clustered:
+            from dhr_spark.index.reorder import build_clustered_index
+
+            manifest = build_clustered_index(
+                spark, transcripts, args.index_dir, **kw
+            )
+        else:
+            manifest = build_index(
+                spark, transcripts, args.index_dir,
+                index_sort=index_sort, **kw,
+            )
     if args.kgram:
         from dhr_spark.index.kgram import build_kgram_index
 

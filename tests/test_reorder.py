@@ -115,7 +115,9 @@ def test_clustered_append_identity(spark, pair, tmp_path):
         "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp",
     )
-    append_to_index(spark, with_cluster_key(extra), clus)
+    # NO explicit ckey column: the clustered manifest makes the append
+    # re-derive the canonical key with the committed shingle geometry
+    append_to_index(spark, extra, clus)
     # rebuilt-from-scratch union reference
     ref = str(tmp_path / "ref")
     build_clustered_index(
