@@ -511,6 +511,7 @@ def main() -> None:
         "sql_bm25_topk", "sorted_index_topk", "sorted_after_page",
         "complete_suggest",
         "phrase_prefix", "composite_hits", "phrase_suggest", "ltr_features",
+        "dsir_sample",
     ]:
         # best-of-2: each op is 0.2-4s, so the second draw is cheap and
         # halves the ambient-noise variance in the committed per-op table
