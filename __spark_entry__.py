@@ -108,6 +108,14 @@ DECON_N, DECON_MIN_HITS = 3, 1
 SUGGEST_TERMS = ["tabel", "quary", "sow", "zzzzzzz"]
 SUGGEST_N, SUGGEST_EDITS, SUGGEST_PREFIX = 5, 2, 1
 COMPLETE_PREFIXES = ["pro", "de", "s", "table", "zzzz"]
+
+# boosting-query negatives: (qid, analyzed negative term) — q01/q03 demote
+# docs carrying these terms to score x 1/4; every other qid is untouched
+BOOSTING_NEG: list[tuple[str, str]] = [
+    ("q01", "window"),
+    ("q03", "slow"),
+    ("q03", "hash"),
+]
 COMPLETE_N = 5
 # docvalues range filter (search_filtered): mid-length docs only (~60% of
 # the corpus at sf0.01 — selective enough to reorder every query's top-k)
@@ -5591,6 +5599,28 @@ ranked AS (
 )
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
 
+    def boosting_topk_q(spark, sf):
+        # Lucene BoostingQuery / ES `boosting`: docs containing a qid's
+        # negative terms keep matching at score x 1/4 (4/16 — the
+        # integer-exact demotion of operators/boost.demoted_rank)
+        from dhr_spark.operators.boost import boosting_topk
+
+        post, _, _ = _postings(spark, sf)
+        negs = spark.createDataFrame(
+            BOOSTING_NEG, "qid string, term string"
+        )
+        dterms = _docs_tok(spark, sf).select(
+            F.col("doc_id").alias("docid"),
+            F.explode(F.array_distinct("tokens")).alias("term"),
+        )
+        neg_hits = dterms.join(F.broadcast(negs), "term").select(
+            "qid", "docid"
+        )
+        return boosting_topk(
+            _qtfs(spark), post, neg_hits, k=TOPK, negative_boost=0.25,
+            on="term",
+        )
+
     def dsir_weights_q(spark, sf):
         # DSIR log importance weights: target = the doc_id % 5 == 0 slice,
         # raw = the whole documents table (its own background model)
@@ -5796,6 +5826,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "bpref_at_10": bpref_q,
         "boosted_topk": boosted_topk_q,
         "boosted_index_identity": boosted_index_identity_q,
+        "boosting_topk": boosting_topk_q,
         "recency_topk": recency_topk_q,
         "pack_sequences": pack_sequences_q,
         "pack_layout_stats": pack_layout_stats_q,
@@ -6656,6 +6687,30 @@ branked AS (
 )
 SELECT qid, docid, rank, score FROM branked WHERE rank <= {TOPK}""",
         "boosted_index_identity": "SELECT CAST(0 AS BIGINT) AS mismatches",
+        # boosting query: negative-term docs demoted x 4/16, integer-micros
+        # numerator, ONE trailing division by 16e6 (no final rounding)
+        "boosting_topk": f"""WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE},
+neg(qid, term) AS (VALUES ('q01', 'window'), ('q03', 'slow'), ('q03', 'hash')),
+negdoc AS (
+  SELECT DISTINCT n.qid, tok.doc_id AS docid
+  FROM tok JOIN neg n USING (term)
+),
+boosted AS (
+  SELECT s.qid, s.docid,
+         (CAST(round(round(score, 6) * 1000000, 0) AS BIGINT)
+          * CASE WHEN nd.docid IS NOT NULL THEN 4 ELSE 16 END)::DOUBLE
+         / 16000000.0 AS score
+  FROM scored s
+  LEFT JOIN negdoc nd ON nd.qid = s.qid AND nd.docid = s.docid
+),
+branked AS (
+  SELECT qid, docid, score,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, docid ASC
+         ) AS INTEGER) AS rank
+  FROM boosted
+)
+SELECT qid, docid, rank, score FROM branked WHERE rank <= {TOPK}""",
         # recency half-life prior over the synthesis-formula timestamp:
         # age = now - (epoch0 + (docid*9973) % month), factor h/(h+age),
         # integer micros numerator, ONE trailing division

@@ -190,6 +190,68 @@ def recency_topk(
     )
 
 
+def demoted_rank(
+    scored: DataFrame,
+    neg_hits: DataFrame,
+    *,
+    negative_boost: float,
+    k: int,
+) -> DataFrame:
+    """Lucene BoostingQuery / Elasticsearch ``boosting`` query: documents
+    in ``neg_hits`` (qid, docid) STILL MATCH but their relevance is scaled
+    by ``negative_boost``; documents matching only the negative side never
+    enter (``scored`` defines the match set). ``negative_boost`` must be a
+    multiple of 1/16 in [0, 1] (mmr_rerank's integer-exact contract): the
+    demotion is then round6(score)·1e6·(16·nb) — exact int64 — divided
+    ONCE by 16e6, so fast path == slow path == oracle bit-for-bit.
+    nb = 0 is legal (ES allows it): demoted docs sink to score 0 and rank
+    by docid among themselves."""
+    nb16 = round(float(negative_boost) * 16)
+    if not (0.0 <= negative_boost <= 1.0) or abs(
+        nb16 - float(negative_boost) * 16
+    ) > 1e-9:
+        raise ValueError(
+            "negative_boost must be a multiple of 1/16 in [0, 1] "
+            f"(integer-exact demotion), got {negative_boost}"
+        )
+    neg = neg_hits.select("qid", "docid").distinct().withColumn(
+        "_neg", F.lit(1)
+    )
+    factor = F.when(F.col("_neg").isNotNull(), F.lit(nb16)).otherwise(
+        F.lit(16)
+    ).cast("long")
+    return _ranked(
+        scored.join(neg, ["qid", "docid"], "left")
+        .withColumn(
+            "score",
+            (_score_micros(F.col("score")) * factor).cast("double")
+            / F.lit(16e6),
+        )
+        .drop("_neg"),
+        k,
+    )
+
+
+def boosting_topk(
+    qtfs: DataFrame,
+    postings: DataFrame,
+    neg_hits: DataFrame,
+    k: int = 1000,
+    negative_boost: float = 0.5,
+    on: str = "term_id",
+) -> DataFrame:
+    """Corpus slow path: boosting-query top-k — BM25 scored set with the
+    (qid, docid) negative match set demoted by ``negative_boost``. Exact
+    over all matching docs (the oracle plan the index-backed
+    Searcher.search_boosting is verified against)."""
+    return demoted_rank(
+        score_all(qtfs, postings, on=on),
+        neg_hits,
+        negative_boost=negative_boost,
+        k=k,
+    )
+
+
 def random_hits_topk(hits: DataFrame, seed: int, k: int = 10) -> DataFrame:
     """(qid, docid, rank, score): Elasticsearch ``function_score`` /
     ``random_score`` with a seed — a DETERMINISTIC uniform draw per

@@ -2165,6 +2165,64 @@ class Searcher:
             scored, dv, ts_col=field, now=now, half_life_s=half_life_s, k=k
         )
 
+    def search_boosting(
+        self,
+        queries: DataFrame,
+        negatives: DataFrame,
+        negative_boost: float = 0.5,
+        k: int = 1000,
+        window: int | None = None,
+        sim: str = "bm25",
+        sim_param: float | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """(qid, docid, rank, score): Lucene BoostingQuery / Elasticsearch
+        ``boosting`` query — ``queries`` (qid, text) score as usual, but a
+        document that ALSO matches the qid's row in ``negatives`` (qid,
+        text; any analyzed term present) keeps matching with its score
+        scaled by ``negative_boost`` (a multiple of 1/16 in [0, 1] — the
+        integer-exact demotion contract, operators/boost.demoted_rank).
+        The classic use: push down near-spam/boilerplate hits without the
+        hard exclusion a MUST_NOT would impose. Qids with no negatives row
+        (or an all-OOV negative) are untouched.
+
+        ``window=None`` scores the positive side exhaustively (exact — the
+        oracle mode: a demoted winner can come from arbitrarily deep in
+        the relevance ranking); ``window=W`` is the ES rescore shape:
+        relevance top-W via block-max WAND, demotion re-ranks the window.
+        The negative side never scores — one docid-blocks-only presence
+        pass (_presence_chunk), the MUST_NOT machinery's cost."""
+        qinfo2, all_terms2, ksim, mu = self._prep_sim(queries, sim, sim_param)
+        if window is None:
+            chunk_docs = 1 << int(self.manifest["chunk_bits"])
+            scored = self._scored_frame(
+                qinfo2, all_terms2, chunk_docs, False, sim=ksim, mu=mu
+            )
+        else:
+            scored = self._search_prepared(
+                qinfo2, all_terms2, int(window), prune, sim=ksim, mu=mu
+            ).select("qid", "docid", "score")
+        neg_info, _ = self._query_info(negatives)
+        from dhr_spark.operators.boost import demoted_rank
+
+        if not neg_info:
+            neg = self.spark.createDataFrame([], "qid string, docid long")
+        else:
+            qsets = {q: tids for q, (tids, _, _) in neg_info.items()}
+            kern = _presence_chunk(
+                qsets,
+                int(self.manifest["block_size"]),
+                int(self.manifest["chunk_bits"]),
+                tombstones=self._tombstones,
+            )
+            seg = self._seg_for_terms(
+                sorted({int(t) for s in qsets.values() for t in s})
+            )
+            neg = seg.groupBy("chunk").applyInPandas(
+                kern, "qid string, docid long, n_hit long"
+            ).select("qid", "docid")
+        return demoted_rank(scored, neg, negative_boost=negative_boost, k=k)
+
     def _boost_scored(self, queries, field, window, sim, sim_param, prune):
         """Shared FunctionScore plumbing: (relevance scored set, docvalues
         column). window=None -> exhaustive (exact mode, prune disabled —

@@ -254,3 +254,136 @@ def test_random_hits_deterministic_and_seed_sensitive(spark):
     # fewer matches than k -> bounded, dense ranks
     two = [r for r in a if r["qid"] == "q2"]
     assert len(two) == 1 and two[0]["rank"] == 1
+
+
+# ---------------------------------------------------------------- boosting
+# Lucene BoostingQuery / ES `boosting`: negative match DEMOTES, never excludes
+
+NEG_ROWS = [("q1", "window"), ("q2", "slow hash")]  # q3 has no negative
+NB = 0.25  # 4/16 — integer-exact demotion contract
+
+
+@pytest.fixture(scope="module")
+def negatives(spark):
+    return spark.createDataFrame(NEG_ROWS, "qid string, text string")
+
+
+@pytest.fixture(scope="module")
+def neg_hits(spark, docs, negatives):
+    tok = with_tokens(docs.select("docid", "text"), mode="simple")
+    dterms = tok.select(
+        "docid", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+    nterms = query_term_freqs(with_tokens(negatives, mode="simple")).select(
+        "qid", "term"
+    )
+    return dterms.join(nterms, "term").select("qid", "docid").distinct()
+
+
+@pytest.fixture(scope="module")
+def slow_boosting(spark, docs, queries, neg_hits):
+    from dhr_spark.operators.boost import boosting_topk
+
+    tok = with_tokens(docs.select("docid", "text"), mode="simple")
+    tfs, dls = term_freqs(tok), doc_lengths(tok)
+    cs = dls.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    ts = tfs.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "idf", idf_col(F.col("df"), int(cs["n"]))
+    )
+    post = (
+        tfs.join(dls, "docid")
+        .join(F.broadcast(ts.select("term", "idf")), "term")
+        .select("term", "docid", bm25_weight_col(
+            F.col("tf"), F.col("dl"), F.col("idf"),
+            F.lit(float(cs["a"])), K1, B,
+        ).alias("weight"))
+    )
+    qtfs = query_term_freqs(with_tokens(queries, mode="simple"))
+    return boosting_topk(
+        qtfs, post, neg_hits, k=K, negative_boost=NB, on="term"
+    ).cache()
+
+
+def test_boosting_index_equals_slow_path(spark, idx, queries, negatives,
+                                         slow_boosting):
+    fast = Searcher(spark, idx).search_boosting(
+        queries, negatives, negative_boost=NB, k=K
+    )
+    assert _rows(fast) == _rows(slow_boosting)
+
+
+def test_boosting_window_full_equals_exact(spark, idx, queries, negatives,
+                                           slow_boosting):
+    n = Searcher(spark, idx).manifest["n_docs"]
+    windowed = Searcher(spark, idx).search_boosting(
+        queries, negatives, negative_boost=NB, k=K, window=int(n)
+    )
+    assert _rows(windowed) == _rows(slow_boosting)
+
+
+def test_boosting_demotes_never_excludes(spark, idx, queries, negatives,
+                                         neg_hits):
+    s = Searcher(spark, idx)
+    plain = {
+        (r["qid"], r["docid"]): r["score"]
+        for r in s.search(queries, k=10_000, prune=False).collect()
+    }
+    neg = {(r["qid"], r["docid"]) for r in neg_hits.collect()}
+    boosted = s.search_boosting(
+        queries, negatives, negative_boost=NB, k=10_000
+    ).collect()
+    assert {(r["qid"], r["docid"]) for r in boosted} == set(plain)  # no doc lost
+    hit_neg = 0
+    for r in boosted:
+        key = (r["qid"], r["docid"])
+        base = round(plain[key], 6)
+        if key in neg:
+            hit_neg += 1
+            assert r["score"] == pytest.approx(base * NB, abs=1e-12)
+        else:
+            assert r["score"] == pytest.approx(base, abs=1e-12)
+    assert hit_neg > 0  # the negative actually bites
+    # q3 carries no negatives row: ordering identical to plain search
+    pq3 = [r["docid"] for r in sorted(
+        (x for x in boosted if x["qid"] == "q3"), key=lambda x: x["rank"])]
+    sq3 = [r["docid"] for r in s.search(queries, k=10_000, prune=False)
+           .filter("qid = 'q3'").orderBy("rank").collect()]
+    assert pq3 == sq3 and pq3
+
+
+def test_boosting_zero_boost_sinks_to_zero(spark, idx, queries, negatives,
+                                           neg_hits):
+    s = Searcher(spark, idx)
+    got = s.search_boosting(queries, negatives, negative_boost=0.0,
+                            k=10_000).collect()
+    neg = {(r["qid"], r["docid"]) for r in neg_hits.collect()}
+    zeroed = [r for r in got if (r["qid"], r["docid"]) in neg]
+    assert zeroed and all(r["score"] == 0.0 for r in zeroed)
+    # demoted docs sit BELOW every non-demoted hit of their query
+    for q in {r["qid"] for r in zeroed}:
+        worst_pos = max(r["rank"] for r in got
+                        if r["qid"] == q and (r["qid"], r["docid"]) not in neg)
+        best_zero = min(r["rank"] for r in zeroed if r["qid"] == q)
+        assert best_zero > worst_pos
+
+
+def test_boosting_guards(spark, idx, queries, negatives):
+    with pytest.raises(ValueError, match="multiple of 1/16"):
+        Searcher(spark, idx).search_boosting(
+            queries, negatives, negative_boost=1 / 3
+        )
+    with pytest.raises(ValueError, match="multiple of 1/16"):
+        Searcher(spark, idx).search_boosting(
+            queries, negatives, negative_boost=1.5
+        )
+    # all-OOV negative: nothing demoted, ranking == plain rounded search
+    oov = spark.createDataFrame(
+        [("q1", "zzqqxx wwvvuu")], "qid string, text string"
+    )
+    s = Searcher(spark, idx)
+    a = _rows(s.search_boosting(queries, oov, negative_boost=NB, k=K))
+    b = _rows(s.search_boosting(
+        queries, spark.createDataFrame([], "qid string, text string"),
+        negative_boost=NB, k=K,
+    ))
+    assert a == b
