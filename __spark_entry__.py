@@ -1207,6 +1207,47 @@ SELECT rank, doc_id, logw, key FROM (
 ) WHERE rank <= 50"""
 
 
+def _rbo_sql() -> str:
+    """Oracle for functions/metrics.rbo_at_k over two BM25 parameterizations
+    (0.9, 0.4) vs (2.0, 0.75): exact integer weight table (rbo_weights +
+    the p^k extrapolation term), one trailing IEEE division."""
+    from dhr_spark.functions.metrics import rbo_weights
+
+    k, p = 10, 14
+    ext = (2520 // k) * p ** k
+    wt = {m: w + ext for m, w in rbo_weights(k, p).items()}
+    case = "CASE greatest(ra, rb) " + " ".join(
+        f"WHEN {m} THEN {w}" for m, w in sorted(wt.items())
+    ) + " END"
+    den = 2520 * 16 ** k
+    w2 = (
+        "ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5)) * tf.tf"
+        " / (tf.tf + 2.0 * (0.25 + 0.75 * dl.dl / cs.avgdl))"
+    )
+    return f"""WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE},
+scored2 AS (
+  SELECT q.qid, tf.doc_id AS docid, sum(q.qtf * {w2}) AS score
+  FROM q JOIN tf USING (term) JOIN ts USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs
+  GROUP BY 1, 2
+),
+ranked2 AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank
+  FROM scored2
+),
+a AS (SELECT qid, docid, rank AS ra FROM ranked WHERE rank <= {k}),
+b AS (SELECT qid, docid, rank AS rb FROM ranked2 WHERE rank <= {k}),
+j AS (SELECT a.qid, {case} AS w
+      FROM a JOIN b ON a.qid = b.qid AND a.docid = b.docid),
+nums AS (SELECT qid, sum(w)::BIGINT AS num FROM j GROUP BY 1),
+inboth AS (SELECT DISTINCT a.qid FROM a JOIN b ON a.qid = b.qid)
+SELECT inboth.qid, coalesce(num, 0)::DOUBLE / {den}.0 AS rbo
+FROM inboth LEFT JOIN nums ON nums.qid = inboth.qid"""
+
+
 def _index_stats_sql() -> str:
     """Oracle for Searcher.stats_df: every statistic re-derived from the
     corpus. n_chunks relies on the entry index's dense 0-based docids
@@ -5599,6 +5640,34 @@ ranked AS (
 )
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
 
+    def rbo_runs_q(spark, sf):
+        # rank-biased overlap between BM25(0.9, 0.4) and BM25(2.0, 0.75)
+        # runs: how differently do the two parameterizations RANK
+        from dhr_spark.functions.metrics import rbo_at_k
+
+        run_a = _bm25_topk(spark, sf)
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        tfs, dls = term_freqs(tok), doc_lengths(tok)
+        cs = dls.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("a")
+        ).collect()[0]
+        ts = tfs.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+            "idf", idf_col(F.col("df"), int(cs["n"]))
+        )
+        post2 = (
+            tfs.join(dls, "docid")
+            .join(F.broadcast(ts.select("term", "idf")), "term")
+            .select(
+                "term", "docid",
+                bm25_weight_col(
+                    F.col("tf"), F.col("dl"), F.col("idf"),
+                    F.lit(float(cs["a"])), 2.0, 0.75,
+                ).alias("weight"),
+            )
+        )
+        run_b = _round4(topk(score_all(_qtfs(spark), post2, on="term"), TOPK))
+        return rbo_at_k(run_a, run_b, k=10, p_sixteenths=14)
+
     def boosting_topk_q(spark, sf):
         # Lucene BoostingQuery / ES `boosting`: docs containing a qid's
         # negative terms keep matching at score x 1/4 (4/16 — the
@@ -5827,6 +5896,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "boosted_topk": boosted_topk_q,
         "boosted_index_identity": boosted_index_identity_q,
         "boosting_topk": boosting_topk_q,
+        "rbo_runs": rbo_runs_q,
         "recency_topk": recency_topk_q,
         "pack_sequences": pack_sequences_q,
         "pack_layout_stats": pack_layout_stats_q,
@@ -7553,6 +7623,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= 20""",
     out["sql_bm25_topk"] = _TOPK_SQL
     out["complete_suggest"] = _complete_sql()
     out["sorted_after_page"] = _sorted_after_sql()
+    out["rbo_runs"] = _rbo_sql()
     out["dsir_weights"] = _dsir_weights_sql()
     out["dsir_sample"] = _dsir_sample_sql()
     return out

@@ -358,6 +358,92 @@ def bpref_at_k(run: DataFrame, qrels_graded: DataFrame, k: int = 10) -> DataFram
     )
 
 
+def rbo_weights(k: int, p_sixteenths: int) -> dict[int, int]:
+    """Exact integer RBO weight table: W(m) = (16−p)·Σ_{d=m..k}
+    (2520/d)·p^{d−1}·16^{k−d}, where p rides as p_sixteenths/16. A doc in
+    both top-k prefixes with m = max(rank_a, rank_b) contributes to every
+    prefix depth d >= m, so Σ_docs W(m) is the exact-common-denominator
+    numerator of the truncated RBO sum (denominator 2520·16^k). 2520 =
+    lcm(1..10) clears every 1/d; all terms stay far inside int64."""
+    return {
+        m: (16 - p_sixteenths) * sum(
+            (2520 // d) * p_sixteenths ** (d - 1) * 16 ** (k - d)
+            for d in range(m, k + 1)
+        )
+        for m in range(1, k + 1)
+    }
+
+
+def rbo_at_k(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p_sixteenths: int = 14,
+) -> DataFrame:
+    """(qid, rbo): truncated rank-biased overlap of two runs' top-k
+    prefixes (Webber, Moffat & Zobel, TOIS 2010) — the rank-similarity
+    companion to the paired t-test / Wilcoxon metric comparisons: "how
+    differently do these two systems RANK", not "which scores higher".
+
+        RBO_ext@k = (1−p)·Σ_{d=1..k} p^{d−1}·A_d  +  p^k·A_k,
+        A_d = |top_d(a) ∩ top_d(b)| / d
+
+    (the paper's extrapolated point estimate at even depth l = s = k:
+    identical prefixes score exactly 1.0, disjoint ones 0.0). Top-
+    weighted: agreement at rank 1 counts most, tail agreement decays
+    geometrically with persistence p. Determinism contract: p must be a
+    multiple of 1/16 in (0, 1) (``p_sixteenths``/16; default 14/16 =
+    0.875) and k <= 10, which makes every term an exact binary rational —
+    the per-qid numerator is an exact int64 sum over a precomputed weight
+    table (rbo_weights + the p^k·A_k extrapolation term, which every
+    joined doc carries since I_k counts all of them) and the emitted
+    value is ONE IEEE division, so Spark and DuckDB agree bit-for-bit
+    with no rounding.
+
+    Output rows cover every qid present in BOTH runs; disjoint prefixes
+    score 0.0. One (qid, docid) inner join of two k-row-per-qid prefixes
+    + a per-qid sum — no corpus access."""
+    if not 1 <= int(p_sixteenths) <= 15:
+        raise ValueError(
+            f"p_sixteenths must be in [1, 15] (p = n/16 < 1), "
+            f"got {p_sixteenths}"
+        )
+    if not 1 <= int(k) <= 10:
+        raise ValueError(
+            f"k must be in [1, 10] (the lcm(1..10) exactness window), "
+            f"got {k}"
+        )
+    ki, p = int(k), int(p_sixteenths)
+    ext = (2520 // ki) * p ** ki  # p^k·A_k term: every joined doc is in I_k
+    wt = {m: w + ext for m, w in rbo_weights(ki, p).items()}
+    den = float(2520 * 16 ** ki)
+    a = run_a.filter(F.col("rank") <= k).select(
+        "qid", "docid", F.col("rank").alias("ra")
+    )
+    b = run_b.filter(F.col("rank") <= k).select(
+        "qid", "docid", F.col("rank").alias("rb")
+    )
+    m = F.greatest(F.col("ra"), F.col("rb"))
+    wexpr = F.lit(0).cast("long")
+    for mm, w in sorted(wt.items()):
+        wexpr = F.when(m == mm, F.lit(w).cast("long")).otherwise(wexpr)
+    nums = (
+        a.join(b, ["qid", "docid"])
+        .select("qid", wexpr.alias("w"))
+        .groupBy("qid")
+        .agg(F.sum("w").alias("num"))
+    )
+    both = (
+        a.select("qid").distinct()
+        .join(b.select("qid").distinct(), "qid")
+    )
+    return both.join(nums, "qid", "left").select(
+        "qid",
+        (F.coalesce(F.col("num"), F.lit(0)).cast("double") / F.lit(den))
+        .alias("rbo"),
+    )
+
+
 def mean_metric(per_query: DataFrame, col: str) -> DataFrame:
     """Collapse a per-qid metric to its global mean (the reference's headline
     number, e.g. MRR@10 over all dev queries)."""

@@ -158,3 +158,48 @@ def test_wilcoxon_signed_rank_degenerate(spark):
     r2 = wilcoxon_signed_rank(a2, b2, "rr").collect()[0]
     assert r2["n"] == 3 and r2["w_minus"] == 0.0 and r2["w_plus"] == 6.0
     assert abs(r2["z_stat"] - 12 * 3 ** 0.5 / 168 ** 0.5) < 1e-12
+
+
+def _run(spark, rows):
+    return spark.createDataFrame(rows, "qid string, docid long, rank int")
+
+
+def test_rbo_identical_and_disjoint(spark):
+    a = _run(spark, [("q", d, r) for r, d in enumerate([5, 3, 9], 1)])
+    same = {r["qid"]: r["rbo"] for r in M.rbo_at_k(a, a, k=3).collect()}
+    assert same == {"q": 1.0}  # extrapolated RBO of identical prefixes
+    b = _run(spark, [("q", d, r) for r, d in enumerate([7, 8, 11], 1)])
+    assert {r["rbo"] for r in M.rbo_at_k(a, b, k=3).collect()} == {0.0}
+
+
+def test_rbo_hand_case_exact(spark):
+    # a: [1,2,3]  b: [2,1,4], k=3, p=1/2:
+    # A = [0, 1, 2/3] -> (1/2)(0 + 1/2 + (1/4)(2/3)) + (1/8)(2/3) = 5/12
+    a = _run(spark, [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)])
+    b = _run(spark, [("q", 2, 1), ("q", 1, 2), ("q", 4, 3)])
+    got = M.rbo_at_k(a, b, k=3, p_sixteenths=8).collect()[0]["rbo"]
+    assert got == 5 / 12  # one IEEE division of exact ints == round(5/12)
+
+
+def test_rbo_top_weighted_and_qid_scope(spark):
+    # same single overlap, at rank 1 vs rank 3: rank-1 agreement counts more
+    a = _run(spark, [("q", 1, 1), ("q", 2, 2), ("q", 3, 3),
+                     ("q2", 1, 1), ("q2", 2, 2), ("q2", 3, 3),
+                     ("only_a", 9, 1)])
+    b_head = _run(spark, [("q", 1, 1), ("q", 8, 2), ("q", 9, 3)])
+    b_tail = _run(spark, [("q2", 7, 1), ("q2", 8, 2), ("q2", 3, 3)])
+    head = M.rbo_at_k(a, b_head, k=3, p_sixteenths=8).collect()
+    tail = M.rbo_at_k(a, b_tail, k=3, p_sixteenths=8).collect()
+    h = {r["qid"]: r["rbo"] for r in head}
+    t = {r["qid"]: r["rbo"] for r in tail}
+    assert h["q"] > t["q2"] > 0
+    # qids absent from one side never emit rows
+    assert "only_a" not in h and "only_a" not in t
+
+
+def test_rbo_guards(spark):
+    a = _run(spark, [("q", 1, 1)])
+    with pytest.raises(ValueError, match="p_sixteenths"):
+        M.rbo_at_k(a, a, p_sixteenths=16)
+    with pytest.raises(ValueError, match="lcm"):
+        M.rbo_at_k(a, a, k=11)
