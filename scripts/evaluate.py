@@ -86,6 +86,14 @@ def main() -> None:
                 per_query = pq if per_query is None else per_query.join(
                     pq, "qid", "full_outer"
                 )
+        if run_b is not None and k <= 10:
+            # rank-biased overlap of the two runs' top-k prefixes (exact
+            # at k <= 10 — metrics.rbo_at_k's lcm window); the rank-
+            # similarity complement to the score-diff t-tests above
+            rbo_pq = M.rbo_at_k(run, run_b, k=k)
+            out["rbo"] = float(
+                M.mean_metric(rbo_pq, "rbo").collect()[0]["mean_rbo"]
+            )
         if args.per_query:
             per_query.write.mode("overwrite").parquet(
                 f"{args.per_query.rstrip('/')}/k={k}"
