@@ -5640,6 +5640,23 @@ ranked AS (
 )
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
 
+    def subword_tokens_q(spark, sf):
+        # native BPE: train 50 merges on the corpus, encode it, count
+        # pieces per doc. Training is iterative (merge t depends on merge
+        # t-1) so there is no SQL twin — rows-only by design, like the
+        # stateful-streaming entry; the algorithmic contracts are pinned
+        # in tests/test_subword.py (Sennrich hand example, rank-order
+        # encoding, UDF==driver parity, WordPiece greedy match)
+        from dhr_spark.functions.subword import bpe_encode_udf, train_bpe
+
+        docs = _docs(spark, sf)
+        merges = train_bpe(docs, n_merges=50)
+        enc = bpe_encode_udf(merges)
+        return docs.select(
+            "doc_id",
+            F.size(enc(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+        )
+
     def rbo_runs_q(spark, sf):
         # rank-biased overlap between BM25(0.9, 0.4) and BM25(2.0, 0.75)
         # runs: how differently do the two parameterizations RANK
@@ -5897,6 +5914,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "boosted_index_identity": boosted_index_identity_q,
         "boosting_topk": boosting_topk_q,
         "rbo_runs": rbo_runs_q,
+        "subword_tokens": subword_tokens_q,
         "recency_topk": recency_topk_q,
         "pack_sequences": pack_sequences_q,
         "pack_layout_stats": pack_layout_stats_q,

@@ -5,8 +5,15 @@ The reference tokenizes corpora with HF WordPiece for its neural models
 (/root/reference/densify/densify_query.py:45-61). The BM25 path does not
 need it, so this repo ships the slot, not the dependency: a vectorized
 pandas-UDF factory that imports ``transformers`` lazily and fails with a
-clear message where it is not installed (this container). The BPE-ish regex
-counter (operators.textstats.BPE_RE) is the always-available stand-in.
+clear message where it is not installed (this container).
+
+Native, dependency-free implementations of the ALGORITHMS live in
+functions/subword.py: BPE training (distributed word counts + the HF
+trainer's driver-side merge loop), merge-rank BPE encoding, and the real
+greedy longest-match WordPiece encoder (what ``tokenizer.tokenize`` runs
+inside HF) — use those where ``transformers`` is absent. The BPE-ish
+regex counter (operators.textstats.BPE_RE) remains the cheap
+SQL-expressible stand-in for counting.
 """
 
 from __future__ import annotations
