@@ -5640,6 +5640,16 @@ ranked AS (
 )
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
 
+    def postings_list_q(spark, sf):
+        # Pyserini IndexReader.get_postings_list parity: decoded (term,
+        # docid, tf) rows off the index == a corpus-scan tf recount
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        return Searcher(spark, idx).postings_list(
+            ["spark", "merge", "zzneverseenterm"]
+        )
+
     def subword_tokens_q(spark, sf):
         # native BPE: train 50 merges on the corpus, encode it, count
         # pieces per doc. Training is iterative (merge t depends on merge
@@ -5915,6 +5925,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "boosting_topk": boosting_topk_q,
         "rbo_runs": rbo_runs_q,
         "subword_tokens": subword_tokens_q,
+        "postings_list": postings_list_q,
         "recency_topk": recency_topk_q,
         "pack_sequences": pack_sequences_q,
         "pack_layout_stats": pack_layout_stats_q,
@@ -7642,6 +7653,9 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= 20""",
     out["complete_suggest"] = _complete_sql()
     out["sorted_after_page"] = _sorted_after_sql()
     out["rbo_runs"] = _rbo_sql()
+    out["postings_list"] = f"""WITH {_TOKS_CTE}
+SELECT term, doc_id AS docid, tf FROM tf
+WHERE term IN ('spark', 'merge')"""
     out["dsir_weights"] = _dsir_weights_sql()
     out["dsir_sample"] = _dsir_sample_sql()
     return out

@@ -4191,6 +4191,82 @@ class Searcher:
             term_stats=full_dict.select("term", "df", "ctf"),
         )
 
+    def postings_list(self, terms: list[str]) -> DataFrame:
+        """(term, docid, tf): the fully decoded posting lists of the given
+        RAW terms — Pyserini ``IndexReader.get_postings_list`` parity (the
+        reference's Lucene backend exposes it through that API; terms are
+        analyzed under the index's analyzer first, exactly as Pyserini
+        does by default). On an impact index the tf column carries the
+        stored integer impact (the tf stream's contract there).
+
+        Scale shape: term_id pushdown reads only the requested rows
+        (parquet row-group pruning via the isin, like every search), and
+        a mapInPandas varint decode emits (docid, tf) pairs — no shuffle
+        at all; tombstoned docs are masked like the scoring kernels.
+        Out-of-vocabulary terms simply yield no rows."""
+        analyzed = sorted(
+            {t for raw in terms for t in self._analyze(raw or "")}
+        )
+        schema = "term string, docid long, tf long"
+        if self._tid_cache is not None:
+            tid = {
+                t: self._tid_cache[t][0]
+                for t in analyzed
+                if t in self._tid_cache
+            }
+        else:
+            tid = {
+                r["term"]: int(r["term_id"])
+                for r in self._tdict.filter(
+                    F.col("term").isin(analyzed)
+                ).collect()
+            }
+        if not tid:
+            return self.spark.createDataFrame([], schema)
+        id2term = {v: k for k, v in tid.items()}
+        block_size = int(self.manifest["block_size"])
+        tomb = self._tombstones
+
+        def decode(batches):
+            for pdf in batches:
+                out_t: list[np.ndarray] = []
+                out_d: list[np.ndarray] = []
+                out_f: list[np.ndarray] = []
+                for r in pdf.itertuples(index=False):
+                    lens = _block_lens(int(r.n), block_size)
+                    sel = np.arange(lens.size)
+                    docids, _ = _decode_selected(
+                        bytes(r.doc_gaps),
+                        np.asarray(r.block_doc_off, dtype=np.int64),
+                        lens, sel, restarts=True,
+                    )
+                    tfs, _ = _decode_selected(
+                        bytes(r.tfs),
+                        np.asarray(r.block_tf_off, dtype=np.int64),
+                        lens, sel, restarts=False,
+                    )
+                    if tomb is not None and tomb.size:
+                        keep = ~np.isin(docids, tomb)
+                        docids, tfs = docids[keep], tfs[keep]
+                    if docids.size:
+                        out_t.append(
+                            np.repeat(id2term[int(r.term_id)], docids.size)
+                        )
+                        out_d.append(docids)
+                        out_f.append(tfs)
+                if out_t:
+                    yield pd.DataFrame(
+                        {
+                            "term": np.concatenate(out_t),
+                            "docid": np.concatenate(out_d).astype(np.int64),
+                            "tf": np.concatenate(out_f).astype(np.int64),
+                        }
+                    )
+
+        return self._seg_for_terms(sorted(id2term)).mapInPandas(
+            decode, schema
+        )
+
     def significant_terms(
         self,
         queries: DataFrame,

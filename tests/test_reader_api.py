@@ -430,3 +430,39 @@ def test_rare_terms_semantics(spark):
         rare_terms(hits, doc_terms, tdf, max_doc_count=0)
     with _pt.raises(ValueError, match="k must be"):
         rare_terms(hits, doc_terms, tdf, k=0)
+
+
+def test_postings_list_matches_corpus_recount(spark, env):
+    # raw (unanalyzed) inputs: the lucene index stems "tables" -> "tabl"
+    got = {
+        (r["term"], r["docid"]): r["tf"]
+        for r in env["searcher"].postings_list(["Tables", "merge"]).collect()
+    }
+    want = {
+        (r["term"], r["docid"]): r["tf"]
+        for r in env["tfs"].filter(F.col("term").isin(["tabl", "merg"]))
+        .collect()
+    }
+    assert got == want and got
+    # OOV -> empty, no crash; empty input -> empty
+    assert env["searcher"].postings_list(["zzqqxxnever"]).count() == 0
+    assert env["searcher"].postings_list([]).count() == 0
+
+
+def test_postings_list_masks_deleted_docs(spark, tmp_path):
+    from dhr_spark.index.delete import delete_docs
+
+    idx = str(tmp_path / "pl_del")
+    build_index(spark, synth_transcripts(spark, 10), idx, chunk_bits=6,
+                block_size=8, docid_strategy="window", forward_index=True)
+    s = Searcher(spark, idx)
+    rows = s.postings_list(["the"]).collect() or s.postings_list(
+        ["spark"]
+    ).collect()
+    assert rows
+    victim = int(rows[0]["docid"])
+    delete_docs(spark, idx, docids=[victim], exact_stats=False)
+    after = {r["docid"] for r in Searcher(spark, idx).postings_list(
+        [rows[0]["term"]]
+    ).collect()}
+    assert victim not in after
