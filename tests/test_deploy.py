@@ -123,3 +123,30 @@ def test_canonicalize_int64_overflow_fails_fast(spark):
         "tool string, ts timestamp",
     )
     assert canonicalize_transcripts(ok).first()["turn_idx"] == 2**31 - 1
+
+
+def test_curate_corpus_cli_end_to_end(tmp_path):
+    """The composed curation pipeline CLI: synthetic transcripts through
+    quality gates + near-dedup + packing; one JSON audit line whose
+    stage arithmetic is self-consistent and whose outputs land."""
+    import json
+    import os
+    import sys
+
+    out_dir = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "scripts/curate_corpus.py", "--synthetic", "40",
+         "--output", out_dir, "--seq-len", "512"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    audit = json.loads(r.stdout.strip().splitlines()[-1])
+    st = audit["stages"]
+    assert st["conversations"]["docs"] == 40
+    assert st["curation"]["in"] == 40
+    assert st["curation"]["out"] == st["near_dedup"]["in"]
+    assert audit["final_docs"] == st["near_dedup"]["out"]
+    assert st["packing"]["n_docs"] == audit["final_docs"]
+    assert os.path.isdir(f"{out_dir}/docs")
+    assert os.path.isdir(f"{out_dir}/pack_plan")
