@@ -45,9 +45,7 @@ EOW = "</w>"
 MAX_WORD_VOCAB = 2_000_000
 
 
-def word_freqs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n): corpus word frequencies under the simple analyzer — the
     distributed pass of BPE training (everything after it is bounded by
     the word VOCABULARY, not the corpus)."""
@@ -86,7 +84,6 @@ def train_bpe(
     docs: DataFrame,
     n_merges: int = 200,
     min_count: int = 2,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus. Returns the
@@ -96,7 +93,7 @@ def train_bpe(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     rows = (
-        word_freqs(docs, id_col, text_col)
+        word_freqs(docs, text_col)
         .limit(MAX_WORD_VOCAB + 1)
         .collect()
     )
@@ -230,7 +227,7 @@ def wordpiece_encode_udf(
 
 
 def bpe_vocab(merges: list[tuple[str, str]], docs: DataFrame,
-              id_col: str = "doc_id", text_col: str = "text") -> list[str]:
+              text_col: str = "text") -> list[str]:
     """The token vocabulary a merge table induces over a corpus: the
     corpus alphabet (+ ``</w>``) plus every merge product. Sorted for
     determinism."""

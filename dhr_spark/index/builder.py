@@ -192,9 +192,12 @@ def build_index(
     stored: bool = False,
     docvalues: tuple[str, ...] | list[str] = (),
     index_sort: tuple[str, bool] | None = None,
+    extra_manifest: dict | None = None,
 ) -> dict:
     """Build (or resume) an index over transcripts (conv_id, turn_idx, ...,
     text): assigns stable docids, then delegates to build_index_from_docs.
+    ``extra_manifest`` fields ride the SINGLE atomic manifest commit
+    (build_index_from_docs) — e.g. the clustered-reorder marker.
 
     ``docvalues``: transcript columns (e.g. role, ts) carried into doc_map
     as per-doc columnar fields — the Lucene DocValues analogue backing
@@ -246,6 +249,7 @@ def build_index(
             stored=stored,
             docvalues=docvalues,
             index_sort=index_sort,
+            extra_manifest=extra_manifest,
         )
     finally:
         # the scalable docid path persists its range-partitioned base so the

@@ -185,20 +185,45 @@ def kgram_candidates(
 ) -> DataFrame:
     """(term_id) of terms at-or-below the kgram watermark containing at
     least ``min_count`` of the required grams — the NECESSARY-condition
-    pre-filter (caller verifies). The gram ``isin`` reaches the parquet
-    row groups (the table is gram-sorted), so this reads the required
-    grams' postings, not the dictionary."""
+    pre-filter (caller verifies). One-input special case of
+    kgram_candidates_batch."""
     req, min_count = grams
+    return kgram_candidates_batch(
+        spark, index_dir, [("", req, min_count)]
+    ).select("term_id")
+
+
+def kgram_candidates_batch(
+    spark: SparkSession,
+    index_dir: str,
+    inputs: list[tuple[str, list[str], int]],
+) -> DataFrame:
+    """(qt, term_id): per-input gram candidates for a BATCH of
+    ``(qt, required_grams, min_count)`` patterns, resolved in ONE pass
+    over the gram table. The union'd gram ``isin`` reaches the parquet
+    row groups (the table is gram-sorted) — this reads the required
+    grams' postings, not the dictionary; the per-(qt, term_id) shared
+    count compares against each input's own threshold. Per-input gram
+    lists must be DISTINCT (every producer in this module emits sets), so
+    count(*) == count_distinct(gram) after the (gram) join. This is the
+    single implementation of the necessary-condition cut — wand.py's
+    rewrite paths and the fuzzy-candidate batcher all route here, so the
+    gram-table layout has exactly one reader to keep in sync."""
+    gdf = spark.createDataFrame(
+        [(qt, g) for qt, req, _ in inputs for g in req],
+        "qt string, gram string",
+    )
+    tdf = spark.createDataFrame(
+        [(qt, int(mc)) for qt, _, mc in inputs], "qt string, thresh int"
+    )
+    all_grams = sorted({g for _, req, _ in inputs for g in req})
     kg = spark.read.parquet(os.path.join(index_dir, KGRAM_DIR))
-    hits = kg.filter(F.col("gram").isin(list(req)))
-    if min_count >= len(req):
-        # ALL grams required: count rows (grams are distinct per term)
-        cond = F.count("*") >= int(min_count)
-    else:
-        cond = F.count_distinct("gram") >= int(min_count)
     return (
-        hits.groupBy("term_id")
-        .agg(cond.alias("_ok"))
-        .filter(F.col("_ok"))
-        .select("term_id")
+        kg.filter(F.col("gram").isin(all_grams))
+        .join(F.broadcast(gdf), "gram")
+        .groupBy("qt", "term_id")
+        .agg(F.count("*").alias("_n"))
+        .join(F.broadcast(tdf), "qt")
+        .filter(F.col("_n") >= F.col("thresh"))
+        .select("qt", "term_id")
     )

@@ -115,25 +115,25 @@ def build_clustered_index(
     options pass through; the clustering key rides the existing
     ``index_sort`` machinery (doc_map docvalue, per-chunk sort invariant
     across appends, compaction preservation)."""
-    from dhr_spark.index.builder import _write_manifest, build_index
+    from dhr_spark.index.builder import build_index
 
     if "index_sort" in build_kw:
         raise ValueError(
             "build_clustered_index assigns index_sort=('ckey', True); "
             "pass a plain build_index call for a custom sort"
         )
-    man = build_index(
+    # the clustered marker rides the build's SINGLE atomic manifest commit
+    # (a second commit would open a crash window where the index is sorted
+    # by ckey but appends can no longer re-derive the key). It makes the
+    # layout self-describing: the sort key is the CANONICAL text-derived
+    # cluster key, so append_to_index (and streaming refresh_index, whose
+    # staged batches never carry derived columns) re-derives it with the
+    # committed shingle geometry instead of demanding the column.
+    return build_index(
         spark,
         with_cluster_key(transcripts, shingle_n),
         index_dir,
         index_sort=("ckey", True),
+        extra_manifest={"clustered": {"shingle_n": int(shingle_n)}},
         **build_kw,
     )
-    # self-describing layout: the sort key is the CANONICAL text-derived
-    # cluster key, so append_to_index (and streaming refresh_index, whose
-    # staged batches never carry derived columns) re-derives it with the
-    # same shingle geometry instead of demanding the column
-    man2 = dict(man)
-    man2["clustered"] = {"shingle_n": int(shingle_n)}
-    _write_manifest(index_dir, man2)
-    return man2

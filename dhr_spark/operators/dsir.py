@@ -101,9 +101,17 @@ def _log_ratio_micros(
     target_model: DataFrame,
     raw_model: DataFrame,
     buckets: int,
-) -> tuple[DataFrame, int, int]:
-    """(bucket, lrm) — integer-micros Lidstone log-ratio table, plus the
-    two model totals. One full-outer join of two B-row frames."""
+) -> tuple[DataFrame, int]:
+    """(bucket, lrm) — integer-micros Lidstone log-ratio table (one
+    full-outer join of two B-row frames), plus the constant lrm of a
+    bucket NEITHER model saw (both sides take the 0.5 floor) — the
+    coalesce default for features outside both models' support."""
+    import math
+
+    # B-row frames referenced twice each (total aggregate + the join):
+    # materialize once so their corpus-scan lineages don't re-run
+    target_model = target_model.localCheckpoint()
+    raw_model = raw_model.localCheckpoint()
     t_total = int(
         target_model.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
     )
@@ -116,8 +124,8 @@ def _log_ratio_micros(
         raise ValueError("empty raw corpus: no n-gram features")
     t = target_model.select("bucket", F.col("cnt").alias("tc"))
     r = raw_model.select("bucket", F.col("cnt").alias("rc"))
-    den_t = F.lit(float(t_total) + 0.5 * buckets)
-    den_r = F.lit(float(r_total) + 0.5 * buckets)
+    dt, dr = float(t_total) + 0.5 * buckets, float(r_total) + 0.5 * buckets
+    den_t, den_r = F.lit(dt), F.lit(dr)
     lr = (
         t.join(r, "bucket", "full_outer")
         .select(
@@ -133,7 +141,8 @@ def _log_ratio_micros(
             .alias("lrm"),
         )
     )
-    return lr, t_total, r_total
+    unseen = int(round((math.log(0.5 / dt) - math.log(0.5 / dr)) * 1e6))
+    return lr, unseen
 
 
 def dsir_log_weights(
@@ -149,13 +158,21 @@ def dsir_log_weights(
 
     ``raw_model`` defaults to the model of ``raw_feats`` itself — the
     standard DSIR setup where the raw pool is its own background. Buckets
-    a document hits that the models never saw still score (Lidstone);
-    feature-less documents (empty text) emit no row."""
+    a document hits that NEITHER model saw still score (left join +
+    the never-seen Lidstone constant — an explicit sample-estimated
+    ``raw_model`` need not cover the pool's buckets); feature-less
+    documents (empty text) emit no row.
+
+    ``raw_feats`` feeds the default background model AND the weights
+    join, and the final action re-runs the lineage — checkpoint it once
+    here so the corpus-scale tokenize+hash aggregation is paid once."""
+    raw_feats = raw_feats.localCheckpoint()
     if raw_model is None:
         raw_model = hashed_ngram_model(raw_feats)
-    lr, _, _ = _log_ratio_micros(target_model, raw_model, buckets)
+    lr, unseen = _log_ratio_micros(target_model, raw_model, buckets)
     return (
-        raw_feats.join(F.broadcast(lr), "bucket")
+        raw_feats.join(F.broadcast(lr), "bucket", "left")
+        .withColumn("lrm", F.coalesce(F.col("lrm"), F.lit(unseen)))
         .groupBy(id_col)
         .agg(
             F.sum("cnt").cast("long").alias("n_feats"),

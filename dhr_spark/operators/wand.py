@@ -2202,6 +2202,13 @@ class Searcher:
             scored = self._search_prepared(
                 qinfo2, all_terms2, int(window), prune, sim=ksim, mu=mu
             ).select("qid", "docid", "score")
+        # merge duplicate-qid negative rows BEFORE query prep: _query_info
+        # keeps one tf dict per qid (last collected row wins, order
+        # nondeterministic) — the union of analyzed term SETS is what the
+        # presence gate needs, and concatenation order cannot change a set
+        negatives = negatives.groupBy("qid").agg(
+            F.concat_ws(" ", F.collect_list("text")).alias("text")
+        )
         neg_info, _ = self._query_info(negatives)
         from dhr_spark.operators.boost import demoted_rank
 
@@ -4375,9 +4382,12 @@ class Searcher:
         terms within plain Levenshtein ``max_edits`` sharing an exact
         ``prefix_len``-char prefix, ranked by document frequency DESC (idf
         ASC) then term ASC, top ``n`` kept; the input term itself (dist 0)
-        is never suggested. Touches only the |V|-row dictionary."""
+        is never suggested. Touches only the |V|-row dictionary. Rows are
+        per DISTINCT input on both tiers (the distributed fallback's gram
+        cut collapses duplicates; the resident path matches it)."""
         from dhr_spark.operators.expand import levenshtein_py
 
+        terms = list(dict.fromkeys(terms))
         rows = []
         if self._tid_cache is not None:
             for inp in terms:
@@ -4498,7 +4508,8 @@ class Searcher:
         vacuous fall back to the dictionary scan — the cut is a NECESSARY
         condition only, so results are bit-identical to the full join.
         Rows are per DISTINCT input (the shared-gram count assumes distinct
-        (qt, gram) pairs, so duplicates are collapsed up front)."""
+        (qt, gram) pairs, so duplicates are collapsed up front); an empty
+        input yields an empty frame."""
         qterms = sorted(set(qterms))
         full = self.spark.read.parquet(
             f"{self.index_dir}/"
@@ -4518,44 +4529,20 @@ class Searcher:
         kg = self.manifest.get("kgram")
         if not kg:
             return lev_join(qterms)
-        import os as _os
+        from dhr_spark.index.kgram import fuzzy_grams, kgram_candidates_batch
 
-        from dhr_spark.index.kgram import KGRAM_DIR, fuzzy_grams
-
-        gram_rows: list[tuple[str, str]] = []
-        thresh_rows: list[tuple[str, int]] = []
+        batched: list[tuple[str, list[str], int]] = []
         vacuous: list[str] = []
         for qt in qterms:
             g = fuzzy_grams(qt, max_edits, int(kg["k"]))
             if g is None:
                 vacuous.append(qt)
             else:
-                req, thresh = g
-                gram_rows += [(qt, gr) for gr in req]
-                thresh_rows.append((qt, thresh))
+                batched.append((qt, g[0], g[1]))
         parts: list[DataFrame] = []
-        if thresh_rows:
-            gdf = self.spark.createDataFrame(
-                gram_rows, "qt string, gram string"
-            )
-            tdf = self.spark.createDataFrame(
-                thresh_rows, "qt string, thresh int"
-            )
-            all_grams = sorted({g for _, g in gram_rows})
-            kgt = self.spark.read.parquet(
-                _os.path.join(self.index_dir, KGRAM_DIR)
-            )
-            # isin (not the join) reaches the row groups of the gram-sorted
-            # table; per-(qt, gram) rows are distinct on both sides, so
-            # count(*) == count_distinct(gram)
-            cand_ids = (
-                kgt.filter(F.col("gram").isin(all_grams))
-                .join(F.broadcast(gdf), "gram")
-                .groupBy("qt", "term_id")
-                .agg(F.count("*").alias("_n"))
-                .join(F.broadcast(tdf), "qt")
-                .filter(F.col("_n") >= F.col("thresh"))
-                .select("qt", "term_id")
+        if batched:
+            cand_ids = kgram_candidates_batch(
+                self.spark, self.index_dir, batched
             )
             parts.append(
                 cand_ids.join(full, "term_id")
@@ -4567,7 +4554,7 @@ class Searcher:
             # gram'd inputs still levenshtein-scan the post-watermark slice
             # (terms appended after the last build_kgram_index refresh)
             inp_g = self.spark.createDataFrame(
-                [(t,) for t, _ in thresh_rows], "qt string"
+                [(qt,) for qt, _, _ in batched], "qt string"
             )
             parts.append(
                 full.filter(F.col("term_id") > int(kg["max_term_id"]))
@@ -4579,6 +4566,8 @@ class Searcher:
             )
         if vacuous:
             parts.append(lev_join(vacuous))
+        if not parts:  # empty input: typed empty frame, never IndexError
+            return lev_join([])
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

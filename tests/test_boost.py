@@ -367,6 +367,22 @@ def test_boosting_zero_boost_sinks_to_zero(spark, idx, queries, negatives,
         assert best_zero > worst_pos
 
 
+def test_boosting_duplicate_qid_negatives_union(spark, idx, queries):
+    """Multiple negatives rows for one qid merge as a term-set UNION —
+    per-term rows equal the single multi-term row exactly (a last-row-wins
+    collapse would drop one term nondeterministically)."""
+    s = Searcher(spark, idx)
+    one_row = spark.createDataFrame(
+        [("q2", "slow hash")], "qid string, text string"
+    )
+    two_rows = spark.createDataFrame(
+        [("q2", "slow"), ("q2", "hash")], "qid string, text string"
+    )
+    a = _rows(s.search_boosting(queries, one_row, negative_boost=NB, k=K))
+    b = _rows(s.search_boosting(queries, two_rows, negative_boost=NB, k=K))
+    assert a == b and a
+
+
 def test_boosting_guards(spark, idx, queries, negatives):
     with pytest.raises(ValueError, match="multiple of 1/16"):
         Searcher(spark, idx).search_boosting(

@@ -107,6 +107,40 @@ def test_resample_deterministic_and_margin_dominates(spark):
     assert len(d) == 21 and d[-1]["rank"] == 21
 
 
+def test_partial_explicit_models_score_unseen_buckets(spark):
+    """An explicit raw_model estimated from a SAMPLE need not cover the
+    pool's buckets: features outside BOTH models still count (n_feats)
+    and score the never-seen Lidstone constant instead of being silently
+    dropped (which would erase the doc's row entirely)."""
+    raw = _docs(spark, ["aaa bbb", "ccc ddd eee"])
+    feats = hashed_ngram_counts(raw, buckets=B)
+    sample = raw.filter("doc_id = 0")
+    raw_model = hashed_ngram_model(hashed_ngram_counts(sample, buckets=B))
+    tmodel = hashed_ngram_model(
+        hashed_ngram_counts(_docs(spark, ["ccc"]), buckets=B)
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in dsir_log_weights(
+            feats, tmodel, raw_model=raw_model, buckets=B
+        ).collect()
+    }
+    # doc 1: 3 unigrams + 2 bigrams = 5 features, 4 of them in neither
+    # model — the row must exist with the FULL feature count
+    assert 1 in got and got[1][0] == 5
+    # 'ccc' is target-only, the rest take the never-seen ratio (positive
+    # here: smaller target total => bigger 0.5-floor probability)
+    assert got[1][1] > 0
+    # degenerate check: target == raw sample => doc 0 (fully covered)
+    same = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_log_weights(
+            feats, raw_model, raw_model=raw_model, buckets=B
+        ).collect()
+    }
+    assert same[0] == 0.0 and same[1] == 0.0  # unseen constant is 0 too
+
+
 def test_model_merges_additively(spark):
     docs = _docs(spark, ["a b c", "c d", "a a a"])
     whole = {
