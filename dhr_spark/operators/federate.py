@@ -562,6 +562,46 @@ class MultiSearcher:
         ]
         return self._merge_raw(per, k)
 
+    def search_boosting(
+        self,
+        queries: DataFrame,
+        negatives: DataFrame,
+        negative_boost: float = 0.5,
+        k: int = 1000,
+        window: int | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Federated boosting query (Searcher.search_boosting): each member
+        scores the positive side under the merged global stats and demotes
+        its own negative matches — the factor is per-document, so exact
+        mode is score-identical to a union-corpus index by the usual
+        exhaustive-union argument; window mode rescopes per member like
+        search_boosted. Demoted scores follow the raw no-final-rounding
+        contract (operators/boost.py), hence the raw merge."""
+        per = [
+            s.search_boosting(
+                queries, negatives, negative_boost=negative_boost, k=k,
+                window=window, prune=prune,
+            ).withColumn("index_id", F.lit(i))
+            for i, s in enumerate(self.searchers)
+        ]
+        return self._merge_raw(per, k)
+
+    def postings_list(self, terms: list[str]) -> DataFrame:
+        """(index_id, term, docid, tf): every member's decoded posting
+        lists for the given raw terms (Searcher.postings_list). Members
+        hold disjoint documents and the rows are stats-free, so federation
+        is a plain union — each member resolves the terms under its OWN
+        dictionary (same analyzer by the federation guard)."""
+        per = [
+            s.postings_list(terms).withColumn("index_id", F.lit(i))
+            for i, s in enumerate(self.searchers)
+        ]
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        return u.select("index_id", "term", "docid", "tf")
+
     def _merge_raw(self, per: list[DataFrame], k: int) -> DataFrame:
         """k·N-row global merge that preserves RAW scores (boosted scores
         follow operators/boost.py's no-final-rounding contract, so the

@@ -518,3 +518,59 @@ def test_federated_phrase_and_prefix_equal_union(spark, tmp_path):
     ):
         fk, sk = fed_keys(fed), single_keys(sing)
         assert fk == sk and fk
+
+
+def test_federated_boosting_equals_union_index(spark, sharded, queries):
+    """Boosting-query federation: per-member demotion under merged stats
+    == a union-corpus index, exact mode (k covers everything)."""
+    negs = spark.createDataFrame(
+        [(r["qid"], "the data") for r in queries.limit(3).collect()],
+        "qid string, text string",
+    )
+    ms = MultiSearcher(spark, sharded["dirs"])
+    fed = _by_turn(
+        spark,
+        ms.search_boosting(queries, negs, negative_boost=0.25, k=100_000),
+        sharded["dirs"], fed=True,
+    )
+    single = _by_turn(
+        spark,
+        Searcher(spark, sharded["full"]).search_boosting(
+            queries, negs, negative_boost=0.25, k=100_000
+        ),
+        sharded["full"], fed=False,
+    )
+    assert fed == single and fed
+
+
+def test_federated_postings_list_equals_union(spark, sharded):
+    ms = MultiSearcher(spark, sharded["dirs"])
+    terms = ["data", "the", "zzznever"]
+
+    def keyed(res, dirs_or_full, fed):
+        if fed:
+            maps = []
+            for i, d in enumerate(dirs_or_full):
+                dm = spark.read.parquet(os.path.join(d, "doc_map")) \
+                    .withColumn("index_id", F.lit(i))
+                maps.append(dm)
+            dm = maps[0]
+            for m in maps[1:]:
+                dm = dm.unionByName(m)
+            j = res.join(dm, ["index_id", "docid"])
+        else:
+            dm = spark.read.parquet(
+                os.path.join(dirs_or_full, "doc_map")
+            )
+            j = res.join(dm, "docid")
+        return {
+            (r["term"], r["conv_id"], r["turn_idx"], r["tf"])
+            for r in j.collect()
+        }
+
+    fed = keyed(ms.postings_list(terms), sharded["dirs"], True)
+    single = keyed(
+        Searcher(spark, sharded["full"]).postings_list(terms),
+        sharded["full"], False,
+    )
+    assert fed == single and fed
