@@ -196,6 +196,7 @@ def demoted_rank(
     *,
     negative_boost: float,
     k: int,
+    neg_unique: bool = False,
 ) -> DataFrame:
     """Lucene BoostingQuery / Elasticsearch ``boosting`` query: documents
     in ``neg_hits`` (qid, docid) STILL MATCH but their relevance is scaled
@@ -205,7 +206,14 @@ def demoted_rank(
     demotion is then round6(score)·1e6·(16·nb) — exact int64 — divided
     ONCE by 16e6, so fast path == slow path == oracle bit-for-bit.
     nb = 0 is legal (ES allows it): demoted docs sink to score 0 and rank
-    by docid among themselves."""
+    by docid among themselves.
+
+    ``neg_unique=True`` skips the defensive dedup of ``neg_hits`` — a
+    common negative term's match set is corpus-scale (measured ~30M rows
+    for 50 queries x 'the' at 986k turns), and when the producer already
+    emits unique (qid, docid) rows (the presence kernel: one row per doc
+    per qid, a doc lives in exactly one chunk) the distinct is a pure
+    extra shuffle of that whole set."""
     nb16 = round(float(negative_boost) * 16)
     if not (0.0 <= negative_boost <= 1.0) or abs(
         nb16 - float(negative_boost) * 16
@@ -214,9 +222,10 @@ def demoted_rank(
             "negative_boost must be a multiple of 1/16 in [0, 1] "
             f"(integer-exact demotion), got {negative_boost}"
         )
-    neg = neg_hits.select("qid", "docid").distinct().withColumn(
-        "_neg", F.lit(1)
-    )
+    neg = neg_hits.select("qid", "docid")
+    if not neg_unique:
+        neg = neg.distinct()
+    neg = neg.withColumn("_neg", F.lit(1))
     factor = F.when(F.col("_neg").isNotNull(), F.lit(nb16)).otherwise(
         F.lit(16)
     ).cast("long")

@@ -163,10 +163,14 @@ def dsir_log_weights(
     ``raw_model`` need not cover the pool's buckets); feature-less
     documents (empty text) emit no row.
 
-    ``raw_feats`` feeds the default background model AND the weights
-    join, and the final action re-runs the lineage — checkpoint it once
-    here so the corpus-scale tokenize+hash aggregation is paid once."""
-    raw_feats = raw_feats.localCheckpoint()
+    ``raw_feats`` feeds the default background model AND the weights join
+    — two passes over the corpus-scale lineage, and that is DELIBERATE:
+    checkpointing the feature relation instead was measured to pin ~150M
+    rows of executor storage at 986k turns and starve the hash
+    aggregation sharing the unified pool (AGGREGATE_OUT_OF_MEMORY).
+    Recomputing a tokenize+hash pass is CPU that scales with the cluster;
+    a pinned corpus-sized cache is a memory ceiling that does not. Only
+    the B-row models are checkpointed (in _log_ratio_micros)."""
     if raw_model is None:
         raw_model = hashed_ngram_model(raw_feats)
     lr, unseen = _log_ratio_micros(target_model, raw_model, buckets)

@@ -2228,7 +2228,25 @@ class Searcher:
             neg = seg.groupBy("chunk").applyInPandas(
                 kern, "qid string, docid long, n_hit long"
             ).select("qid", "docid")
-        return demoted_rank(scored, neg, negative_boost=negative_boost, k=k)
+            if window is not None:
+                # rescore mode: the scored window (<= |Q|·W rows) is the
+                # small side — broadcast-semi it into the negative stream
+                # so a common negative term's corpus-scale match set
+                # (measured ~30M rows for 50 q x 'the' at 986k turns)
+                # shuffles nothing. A driver-side collect-and-gate variant
+                # was measured SLOWER (the 400k-row round trip cost ~37s —
+                # more than the emission it saved); exact mode skips the
+                # probe since its scored set is itself corpus-scale.
+                neg = neg.join(
+                    F.broadcast(scored.select("qid", "docid")),
+                    ["qid", "docid"],
+                    "left_semi",
+                )
+        # the presence kernel emits one row per (qid, doc) — a doc lives in
+        # exactly one chunk — so the defensive dedup shuffle is skippable
+        return demoted_rank(
+            scored, neg, negative_boost=negative_boost, k=k, neg_unique=True
+        )
 
     def _boost_scored(self, queries, field, window, sim, sim_param, prune):
         """Shared FunctionScore plumbing: (relevance scored set, docvalues
