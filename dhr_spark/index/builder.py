@@ -193,6 +193,7 @@ def build_index(
     docvalues: tuple[str, ...] | list[str] = (),
     index_sort: tuple[str, bool] | None = None,
     extra_manifest: dict | None = None,
+    codec: str = "varint",
 ) -> dict:
     """Build (or resume) an index over transcripts (conv_id, turn_idx, ...,
     text): assigns stable docids, then delegates to build_index_from_docs.
@@ -250,6 +251,7 @@ def build_index(
             docvalues=docvalues,
             index_sort=index_sort,
             extra_manifest=extra_manifest,
+            codec=codec,
         )
     finally:
         # the scalable docid path persists its range-partitioned base so the
@@ -360,6 +362,7 @@ def build_index_from_docs(
     docvalues: tuple[str, ...] | list[str] = (),
     prune_per_term: int | None = None,
     index_sort: tuple[str, bool] | None = None,
+    codec: str = "varint",
 ) -> dict:
     """Build (or resume) the index over any corpus with (docid long, text).
 
@@ -425,6 +428,10 @@ def build_index_from_docs(
             "partition layout key on it; pass the same value (or 'auto', "
             "which adopts the prior's)"
         )
+    if prior is not None:
+        # committed chunks were encoded under the prior codec; a resumed
+        # build MUST keep writing the same byte format
+        codec = prior.get("codec", "varint")
 
     if prior is not None and (
         int(prior["n_docs"]) != n_docs
@@ -554,7 +561,7 @@ def build_index_from_docs(
             .parquet(os.path.join(index_dir, "stored"))
         )
 
-    seg = build_segments(seg_src, chunk_bits, block_size)
+    seg = build_segments(seg_src, chunk_bits, block_size, codec)
     seg_path = os.path.join(index_dir, "segments")
     dl_path = os.path.join(index_dir, "doclens")
     mode = "append" if done_chunks else "overwrite"
@@ -617,6 +624,7 @@ def build_index_from_docs(
         "b": b,
         "chunk_bits": chunk_bits,
         "block_size": block_size,
+        "codec": codec,
         "analyzer_mode": analyzer_mode,
         "n_docs": n_docs,
         "avgdl": avgdl,

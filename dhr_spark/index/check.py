@@ -218,7 +218,8 @@ def check_index(
             committed, key=lambda c: man["chunks"][str(c)]["postings"]
         )
         rows = decode_segments(
-            seg.filter(F.col("chunk") == probe), int(man["block_size"])
+            seg.filter(F.col("chunk") == probe), int(man["block_size"]),
+            man.get("codec", "varint"),
         )
         lo = probe << chunk_bits
         hi_b = (probe + 1) << chunk_bits

@@ -80,7 +80,11 @@ from dhr_spark.index.builder import (
     read_tombstones,
 )
 from dhr_spark.index.segments import build_doclens, build_segments
-from dhr_spark.index.codec import segmented_cumsum_decode, varint_decode
+from dhr_spark.index.codec import (
+    for_decode_stream,
+    segmented_cumsum_decode,
+    varint_decode,
+)
 from dhr_spark.operators.docids import with_global_ids
 
 
@@ -108,28 +112,44 @@ def decode_doclens(dl_df: DataFrame) -> DataFrame:
     return dl_df.mapInPandas(_go, "docid long, dl long")
 
 
-def decode_segments(seg_df: DataFrame, block_size: int) -> DataFrame:
+def decode_segments(
+    seg_df: DataFrame, block_size: int, codec: str = "varint"
+) -> DataFrame:
     """Segment rows -> (term_id, docid, tf) posting rows — the encode kernel
-    (segments._encode_batch_vectorized) run backwards. ``block_size`` is the
+    (segments._encode_batch_arrow) run backwards. ``block_size`` is the
     index's fixed block length (manifest), which fully determines the
     per-block posting counts the gap decoder needs for its absolute
-    restarts: every block holds block_size postings except the last."""
+    restarts: every block holds block_size postings except the last.
+    ``codec``: manifest["codec"] — varint LEB128 or FOR bit-packed blocks."""
 
     def _go(batches):
         for pdf in batches:
             tids, docids, tfs = [], [], []
-            for tid, n, gaps_buf, tfs_buf in zip(
-                pdf["term_id"], pdf["n"], pdf["doc_gaps"], pdf["tfs"]
+            for tid, n, gaps_buf, tfs_buf, d_off, t_off in zip(
+                pdf["term_id"], pdf["n"], pdf["doc_gaps"], pdf["tfs"],
+                pdf["block_doc_off"], pdf["block_tf_off"],
             ):
                 n = int(n)
                 nblocks = -(-n // block_size)
                 lens = np.full(nblocks, block_size, dtype=np.int64)
                 lens[-1] = n - block_size * (nblocks - 1)
-                gaps = varint_decode(bytes(gaps_buf), n).astype(np.int64)
-                d = segmented_cumsum_decode(gaps, lens)
+                if codec == "for":
+                    sel = np.arange(nblocks)
+                    d, _ = for_decode_stream(
+                        bytes(gaps_buf), np.asarray(d_off, dtype=np.int64),
+                        lens, sel, restarts=True,
+                    )
+                    tf_v, _ = for_decode_stream(
+                        bytes(tfs_buf), np.asarray(t_off, dtype=np.int64),
+                        lens, sel, restarts=False,
+                    )
+                else:
+                    gaps = varint_decode(bytes(gaps_buf), n).astype(np.int64)
+                    d = segmented_cumsum_decode(gaps, lens)
+                    tf_v = varint_decode(bytes(tfs_buf), n).astype(np.int64)
                 tids.append(np.full(n, int(tid), dtype=np.int64))
                 docids.append(d)
-                tfs.append(varint_decode(bytes(tfs_buf), n).astype(np.int64))
+                tfs.append(tf_v)
             if tids:
                 yield pd.DataFrame(
                     {
@@ -290,14 +310,18 @@ def compact_index(
         F.col("chunk").isin(targets)
     )
     post = (
-        decode_segments(seg_t, int(man["block_size"]))
+        decode_segments(
+            seg_t, int(man["block_size"]), man.get("codec", "varint")
+        )
         .join(remap, "docid")
         .select(
             "term_id", F.col("new_docid").alias("docid"), "tf", "dl"
         )
     )
     dyn = {"partitionOverwriteMode": "dynamic"}
-    build_segments(post, chunk_bits, int(man["block_size"])).repartition(
+    build_segments(
+        post, chunk_bits, int(man["block_size"]), man.get("codec", "varint")
+    ).repartition(
         "chunk"
     ).write.mode("overwrite").options(**dyn).partitionBy("chunk").parquet(
         os.path.join(index_dir, "segments")

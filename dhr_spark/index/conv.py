@@ -283,7 +283,10 @@ def append_conversations(
                 .partitionBy("chunk")
                 .parquet(os.path.join(index_dir, "stored"))
             )
-        seg = build_segments(post, chunk_bits, int(man["block_size"]))
+        seg = build_segments(
+            post, chunk_bits, int(man["block_size"]),
+            man.get("codec", "varint"),
+        )
         seg.repartition("chunk").write.mode("overwrite").options(
             **dyn
         ).partitionBy("chunk").parquet(os.path.join(index_dir, "segments"))

@@ -365,7 +365,9 @@ def append_impacts_to_index(
     )
     append_no = int(man.get("appends", 0)) + 1
     dyn = {"partitionOverwriteMode": "dynamic"}
-    seg = build_segments(post, chunk_bits, int(man["block_size"]))
+    seg = build_segments(
+        post, chunk_bits, int(man["block_size"]), man.get("codec", "varint")
+    )
     seg_path = os.path.join(index_dir, "segments")
     seg.repartition("chunk").write.mode("overwrite").options(**dyn).partitionBy(
         "chunk"

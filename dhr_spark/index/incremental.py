@@ -329,7 +329,9 @@ def _append_docs(
             .partitionBy("chunk")
             .parquet(os.path.join(index_dir, "stored"))
         )
-    seg = build_segments(post, chunk_bits, int(man["block_size"]))
+    seg = build_segments(
+        post, chunk_bits, int(man["block_size"]), man.get("codec", "varint")
+    )
     seg.repartition("chunk").write.mode("overwrite").options(**dyn).partitionBy(
         "chunk"
     ).parquet(seg_path)

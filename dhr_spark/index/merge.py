@@ -72,7 +72,7 @@ from dhr_spark.operators.docids import with_global_ids
 # plain shuffle join (AQE) — the blobs ride one exchange, never more
 BROADCAST_TERM_CAP = 2_000_000
 
-_EQUAL_KEYS = ("chunk_bits", "block_size", "analyzer_mode")
+_EQUAL_KEYS = ("chunk_bits", "block_size", "analyzer_mode", "codec")
 
 
 def _validate(dst: dict, src: dict, dst_dir: str, src_dir: str) -> None:
@@ -86,8 +86,9 @@ def _validate(dst: dict, src: dict, dst_dir: str, src_dir: str) -> None:
                 f"{m['prune_per_term']}) — the per-term cut is corpus-global "
                 "and cannot be extended by a merge; rebuild to re-prune"
             )
+    defaults = {"codec": "varint"}
     for k in _EQUAL_KEYS:
-        if dst.get(k) != src.get(k):
+        if dst.get(k, defaults.get(k)) != src.get(k, defaults.get(k)):
             problems.append(
                 f"{k} differs: dst={dst.get(k)!r} vs src={src.get(k)!r}"
             )

@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dhr_spark import B, K1
-from dhr_spark.index.codec import varint_encode, varint_lengths
+from dhr_spark.index.codec import (
+    for_encode_stream,
+    varint_encode,
+    varint_lengths,
+)
 
 SEGMENT_SCHEMA = (
     "chunk int, term_id long, n long, doc_gaps binary, tfs binary, "
@@ -141,6 +145,7 @@ def _encode_batch_arrow(
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int,
+    codec: str = "varint",
 ):
     """Arrow-native twin of _encode_batch_vectorized: identical encode math,
     but the OUTPUT is assembled zero-copy — (chunk, term_id) groups tile the
@@ -148,7 +153,14 @@ def _encode_batch_arrow(
     and list columns are just offset vectors over the already-built numpy
     buffers (pa.BinaryArray/ListArray.from_buffers), never a Python dict or
     pandas row. The old per-group Python loop was the encode stage's
-    residual per-row work (BASELINE.md r03 profile)."""
+    residual per-row work (BASELINE.md r03 profile).
+
+    ``codec``: "varint" (delta-gap LEB128, block-start slot absolute) or
+    "for" (Lucene ForUtil-style fixed-width bit packing per block; the
+    absolute first docid rides in each block header, codec.for_encode_stream)
+    — both emit the same segment schema, so everything downstream (block-max
+    skipping, offsets, compaction) is codec-agnostic up to the byte
+    decoder."""
     import pyarrow as pa
 
     n = len(docids)
@@ -168,23 +180,35 @@ def _encode_batch_arrow(
     gaps[bstarts] = docids[bstarts]
     if (gaps[ingroup % block_size != 0] <= 0).any():
         raise ValueError("docids must be strictly increasing per group")
-    u = gaps.astype(np.uint64)
-    doc_cum = np.concatenate(([0], np.cumsum(varint_lengths(u))))
-    doc_buf = varint_encode(u)
     tf_u = tfs.astype(np.uint64)
-    tf_cum = np.concatenate(([0], np.cumsum(varint_lengths(tf_u))))
-    tf_buf = varint_encode(tf_u)
-
     b0 = np.searchsorted(bstarts, starts)
     b1 = np.searchsorted(bstarts, ends)
-    bstart_doc_bytes = doc_cum[bstarts]
-    bstart_tf_bytes = tf_cum[bstarts]
-
     n_groups = len(starts)
     sb = np.append(starts, n)  # group boundaries incl. final end
-    d_off = doc_cum[sb]  # contiguous tiling: ends[g] == starts[g+1]
-    t_off = tf_cum[sb]
     blk_off = np.append(b0, len(bstarts))
+
+    if codec == "for":
+        block_lens_all = np.diff(np.append(bstarts, n)).astype(np.int64)
+        gaps[bstarts] = 0  # absolute first lives in the block header
+        doc_buf, blk_doc = for_encode_stream(
+            gaps.astype(np.uint64), block_lens_all, firsts=block_first_all
+        )
+        tf_buf, blk_tf = for_encode_stream(tf_u, block_lens_all)
+        bstart_doc_bytes = blk_doc
+        bstart_tf_bytes = blk_tf
+        # group byte boundaries: groups start exactly at block boundaries
+        d_off = np.append(blk_doc[b0], len(doc_buf))
+        t_off = np.append(blk_tf[b0], len(tf_buf))
+    else:
+        u = gaps.astype(np.uint64)
+        doc_cum = np.concatenate(([0], np.cumsum(varint_lengths(u))))
+        doc_buf = varint_encode(u)
+        tf_cum = np.concatenate(([0], np.cumsum(varint_lengths(tf_u))))
+        tf_buf = varint_encode(tf_u)
+        bstart_doc_bytes = doc_cum[bstarts]
+        bstart_tf_bytes = tf_cum[bstarts]
+        d_off = doc_cum[sb]  # contiguous tiling: ends[g] == starts[g+1]
+        t_off = tf_cum[sb]
 
     def _bin(buf: bytes, off: np.ndarray) -> "pa.Array":
         return pa.BinaryArray.from_buffers(
@@ -234,6 +258,7 @@ def build_segments(
     postings: DataFrame,
     chunk_bits: int = 17,
     block_size: int = 128,
+    codec: str = "varint",
 ) -> DataFrame:
     """postings (term_id, docid, tf, dl) -> segment rows.
 
@@ -244,7 +269,11 @@ def build_segments(
     most groups are tiny and the overhead dominated the build). Arrow batches
     can split a group, so the kernel carries the trailing partial group into
     the next batch and flushes at partition end.
+
+    ``codec``: posting-bytes codec, "varint" or "for" (_encode_batch_arrow).
     """
+    if codec not in ("varint", "for"):
+        raise ValueError(f"unknown postings codec {codec!r}")
     # tf/dl travel the build's one wide exchange as int32: both are
     # per-document counts (or 31-bit-capped impacts, index/impact.py) —
     # the encode stage is memory-bandwidth-bound (BASELINE.md r03 profile),
@@ -291,10 +320,10 @@ def build_segments(
             carry = tuple(c[head_end:] for c in cols)
             if head_end:
                 yield _encode_batch_arrow(
-                    *(c[:head_end] for c in cols), block_size
+                    *(c[:head_end] for c in cols), block_size, codec
                 )
         if carry is not None and len(carry[0]):
-            yield _encode_batch_arrow(*carry, block_size)
+            yield _encode_batch_arrow(*carry, block_size, codec)
 
     return parted.mapInArrow(_build, SEGMENT_SCHEMA)
 

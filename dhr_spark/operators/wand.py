@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dhr_spark.index.builder import load_manifest
-from dhr_spark.index.codec import segmented_cumsum_decode, varint_decode
+from dhr_spark.index.codec import (
+    for_decode_stream,
+    segmented_cumsum_decode,
+    varint_decode,
+)
 from dhr_spark.index.segments import bm25_weights_np
 from dhr_spark.operators.topk import topk
 
@@ -56,10 +60,21 @@ def _block_lens(n: int, block_size: int) -> np.ndarray:
 
 
 def _decode_selected(
-    buf: bytes, offs: np.ndarray, lens: np.ndarray, sel: np.ndarray, *, restarts: bool
+    buf: bytes,
+    offs: np.ndarray,
+    lens: np.ndarray,
+    sel: np.ndarray,
+    *,
+    restarts: bool,
+    codec: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode selected block indices (sorted). Returns (values, block_lens).
-    ``restarts=True`` applies the segmented cumsum (docid blocks)."""
+    ``restarts=True`` applies the segmented cumsum (docid blocks).
+    ``codec`` selects the byte format (manifest["codec"]): LEB128 varints
+    or FOR bit-packed blocks (codec.for_decode_stream) — block offsets and
+    the returned shape are identical either way."""
+    if codec == "for":
+        return for_decode_stream(buf, offs, lens, sel, restarts=restarts)
     total = int(lens.sum())
     byte_ends = np.concatenate((offs[1:], [len(buf)]))
     # contiguous runs of selected blocks decode as single slices
@@ -86,6 +101,7 @@ def _count_chunk(
     block_size: int,
     chunk_bits: int,
     tombstones: np.ndarray | None = None,
+    codec: str = "varint",
 ):
     """Per-chunk exact hit counting (OR semantics) — the TotalHitCount
     collector's shape: decode ONLY the docid blocks of the query terms
@@ -120,7 +136,7 @@ def _count_chunk(
                 docids, _ = _decode_selected(
                     bytes(r.doc_gaps),
                     np.asarray(r.block_doc_off, dtype=np.int64),
-                    lens, np.arange(lens.size), restarts=True,
+                    lens, np.arange(lens.size), restarts=True, codec=codec,
                 )
                 hit = doc_cache[row_i] = docids - base
             return hit
@@ -152,6 +168,7 @@ def _presence_chunk(
     limit: int | None = None,
     starts: dict[str, dict[int, int]] | None = None,
     cursor_qids: frozenset | None = None,
+    codec: str = "varint",
 ):
     """Per-chunk term-presence counting for boolean masks: ``qsets`` maps
     qid -> np.ndarray of term_ids; emits one (qid, docid, n_hit) row per
@@ -196,7 +213,7 @@ def _presence_chunk(
                 docids, _ = _decode_selected(
                     bytes(r.doc_gaps),
                     np.asarray(r.block_doc_off, dtype=np.int64),
-                    lens, np.arange(lens.size), restarts=True,
+                    lens, np.arange(lens.size), restarts=True, codec=codec,
                 )
                 hit = doc_cache[row_i] = docids - base
             return hit
@@ -250,6 +267,7 @@ def _score_chunk(
     dl_bc=None,
     sim: str = "bm25",
     mu: float = 1000.0,
+    codec: str = "varint",
 ):
     """Returns the scoring applyInPandas kernel — cogrouped with the
     doclens frame by default, or single-frame when ``dl_bc`` (a Spark
@@ -503,11 +521,11 @@ def _score_chunk(
                 sel = np.arange(lens.size)
             docids, _ = _decode_selected(
                 bytes(r.doc_gaps), np.asarray(r.block_doc_off, dtype=np.int64),
-                lens, sel, restarts=True,
+                lens, sel, restarts=True, codec=codec,
             )
             tfs, _ = _decode_selected(
                 bytes(r.tfs), np.asarray(r.block_tf_off, dtype=np.int64),
-                lens, sel, restarts=False,
+                lens, sel, restarts=False, codec=codec,
             )
             return docids - base, tfs
 
@@ -716,6 +734,9 @@ class Searcher:
         # impacts, index/impact.py) — the stored per-posting integer means a
         # different thing in each, so cross-use is refused in _scored_frame
         self._scoring = man.get("scoring", "bm25")
+        # posting-bytes codec ("varint" default, "for" bit-packed) — every
+        # decode kernel this searcher builds dispatches on it
+        self._codec = man.get("codec", "varint")
         self.k1 = float(man["k1"]) if k1 is None else float(k1)
         self.b = float(man["b"]) if b is None else float(b)
         if self.k1 <= 0 or not (0.0 <= self.b <= 1.0):
@@ -1516,6 +1537,7 @@ class Searcher:
             int(self.manifest["block_size"]),
             int(self.manifest["chunk_bits"]),
             tombstones=self._tombstones,
+            codec=self._codec,
         )
         counted = seg.groupBy("chunk").applyInPandas(
             kernel, "qid string, n long"
@@ -1556,6 +1578,7 @@ class Searcher:
         kern = _presence_chunk(
             qsets, int(self.manifest["block_size"]),
             int(self.manifest["chunk_bits"]), tombstones=self._tombstones,
+            codec=self._codec,
         )
         return (
             self._seg_for_terms(all_terms)
@@ -1690,6 +1713,7 @@ class Searcher:
                 int(self.manifest["block_size"]),
                 int(self.manifest["chunk_bits"]),
                 tombstones=self._tombstones,
+                codec=self._codec,
                 limit=int(k),
                 starts=starts,
                 cursor_qids=cursor_qids,
@@ -2221,6 +2245,7 @@ class Searcher:
                 int(self.manifest["block_size"]),
                 int(self.manifest["chunk_bits"]),
                 tombstones=self._tombstones,
+                codec=self._codec,
             )
             seg = self._seg_for_terms(
                 sorted({int(t) for s in qsets.values() for t in s})
@@ -2613,7 +2638,7 @@ class Searcher:
         if must_sets:
             kern = _presence_chunk(
                 must_sets, int(self.manifest["block_size"]), cb,
-                tombstones=self._tombstones,
+                tombstones=self._tombstones, codec=self._codec,
             )
             seg = self._seg_for_terms(
                 sorted({int(t) for s in must_sets.values() for t in s})
@@ -2663,7 +2688,7 @@ class Searcher:
                 {q: np.array(sorted(s), dtype=np.int64)
                  for q, s in not_sets.items()},
                 int(self.manifest["block_size"]), cb,
-                tombstones=self._tombstones,
+                tombstones=self._tombstones, codec=self._codec,
             )
             seg = self._seg_for_terms(
                 sorted({int(t) for s in not_sets.values() for t in s})
@@ -2684,7 +2709,7 @@ class Searcher:
             if msm_sets:
                 kern = _presence_chunk(
                     msm_sets, int(self.manifest["block_size"]), cb,
-                    tombstones=self._tombstones,
+                    tombstones=self._tombstones, codec=self._codec,
                 )
                 seg = self._seg_for_terms(
                     sorted({int(t) for s in msm_sets.values() for t in s})
@@ -2872,6 +2897,7 @@ class Searcher:
             qinfo, k, self._avgdl, self.k1, self.b,
             int(man["block_size"]), prune, tombstones=self._tombstones,
             after=after, dl_bc=self._dl_bc, sim=sim, mu=mu,
+            codec=self._codec,
         )
         if self._dl_bc is not None:
             return seg.groupBy("chunk").applyInPandas(kernel, RESULT_SCHEMA)
@@ -4250,6 +4276,7 @@ class Searcher:
             return self.spark.createDataFrame([], schema)
         id2term = {v: k for k, v in tid.items()}
         block_size = int(self.manifest["block_size"])
+        codec = self._codec
         tomb = self._tombstones
 
         def decode(batches):
@@ -4263,12 +4290,12 @@ class Searcher:
                     docids, _ = _decode_selected(
                         bytes(r.doc_gaps),
                         np.asarray(r.block_doc_off, dtype=np.int64),
-                        lens, sel, restarts=True,
+                        lens, sel, restarts=True, codec=codec,
                     )
                     tfs, _ = _decode_selected(
                         bytes(r.tfs),
                         np.asarray(r.block_tf_off, dtype=np.int64),
-                        lens, sel, restarts=False,
+                        lens, sel, restarts=False, codec=codec,
                     )
                     if tomb is not None and tomb.size:
                         keep = ~np.isin(docids, tomb)
