@@ -1584,6 +1584,75 @@ SELECT doc_id, valid[1]::BIGINT AS window_start FROM v WHERE len(valid) > 0
 """
 
 
+# interval-query oracle fixtures (operators/intervals.py): one ordered
+# 3-term tree and one unordered 2-term tree over the documents table
+IV_ORDERED = (["big", "order", "scan"], 10)   # terms, max_gaps
+IV_UNORDERED = (["table", "hash"], 6)
+
+
+def _intervals_ordered_sql() -> str:
+    """Greedy ordered minimal intervals (Lucene Intervals.ordered) replayed
+    in DuckDB list lambdas: for each first-term position chain each later
+    term's first position strictly after the previous end; minimality =
+    keep a candidate only when the next candidate ends strictly later
+    (starts are strictly increasing, greedy ends are non-decreasing, so
+    equal-end runs keep their LAST member); gaps = width - k."""
+    terms, gaps = IV_ORDERED
+    k = len(terms)
+    m_defs = ", ".join(
+        f"{_pos_list(t)} AS m{i}" for i, t in enumerate(terms)
+    )
+    chain = "p0"
+    for i in range(1, k):
+        chain = f"list_min(list_filter(m{i}, q{i} -> q{i} > {chain}))"
+    return f"""
+WITH {_TOKS_CTE},
+m AS (SELECT doc_id, {m_defs} FROM toks),
+c AS (SELECT doc_id, m0, list_transform(m0, p0 -> {chain}) AS ends FROM m),
+kept AS (
+  SELECT doc_id, m0, ends,
+    list_filter(range(1, len(m0) + 1), i ->
+      ends[i] IS NOT NULL
+      AND (ends[i + 1] IS NULL OR ends[i + 1] > ends[i])
+      AND (ends[i] - m0[i] + 1) - {k} <= {gaps}) AS ki
+  FROM c)
+SELECT doc_id, len(ki)::BIGINT AS n_matches,
+       m0[ki[1]]::BIGINT AS first_start, ends[ki[1]]::BIGINT AS first_end
+FROM kept WHERE len(ki) > 0"""
+
+
+def _intervals_unordered_sql() -> str:
+    """Unordered two-term minimal windows: every minimal window starts at
+    one term occurrence and ends at the OTHER term's next occurrence, so
+    both directed nearest-neighbor candidate sets cover the minimal set;
+    an O(n^2) pairwise-containment filter then keeps exactly the minimal
+    intervals. gaps = width - 2."""
+    (t0, t1), gaps = IV_UNORDERED
+    cand = (
+        "list_concat("
+        "list_filter(list_transform(m0, a -> "
+        "{'s': a, 'e': list_min(list_filter(m1, b -> b > a))}), "
+        "c -> c.e IS NOT NULL), "
+        "list_filter(list_transform(m1, b2 -> "
+        "{'s': b2, 'e': list_min(list_filter(m0, a2 -> a2 > b2))}), "
+        "c -> c.e IS NOT NULL))"
+    )
+    return f"""
+WITH {_TOKS_CTE},
+m AS (SELECT doc_id, {_pos_list(t0)} AS m0, {_pos_list(t1)} AS m1 FROM toks),
+c AS (SELECT doc_id, {cand} AS cands FROM m),
+k AS (
+  SELECT doc_id,
+    list_sort(list_filter(cands, x ->
+      len(list_filter(cands, d -> d.s >= x.s AND d.e <= x.e
+          AND NOT (d.s = x.s AND d.e = x.e))) = 0
+      AND (x.e - x.s + 1) - 2 <= {gaps})) AS kept
+  FROM c)
+SELECT doc_id, len(kept)::BIGINT AS n_matches,
+       kept[1].s::BIGINT AS first_start, kept[1].e::BIGINT AS first_end
+FROM k WHERE len(kept) > 0"""
+
+
 def _rm3_ctes() -> str:
     """RM3 relevance model CTEs (assumes _TOKS_CTE + q + _SCORED_CTE).
 
@@ -4202,6 +4271,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = m if out is None else out.unionByName(m)
         return out.select("phrase_id", "doc_id", "n_matches", "first_pos")
 
+    def intervals_ordered_q(spark, sf):
+        from dhr_spark.operators import intervals as IVO
+
+        terms, gaps = IV_ORDERED
+        return IVO.interval_match(
+            _docs(spark, sf),
+            IVO.match(" ".join(terms), ordered=True, max_gaps=gaps),
+        )
+
+    def intervals_unordered_q(spark, sf):
+        from dhr_spark.operators import intervals as IVO
+
+        terms, gaps = IV_UNORDERED
+        return IVO.interval_match(
+            _docs(spark, sf),
+            IVO.match(" ".join(terms), ordered=False, max_gaps=gaps),
+        )
+
     def positional_postings_q(spark, sf):
         pp = PH.positional_postings(_docs(spark, sf))
         return pp.select(
@@ -5963,6 +6050,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "sorted_after_page": sorted_after_page_q,
         "dsir_weights": dsir_weights_q,
         "dsir_sample": dsir_sample_q,
+        "intervals_ordered": intervals_ordered_q,
+        "intervals_unordered": intervals_unordered_q,
     }
 
 
@@ -7658,4 +7747,6 @@ SELECT term, doc_id AS docid, tf FROM tf
 WHERE term IN ('spark', 'merge')"""
     out["dsir_weights"] = _dsir_weights_sql()
     out["dsir_sample"] = _dsir_sample_sql()
+    out["intervals_ordered"] = _intervals_ordered_sql()
+    out["intervals_unordered"] = _intervals_unordered_sql()
     return out

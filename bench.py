@@ -69,7 +69,9 @@ def _spark(cores: int):
     )
 
 
-def _build(spark, n_convs: int, idx: str) -> tuple[float, int]:
+def _build(
+    spark, n_convs: int, idx: str, codec: str = "varint"
+) -> tuple[float, int]:
     from dhr_spark.data.synthetic import synth_transcripts
     from dhr_spark.index.builder import build_index
 
@@ -82,7 +84,7 @@ def _build(spark, n_convs: int, idx: str) -> tuple[float, int]:
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.time()
     man = build_index(spark, transcripts, idx, analyzer_mode="lucene",
-                      chunk_bits=12, block_size=128)
+                      chunk_bits=12, block_size=128, codec=codec)
     return time.time() - t0, int(man["n_docs"])
 
 
@@ -486,6 +488,40 @@ def main() -> None:
     result["append_turns_per_sec"] = round(append_turns / t_append, 1)
     result["append_batch_turns"] = append_turns
 
+    # ---- FOR codec comparison (bit-packed postings, index/codec.py) ----
+    # same corpus, same geometry, codec="for": the row pair evidences both
+    # the byte shrink and that the packed decode holds query throughput.
+    # Runs on its own dir — the append above mutated the varint index.
+    from dhr_spark.index.builder import load_manifest
+
+    idx_for = f"/tmp/dhr_bench_idx_for{CPUS}"
+    t_build_for = min(
+        _build(spark, n_convs, idx_for, codec="for")[0] for _ in range(2)
+    )
+    timings["index_build_for"] = round(t_build_for, 2)
+    searcher_for = Searcher(spark, idx_for)
+    searcher_for.search(queries.limit(5), k=K).count()  # warm
+    t_for = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        searcher_for.search(queries, k=K).count()
+        t_for = min(t_for, time.time() - t0)
+    timings["wand_batch_200q_for"] = round(t_for, 2)
+    man_for = load_manifest(idx_for)
+    b_for = sum(int(c["bytes"]) for c in man_for["chunks"].values())
+    # the varint index has absorbed the append; rebuild-free comparison via
+    # its manifest's ORIGINAL chunks would mix corpora — recompute from the
+    # pre-append chunk set instead (append chunks carry higher chunk ids)
+    man_var = load_manifest(idx)
+    orig = {c for c in man_for["chunks"]}
+    b_var = sum(
+        int(man_var["chunks"][c]["bytes"]) for c in orig
+        if c in man_var["chunks"]
+    )
+    result["postings_bytes_varint"] = b_var
+    result["postings_bytes_for"] = b_for
+    result["for_bytes_ratio"] = round(b_for / b_var, 4) if b_var else None
+
     # ---- headline operator timings over the testdata tables ----
     qmap = entry_mod.queries()
     # warm the entry's documents-corpus index untimed: wand_topk must time
@@ -511,7 +547,7 @@ def main() -> None:
         "sql_bm25_topk", "sorted_index_topk", "sorted_after_page",
         "complete_suggest",
         "phrase_prefix", "composite_hits", "phrase_suggest", "ltr_features",
-        "dsir_sample",
+        "dsir_sample", "intervals_ordered", "intervals_unordered",
     ]:
         # best-of-2: each op is 0.2-4s, so the second draw is cheap and
         # halves the ambient-noise variance in the committed per-op table

@@ -3655,6 +3655,84 @@ class Searcher:
             .filter(F.col("n_matches") > 0)
         )
 
+    def search_intervals(self, source: dict) -> DataFrame:
+        """(docid, n_matches, first_start, first_end): interval query
+        (Lucene IntervalsSource / ES ``intervals`` — minimal-interval
+        semantics, operators/intervals.py) served from the POSITIONAL
+        artifact. Reads ONLY the tree's leaf terms' position rows (term_id
+        pushdown into parquet row groups), pivots them per docid with one
+        grouped exchange, and runs the same per-doc algebra kernel as the
+        corpus-scan twin (intervals.interval_match) — identity between the
+        two is pinned in tests/test_intervals.py.
+
+        Leaf terms pass through the index analyzer (stemming under the
+        lucene chain); a term the analyzer drops entirely (stopword) or
+        that is out-of-vocabulary simply never matches — its position list
+        is empty, exactly Lucene's behavior for an absent term source.
+        """
+        from dhr_spark.functions.analyzer import analyze_positions
+        from dhr_spark.operators.intervals import (
+            _interval_kernel,
+            leaf_terms,
+        )
+
+        if not self.manifest.get("positional"):
+            raise ValueError(
+                "index was built without positional=True; interval search "
+                "needs the positions artifact (or use operators.intervals."
+                "interval_match over the corpus text)"
+            )
+        raw_terms = leaf_terms(source)
+        mode = self.manifest["analyzer_mode"]
+        # index-analyzed form of each leaf (None = dropped/stopword)
+        analyzed: dict[str, str | None] = {}
+        for t in raw_terms:
+            pairs = analyze_positions(mode, t)
+            analyzed[t] = pairs[0][1] if pairs else None
+        need = sorted({v for v in analyzed.values() if v is not None})
+        if self._tid_cache is not None:
+            tid = {t: self._tid_cache[t][0] for t in need
+                   if t in self._tid_cache}
+        else:
+            rows = self._tdict.filter(F.col("term").isin(need)).collect()
+            tid = {r["term"]: int(r["term_id"]) for r in rows}
+        schema = (
+            "docid long, n_matches long, first_start long, first_end long"
+        )
+        live_tids = sorted(tid.values())
+        if not live_tids:
+            return self.spark.createDataFrame([], schema)
+        pos = self._prune_to_manifest(
+            self.spark.read.parquet(f"{self.index_dir}/positions")
+        ).filter(F.col("term_id").isin(live_tids))
+        # pivot: one row per docid, one position array per leaf term (empty
+        # when the doc lacks the term / the term is OOV or analyzer-dropped)
+        aggs = []
+        for j, t in enumerate(raw_terms):
+            at = analyzed[t]
+            if at is not None and at in tid:
+                aggs.append(
+                    F.coalesce(
+                        F.first(
+                            F.when(
+                                F.col("term_id") == tid[at],
+                                F.col("positions"),
+                            ),
+                            ignorenulls=True,
+                        ),
+                        F.array().cast("array<int>"),
+                    ).alias(f"p{j}")
+                )
+            else:
+                aggs.append(
+                    F.array().cast("array<int>").alias(f"p{j}")
+                )
+        pivoted = pos.groupBy("docid").agg(*aggs)
+        out = pivoted.mapInPandas(
+            _interval_kernel(source, raw_terms, "docid"), schema
+        )
+        return self._filter_live(out)
+
     def search_phrase_prefix(
         self,
         phrase: str,
