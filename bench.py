@@ -488,39 +488,43 @@ def main() -> None:
     result["append_turns_per_sec"] = round(append_turns / t_append, 1)
     result["append_batch_turns"] = append_turns
 
-    # ---- FOR codec comparison (bit-packed postings, index/codec.py) ----
-    # same corpus, same geometry, codec="for": the row pair evidences both
-    # the byte shrink and that the packed decode holds query throughput.
-    # Runs on its own dir — the append above mutated the varint index.
+    # ---- packed codec comparison (FOR / PFOR postings, index/codec.py) --
+    # same corpus, same geometry: each row pair evidences both the byte
+    # shrink and that the packed decode holds query throughput. Runs on
+    # its own dirs — the append above mutated the varint index; the
+    # varint baseline bytes come from its pre-append chunk set (append
+    # chunks carry higher chunk ids).
     from dhr_spark.index.builder import load_manifest
 
-    idx_for = f"/tmp/dhr_bench_idx_for{CPUS}"
-    t_build_for = min(
-        _build(spark, n_convs, idx_for, codec="for")[0] for _ in range(2)
-    )
-    timings["index_build_for"] = round(t_build_for, 2)
-    searcher_for = Searcher(spark, idx_for)
-    searcher_for.search(queries.limit(5), k=K).count()  # warm
-    t_for = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        searcher_for.search(queries, k=K).count()
-        t_for = min(t_for, time.time() - t0)
-    timings["wand_batch_200q_for"] = round(t_for, 2)
-    man_for = load_manifest(idx_for)
-    b_for = sum(int(c["bytes"]) for c in man_for["chunks"].values())
-    # the varint index has absorbed the append; rebuild-free comparison via
-    # its manifest's ORIGINAL chunks would mix corpora — recompute from the
-    # pre-append chunk set instead (append chunks carry higher chunk ids)
     man_var = load_manifest(idx)
-    orig = {c for c in man_for["chunks"]}
-    b_var = sum(
-        int(man_var["chunks"][c]["bytes"]) for c in orig
-        if c in man_var["chunks"]
-    )
-    result["postings_bytes_varint"] = b_var
-    result["postings_bytes_for"] = b_for
-    result["for_bytes_ratio"] = round(b_for / b_var, 4) if b_var else None
+    b_var = None
+    for codec in ("for", "pfor"):
+        idx_c = f"/tmp/dhr_bench_idx_{codec}{CPUS}"
+        t_build_c = min(
+            _build(spark, n_convs, idx_c, codec=codec)[0] for _ in range(2)
+        )
+        timings[f"index_build_{codec}"] = round(t_build_c, 2)
+        searcher_c = Searcher(spark, idx_c)
+        searcher_c.search(queries.limit(5), k=K).count()  # warm
+        t_c = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            searcher_c.search(queries, k=K).count()
+            t_c = min(t_c, time.time() - t0)
+        timings[f"wand_batch_200q_{codec}"] = round(t_c, 2)
+        man_c = load_manifest(idx_c)
+        b_c = sum(int(c["bytes"]) for c in man_c["chunks"].values())
+        if b_var is None:
+            b_var = sum(
+                int(man_var["chunks"][c]["bytes"])
+                for c in man_c["chunks"]
+                if c in man_var["chunks"]
+            )
+            result["postings_bytes_varint"] = b_var
+        result[f"postings_bytes_{codec}"] = b_c
+        result[f"{codec}_bytes_ratio"] = (
+            round(b_c / b_var, 4) if b_var else None
+        )
 
     # ---- headline operator timings over the testdata tables ----
     qmap = entry_mod.queries()

@@ -217,20 +217,36 @@ def for_encode_stream(
         fcum = np.concatenate(([0], np.cumsum(flens)))
         pos = np.repeat(offs + 1 - fcum[:-1], flens) + np.arange(fcum[-1])
         out[pos] = fbuf
-    if int(widths.max()) > 0:
-        w_val = np.repeat(widths, lens)
-        inb = np.arange(v.size, dtype=np.int64) - np.repeat(bstarts, lens)
-        bit_base = np.repeat((offs + head) << 3, lens) + inb * w_val
-        # ragged per-value bit indices: value j contributes w_val[j] bits
-        wcum = np.concatenate(([0], np.cumsum(w_val)))
-        k = np.arange(wcum[-1], dtype=np.int64) - np.repeat(wcum[:-1], w_val)
-        bits = (
-            (np.repeat(v, w_val) >> k.astype(np.uint64)) & np.uint64(1)
-        ).astype(np.uint8)
-        plane = np.zeros(total << 3, dtype=np.uint8)
-        plane[np.repeat(bit_base, w_val) + k] = bits
-        out |= np.packbits(plane, bitorder="little")
+    out |= _pack_payload(v, lens, widths, offs + head, total)
     return out.tobytes(), offs
+
+
+def _pack_payload(
+    v: np.ndarray,
+    lens: np.ndarray,
+    widths: np.ndarray,
+    pay_off: np.ndarray,
+    total: int,
+) -> np.ndarray:
+    """Scatter-pack each block's values at its width (LSB-first bit plane +
+    packbits). ``v`` must already fit in its block's width (mask before
+    calling for patched codecs). Returns a uint8 array of ``total`` bytes
+    to OR into the output buffer."""
+    if v.size == 0 or int(widths.max()) == 0:
+        return np.zeros(total, dtype=np.uint8)
+    bstarts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    w_val = np.repeat(widths, lens)
+    inb = np.arange(v.size, dtype=np.int64) - np.repeat(bstarts, lens)
+    bit_base = np.repeat(pay_off << 3, lens) + inb * w_val
+    # ragged per-value bit indices: value j contributes w_val[j] bits
+    wcum = np.concatenate(([0], np.cumsum(w_val)))
+    k = np.arange(wcum[-1], dtype=np.int64) - np.repeat(wcum[:-1], w_val)
+    bits = (
+        (np.repeat(v, w_val) >> k.astype(np.uint64)) & np.uint64(1)
+    ).astype(np.uint8)
+    plane = np.zeros(total << 3, dtype=np.uint8)
+    plane[np.repeat(bit_base, w_val) + k] = bits
+    return np.packbits(plane, bitorder="little")
 
 
 def for_decode_stream(
@@ -265,8 +281,27 @@ def for_decode_stream(
     sl = lens[sel]
     out = np.zeros(int(sl.sum()), dtype=np.uint64)
     val_starts = np.concatenate(([0], np.cumsum(sl)[:-1]))
-    combos = {}
-    for gi in range(sel.size):
+    _unpack_payload(raw, pay_off, widths, sl, out, val_starts)
+    if restarts:
+        abs_docs = segmented_cumsum_decode(out, sl) + np.repeat(
+            firsts.astype(np.int64), sl
+        )
+        return abs_docs, sl
+    return out.astype(np.int64), sl
+
+
+def _unpack_payload(
+    raw: np.ndarray,
+    pay_off: np.ndarray,
+    widths: np.ndarray,
+    sl: np.ndarray,
+    out: np.ndarray,
+    val_starts: np.ndarray,
+) -> None:
+    """Unpack fixed-width payloads into ``out`` (uint64) — equal-(width,
+    len) block groups gathered as matrices and np.unpackbits'ed."""
+    combos: dict[tuple[int, int], list[int]] = {}
+    for gi in range(pay_off.size):
         combos.setdefault((int(widths[gi]), int(sl[gi])), []).append(gi)
     for (w, ln), grp in combos.items():
         if w == 0:
@@ -280,6 +315,212 @@ def for_decode_stream(
             bits.reshape(len(g), ln, w).astype(np.uint64) * weights
         ).sum(axis=2, dtype=np.uint64)
         out[val_starts[g][:, None] + np.arange(ln)] = vals
+
+
+# ---------------------------------------------------------------------------
+# PFOR (Patched Frame-of-Reference) — Lucene PForUtil analogue.
+#
+# Lucene packs doc-delta blocks with PFOR since 8.5 (PForUtil): the block is
+# bit-packed at a width smaller than its max value, and up to 7 outliers
+# ("exceptions", typically the rare huge gap that would otherwise inflate
+# every value's width) are patched back from a side list. Layout per block:
+#
+#     [b0: width in low 7 bits (<=64), high bit = has-exceptions flag]
+#     [n_exc u8 — ONLY when the flag is set]
+#     [LEB128 absolute-first (docid streams only)]
+#     [payload: len values at width bits — exception slots hold LOW bits]
+#     [n_exc exception positions, u8 in-block indexes]
+#     [n_exc exception high parts, LEB128 of (value >> width)]
+#
+# Exception-free blocks are therefore byte-identical to FOR blocks, so a
+# PFOR stream is never larger than the FOR stream over the same values —
+# patching is pay-as-you-go.
+#
+# Width selection is cost-exact per block: for each candidate k in 0..7,
+# w_k = the (k+1)-th largest bit length; the realized exception set is
+# every value with bit length > w_k (ties stay packed), and the candidate's
+# byte cost = payload + positions + actual varint high bytes. The cheapest
+# candidate wins — plain FOR (k=0) is a candidate, so PFOR is never larger
+# than FOR on any block, matching Lucene's "patching only when it pays"
+# behavior. Both sides vectorize over equal-length block groups (encode:
+# per-group sort matrix; decode: the shared _unpack_payload + at most 7
+# bounded vectorized varint rounds for the patches).
+# ---------------------------------------------------------------------------
+
+MAX_PFOR_EXCEPTIONS = 7
+
+
+def _pfor_choose(
+    v: np.ndarray, lens: np.ndarray, bl: np.ndarray
+) -> np.ndarray:
+    """Per-block packed width minimizing exact byte cost with <=7 patched
+    exceptions. Vectorized over equal-length block groups."""
+    nb = lens.size
+    widths = np.zeros(nb, dtype=np.int64)
+    bstarts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    order = np.argsort(lens, kind="stable")
+    for ln in np.unique(lens):
+        grp = order[np.searchsorted(lens[order], ln):
+                    np.searchsorted(lens[order], ln, side="right")]
+        m = grp.size
+        ln = int(ln)
+        idx = bstarts[grp][:, None] + np.arange(ln)
+        blm = np.sort(bl[idx], axis=1)[:, ::-1]  # bit lengths, desc
+        kmax = min(MAX_PFOR_EXCEPTIONS, ln - 1)
+        # candidate widths w_k = (k+1)-th largest bit length
+        wk = blm[:, : kmax + 1]  # (m, kmax+1)
+        # realized exceptions at w_k: values with bl > w_k — all live in
+        # the top-(k) columns, so count + high-byte cost from blm alone
+        top = blm[:, : kmax + 1]  # (m, up to 8) largest bit lengths
+        costs = np.empty((m, kmax + 1), dtype=np.int64)
+        for k in range(kmax + 1):
+            w = wk[:, k]
+            exc = top > w[:, None]  # (m, kmax+1) — only top-k can exceed
+            n_exc = exc.sum(axis=1)
+            # varint bytes of (value >> w): ceil((bl - w)/7), >=1 per exc
+            hb = np.maximum(top - w[:, None], 0)
+            hbytes = np.where(exc, (hb + 6) // 7, 0).sum(axis=1)
+            # + the n_exc header byte the has-exceptions flag buys
+            costs[:, k] = (
+                ((ln * w + 7) >> 3) + n_exc + hbytes + (n_exc > 0)
+            )
+        widths[grp] = wk[np.arange(m), np.argmin(costs, axis=1)]
+    return widths
+
+
+def pfor_encode_stream(
+    values: np.ndarray,
+    block_lens: np.ndarray,
+    firsts: np.ndarray | None = None,
+) -> tuple[bytes, np.ndarray]:
+    """PFOR-encode a stream of blocks — same contract as for_encode_stream
+    (concatenated uint64 values, per-block counts, optional absolute
+    firsts with zeroed block-start slots)."""
+    v = np.asarray(values, dtype=np.uint64)
+    lens = np.asarray(block_lens, dtype=np.int64)
+    nb = lens.size
+    if nb == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    if int(lens.max()) > 256:
+        raise ValueError("pfor blocks cap at 256 values (u8 patch indexes)")
+    bl = bit_lengths(v)
+    widths = _pfor_choose(v, lens, bl)
+    w_val = np.repeat(widths, lens)
+    exc = bl > w_val
+    bstarts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    n_exc = np.add.reduceat(exc.astype(np.int64), bstarts)
+    highs = v[exc] >> w_val[exc].astype(np.uint64)
+    hlens = varint_lengths(highs)
+    hl_per_block = np.zeros(nb, dtype=np.int64)
+    exc_block = np.repeat(np.arange(nb), lens)[exc]
+    np.add.at(hl_per_block, exc_block, hlens)
+    payload_bytes = (lens * widths + 7) >> 3
+    has_exc = (n_exc > 0).astype(np.int64)
+    if firsts is not None:
+        f = np.asarray(firsts, dtype=np.uint64)
+        flens = varint_lengths(f)
+        head = 1 + has_exc + flens
+    else:
+        head = 1 + has_exc
+    blk_bytes = head + payload_bytes + n_exc + hl_per_block
+    offs = np.concatenate(([0], np.cumsum(blk_bytes)[:-1]))
+    total = int(blk_bytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    out[offs] = (widths | (has_exc << 7)).astype(np.uint8)
+    exc_blocks = np.flatnonzero(has_exc)
+    out[offs[exc_blocks] + 1] = n_exc[exc_blocks].astype(np.uint8)
+    if firsts is not None:
+        fbuf = np.frombuffer(varint_encode(f), dtype=np.uint8)
+        fcum = np.concatenate(([0], np.cumsum(flens)))
+        pos = np.repeat(
+            offs + 1 + has_exc - fcum[:-1], flens
+        ) + np.arange(fcum[-1])
+        out[pos] = fbuf
+    # payload: exception slots hold only their LOW width bits
+    mask = np.where(
+        w_val >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
+        (np.uint64(1) << w_val.astype(np.uint64)) - np.uint64(1),
+    )
+    out |= _pack_payload(v & mask, lens, widths, offs + head, total)
+    if highs.size:
+        # patch positions (u8 in-block indexes), then high-part varints
+        inb = (np.arange(v.size, dtype=np.int64) - np.repeat(bstarts, lens))
+        ppos_base = offs + head + payload_bytes
+        exc_rank = np.cumsum(exc) - 1  # rank among all exceptions
+        exc_first = np.zeros(nb, dtype=np.int64)
+        np.add.at(exc_first, exc_block, 1)
+        exc_start = np.concatenate(([0], np.cumsum(exc_first)[:-1]))
+        within = exc_rank[exc] - exc_start[exc_block]
+        out[ppos_base[exc_block] + within] = inb[exc].astype(np.uint8)
+        hbuf = np.frombuffer(varint_encode(highs), dtype=np.uint8)
+        hcum = np.concatenate(([0], np.cumsum(hlens)))
+        hstart_block = np.zeros(nb, dtype=np.int64)
+        np.add.at(hstart_block, exc_block, hlens)
+        hblock_base = ppos_base + n_exc
+        # byte start of each exception's varint: block base + bytes of
+        # earlier exceptions in the same block
+        hcum_block_start = np.concatenate(
+            ([0], np.cumsum(hstart_block)[:-1])
+        )
+        estart = (
+            hblock_base[exc_block]
+            + (hcum[:-1] - hcum_block_start[exc_block])
+        )
+        pos = np.repeat(estart, hlens) + (
+            np.arange(hcum[-1]) - np.repeat(hcum[:-1], hlens)
+        )
+        out[pos] = hbuf
+    return out.tobytes(), offs
+
+
+def pfor_decode_stream(
+    buf: bytes | np.ndarray,
+    offs: np.ndarray,
+    lens: np.ndarray,
+    sel: np.ndarray,
+    *,
+    restarts: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode selected PFOR blocks — same contract as for_decode_stream."""
+    raw = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if isinstance(buf, (bytes, bytearray))
+        else buf
+    )
+    offs = np.asarray(offs, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    sel = np.asarray(sel, dtype=np.int64)
+    if sel.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    b0 = raw[offs[sel]].astype(np.int64)
+    widths = b0 & 0x7F
+    has_exc = b0 >> 7
+    n_exc = np.where(has_exc > 0, raw[offs[sel] + has_exc], 0).astype(
+        np.int64
+    )
+    if restarts:
+        firsts, flens = _varints_at(raw, offs[sel] + 1 + has_exc)
+        head = 1 + has_exc + flens
+    else:
+        firsts, head = None, 1 + has_exc
+    pay_off = offs[sel] + head
+    sl = lens[sel]
+    out = np.zeros(int(sl.sum()), dtype=np.uint64)
+    val_starts = np.concatenate(([0], np.cumsum(sl)[:-1]))
+    _unpack_payload(raw, pay_off, widths, sl, out, val_starts)
+    # patch exceptions: <=7 bounded vectorized varint rounds
+    ppos_base = pay_off + ((sl * widths + 7) >> 3)
+    live = np.flatnonzero(n_exc > 0)
+    if live.size:
+        cursor = (ppos_base + n_exc)[live]  # first high varint per block
+        for j in range(int(n_exc[live].max())):
+            sub = n_exc[live] > j
+            act = live[sub]
+            high, hlen = _varints_at(raw, cursor[sub])
+            pos_in_block = raw[ppos_base[act] + j].astype(np.int64)
+            tgt = val_starts[act] + pos_in_block
+            out[tgt] |= high << widths[act].astype(np.uint64)
+            cursor[sub] += hlen
     if restarts:
         abs_docs = segmented_cumsum_decode(out, sl) + np.repeat(
             firsts.astype(np.int64), sl

@@ -82,6 +82,7 @@ from dhr_spark.index.builder import (
 from dhr_spark.index.segments import build_doclens, build_segments
 from dhr_spark.index.codec import (
     for_decode_stream,
+    pfor_decode_stream,
     segmented_cumsum_decode,
     varint_decode,
 )
@@ -133,13 +134,15 @@ def decode_segments(
                 nblocks = -(-n // block_size)
                 lens = np.full(nblocks, block_size, dtype=np.int64)
                 lens[-1] = n - block_size * (nblocks - 1)
-                if codec == "for":
+                if codec in ("for", "pfor"):
+                    dec = (for_decode_stream if codec == "for"
+                           else pfor_decode_stream)
                     sel = np.arange(nblocks)
-                    d, _ = for_decode_stream(
+                    d, _ = dec(
                         bytes(gaps_buf), np.asarray(d_off, dtype=np.int64),
                         lens, sel, restarts=True,
                     )
-                    tf_v, _ = for_decode_stream(
+                    tf_v, _ = dec(
                         bytes(tfs_buf), np.asarray(t_off, dtype=np.int64),
                         lens, sel, restarts=False,
                     )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from dhr_spark import B, K1
 from dhr_spark.index.codec import (
     for_encode_stream,
+    pfor_encode_stream,
     varint_encode,
     varint_lengths,
 )
@@ -158,6 +159,8 @@ def _encode_batch_arrow(
     ``codec``: "varint" (delta-gap LEB128, block-start slot absolute) or
     "for" (Lucene ForUtil-style fixed-width bit packing per block; the
     absolute first docid rides in each block header, codec.for_encode_stream)
+    or "pfor" (patched FOR, Lucene PForUtil: up to 7 outliers per block kept
+    out of the packed width, codec.pfor_encode_stream)
     — both emit the same segment schema, so everything downstream (block-max
     skipping, offsets, compaction) is codec-agnostic up to the byte
     decoder."""
@@ -187,13 +190,14 @@ def _encode_batch_arrow(
     sb = np.append(starts, n)  # group boundaries incl. final end
     blk_off = np.append(b0, len(bstarts))
 
-    if codec == "for":
+    if codec in ("for", "pfor"):
+        enc = for_encode_stream if codec == "for" else pfor_encode_stream
         block_lens_all = np.diff(np.append(bstarts, n)).astype(np.int64)
         gaps[bstarts] = 0  # absolute first lives in the block header
-        doc_buf, blk_doc = for_encode_stream(
+        doc_buf, blk_doc = enc(
             gaps.astype(np.uint64), block_lens_all, firsts=block_first_all
         )
-        tf_buf, blk_tf = for_encode_stream(tf_u, block_lens_all)
+        tf_buf, blk_tf = enc(tf_u, block_lens_all)
         bstart_doc_bytes = blk_doc
         bstart_tf_bytes = blk_tf
         # group byte boundaries: groups start exactly at block boundaries
@@ -270,9 +274,10 @@ def build_segments(
     can split a group, so the kernel carries the trailing partial group into
     the next batch and flushes at partition end.
 
-    ``codec``: posting-bytes codec, "varint" or "for" (_encode_batch_arrow).
+    ``codec``: posting-bytes codec — "varint", "for", or "pfor"
+    (_encode_batch_arrow).
     """
-    if codec not in ("varint", "for"):
+    if codec not in ("varint", "for", "pfor"):
         raise ValueError(f"unknown postings codec {codec!r}")
     # tf/dl travel the build's one wide exchange as int32: both are
     # per-document counts (or 31-bit-capped impacts, index/impact.py) —

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from dhr_spark.index.builder import load_manifest
 from dhr_spark.index.codec import (
     for_decode_stream,
+    pfor_decode_stream,
     segmented_cumsum_decode,
     varint_decode,
 )
@@ -75,6 +76,8 @@ def _decode_selected(
     the returned shape are identical either way."""
     if codec == "for":
         return for_decode_stream(buf, offs, lens, sel, restarts=restarts)
+    if codec == "pfor":
+        return pfor_decode_stream(buf, offs, lens, sel, restarts=restarts)
     total = int(lens.sum())
     byte_ends = np.concatenate((offs[1:], [len(buf)]))
     # contiguous runs of selected blocks decode as single slices

@@ -119,45 +119,66 @@ def queries(spark):
 
 
 @pytest.fixture(scope="module")
-def pair(spark, tmp_path_factory, corpus):
-    """(varint index dir, FOR index dir) over the same corpus."""
-    dv = str(tmp_path_factory.mktemp("cv") / "idx")
-    df = str(tmp_path_factory.mktemp("cf") / "idx")
-    build_index(spark, corpus, dv, chunk_bits=CHUNK_BITS, block_size=BLOCK)
-    build_index(
-        spark, corpus, df, chunk_bits=CHUNK_BITS, block_size=BLOCK,
-        codec="for",
-    )
-    return dv, df
+def idx_dirs(spark, tmp_path_factory, corpus):
+    """{codec: index dir} over the same corpus, one per codec."""
+    out = {}
+    for codec in ("varint", "for", "pfor"):
+        d = str(tmp_path_factory.mktemp(f"c_{codec}") / "idx")
+        build_index(
+            spark, corpus, d, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+            codec=codec,
+        )
+        out[codec] = d
+    return out
 
 
 def _frame(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_manifest_records_codec_and_bytes_shrink(spark, pair):
-    mv, mf = load_manifest(pair[0]), load_manifest(pair[1])
-    assert mv["codec"] == "varint" and mf["codec"] == "for"
+PACKED = ["for", "pfor"]
+
+
+@pytest.mark.parametrize("codec", PACKED)
+def test_manifest_records_codec_and_bytes_shrink(spark, idx_dirs, codec):
+    mv, mf = load_manifest(idx_dirs["varint"]), load_manifest(idx_dirs[codec])
+    assert mv["codec"] == "varint" and mf["codec"] == codec
     bv = sum(c["bytes"] for c in mv["chunks"].values())
     bf = sum(c["bytes"] for c in mf["chunks"].values())
-    assert bf < bv, f"FOR ({bf}) not smaller than varint ({bv})"
+    assert bf < bv, f"{codec} ({bf}) not smaller than varint ({bv})"
     # postings counts identical — only the byte stream changed
     assert {c: v["postings"] for c, v in mv["chunks"].items()} == {
         c: v["postings"] for c, v in mf["chunks"].items()
     }
 
 
-def test_for_index_search_identity(spark, pair, queries):
-    sv, sf = Searcher(spark, pair[0]), Searcher(spark, pair[1])
+def test_pfor_never_larger_than_for(spark, idx_dirs):
+    # per-block cost-exact width choice includes k=0 (plain FOR), so PFOR
+    # can only pay the extra n_exc header byte per block
+    mf = load_manifest(idx_dirs["for"])
+    mp = load_manifest(idx_dirs["pfor"])
+    bf = sum(c["bytes"] for c in mf["chunks"].values())
+    bp = sum(c["bytes"] for c in mp["chunks"].values())
+    assert bp <= bf, f"pfor ({bp}) larger than for ({bf})"
+
+
+@pytest.mark.parametrize("codec", PACKED)
+def test_packed_index_search_identity(spark, idx_dirs, queries, codec):
+    sv = Searcher(spark, idx_dirs["varint"])
+    sf = Searcher(spark, idx_dirs[codec])
     rv = _frame(sv.search(queries, k=10).withColumn("score", F.round("score", 6)))
     rf = _frame(sf.search(queries, k=10).withColumn("score", F.round("score", 6)))
     assert rv == rf and len(rv) > 0
 
 
-def test_for_index_count_boolean_postings_identity(spark, pair, queries):
-    sv, sf = Searcher(spark, pair[0]), Searcher(spark, pair[1])
+@pytest.mark.parametrize("codec", PACKED)
+def test_packed_index_count_boolean_postings_identity(
+    spark, idx_dirs, queries, codec
+):
+    sv = Searcher(spark, idx_dirs["varint"])
+    sf = Searcher(spark, idx_dirs[codec])
     assert _frame(sv.count(queries)) == _frame(sf.count(queries))
-    # MUST/MUST_NOT路 through the presence kernels (Lucene classic syntax)
+    # MUST/MUST_NOT go through the presence kernels (Lucene classic syntax)
     boolq = spark.createDataFrame(
         [("b1", "+data -model the"), ("b2", "+the +data")],
         "qid string, text string",
@@ -171,8 +192,9 @@ def test_for_index_count_boolean_postings_identity(spark, pair, queries):
     assert _frame(sv.postings_list(terms)) == _frame(sf.postings_list(terms))
 
 
-def test_append_inherits_for_codec_and_matches_rebuild(
-    spark, tmp_path_factory, corpus, queries
+@pytest.mark.parametrize("codec", PACKED)
+def test_append_inherits_packed_codec_and_matches_rebuild(
+    spark, tmp_path_factory, corpus, queries, codec
 ):
     extra = synth_transcripts(spark, 25, seed=9).withColumn(
         "conv_id", F.concat(F.lit("x-"), F.col("conv_id"))
@@ -181,13 +203,13 @@ def test_append_inherits_for_codec_and_matches_rebuild(
     full = str(tmp_path_factory.mktemp("ffull") / "idx")
     build_index(
         spark, corpus, inc, chunk_bits=CHUNK_BITS, block_size=BLOCK,
-        codec="for",
+        codec=codec,
     )
     m = append_to_index(spark, extra, inc)
-    assert m["codec"] == "for"
+    assert m["codec"] == codec
     build_index(
         spark, corpus.unionByName(extra), full, chunk_bits=CHUNK_BITS,
-        block_size=BLOCK, codec="for",
+        block_size=BLOCK, codec=codec,
     )
     si, sf_ = Searcher(spark, inc), Searcher(spark, full)
     dmi = spark.read.parquet(os.path.join(inc, "doc_map"))
@@ -205,8 +227,9 @@ def test_append_inherits_for_codec_and_matches_rebuild(
     )
 
 
-def test_delete_compact_preserves_for_codec(
-    spark, tmp_path_factory, corpus, queries
+@pytest.mark.parametrize("codec", PACKED)
+def test_delete_compact_preserves_packed_codec(
+    spark, tmp_path_factory, corpus, queries, codec
 ):
     from dhr_spark.index.compact import compact_index
     from dhr_spark.index.delete import delete_docs
@@ -214,7 +237,7 @@ def test_delete_compact_preserves_for_codec(
     idx = str(tmp_path_factory.mktemp("fcomp") / "idx")
     build_index(
         spark, corpus, idx, chunk_bits=CHUNK_BITS, block_size=BLOCK,
-        codec="for",
+        codec=codec,
     )
     before = _frame(
         Searcher(spark, idx)
@@ -237,7 +260,7 @@ def test_delete_compact_preserves_for_codec(
     )
     compact_index(spark, idx, fill_threshold=1.01, min_chunks=1)
     man = load_manifest(idx)
-    assert man["codec"] == "for"
+    assert man["codec"] == codec
     after = _frame(
         Searcher(spark, idx)
         .search(queries, k=10)
@@ -269,6 +292,20 @@ def test_merge_refuses_codec_mismatch(spark, tmp_path_factory, corpus):
     )
     with pytest.raises(ValueError, match="codec"):
         merge_indexes(spark, a, b)
+    # for vs pfor also refuses — blobs are copied opaquely in a merge
+    c = str(tmp_path_factory.mktemp("mc") / "idx")
+    build_index(
+        spark,
+        synth_transcripts(spark, 10, seed=4).withColumn(
+            "conv_id", F.concat(F.lit("w-"), F.col("conv_id"))
+        ),
+        c,
+        chunk_bits=CHUNK_BITS,
+        block_size=BLOCK,
+        codec="pfor",
+    )
+    with pytest.raises(ValueError, match="codec"):
+        merge_indexes(spark, b, c)
 
 
 def test_resume_keeps_for_codec(spark, tmp_path_factory, corpus):
@@ -284,3 +321,103 @@ def test_resume_keeps_for_codec(spark, tmp_path_factory, corpus):
         resume=True,
     )
     assert m["codec"] == "for"
+
+
+# ----------------------------------------------------------- PFOR unit tests
+
+
+def _blocks(n, bs):
+    nb = -(-n // bs)
+    lens = np.full(nb, bs, dtype=np.int64)
+    lens[-1] = n - bs * (nb - 1)
+    return nb, lens, np.concatenate(([0], np.cumsum(lens)[:-1]))
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=2**40),
+        min_size=1,
+        max_size=300,
+    ),
+    st.sampled_from([4, 16, 128, 256]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_pfor_roundtrip_docid_stream(gaps, bs, rnd):
+    from dhr_spark.index.codec import pfor_decode_stream, pfor_encode_stream
+
+    d = np.cumsum(np.array(gaps, dtype=np.int64))
+    n = d.size
+    nb, lens, bstarts = _blocks(n, bs)
+    g = np.diff(d, prepend=0)
+    g[bstarts] = 0
+    buf, offs = pfor_encode_stream(
+        g.astype(np.uint64), lens, firsts=d[bstarts]
+    )
+    out, _ = pfor_decode_stream(buf, offs, lens, np.arange(nb), restarts=True)
+    assert np.array_equal(out, d)
+    # random block subset — the skip-read contract
+    k = rnd.randint(1, nb)
+    sel = np.array(sorted(rnd.sample(range(nb), k)), dtype=np.int64)
+    part, sl = pfor_decode_stream(buf, offs, lens, sel, restarts=True)
+    want = np.concatenate([d[bstarts[s]: bstarts[s] + lens[s]] for s in sel])
+    assert np.array_equal(part, want) and np.array_equal(sl, lens[sel])
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62),
+        min_size=1,
+        max_size=300,
+    ),
+    st.sampled_from([16, 128]),
+)
+@settings(max_examples=100, deadline=None)
+def test_pfor_roundtrip_value_stream_and_never_larger(vals, bs):
+    from dhr_spark.index.codec import (
+        for_encode_stream,
+        pfor_decode_stream,
+        pfor_encode_stream,
+    )
+
+    v = np.array(vals, dtype=np.uint64)
+    nb, lens, _ = _blocks(v.size, bs)
+    buf, offs = pfor_encode_stream(v, lens)
+    out, _ = pfor_decode_stream(
+        buf, offs, lens, np.arange(nb), restarts=False
+    )
+    assert np.array_equal(out.astype(np.uint64), v)
+    # cost-exact width choice includes k=0 (plain FOR): PFOR pays at most
+    # the extra per-block n_exc header byte
+    fbuf, _ = for_encode_stream(v, lens)
+    assert len(buf) <= len(fbuf) + nb
+
+
+def test_pfor_patches_outliers_and_shrinks():
+    from dhr_spark.index.codec import (
+        for_encode_stream,
+        pfor_decode_stream,
+        pfor_encode_stream,
+    )
+
+    # 127 tiny gaps + one huge outlier: FOR pays 40 bits for every slot,
+    # PFOR packs 3 bits and patches the outlier
+    v = np.full(128, 5, dtype=np.uint64)
+    v[77] = np.uint64(2**40 - 3)
+    lens = np.array([128], dtype=np.int64)
+    pbuf, poffs = pfor_encode_stream(v, lens)
+    fbuf, _ = for_encode_stream(v, lens)
+    assert len(pbuf) < len(fbuf) / 5
+    out, _ = pfor_decode_stream(
+        pbuf, poffs, lens, np.array([0]), restarts=False
+    )
+    assert np.array_equal(out.astype(np.uint64), v)
+
+
+def test_pfor_block_cap():
+    from dhr_spark.index.codec import pfor_encode_stream
+
+    with pytest.raises(ValueError, match="256"):
+        pfor_encode_stream(
+            np.ones(300, dtype=np.uint64), np.array([300], dtype=np.int64)
+        )
