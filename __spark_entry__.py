@@ -1621,13 +1621,35 @@ SELECT doc_id, len(ki)::BIGINT AS n_matches,
 FROM kept WHERE len(ki) > 0"""
 
 
-def _intervals_unordered_sql() -> str:
-    """Unordered two-term minimal windows: every minimal window starts at
-    one term occurrence and ends at the OTHER term's next occurrence, so
+IV_PREFIX = ("tab", "hash", 10)  # prefix leaf, term leaf, max_gaps
+
+
+def _pos_list_prefix(p: str) -> str:
+    """DuckDB twin of intervals._spec_positions_col for a prefix leaf."""
+    return (
+        "list_filter(list_transform(toks, (t, i) -> "
+        f"CASE WHEN t LIKE '{p}%' THEN i - 1 ELSE -1 END), q -> q >= 0)"
+    )
+
+
+def _intervals_unordered_sql(
+    m0_expr: str | None = None,
+    m1_expr: str | None = None,
+    gaps: int | None = None,
+) -> str:
+    """Unordered two-source minimal windows: every minimal window starts at
+    one source occurrence and ends at the OTHER source's next occurrence, so
     both directed nearest-neighbor candidate sets cover the minimal set;
     an O(n^2) pairwise-containment filter then keeps exactly the minimal
-    intervals. gaps = width - 2."""
-    (t0, t1), gaps = IV_UNORDERED
+    intervals. gaps = width - 2. Defaults replay the two-term
+    IV_UNORDERED fixture; explicit position-list exprs replay multiterm
+    (prefix) leaves. The nearest-neighbor candidate set assumes the two
+    sources occupy DISJOINT positions (true for these fixtures: distinct
+    terms / non-matching prefix); the engine's sweep also handles
+    overlapping sources, covered by the brute-force hypothesis tests."""
+    if m0_expr is None:
+        (t0, t1), gaps = IV_UNORDERED
+        m0_expr, m1_expr = _pos_list(t0), _pos_list(t1)
     cand = (
         "list_concat("
         "list_filter(list_transform(m0, a -> "
@@ -1639,7 +1661,7 @@ def _intervals_unordered_sql() -> str:
     )
     return f"""
 WITH {_TOKS_CTE},
-m AS (SELECT doc_id, {_pos_list(t0)} AS m0, {_pos_list(t1)} AS m1 FROM toks),
+m AS (SELECT doc_id, {m0_expr} AS m0, {m1_expr} AS m1 FROM toks),
 c AS (SELECT doc_id, {cand} AS cands FROM m),
 k AS (
   SELECT doc_id,
@@ -4289,6 +4311,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             IVO.match(" ".join(terms), ordered=False, max_gaps=gaps),
         )
 
+    def intervals_prefix_q(spark, sf):
+        from dhr_spark.operators import intervals as IVO
+
+        pfx, term, gaps = IV_PREFIX
+        return IVO.interval_match(
+            _docs(spark, sf),
+            IVO.all_of(
+                [IVO.prefix(pfx), IVO.match(term)],
+                ordered=False, max_gaps=gaps,
+            ),
+        )
+
     def positional_postings_q(spark, sf):
         pp = PH.positional_postings(_docs(spark, sf))
         return pp.select(
@@ -6052,6 +6086,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "dsir_sample": dsir_sample_q,
         "intervals_ordered": intervals_ordered_q,
         "intervals_unordered": intervals_unordered_q,
+        "intervals_prefix": intervals_prefix_q,
     }
 
 
@@ -7749,4 +7784,8 @@ WHERE term IN ('spark', 'merge')"""
     out["dsir_sample"] = _dsir_sample_sql()
     out["intervals_ordered"] = _intervals_ordered_sql()
     out["intervals_unordered"] = _intervals_unordered_sql()
+    out["intervals_prefix"] = _intervals_unordered_sql(
+        _pos_list_prefix(IV_PREFIX[0]), _pos_list(IV_PREFIX[1]),
+        IV_PREFIX[2],
+    )
     return out

@@ -111,6 +111,34 @@ def any_of(sources: list[dict]) -> dict:
     return {"op": "any_of", "sources": list(sources)}
 
 
+_TERM_RE = __import__("re").compile(r"^[a-z0-9]+$")
+
+
+def prefix(p: str) -> dict:
+    """Multiterm leaf (Lucene Intervals.prefix): unit intervals at every
+    token starting with ``p``. The prefix is NOT analyzed (Lucene
+    semantics) — on a stemmed (lucene-chain) index it matches the stemmed
+    dictionary forms, same caveat as match_phrase_prefix."""
+    p = p.lower()
+    if not _TERM_RE.match(p):
+        raise ValueError(f"interval prefix {p!r} must be [a-z0-9]+")
+    return {"op": "prefix", "prefix": p}
+
+
+def wildcard(pattern: str) -> dict:
+    """Multiterm leaf (Lucene Intervals.wildcard): unit intervals at every
+    token matching the whole-term ``*``/``?`` pattern (not analyzed)."""
+    pat = pattern.lower()
+    if not __import__("re").match(r"^[a-z0-9*?]+$", pat) or not any(
+        c not in "*?" for c in pat
+    ):
+        raise ValueError(
+            f"interval wildcard {pattern!r} must be [a-z0-9*?]+ with at "
+            "least one literal character"
+        )
+    return {"op": "wildcard", "pattern": pat}
+
+
 def _filter(kind: str, source: dict, flt: dict) -> dict:
     return {"op": "filter", "kind": kind, "source": source, "filter": flt}
 
@@ -142,16 +170,26 @@ def not_overlapping(source: dict, flt: dict) -> dict:
     return _filter("not_overlapping", source, flt)
 
 
-def leaf_terms(source: dict) -> list[str]:
-    """All leaf terms of the tree, in first-appearance order (duplicates
-    dropped) — the set whose position arrays the evaluator needs."""
-    out: list[str] = []
+def leaf_specs(source: dict) -> list[tuple[str, str]]:
+    """All leaf specs of the tree as (kind, value) pairs — kind in
+    {"term", "prefix", "wildcard"} — in first-appearance order, deduped.
+    These are the position arrays the evaluator needs; multiterm leaves
+    key the per-doc posmap by their spec tuple, term leaves by the bare
+    term string."""
+    out: list[tuple[str, str]] = []
+
+    def add(spec: tuple[str, str]) -> None:
+        if spec not in out:
+            out.append(spec)
 
     def walk(s: dict) -> None:
         if s["op"] == "match":
             for t in s["terms"]:
-                if t not in out:
-                    out.append(t)
+                add(("term", t))
+        elif s["op"] == "prefix":
+            add(("prefix", s["prefix"]))
+        elif s["op"] == "wildcard":
+            add(("wildcard", s["pattern"]))
         elif s["op"] in ("all_of", "any_of"):
             for c in s["sources"]:
                 walk(c)
@@ -163,6 +201,11 @@ def leaf_terms(source: dict) -> list[str]:
 
     walk(source)
     return out
+
+
+def leaf_terms(source: dict) -> list[str]:
+    """Bare term leaves of the tree (back-compat helper over leaf_specs)."""
+    return [v for k, v in leaf_specs(source) if k == "term"]
 
 
 # ---------------------------------------------------------------------------
@@ -279,6 +322,13 @@ def eval_intervals(source: dict, posmap: dict[str, list[int]]) -> list[tuple]:
             return children[0]
         comb = _ordered_combine if source["ordered"] else _unordered_combine
         return _gaps_filter(comb(children), source["max_gaps"])
+    if op == "prefix":
+        return [(p, p, 1) for p in posmap.get(("prefix", source["prefix"]), ())]
+    if op == "wildcard":
+        return [
+            (p, p, 1)
+            for p in posmap.get(("wildcard", source["pattern"]), ())
+        ]
     if op == "all_of":
         children = [eval_intervals(c, posmap) for c in source["sources"]]
         if len(children) == 1:
@@ -311,16 +361,25 @@ _RESULT_SCHEMA = (
 )
 
 
-def _interval_kernel(source: dict, terms: list[str], id_field: str):
+def _posmap_key(spec: tuple[str, str]):
+    """posmap key for a leaf spec: bare string for term leaves (the
+    eval_intervals match-leaf contract), the spec tuple for multiterm."""
+    return spec[1] if spec[0] == "term" else spec
+
+
+def _interval_kernel(
+    source: dict, specs: list[tuple[str, str]], id_field: str
+):
     """mapInPandas kernel over (id, p0..p{k-1}) rows — per-doc algebra."""
+    keys = [_posmap_key(s) for s in specs]
 
     def _go(batches):
         for pdf in batches:
             ids, ns, fs, fe = [], [], [], []
-            pcols = [pdf[f"p{j}"] for j in range(len(terms))]
+            pcols = [pdf[f"p{j}"] for j in range(len(specs))]
             for i, did in enumerate(pdf[id_field]):
                 posmap = {
-                    t: list(pc.iloc[i]) for t, pc in zip(terms, pcols)
+                    k: list(pc.iloc[i]) for k, pc in zip(keys, pcols)
                     if len(pc.iloc[i])
                 }
                 ivs = eval_intervals(source, posmap)
@@ -341,6 +400,63 @@ def _interval_kernel(source: dict, terms: list[str], id_field: str):
     return _go
 
 
+def _interval_batch_kernel(
+    trees: list[tuple[str, dict]],
+    specs: list[tuple[str, str]],
+    id_field: str,
+):
+    """Batch twin: one posmap per doc serves every (qid, tree)."""
+    keys = [_posmap_key(s) for s in specs]
+
+    def _go(batches):
+        for pdf in batches:
+            qids, ids, ns, fs, fe = [], [], [], [], []
+            pcols = [pdf[f"p{j}"] for j in range(len(specs))]
+            for i, did in enumerate(pdf[id_field]):
+                posmap = {
+                    k: list(pc.iloc[i]) for k, pc in zip(keys, pcols)
+                    if len(pc.iloc[i])
+                }
+                for qid, tree in trees:
+                    ivs = eval_intervals(tree, posmap)
+                    if ivs:
+                        qids.append(qid)
+                        ids.append(did)
+                        ns.append(len(ivs))
+                        fs.append(ivs[0][0])
+                        fe.append(ivs[0][1])
+            yield pd.DataFrame(
+                {
+                    "qid": pd.Series(qids, dtype=object),
+                    id_field: pd.Series(ids, dtype=pdf[id_field].dtype),
+                    "n_matches": pd.Series(ns, dtype=np.int64),
+                    "first_start": pd.Series(fs, dtype=np.int64),
+                    "first_end": pd.Series(fe, dtype=np.int64),
+                }
+            )
+
+    return _go
+
+
+def _spec_positions_col(toks, spec: tuple[str, str]):
+    """JVM column: sorted 0-based positions of tokens matching the leaf
+    spec — term equality, prefix startswith, or anchored wildcard rlike."""
+    kind, value = spec
+    if kind == "term":
+        return term_positions(toks, value)
+    if kind == "prefix":
+        pred = lambda t: t.startswith(value)  # noqa: E731
+    else:  # wildcard
+        rx = "^" + __import__("re").escape(value).replace(
+            r"\*", ".*"
+        ).replace(r"\?", ".") + "$"
+        pred = lambda t: t.rlike(rx)  # noqa: E731
+    tagged = F.transform(
+        toks, lambda t, i: F.when(pred(t), i).otherwise(F.lit(-1))
+    )
+    return F.array_remove(tagged, -1)
+
+
 def interval_match(
     docs: DataFrame,
     source: dict,
@@ -351,22 +467,26 @@ def interval_match(
     emits >=1 minimal interval; n_matches counts minimal intervals and
     (first_start, first_end) is the earliest one.
 
-    Position extraction is JVM column math (phrase.term_positions) under the
-    simple analyzer — the same contract as phrase_match/proximity_match, so
-    every node has an exact DuckDB twin. Docs containing none of the leaf
-    terms are dropped JVM-side before the kernel sees them."""
+    Position extraction is JVM column math (phrase.term_positions and its
+    prefix/wildcard twins) under the simple analyzer — the same contract
+    as phrase_match/proximity_match, so every node has an exact DuckDB
+    twin. Docs matching none of the leaf specs are dropped JVM-side
+    before the kernel sees them."""
     from dhr_spark.functions.analyzer import simple_tokens_col
 
-    terms = leaf_terms(source)
+    specs = leaf_specs(source)
     toks = simple_tokens_col(F.col(text_col))
     proj = docs.select(
         F.col(id_col),
-        *[term_positions(toks, t).alias(f"p{j}") for j, t in enumerate(terms)],
+        *[
+            _spec_positions_col(toks, s).alias(f"p{j}")
+            for j, s in enumerate(specs)
+        ],
     )
     gate = F.lit(False)
-    for j in range(len(terms)):
+    for j in range(len(specs)):
         gate = gate | (F.size(F.col(f"p{j}")) > 0)
     proj = proj.filter(gate)
     idt = dict(docs.dtypes)[id_col]
     schema = _RESULT_SCHEMA.format(id=id_col, idt=idt)
-    return proj.mapInPandas(_interval_kernel(source, terms, id_col), schema)
+    return proj.mapInPandas(_interval_kernel(source, specs, id_col), schema)

@@ -3658,25 +3658,123 @@ class Searcher:
             .filter(F.col("n_matches") > 0)
         )
 
-    def search_intervals(self, source: dict) -> DataFrame:
+    MAX_INTERVAL_EXPANSIONS = 128  # Lucene multiterm intervals cap
+
+    def _interval_spec_tids(
+        self, specs: list, max_expansions: int
+    ) -> dict:
+        """Resolve each leaf spec to its dictionary term_id set. Term
+        leaves pass through the index analyzer (stemming under the lucene
+        chain; analyzer-dropped or OOV -> empty set, Lucene's absent-term
+        behavior). Prefix/wildcard leaves expand against the dictionary
+        UN-analyzed (Lucene Intervals.prefix/wildcard semantics) and
+        refuse past ``max_expansions`` completions — silently capping
+        would silently change match semantics."""
+        import re as _re
+
+        from dhr_spark.functions.analyzer import analyze_positions
+
+        mode = self.manifest["analyzer_mode"]
+        out: dict = {}
+        for kind, value in specs:
+            if kind == "term":
+                pairs = analyze_positions(mode, value)
+                t = pairs[0][1] if pairs else None
+                if t is None:
+                    out[(kind, value)] = []
+                elif self._tid_cache is not None:
+                    hit = self._tid_cache.get(t)
+                    out[(kind, value)] = [hit[0]] if hit else []
+                else:
+                    rows = self._tdict.filter(
+                        F.col("term") == t
+                    ).collect()
+                    out[(kind, value)] = [int(r["term_id"]) for r in rows]
+                continue
+            if kind == "prefix":
+                if self._tid_cache is not None:
+                    cands = sorted(
+                        self._tid_cache[t][0]
+                        for t in self._tid_cache
+                        if t.startswith(value)
+                    )
+                    n = len(cands)
+                else:
+                    rows = (
+                        self._tdict.filter(
+                            F.col("term").startswith(value)
+                        )
+                        .orderBy("term")
+                        .limit(max_expansions + 1)
+                        .collect()
+                    )
+                    cands = [int(r["term_id"]) for r in rows]
+                    n = len(cands)
+            else:  # wildcard
+                rx = (
+                    "^"
+                    + _re.escape(value).replace(r"\*", ".*").replace(
+                        r"\?", "."
+                    )
+                    + "$"
+                )
+                if self._tid_cache is not None:
+                    pat = _re.compile(rx)
+                    cands = sorted(
+                        self._tid_cache[t][0]
+                        for t in self._tid_cache
+                        if pat.match(t)
+                    )
+                    n = len(cands)
+                else:
+                    rows = (
+                        self._tdict.filter(F.col("term").rlike(rx))
+                        .orderBy("term")
+                        .limit(max_expansions + 1)
+                        .collect()
+                    )
+                    cands = [int(r["term_id"]) for r in rows]
+                    n = len(cands)
+            if n > max_expansions:
+                raise ValueError(
+                    f"interval {kind} {value!r} expands to more than "
+                    f"{max_expansions} dictionary terms — narrow the "
+                    "pattern or raise max_expansions"
+                )
+            out[(kind, value)] = cands
+        return out
+
+    def search_intervals(
+        self, source: dict, max_expansions: int | None = None
+    ) -> DataFrame:
         """(docid, n_matches, first_start, first_end): interval query
         (Lucene IntervalsSource / ES ``intervals`` — minimal-interval
         semantics, operators/intervals.py) served from the POSITIONAL
-        artifact. Reads ONLY the tree's leaf terms' position rows (term_id
+        artifact. Reads ONLY the tree's leaf specs' position rows (term_id
         pushdown into parquet row groups), pivots them per docid with one
         grouped exchange, and runs the same per-doc algebra kernel as the
         corpus-scan twin (intervals.interval_match) — identity between the
-        two is pinned in tests/test_intervals.py.
+        two is pinned in tests/test_intervals.py. Multiterm leaves
+        (prefix/wildcard) expand against the dictionary, capped at
+        ``max_expansions`` (refused when exceeded, Lucene behavior)."""
+        out = self.search_intervals_batch(
+            [("", source)], max_expansions=max_expansions
+        )
+        return out.drop("qid")
 
-        Leaf terms pass through the index analyzer (stemming under the
-        lucene chain); a term the analyzer drops entirely (stopword) or
-        that is out-of-vocabulary simply never matches — its position list
-        is empty, exactly Lucene's behavior for an absent term source.
-        """
-        from dhr_spark.functions.analyzer import analyze_positions
+    def search_intervals_batch(
+        self,
+        trees: list[tuple[str, dict]],
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """(qid, docid, n_matches, first_start, first_end) for a BATCH of
+        interval queries: the union of every tree's leaf specs rides ONE
+        positions scan (term_id pushdown) and one docid-grouped pivot; the
+        kernel then evaluates all trees against each doc's shared posmap —
+        the same one-scan-serves-all contract as search_phrase_batch."""
         from dhr_spark.operators.intervals import (
-            _interval_kernel,
-            leaf_terms,
+            _interval_batch_kernel,
+            leaf_specs,
         )
 
         if not self.manifest.get("positional"):
@@ -3685,40 +3783,39 @@ class Searcher:
                 "needs the positions artifact (or use operators.intervals."
                 "interval_match over the corpus text)"
             )
-        raw_terms = leaf_terms(source)
-        mode = self.manifest["analyzer_mode"]
-        # index-analyzed form of each leaf (None = dropped/stopword)
-        analyzed: dict[str, str | None] = {}
-        for t in raw_terms:
-            pairs = analyze_positions(mode, t)
-            analyzed[t] = pairs[0][1] if pairs else None
-        need = sorted({v for v in analyzed.values() if v is not None})
-        if self._tid_cache is not None:
-            tid = {t: self._tid_cache[t][0] for t in need
-                   if t in self._tid_cache}
-        else:
-            rows = self._tdict.filter(F.col("term").isin(need)).collect()
-            tid = {r["term"]: int(r["term_id"]) for r in rows}
+        if max_expansions is None:
+            max_expansions = self.MAX_INTERVAL_EXPANSIONS
+        specs: list = []
+        for _, tree in trees:
+            for s in leaf_specs(tree):
+                if s not in specs:
+                    specs.append(s)
+        tidmap = self._interval_spec_tids(specs, max_expansions)
         schema = (
-            "docid long, n_matches long, first_start long, first_end long"
+            "qid string, docid long, n_matches long, "
+            "first_start long, first_end long"
         )
-        live_tids = sorted(tid.values())
+        live_tids = sorted({t for v in tidmap.values() for t in v})
         if not live_tids:
             return self.spark.createDataFrame([], schema)
         pos = self._prune_to_manifest(
             self.spark.read.parquet(f"{self.index_dir}/positions")
         ).filter(F.col("term_id").isin(live_tids))
-        # pivot: one row per docid, one position array per leaf term (empty
-        # when the doc lacks the term / the term is OOV or analyzer-dropped)
+        # pivot: one row per docid, one sorted position array per leaf
+        # spec (empty when the doc matches nothing; multiterm specs union
+        # their expansions' arrays — distinct terms occupy distinct
+        # positions, so the flatten stays duplicate-free)
         aggs = []
-        for j, t in enumerate(raw_terms):
-            at = analyzed[t]
-            if at is not None and at in tid:
+        for j, s in enumerate(specs):
+            tids = tidmap[s]
+            if not tids:
+                aggs.append(F.array().cast("array<int>").alias(f"p{j}"))
+            elif len(tids) == 1:
                 aggs.append(
                     F.coalesce(
                         F.first(
                             F.when(
-                                F.col("term_id") == tid[at],
+                                F.col("term_id") == tids[0],
                                 F.col("positions"),
                             ),
                             ignorenulls=True,
@@ -3728,11 +3825,20 @@ class Searcher:
                 )
             else:
                 aggs.append(
-                    F.array().cast("array<int>").alias(f"p{j}")
+                    F.sort_array(
+                        F.flatten(
+                            F.collect_list(
+                                F.when(
+                                    F.col("term_id").isin(tids),
+                                    F.col("positions"),
+                                )
+                            )
+                        )
+                    ).alias(f"p{j}")
                 )
         pivoted = pos.groupBy("docid").agg(*aggs)
         out = pivoted.mapInPandas(
-            _interval_kernel(source, raw_terms, "docid"), schema
+            _interval_batch_kernel(trees, specs, "docid"), schema
         )
         return self._filter_live(out)
 

@@ -331,3 +331,101 @@ def test_index_guards(spark, docs, idx, tmp_path):
     )
     with pytest.raises(ValueError, match="positional"):
         Searcher(spark, d).search_intervals(match("table hash"))
+
+
+# ----------------------------------------------- multiterm leaves + batch
+
+
+def test_prefix_wildcard_leaf_local_eval():
+    from dhr_spark.operators.intervals import prefix, wildcard
+
+    pm = {
+        "scan": [1, 7],
+        ("prefix", "sca"): [1, 7],
+        ("wildcard", "h?sh"): [3],
+    }
+    src = all_of([prefix("sca"), wildcard("h?sh")], ordered=False)
+    ivs = eval_intervals(src, pm)
+    assert _se(ivs) == [(1, 3), (3, 7)]
+    with pytest.raises(ValueError, match="a-z0-9"):
+        prefix("bad prefix!")
+    with pytest.raises(ValueError, match="literal"):
+        wildcard("***")
+
+
+def test_corpus_prefix_wildcard_operator(spark, docs):
+    from dhr_spark.operators.intervals import prefix, wildcard
+
+    # every doc matched by prefix("tab") must contain a token starting tab
+    tree = match_tree = all_of(
+        [prefix("tab"), match("hash")], ordered=False, max_gaps=10
+    )
+    got = interval_match(docs, tree, id_col="docid")
+    rows = got.join(docs, "docid").collect()
+    assert rows
+    import re as _re
+
+    for r in rows:
+        toks = _re.findall(r"[a-z0-9]+", r["text"].lower())
+        assert any(t.startswith("tab") for t in toks)
+        assert "hash" in toks
+    wtree = match("scan table", ordered=False, max_gaps=8)
+    wtree = all_of([wildcard("sc?n"), match("table")], ordered=False,
+                   max_gaps=8)
+    wgot = _as_map(interval_match(docs, wtree, id_col="docid").collect())
+    # "sc?n" on this corpus only completes to "scan": identical to the
+    # term-leaf tree
+    tgot = _as_map(
+        interval_match(
+            docs,
+            all_of([match("scan"), match("table")], ordered=False,
+                   max_gaps=8),
+            id_col="docid",
+        ).collect()
+    )
+    assert wgot == tgot and wgot
+
+
+def test_index_prefix_wildcard_equals_corpus(spark, docs, idx):
+    from dhr_spark.operators.intervals import prefix, wildcard
+
+    s = Searcher(spark, idx)
+    for tree in [
+        all_of([prefix("tab"), match("hash")], ordered=False, max_gaps=10),
+        all_of([wildcard("sc?n"), match("table")], ordered=False,
+               max_gaps=8),
+        any_of([prefix("zzzz"), match("table hash", max_gaps=2)]),
+    ]:
+        fast = _as_map(s.search_intervals(tree).collect())
+        slow = _as_map(interval_match(docs, tree, id_col="docid").collect())
+        assert fast == slow and fast
+
+
+def test_index_batch_matches_singles(spark, idx):
+    s = Searcher(spark, idx)
+    trees = [
+        ("q1", match("table hash", ordered=False, max_gaps=6)),
+        ("q2", match("big order scan", ordered=True, max_gaps=10)),
+        ("q3", match("zzyzx")),  # OOV -> contributes no rows
+    ]
+    batch = s.search_intervals_batch(trees)
+    got = {
+        (r["qid"], r["docid"]): (r["n_matches"], r["first_start"],
+                                 r["first_end"])
+        for r in batch.collect()
+    }
+    want = {}
+    for qid, tree in trees:
+        for d, v in _as_map(s.search_intervals(tree).collect()).items():
+            want[(qid, d)] = v
+    assert got == want and got
+    assert not any(q == "q3" for q, _ in got)
+
+
+def test_expansion_cap_refuses(spark, idx):
+    from dhr_spark.operators.intervals import prefix
+
+    s = Searcher(spark, idx)
+    with pytest.raises(ValueError, match="expands to more than"):
+        # single-char prefix over the whole dictionary blows any tiny cap
+        s.search_intervals(prefix("s"), max_expansions=2)
