@@ -5650,6 +5650,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b = kmv_sketch(lt.filter(F.col("lang") == "de"), "term", k=KMV_K)
         return kmv_jaccard(a, b, k=KMV_K)
 
+    def quantile_sample_q(spark, sf):
+        # bottom-k-by-row-hash uniform sample per language — the mergeable
+        # quantile sketch (KMV trick on row identity), exploded to rows so
+        # the driver compares plain scalar columns
+        from dhr_spark.operators.sketches import quantile_sketch
+
+        d = _docs(spark, sf).select("lang", "doc_id", "text")
+        sk = quantile_sketch(
+            d.withColumn("v", F.length("text").cast("long")),
+            "v",
+            "doc_id",
+            k=KMV_K,
+            group_cols=("lang",),
+        )
+        ex = sk.select("lang", F.explode("sample").alias("p"))
+        return ex.select("lang", F.col("p.h").alias("h"), F.col("p.v").alias("v"))
+
+    def quantile_est_q(spark, sf):
+        # p50/p90/p99 text-length estimates from the sketch alone —
+        # ALL-integer index pick, exact when a language is unsaturated
+        from dhr_spark.operators.sketches import quantile_estimate, quantile_sketch
+
+        d = _docs(spark, sf).select(
+            "lang", "doc_id", F.length("text").cast("long").alias("v")
+        )
+        sk = quantile_sketch(d, "v", "doc_id", k=KMV_K, group_cols=("lang",))
+        return quantile_estimate(sk, (50, 90, 99))
+
     def _impacts_frame(spark, sf):
         # deterministic integer impacts standing in for a learned-sparse
         # encoder's output (uniCOIL JSONL shape): impact = tf · (1 +
@@ -6075,6 +6103,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "sketch_kmv": kmv_sketch_q,
         "sketch_kmv_estimate": kmv_estimate_q,
         "sketch_kmv_jaccard": kmv_jaccard_q,
+        "sketch_quantile_sample": quantile_sample_q,
+        "sketch_quantiles": quantile_est_q,
         "cori_shard_ranks": cori_ranks_q,
         "corr_hits": corr_hits_q,
         "qpp_predictors": qpp_q,
@@ -7631,6 +7661,36 @@ m AS (
 SELECT n_union AS n_union_sketch, n_common,
        n_common::DOUBLE / n_union::DOUBLE AS jaccard
 FROM m""",
+        # quantile sketch sample: the k rows with smallest portable row
+        # hash per language, ties broken by value — the multiset bottom-k
+        # under (h, v) the partial-merge computes
+        "sketch_quantile_sample": f"""WITH h AS (
+  SELECT lang, ({_HASH60.format(arg="CAST(doc_id AS VARCHAR)")})::BIGINT AS h,
+         length(text)::BIGINT AS v
+  FROM documents
+),
+r AS (SELECT lang, h, v,
+             row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+      FROM h)
+SELECT lang, h, v FROM r WHERE rn <= 64""",
+        # percentile estimates off the sample: lower interpolant
+        # v_sorted[(pct*(n-1))//100], all-integer index arithmetic
+        "sketch_quantiles": f"""WITH h AS (
+  SELECT lang, ({_HASH60.format(arg="CAST(doc_id AS VARCHAR)")})::BIGINT AS h,
+         length(text)::BIGINT AS v
+  FROM documents
+),
+r AS (SELECT lang, h, v,
+             row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+      FROM h),
+s AS (SELECT lang, v FROM r WHERE rn <= 64),
+o AS (SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v) AS vn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM s)
+SELECT lang, pct::INTEGER AS pct, n::BIGINT AS n_in_sample, v AS est
+FROM o JOIN (VALUES (50), (90), (99)) p(pct)
+  ON vn = (pct::BIGINT * (n - 1)) // 100 + 1""",
         # CORI collection ranking: per-term beliefs lifted to integer
         # micros (round-half-up), mean = ONE exact-int division — the
         # summation-order-independent contract rank_shards documents

@@ -489,3 +489,126 @@ def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame, k: int = 256) -> DataFrame:
         common.cast("long").alias("n_common"),
         (common.cast("double") / nu.cast("double")).alias("jaccard"),
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """(group..., sample array<struct<h:long, v:long>>): a mergeable
+    QUANTILE sketch — the k rows whose portable row hash (tokhash60 of the
+    row key) is smallest, carrying their values. Bottom-k by a uniform hash
+    is a uniform random sample of the rows (the KMV trick applied to row
+    identity instead of value identity), so sample quantiles estimate
+    population quantiles with the usual sqrt(k) error; and bottom-k is
+    MERGEABLE exactly like KMV: union two sketches, re-sort, cut at k —
+    which is also precisely what the final groupBy does to the per-partition
+    partials. Completes the sketch family (HLL/CMS/Bloom/KMV) with the
+    quantile member an ES `percentiles` aggregation or a shuffle-free p99
+    monitor needs at corpus scale.
+
+    Scale shape: identical to kmv_sketch — a mapInPandas PARTIAL pass holds
+    only the k smallest (h, v) pairs per (partition, group), then ONE
+    groupBy merges <= n_partitions*k pairs per group. No global sort of the
+    value stream (the thing an exact percentile would shuffle).
+
+    Determinism: ties in h (duplicate keys) are broken by v, so the sample
+    is the multiset bottom-k under lexicographic (h, v) — replayable by any
+    engine with the same md5-derived hash (the DuckDB oracle's
+    row_number() OVER (ORDER BY h, v) twin). Groups with <= k rows carry
+    ALL rows — estimates are then exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    gcols = list(group_cols)
+    hashed = df.select(
+        *gcols,
+        tokhash60(F.col(key_col).cast("string")).alias("_h"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+
+    out_fields = ", ".join(f"{g} string" for g in gcols)
+    schema = (
+        (out_fields + ", " if out_fields else "")
+        + "ph array<long>, pv array<long>"
+    )
+
+    def partial(it):
+        state: dict[tuple, np.ndarray] = {}
+        for pdf in it:
+            if gcols:
+                groups = pdf.groupby(gcols, sort=False)
+            else:
+                groups = [((), pdf)]
+            for key, sub in groups:
+                if gcols and not isinstance(key, tuple):
+                    key = (key,)
+                pairs = np.stack(
+                    [
+                        sub["_h"].to_numpy(dtype=np.int64),
+                        sub["_v"].to_numpy(dtype=np.int64),
+                    ],
+                    axis=1,
+                )
+                cur = state.get(key)
+                if cur is not None:
+                    pairs = np.concatenate([cur, pairs])
+                order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+                state[key] = pairs[order[:k]]
+        rows = [
+            dict(zip(gcols, key), ph=arr[:, 0].tolist(), pv=arr[:, 1].tolist())
+            for key, arr in state.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=gcols + ["ph", "pv"])
+        else:
+            yield pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in gcols + ["ph", "pv"]}
+            )
+
+    partials = hashed.mapInPandas(partial, schema)
+    pairs = F.arrays_zip(F.col("ph"), F.col("pv")).cast(
+        "array<struct<h:bigint,v:bigint>>"
+    )
+    return (
+        partials.select(*gcols, pairs.alias("pairs"))
+        .groupBy(*gcols)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("pairs"))), 1, k
+            ).alias("sample")
+        )
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame, pcts: tuple[int, ...] | list[int] = (50, 90, 99)
+) -> DataFrame:
+    """(group..., pct, n_in_sample, est): percentile estimates from a
+    quantile sketch — the 'lower' interpolant v_sorted[(pct*(n-1))//100]
+    over the sample's values, ALL-integer index arithmetic (no float ever
+    touches the estimate; the estimate IS a population value). Exact when
+    the sketch is unsaturated (sample == population)."""
+    for p in pcts:
+        if not (0 <= int(p) <= 100):
+            raise ValueError(f"pct must be in [0, 100], got {p}")
+    others = [c for c in sketch.columns if c != "sample"]
+    vals = F.array_sort(F.transform(F.col("sample"), lambda x: x["v"]))
+    n = F.size("sample").cast("long")
+    pct_rows = F.explode(
+        F.array(*[F.lit(int(p)) for p in pcts])
+    ).alias("pct")
+    # integer floor division: (pct*(n-1)) div 100, then 1-based element_at
+    idx = F.expr("CAST(pct AS BIGINT) * (size(sample) - 1) DIV 100") + 1
+    return sketch.select(*others, "sample", pct_rows).select(
+        *others,
+        F.col("pct").cast("int").alias("pct"),
+        n.alias("n_in_sample"),
+        F.element_at(vals, idx.cast("int")).alias("est"),
+    )

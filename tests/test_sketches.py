@@ -645,3 +645,79 @@ def test_hit_adjacency_hand_counts(spark):
     assert got == {
         ("a", "a"): 3, ("b", "b"): 2, ("c", "c"): 1, ("a", "b"): 2,
     }
+
+
+# ------------------------------------------------- quantile (bottom-k) sketch
+
+
+def _qs_rows(spark, n=500):
+    # deterministic skewed values: v = (id*id) % 997 keyed by a string id
+    return spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        ((F.col("id") * F.col("id")) % 997).alias("v"),
+        (F.col("id") % 2 == 0).cast("string").alias("grp"),
+    )
+
+
+def test_quantile_sketch_unsaturated_is_exact(spark):
+    from dhr_spark.operators.sketches import quantile_estimate, quantile_sketch
+
+    df = _qs_rows(spark, 200)
+    sk = quantile_sketch(df, "v", "key", k=1024)  # k > n: sample == population
+    est = {
+        r["pct"]: (r["n_in_sample"], r["est"])
+        for r in quantile_estimate(sk, (0, 50, 100)).collect()
+    }
+    vals = sorted(r["v"] for r in df.collect())
+    n = len(vals)
+    assert est[0] == (n, vals[0])
+    assert est[50] == (n, vals[(50 * (n - 1)) // 100])
+    assert est[100] == (n, vals[n - 1])
+
+
+def test_quantile_sketch_mergeable(spark):
+    # sketch(A ∪ B) == cut-k(merge(sketch(A), sketch(B))): bottom-k by row
+    # hash is closed under union, the property the final groupBy relies on
+    from dhr_spark.operators.sketches import quantile_sketch
+
+    df = _qs_rows(spark, 600)
+    whole = quantile_sketch(df, "v", "key", k=64).collect()[0]["sample"]
+    a = quantile_sketch(df.filter(F.col("grp") == "true"), "v", "key", k=64)
+    b = quantile_sketch(df.filter(F.col("grp") == "false"), "v", "key", k=64)
+    merged = sorted(
+        [tuple(x) for x in a.collect()[0]["sample"]]
+        + [tuple(x) for x in b.collect()[0]["sample"]]
+    )[:64]
+    assert [tuple(x) for x in whole] == merged
+
+
+def test_quantile_sketch_grouped_and_partition_invariant(spark):
+    from dhr_spark.operators.sketches import quantile_sketch
+
+    df = _qs_rows(spark, 400)
+    one = quantile_sketch(df.coalesce(1), "v", "key", k=32, group_cols=("grp",))
+    many = quantile_sketch(df.repartition(13), "v", "key", k=32, group_cols=("grp",))
+    lhs = {r["grp"]: [tuple(x) for x in r["sample"]] for r in one.collect()}
+    rhs = {r["grp"]: [tuple(x) for x in r["sample"]] for r in many.collect()}
+    assert lhs == rhs and set(lhs) == {"true", "false"}
+    assert all(len(s) == 32 for s in lhs.values())
+    # samples are sorted by (h, v) and h is the portable tokhash60
+    for s in lhs.values():
+        assert s == sorted(s)
+
+
+def test_quantile_estimate_accuracy_and_guards(spark):
+    from dhr_spark.operators.sketches import quantile_estimate, quantile_sketch
+
+    df = _qs_rows(spark, 2000)
+    sk = quantile_sketch(df, "v", "key", k=256)
+    est = {r["pct"]: r["est"] for r in quantile_estimate(sk, (50,)).collect()}
+    vals = sorted(r["v"] for r in df.collect())
+    true_med = vals[(len(vals) - 1) // 2]
+    # uniform 256-sample median: generous 4-sigma band on the value scale
+    assert abs(est[50] - true_med) <= 997 * 0.25
+
+    with pytest.raises(ValueError):
+        quantile_sketch(df, "v", "key", k=1)
+    with pytest.raises(ValueError):
+        quantile_estimate(sk, (101,))
