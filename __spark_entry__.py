@@ -2867,10 +2867,11 @@ SELECT d.doc_id, coalesce(cp.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN cp USING (doc_id)"""
 
 
-def _ivf_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64) -> str:
-    """IVF ANN oracle: replays the deterministic spherical k-means
-    (seeded by the k smallest ids, every step rounded to 6) and the
-    probe-then-exact-cosine search of operators.ivf bit-for-bit."""
+def _kmeans_assign_parts(k: int, iters: int, dim: int) -> list[str]:
+    """CTE chain replaying operators.ivf's deterministic spherical k-means
+    (seeds = k smallest ids, every step rounded to 6) through the final
+    per-vector assignment ``afin`` (and its dots ``dfin``) — shared by the
+    IVF and SemDeDup oracles."""
     norm = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
     parts = [
         f"""u AS (
@@ -2915,6 +2916,16 @@ def _ivf_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64) -> str
            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
     FROM dfin) WHERE rn = 1
 )""",
+    ]
+    return parts
+
+
+def _ivf_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64) -> str:
+    """IVF ANN oracle: replays the deterministic spherical k-means
+    (seeded by the k smallest ids, every step rounded to 6) and the
+    probe-then-exact-cosine search of operators.ivf bit-for-bit."""
+    parts = _kmeans_assign_parts(k, iters, dim)
+    parts += [
         f"""qp AS (
   SELECT vec_id AS qid, cid FROM (
     SELECT vec_id, cid,
@@ -2936,6 +2947,35 @@ SELECT qid, vec_id,
        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank,
        cosine
 FROM ivscored QUALIFY rank <= 10"""
+
+
+def _semdedup_sql(
+    threshold: float = 0.35, k: int = 8, iters: int = 2, dim: int = 64
+) -> tuple[str, str]:
+    """(pairs_sql, keep_sql): SemDeDup oracles — the k-means chain of
+    _kmeans_assign_parts, then exact within-cluster cosine pairs at the
+    threshold, and the min-id-per-pair survivor flags."""
+    parts = _kmeans_assign_parts(k, iters, dim)
+    parts.append(
+        f"""sd AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+  FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)"""
+    )
+    ctes = ",\n".join(parts)
+    pairs = f"""WITH {ctes}
+SELECT id_a, id_b, cid, cosine FROM sd WHERE cosine >= {threshold}"""
+    keep = f"""WITH {ctes}
+SELECT e.vec_id,
+       e.vec_id NOT IN (SELECT id_b FROM sd WHERE cosine >= {threshold}) AS keep
+FROM embeddings e"""
+    return pairs, keep
+
+
+_SEMDEDUP_PAIRS_SQL, _SEMDEDUP_KEEP_SQL = _semdedup_sql(threshold=0.35, k=8, iters=2)
 
 
 def _pq_sql(
@@ -3426,6 +3466,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(spark, sf), threshold=EMB_LSH_THRESHOLD,
             dim=_LSH_DIM, n_tables=_LSH_L, n_planes=_LSH_K,
         )
+
+    def dedup_semdedup_q(spark, sf):
+        # SemDeDup: k-means cluster gate + exact within-cluster cosine;
+        # the oracle replays the deterministic k-means chain (as ann_ivf)
+        return D.semdedup_pairs(_embs(spark, sf), threshold=0.35, k=8, iters=2)
+
+    def dedup_semdedup_keep_q(spark, sf):
+        # survivor flags: min-id-per-pair within each cluster
+        return D.semdedup_keep(_embs(spark, sf), threshold=0.35, k=8, iters=2)
 
     def ann_brute_q(spark, sf):
         embs = _embs(spark, sf)
@@ -5982,6 +6031,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "dedup_minhash_verified": dedup_minhash_verified_q,
         "dedup_clusters_lsh": dedup_clusters_lsh_q,
         "dedup_embedding_lsh": dedup_embedding_lsh_q,
+        "dedup_semdedup": dedup_semdedup_q,
+        "dedup_semdedup_keep": dedup_semdedup_keep_q,
         "ann_ivf": ann_ivf_q,
         "ann_lsh": ann_lsh_q,
         "ann_quantized": ann_quant_q,
@@ -6633,6 +6684,8 @@ SELECT id_a, id_b, cosine FROM (
         "ann_ivfpq": _ivfpq_sql(),
         "ann_quantized": _ANN_QUANT_SQL,
         "dedup_embedding_lsh": _EMB_LSH_SQL,
+        "dedup_semdedup": _SEMDEDUP_PAIRS_SQL,
+        "dedup_semdedup_keep": _SEMDEDUP_KEEP_SQL,
         "ann_bruteforce": """
 WITH scored AS (
   SELECT q.vec_id AS qid, c.vec_id,

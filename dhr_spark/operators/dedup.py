@@ -954,3 +954,104 @@ def strip_duplicate_spans(
         F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
         F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_clean"),
     )
+
+
+def semdedup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.9,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cid, cosine): SemDeDup (Abbas et al. 2023) — semantic
+    near-duplicate pairs found by k-means-clustering the embedding space
+    and comparing ONLY within each cluster. The cluster gate is the scale
+    story: pair work is sum over clusters of |cluster|^2 instead of
+    |corpus|^2, and (unlike LSH banding) the partition is also the unit a
+    curation loop inspects — 'this cluster of the corpus is 40% duplicate'.
+
+    Reuses the deterministic spherical k-means of operators.ivf (seeds =
+    k smallest ids, every step rounded to 6 decimals), so the DuckDB
+    oracle replays the whole chain bit-for-bit, exactly as ann_ivf does.
+    Exact cosine runs inside each cluster — precision is exact; recall is
+    bounded by near-dup pairs split across cluster boundaries (SemDeDup's
+    own published trade-off; the LSH path, embedding_dup_pairs_lsh, is the
+    recall-tunable alternative).
+
+    Scale shape: centroid training is bounded-sample driver numpy
+    (ivf_centroids), assignment is one Arrow-batched matmul per batch with
+    no shuffle, and the only shuffle is the groupBy(cid) — k-bounded. The
+    per-cluster kernel is the same numpy U @ U.T as the LSH bucket kernel;
+    at 100 TB, cap cluster size by raising k (faiss practice: k ~ sqrt(n))
+    so each kernel batch stays executor-memory-sized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from dhr_spark.operators.ivf import ivf_assign, ivf_centroids
+
+    cent = ivf_centroids(embs, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assign = ivf_assign(embs, cent, id_col=id_col, vec_col=vec_col)
+    e = (
+        embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .join(assign, "vec_id")
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cid": [], "cosine": []}
+        ).astype(
+            {"id_a": "int64", "id_b": "int64", "cid": "int64", "cosine": "float64"}
+        )
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        n = len(pdf)
+        if n < 2:
+            return empty
+        u = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        cos = np.round(u @ u.T, 6)
+        ia, ib = np.triu_indices(n, 1)
+        keep = cos[ia, ib] >= threshold
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cid": np.full(int(keep.sum()), int(pdf["cid"].iloc[0])),
+                "cosine": cos[ia[keep], ib[keep]],
+            }
+        )
+
+    return e.groupBy("cid").applyInPandas(
+        _pairs, "id_a long, id_b long, cid long, cosine double"
+    )
+
+
+def semdedup_keep(
+    embs: DataFrame,
+    threshold: float = 0.9,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, keep): SemDeDup survivor flags — within every near-dup pair
+    the smaller id survives (the same min-id rule every dedup family member
+    uses), so keep = 'no kept smaller neighbor dominates me'. One boolean
+    per row; filter keep and train on what remains.
+
+    Transitive note: min-id-per-PAIR (a dominated doc drops even when its
+    dominator also drops) — deliberately the aggressive variant; compose
+    with dup_clusters for one-survivor-per-component semantics."""
+    drops = (
+        semdedup_pairs(embs, threshold, k, iters, id_col, vec_col)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        embs.select(F.col(id_col).alias("vec_id"))
+        .join(drops, "vec_id", "left")
+        .select("vec_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )

@@ -821,3 +821,61 @@ def test_qpp_predictors_hand_computed(spark):
 
     with _pt.raises(ValueError, match="n_docs"):
         qpp_predictors(qtfs, ts, 0, 10)
+
+
+def test_semdedup_pairs_subset_of_brute_and_recall(spark):
+    """SemDeDup's cluster gate yields exact-precision pairs (every emitted
+    pair is a true >= threshold pair) and near-identical planted dups land
+    in the same k-means cell, so recall on real near-dups is high."""
+    import numpy as np
+
+    from dhr_spark.operators.dedup import embedding_dup_pairs, semdedup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(10):
+        rows.append(
+            (100 + i, [float(x) for x in base[i] + 0.01 * rng.standard_normal(64)])
+        )
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(embs, threshold=0.99).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(embs, threshold=0.99, k=8, iters=2).collect()
+    }
+    assert brute, "planted near-dups should exceed cosine 0.99"
+    assert sem <= brute, sem - brute  # exact precision: gate never invents
+    recall = len(brute & sem) / len(brute)
+    assert recall >= 0.9, (recall, brute - sem)
+
+
+def test_semdedup_keep_drops_exactly_dominated_ids(spark):
+    """keep == False iff the id appears as id_b of some pair: min-id-per-pair
+    survivor rule, one flag per input row."""
+    import numpy as np
+
+    from dhr_spark.operators.dedup import semdedup_keep, semdedup_pairs
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((30, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(5):
+        rows.append(
+            (200 + i, [float(x) for x in base[i] + 0.005 * rng.standard_normal(64)])
+        )
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dominated = {
+        r["id_b"]
+        for r in semdedup_pairs(embs, threshold=0.99, k=4, iters=2).collect()
+    }
+    flags = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup_keep(embs, threshold=0.99, k=4, iters=2).collect()
+    }
+    assert len(flags) == embs.count()
+    assert {v for v, kp in flags.items() if not kp} == dominated
+    assert dominated, "planted dups should be dominated"
