@@ -3690,6 +3690,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return M.bpref_at_k(_bm25_topk(spark, sf), pool, k=10)
 
+    def _graded_pool(spark, sf):
+        # graded pool from the deterministic rule: rel = number of distinct
+        # matched query terms (1..|q|) — multi-grade, so the cascade
+        # discounts of ERR are actually exercised
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        tfs = term_freqs(tok).select("docid", "term")
+        qterms = _qtfs(spark).select("qid", "term")
+        return (
+            qterms.join(tfs, "term")
+            .groupBy("qid", "docid")
+            .agg(F.count("*").cast("int").alias("rel"))
+        )
+
+    def err_q(spark, sf):
+        # ERR@10 (Chapelle et al. 2009): cascade-model graded metric;
+        # exact int64 numerator over 2520*2^40, one IEEE division
+        return M.err_at_k(
+            _bm25_topk(spark, sf), _graded_pool(spark, sf), k=10, max_grade=4
+        )
+
+    def rbp_q(spark, sf):
+        # RBP@10 (Moffat & Zobel 2008), p = 1/2, binary relevance =
+        # all-terms match (the bpref pool's rel rule)
+        pool = _graded_pool(spark, sf)
+        qsize = _qtfs(spark).groupBy("qid").agg(F.count("*").alias("nt"))
+        binary = pool.join(F.broadcast(qsize), "qid").select(
+            "qid", "docid",
+            (F.col("rel") == F.col("nt")).cast("int").alias("rel"),
+        )
+        return M.rbp_at_k(_bm25_topk(spark, sf), binary, k=10, p_sixteenths=8)
+
     def curation_c4_q(spark, sf):
         # C4 line-cleaning rules (Raffel et al. 2020 §2.2); flags cast to
         # 0/1 BIGINT — every emitted value is an exact integer
@@ -5727,6 +5758,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sk = quantile_sketch(d, "v", "doc_id", k=KMV_K, group_cols=("lang",))
         return quantile_estimate(sk, (50, 90, 99))
 
+    def quantile_rank_q(spark, sf):
+        # percentile RANKS (ES percentile_ranks): percent of sampled rows
+        # with value <= each probe — exact integer count, one division
+        from dhr_spark.operators.sketches import quantile_rank, quantile_sketch
+
+        d = _docs(spark, sf).select(
+            "lang", "doc_id", F.length("text").cast("long").alias("v")
+        )
+        sk = quantile_sketch(d, "v", "doc_id", k=KMV_K, group_cols=("lang",))
+        return quantile_rank(sk, (100, 400, 1600))
+
     def _impacts_frame(spark, sf):
         # deterministic integer impacts standing in for a learned-sparse
         # encoder's output (uniCOIL JSONL shape): impact = tf · (1 +
@@ -6120,6 +6162,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "combmnz_fusion": combmnz_fusion_q,
         "rrf_index_identity": rrf_index_identity_q,
         "bpref_at_10": bpref_q,
+        "err_at_10": err_q,
+        "rbp_at_10": rbp_q,
         "boosted_topk": boosted_topk_q,
         "boosted_index_identity": boosted_index_identity_q,
         "boosting_topk": boosting_topk_q,
@@ -6156,6 +6200,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "sketch_kmv_jaccard": kmv_jaccard_q,
         "sketch_quantile_sample": quantile_sample_q,
         "sketch_quantiles": quantile_est_q,
+        "sketch_percentile_ranks": quantile_rank_q,
         "cori_shard_ranks": cori_ranks_q,
         "corr_hits": corr_hits_q,
         "qpp_predictors": qpp_q,
@@ -6926,6 +6971,55 @@ SELECT qlist.qid,
                   / (c.n_rel * greatest(least(c.n_rel, c.n_nonrel), 1))::DOUBLE
              ELSE 0.0 END, 6) AS bpref
 FROM qlist LEFT JOIN counts c USING (qid) LEFT JOIN sums s USING (qid)""",
+        # ERR@10: graded pool (rel = matched-term count), cascade walk as a
+        # windowed prefix product (product() is double but every value is an
+        # integer < 2^53, so the BIGINT casts are exact) — numerator over
+        # the common denominator 2520*2^(4*10), ONE IEEE division, matching
+        # metrics.err_at_k's F.aggregate fold bit-for-bit
+        "err_at_10": f"""{metric_prefix},
+pool AS (
+  SELECT q2.qid, tf.doc_id AS docid, count(*)::INTEGER AS rel
+  FROM (SELECT DISTINCT qid, term FROM q) q2
+  JOIN tf USING (term)
+  GROUP BY q2.qid, tf.doc_id
+),
+j AS (
+  SELECT r.qid, r.rank, least(pool.rel, 4) AS g
+  FROM {topk10} r
+  JOIN pool ON pool.qid = r.qid AND pool.docid = r.docid
+  WHERE pool.rel > 0
+),
+pr AS (
+  SELECT qid, rank, g,
+         coalesce(product(17 - (1::BIGINT << g)) OVER (
+           PARTITION BY qid ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1) AS pb,
+         row_number() OVER (PARTITION BY qid ORDER BY rank) - 1 AS c
+  FROM j
+),
+nums AS (
+  SELECT qid,
+         sum((2520 // rank)::BIGINT * ((1::BIGINT << g) - 1) * pb::BIGINT
+             * (1::BIGINT << (4 * (10 - c - 1))))::BIGINT AS num
+  FROM pr GROUP BY 1
+)
+SELECT qlist.qid, coalesce(num, 0)::DOUBLE / {2520 * 2 ** 40}.0 AS err
+FROM qlist LEFT JOIN nums USING (qid)""",
+        # RBP@10, p = 8/16: per-rank integer weights (16-8)*8^(r-1)*16^(10-r)
+        # over 16^10, binary relevance = all-terms match
+        "rbp_at_10": f"""{metric_prefix},
+hits AS (
+  SELECT r.qid, r.rank
+  FROM {topk10} r
+  JOIN qrels ON qrels.qid = r.qid AND qrels.docid = r.docid
+),
+nums AS (
+  SELECT qid,
+         sum(CASE rank {' '.join(f'WHEN {r} THEN {8 * 8 ** (r - 1) * 16 ** (10 - r)}::BIGINT' for r in range(1, 11))} END)::BIGINT AS num
+  FROM hits GROUP BY 1
+)
+SELECT qlist.qid, coalesce(num, 0)::DOUBLE / {16 ** 10}.0 AS rbp
+FROM qlist LEFT JOIN nums USING (qid)""",
         # real-decode oracles: the SQL recomputes the DECODED statistics
         # straight from the doc_id synthesis formulas (never parses a
         # container) — an independent check that decode(encode(x)) == x
@@ -7744,6 +7838,24 @@ o AS (SELECT lang, v,
 SELECT lang, pct::INTEGER AS pct, n::BIGINT AS n_in_sample, v AS est
 FROM o JOIN (VALUES (50), (90), (99)) p(pct)
   ON vn = (pct::BIGINT * (n - 1)) // 100 + 1""",
+        # percentile ranks off the same sample: exact n_le count per probe,
+        # pct_rank = (100*n_le)/n as the single IEEE division
+        "sketch_percentile_ranks": f"""WITH h AS (
+  SELECT lang, ({_HASH60.format(arg="CAST(doc_id AS VARCHAR)")})::BIGINT AS h,
+         length(text)::BIGINT AS v
+  FROM documents
+),
+r AS (SELECT lang, h, v,
+             row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+      FROM h),
+s AS (SELECT lang, v FROM r WHERE rn <= 64),
+p AS (SELECT unnest([100, 400, 1600])::BIGINT AS val)
+SELECT s.lang, p.val,
+       count(*)::BIGINT AS n_in_sample,
+       sum(CASE WHEN s.v <= p.val THEN 1 ELSE 0 END)::BIGINT AS n_le,
+       (100.0 * sum(CASE WHEN s.v <= p.val THEN 1 ELSE 0 END)::DOUBLE)
+         / count(*)::DOUBLE AS pct_rank
+FROM s CROSS JOIN p GROUP BY 1, 2""",
         # CORI collection ranking: per-term beliefs lifted to integer
         # micros (round-half-up), mean = ONE exact-int division — the
         # summation-order-independent contract rank_shards documents

@@ -444,6 +444,160 @@ def rbo_at_k(
     )
 
 
+def err_at_k(
+    run: DataFrame,
+    qrels_graded: DataFrame,
+    k: int = 10,
+    max_grade: int = 4,
+) -> DataFrame:
+    """(qid, err): Expected Reciprocal Rank at k (Chapelle, Metlzer, Zhang
+    & Grinspan, CIKM 2009; trec_eval ``err``) — the cascade-model graded
+    metric: a user scans down the ranking and stops at rank r with
+    probability R_r·Π_{i<r}(1−R_i), where R = (2^g − 1)/2^gmax:
+
+        ERR@k = Σ_{r=1..k} (1/r) · R_r · Π_{i<r} (1 − R_i)
+
+    ``qrels_graded`` carries (qid, docid, rel); unjudged and rel=0 docs
+    have R = 0 — they neither contribute nor attenuate, exactly the
+    trec_eval treatment, so only judged-relevant hits enter the per-qid
+    walk (rank gaps still count through 1/r).
+
+    Determinism contract: every R_r is a binary rational, so with
+    k <= 10 (lcm(1..10) = 2520 clears each 1/r) the whole sum is ONE
+    exact int64 numerator over the common denominator 2520·2^(gmax·k),
+    and the emitted value is ONE IEEE division — bit-identical across
+    Spark and DuckDB (the oracle replays the same integers; each term
+    stays < 2^53 so even a double-typed replay is exact). The walk runs
+    as an F.aggregate fold over each qid's <= k judged hits (JVM-side,
+    no UDF); gmax·k <= 62 guards int64.
+    """
+    ki, g_max = int(k), int(max_grade)
+    if not 1 <= ki <= 10:
+        raise ValueError(
+            f"k must be in [1, 10] (the lcm(1..10) exactness window), got {k}"
+        )
+    if not 1 <= g_max <= 5:
+        raise ValueError(f"max_grade must be in [1, 5], got {max_grade}")
+    den = float(2520) * float(2 ** (g_max * ki))
+    hits = (
+        run.filter(F.col("rank") <= ki)
+        .join(
+            qrels_graded.filter(F.col("rel") > 0).select("qid", "docid", "rel"),
+            ["qid", "docid"],
+        )
+        .select("qid", "rank", F.least(F.col("rel"), F.lit(g_max)).alias("g"))
+    )
+    walk = (
+        hits.groupBy("qid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "g"))
+            ).alias("hits")
+        )
+        .select(
+            "qid",
+            F.aggregate(
+                "hits",
+                F.struct(
+                    F.lit(0).cast("long").alias("num"),
+                    F.lit(1).cast("long").alias("p"),
+                    F.lit(0).cast("int").alias("c"),
+                ),
+                lambda acc, h: F.struct(
+                    (
+                        acc["num"]
+                        + (F.lit(2520) / h["rank"]).cast("long")
+                        * (F.pow(F.lit(2.0), h["g"]).cast("long") - 1)
+                        * acc["p"]
+                        * F.pow(
+                            F.lit(2.0),
+                            F.lit(g_max) * (F.lit(ki) - acc["c"] - 1),
+                        ).cast("long")
+                    ).alias("num"),
+                    (
+                        acc["p"]
+                        * (
+                            F.lit(2 ** g_max).cast("long")
+                            - F.pow(F.lit(2.0), h["g"]).cast("long")
+                            + 1
+                        )
+                    ).alias("p"),
+                    (acc["c"] + 1).alias("c"),
+                ),
+                lambda acc: acc["num"],
+            ).alias("num"),
+        )
+    )
+    return (
+        _qids(run, qrels_graded)
+        .join(walk, "qid", "left")
+        .select(
+            "qid",
+            (
+                F.coalesce(F.col("num"), F.lit(0)).cast("double") / F.lit(den)
+            ).alias("err"),
+        )
+    )
+
+
+def rbp_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    p_sixteenths: int = 8,
+) -> DataFrame:
+    """(qid, rbp): truncated Rank-Biased Precision (Moffat & Zobel, TOIS
+    2008) — the user-persistence metric: a user inspects rank r with
+    probability p^(r−1) and the score is the expected rate of relevant
+    docs seen,
+
+        RBP@k = (1 − p) · Σ_{r=1..k} rel_r · p^(r−1)
+
+    with binary relevance (rel > 0 counts when ``qrels`` carries a rel
+    column). Truncation at k makes this the paper's lower-bound ("base")
+    estimate; the residual p^k is the unjudged-tail uncertainty, which a
+    caller can add as the upper bound. Same determinism contract as
+    rbo_at_k: p = p_sixteenths/16 (default 8/16 = 0.5, the paper's
+    impatient-user setting) and k <= 10 keep every term an exact integer
+    over the denominator 16^k — a precomputed per-rank weight table and
+    ONE final IEEE division, bit-identical across engines."""
+    ki, p = int(k), int(p_sixteenths)
+    if not 1 <= p <= 15:
+        raise ValueError(
+            f"p_sixteenths must be in [1, 15] (p = n/16 < 1), got {p_sixteenths}"
+        )
+    if not 1 <= ki <= 10:
+        raise ValueError(f"k must be in [1, 10], got {k}")
+    # (16−p)·p^(r−1)·16^(k−r): integer numerator of (1−p)·p^(r−1) over 16^k
+    wt = {r: (16 - p) * p ** (r - 1) * 16 ** (ki - r) for r in range(1, ki + 1)}
+    den = float(16 ** ki)
+    rel = (
+        qrels.select("qid", "docid", F.col("rel").alias("rel"))
+        if "rel" in qrels.columns
+        else qrels.select("qid", "docid", F.lit(1).alias("rel"))
+    )
+    wexpr = F.lit(0).cast("long")
+    for r, w in sorted(wt.items()):
+        wexpr = F.when(F.col("rank") == r, F.lit(w).cast("long")).otherwise(wexpr)
+    nums = (
+        run.filter(F.col("rank") <= ki)
+        .join(rel.filter(F.col("rel") > 0).select("qid", "docid"), ["qid", "docid"], "left_semi")
+        .select("qid", wexpr.alias("w"))
+        .groupBy("qid")
+        .agg(F.sum("w").alias("num"))
+    )
+    return (
+        _qids(run, qrels)
+        .join(nums, "qid", "left")
+        .select(
+            "qid",
+            (
+                F.coalesce(F.col("num"), F.lit(0)).cast("double") / F.lit(den)
+            ).alias("rbp"),
+        )
+    )
+
+
 def mean_metric(per_query: DataFrame, col: str) -> DataFrame:
     """Collapse a per-qid metric to its global mean (the reference's headline
     number, e.g. MRR@10 over all dev queries)."""

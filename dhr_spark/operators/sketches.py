@@ -612,3 +612,33 @@ def quantile_estimate(
         n.alias("n_in_sample"),
         F.element_at(vals, idx.cast("int")).alias("est"),
     )
+
+
+def quantile_rank(
+    sketch: DataFrame, values: tuple[int, ...] | list[int]
+) -> DataFrame:
+    """(group..., val, n_in_sample, n_le, pct_rank): percentile RANKS from a
+    quantile sketch — for each probe value, the percent of sampled rows
+    whose value is <= it (ES ``percentile_ranks``, the inverse lookup of
+    quantile_estimate). n_le is an exact integer count over the sample;
+    pct_rank = 100·n_le/n is the ONE IEEE division (exact population
+    fraction when the sketch is unsaturated). Empty probe list raises."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    others = [c for c in sketch.columns if c != "sample"]
+    probe = F.explode(
+        F.array(*[F.lit(int(v)).cast("long") for v in values])
+    ).alias("val")
+    n_le = F.size(
+        F.filter("sample", lambda x: x["v"] <= F.col("val"))
+    ).cast("long")
+    n = F.size("sample").cast("long")
+    return sketch.select(*others, "sample", probe).select(
+        *others,
+        "val",
+        n.alias("n_in_sample"),
+        n_le.alias("n_le"),
+        (F.lit(100.0) * n_le.cast("double") / n.cast("double")).alias(
+            "pct_rank"
+        ),
+    )

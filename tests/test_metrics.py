@@ -203,3 +203,73 @@ def test_rbo_guards(spark):
         M.rbo_at_k(a, a, p_sixteenths=16)
     with pytest.raises(ValueError, match="lcm"):
         M.rbo_at_k(a, a, k=11)
+
+
+# ------------------------------------------------------------ ERR / RBP
+
+
+def test_err_hand_example(spark, run):
+    # gmax=4: R(g) = (2^g - 1)/16; q1 has grades 3@1, 1@3; q2 has 4@2
+    graded = spark.createDataFrame(
+        [("q1", 10, 3), ("q1", 12, 1), ("q2", 21, 4), ("q3", 30, 0)],
+        "qid string, docid long, rel int",
+    )
+    got = _by_qid(M.err_at_k(run, graded, k=10, max_grade=4), "err")
+
+    def err(hits):
+        s, prod = 0.0, 1.0
+        for r, g in sorted(hits):
+            rr = (2 ** g - 1) / 16
+            s += (1 / r) * rr * prod
+            prod *= 1 - rr
+        return s
+
+    assert got["q1"] == err([(1, 3), (3, 1)])  # exact: binary rationals
+    assert got["q2"] == err([(2, 4)])
+    assert got["q3"] == 0.0  # rel=0 judged doc contributes nothing
+
+
+def test_err_grade_cap_and_order(spark, run):
+    # rel above max_grade saturates at the cap; a high grade EARLY
+    # attenuates everything after it (cascade), so swapping grades between
+    # ranks 1 and 2 changes the score
+    g_hi_first = spark.createDataFrame(
+        [("q1", 10, 4), ("q1", 11, 1)], "qid string, docid long, rel int"
+    )
+    g_lo_first = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 4)], "qid string, docid long, rel int"
+    )
+    capped = spark.createDataFrame(
+        [("q1", 10, 99), ("q1", 11, 1)], "qid string, docid long, rel int"
+    )
+    e_hi = _by_qid(M.err_at_k(run, g_hi_first, k=10), "err")["q1"]
+    e_lo = _by_qid(M.err_at_k(run, g_lo_first, k=10), "err")["q1"]
+    e_cap = _by_qid(M.err_at_k(run, capped, k=10), "err")["q1"]
+    assert e_hi > e_lo
+    assert e_cap == e_hi  # rel=99 == rel=4 under max_grade=4
+    with pytest.raises(ValueError, match="lcm"):
+        M.err_at_k(run, g_hi_first, k=11)
+    with pytest.raises(ValueError, match="max_grade"):
+        M.err_at_k(run, g_hi_first, max_grade=6)
+
+
+def test_rbp_hand_example_and_guards(spark, run):
+    qr = spark.createDataFrame(
+        [("q1", 10), ("q1", 12), ("q2", 21), ("q3", 30)],
+        "qid string, docid long",
+    )
+    got = _by_qid(M.rbp_at_k(run, qr, k=10, p_sixteenths=8), "rbp")
+    # p=1/2: (1-p)*(p^0 + p^2) for q1, (1-p)*p^1 for q2
+    assert got["q1"] == 0.5 * (1 + 0.25)
+    assert got["q2"] == 0.25
+    assert got["q3"] == 0.0  # relevant doc never retrieved
+    # graded qrels: rel=0 rows are NOT relevant
+    graded = spark.createDataFrame(
+        [("q1", 10, 0), ("q1", 12, 2)], "qid string, docid long, rel int"
+    )
+    got2 = _by_qid(M.rbp_at_k(run, graded, k=10, p_sixteenths=8), "rbp")
+    assert got2["q1"] == 0.5 * 0.25
+    with pytest.raises(ValueError, match="p_sixteenths"):
+        M.rbp_at_k(run, qr, p_sixteenths=0)
+    with pytest.raises(ValueError, match="k must"):
+        M.rbp_at_k(run, qr, k=0)

@@ -721,3 +721,38 @@ def test_quantile_estimate_accuracy_and_guards(spark):
         quantile_sketch(df, "v", "key", k=1)
     with pytest.raises(ValueError):
         quantile_estimate(sk, (101,))
+
+
+def test_quantile_rank_exact_when_unsaturated(spark):
+    from dhr_spark.operators.sketches import quantile_rank, quantile_sketch
+
+    df = _qs_rows(spark, 300)
+    sk = quantile_sketch(df, "v", "key", k=1024)  # unsaturated: exact
+    vals = sorted(r["v"] for r in df.collect())
+    got = {
+        r["val"]: (r["n_in_sample"], r["n_le"], r["pct_rank"])
+        for r in quantile_rank(sk, (0, 500, 10_000)).collect()
+    }
+    n = len(vals)
+    for probe in (0, 500, 10_000):
+        n_le = sum(1 for v in vals if v <= probe)
+        assert got[probe] == (n, n_le, 100.0 * n_le / n)
+    # below-min probe ranks 0 only if no zero values; above-max is 100
+    assert got[10_000][2] == 100.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        quantile_rank(sk, ())
+
+
+def test_quantile_rank_grouped(spark):
+    from dhr_spark.operators.sketches import quantile_rank, quantile_sketch
+
+    df = _qs_rows(spark, 200)
+    sk = quantile_sketch(df, "v", "key", k=64, group_cols=("grp",))
+    rows = quantile_rank(sk, (100,)).collect()
+    assert {r["grp"] for r in rows} == {"true", "false"}
+    for r in rows:
+        assert r["n_in_sample"] == 64 and 0 <= r["n_le"] <= 64
+        assert r["pct_rank"] == 100.0 * r["n_le"] / r["n_in_sample"]
