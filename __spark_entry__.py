@@ -5698,6 +5698,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dirs = [s["dir"] for s in man["shards"] if s["dir"]]
         return MultiSearcher(spark, dirs).rank_shards(_queries_df(spark))
 
+    REDDE_DENOM = 4  # ~1/4 sample: big enough that every query votes at sf0.01
+    REDDE_N = 40
+
+    def redde_ranks_q(spark, sf):
+        # ReDDE resource selection (Si & Callan, SIGIR 2003): the
+        # sample-based complement to CORI — documents hash-split into two
+        # pseudo-shards, a 1/4 hash-gated central sample scored with slow-
+        # path BM25 as its OWN corpus, top-n votes scaled by inverse
+        # sampling rate. Full SQL replay: the oracle recomputes the sample
+        # corpus stats, the BM25 walk, and the vote algebra
+        from dhr_spark.operators.federate import redde_scores
+        from dhr_spark.operators.textstats import tokhash60
+
+        docs = _docs(spark, sf).select("doc_id", "text").withColumn(
+            "index_id",
+            (
+                tokhash60(
+                    F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+                )
+                % 2
+            ).cast("int"),
+        )
+        sample = docs.filter(
+            tokhash60(
+                F.concat(F.lit("csi:"), F.col("doc_id").cast("string"))
+            )
+            % REDDE_DENOM
+            == 0
+        )
+        stats = (
+            docs.groupBy("index_id")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .join(
+                sample.groupBy("index_id").agg(
+                    F.count("*").cast("long").alias("n_sample")
+                ),
+                "index_id",
+                "left",
+            )
+            .fillna(0, subset=["n_sample"])
+        )
+        # BM25 top-n over the sample as its own corpus (sample-local stats)
+        tok = with_tokens(sample.select("doc_id", "text"), mode="simple")
+        tok = tok.withColumnRenamed("doc_id", "docid")
+        tfs = term_freqs(tok)
+        dls = doc_lengths(tok)
+        cs = dls.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+        ts = tfs.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+            "idf", idf_col(F.col("df"), int(cs["n"]))
+        )
+        post = (
+            tfs.join(dls, "docid")
+            .join(F.broadcast(ts.select("term", "idf")), "term")
+            .select(
+                "term",
+                "docid",
+                bm25_weight_col(
+                    F.col("tf"), F.col("dl"), F.col("idf"),
+                    F.lit(float(cs["a"])), K1, B,
+                ).alias("weight"),
+            )
+        )
+        hits = topk(score_all(_qtfs(spark), post, on="term"), REDDE_N)
+        tagged = hits.join(
+            F.broadcast(
+                sample.select(F.col("doc_id").alias("docid"), "index_id")
+            ),
+            "docid",
+        ).select("qid", "index_id", "rank")
+        return redde_scores(tagged, stats, n=REDDE_N)
+
     KMV_K = 64
 
     def _lang_terms(spark, sf):
@@ -6202,6 +6273,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "sketch_quantiles": quantile_est_q,
         "sketch_percentile_ranks": quantile_rank_q,
         "cori_shard_ranks": cori_ranks_q,
+        "redde_shard_ranks": redde_ranks_q,
         "corr_hits": corr_hits_q,
         "qpp_predictors": qpp_q,
         "bm25_topk_pruned": bm25_topk_pruned_q,
@@ -7859,6 +7931,76 @@ FROM s CROSS JOIN p GROUP BY 1, 2""",
         # CORI collection ranking: per-term beliefs lifted to integer
         # micros (round-half-up), mean = ONE exact-int division — the
         # summation-order-independent contract rank_shards documents
+        # ReDDE resource selection: pseudo-shards + 1/4 sample from the
+        # portable hash, BM25 over the SAMPLE as its own corpus (sample-
+        # local df/avgdl), top-40 votes scaled by n_docs/n_sample — the
+        # whole chain replayed (denominators hardcoded to the entry's
+        # REDDE_DENOM=4 / REDDE_N=40)
+        "redde_shard_ranks": f"""WITH
+sh AS (
+  SELECT doc_id, text,
+         (({_HASH60.format(arg="'shard:' || CAST(doc_id AS VARCHAR)")}) % 2)::INTEGER AS index_id
+  FROM documents
+),
+samp AS (
+  SELECT * FROM sh
+  WHERE ({_HASH60.format(arg="'csi:' || CAST(doc_id AS VARCHAR)")}) % 4 = 0
+),
+stats AS (
+  SELECT s.index_id, s.n_docs, coalesce(ss.n_sample, 0)::BIGINT AS n_sample
+  FROM (SELECT index_id, count(*)::BIGINT AS n_docs FROM sh GROUP BY 1) s
+  LEFT JOIN (SELECT index_id, count(*)::BIGINT AS n_sample
+             FROM samp GROUP BY 1) ss USING (index_id)
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM samp
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+cs AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+{_q_values()},
+scored AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         sum(q.qtf * {_W_EXPR}) AS score
+  FROM q JOIN tf USING (term) JOIN ts USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT qid, docid FROM (
+    SELECT qid, docid,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+           ) AS rnk
+    FROM scored) WHERE rnk <= 40
+),
+tagged AS (
+  SELECT h.qid, s.index_id FROM hits h JOIN samp s ON s.doc_id = h.docid
+),
+votes AS (
+  SELECT qid, index_id, count(*)::BIGINT AS votes FROM tagged GROUP BY 1, 2
+),
+grid AS (
+  SELECT qs.qid, st.index_id, st.n_docs, st.n_sample
+  FROM (SELECT DISTINCT qid FROM tagged) qs CROSS JOIN stats st
+),
+o AS (
+  SELECT g.qid, g.index_id, coalesce(v.votes, 0)::BIGINT AS votes,
+         CASE WHEN g.n_sample > 0
+              THEN (coalesce(v.votes, 0) * g.n_docs)::DOUBLE / g.n_sample::DOUBLE
+              ELSE 0.0 END AS est_rel
+  FROM grid g LEFT JOIN votes v ON v.qid = g.qid AND v.index_id = g.index_id
+)
+SELECT qid, index_id, votes, est_rel,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY est_rel DESC, index_id ASC
+       ) AS INTEGER) AS rank
+FROM o""",
         "cori_shard_ranks": f"""WITH {_TOKS_CTE}, {_q_values()},
 shard AS (
   SELECT doc_id, CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1

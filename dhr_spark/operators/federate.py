@@ -871,3 +871,210 @@ class MultiSearcher:
             k,
         )
         return self._unpack(merged)
+
+    def build_sample_index(
+        self,
+        out_dir: str,
+        denom: int = 8,
+        **build_kw,
+    ) -> dict:
+        """Build the Central Sample Index (CSI) for ReDDE resource
+        selection (Si & Callan, SIGIR 2003): a deterministic ~1/denom
+        uniform sample of every member's live documents, indexed as ONE
+        small corpus, plus the sidecars selection needs — ``origin``
+        (which member each sampled doc came from) and ``redde_meta.json``
+        (per-member live size and sample size). Members must be built with
+        ``stored=True`` (the CSI re-indexes original text).
+
+        The sample gate is the portable row hash (tokhash60 of
+        'csi:conv_id|turn_idx') mod denom — the same engine-replayable
+        sampling every sketch uses, so a rebuilt CSI over unchanged
+        members is byte-stable, and the DataFrame twin (redde_scores over
+        a hash-gated sample) reproduces it exactly.
+
+        Scale shape: the sample is 1/denom of the federation, built once
+        and refreshed on the members' append cadence; selection cost then
+        never touches member postings. (conv_id, turn_idx) must be unique
+        ACROSS members (disjoint shards — the federation contract);
+        duplicates raise rather than mis-attributing votes.
+        """
+        import json
+        import os
+
+        from dhr_spark.index.builder import build_index
+        from dhr_spark.operators.textstats import tokhash60
+
+        if denom < 1:
+            raise ValueError(f"denom must be >= 1, got {denom}")
+        per = []
+        meta = []
+        for i, (d, s) in enumerate(zip(self.index_dirs, self.searchers)):
+            if not s.manifest.get("stored"):
+                raise ValueError(
+                    f"member {i} ({d}) was built without stored=True — the "
+                    "CSI needs original text to re-index the sample"
+                )
+            dm = s._filter_live(
+                self.spark.read.parquet(f"{d}/doc_map")
+            ).select("docid", "conv_id", "turn_idx")
+            st = self.spark.read.parquet(f"{d}/stored").select("docid", "text")
+            gate = (
+                tokhash60(
+                    F.concat(
+                        F.lit("csi:"),
+                        F.col("conv_id"),
+                        F.lit("|"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                )
+                % denom
+                == 0
+            )
+            samp = (
+                dm.join(st, "docid")
+                .filter(gate)
+                .select(
+                    "conv_id",
+                    "turn_idx",
+                    "text",
+                    F.lit(i).cast("int").alias("index_id"),
+                )
+            )
+            n_docs = dm.count()
+            n_sample = samp.count()
+            meta.append(
+                {"index_id": i, "n_docs": n_docs, "n_sample": n_sample}
+            )
+            per.append(samp)
+        u = per[0]
+        for p in per[1:]:
+            u = u.unionByName(p)
+        u = u.cache()
+        try:
+            dup = (
+                u.groupBy("conv_id", "turn_idx")
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "members share (conv_id, turn_idx) "
+                    f"{(dup[0]['conv_id'], dup[0]['turn_idx'])} — federation "
+                    "members must hold disjoint documents for ReDDE origin "
+                    "attribution"
+                )
+            man = build_index(
+                self.spark,
+                u.select("conv_id", "turn_idx", "text"),
+                os.path.join(out_dir, "csi"),
+                analyzer_mode=self.searchers[0].manifest["analyzer_mode"],
+                **build_kw,
+            )
+            (
+                u.select("conv_id", "turn_idx", "index_id")
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "origin"))
+            )
+        finally:
+            u.unpersist()
+        with open(os.path.join(out_dir, "redde_meta.json"), "w") as f:
+            json.dump({"denom": denom, "members": meta}, f)
+        return man
+
+    def rank_shards_redde(
+        self,
+        queries: DataFrame,
+        sample_dir: str,
+        n: int = 100,
+        prune: bool = True,
+    ) -> DataFrame:
+        """(qid, index_id, votes, est_rel, rank): ReDDE resource ranking
+        (Si & Callan, SIGIR 2003) — the sample-based complement to CORI's
+        statistics-based rank_shards: run the query against the Central
+        Sample Index (build_sample_index), and let each of the top-``n``
+        sampled hits vote for its source member, scaled by that member's
+        inverse sampling rate:
+
+            est_rel_i = votes_i * n_docs_i / n_sample_i
+
+        (the expected number of relevant docs member i holds, under the
+        uniform-sample assumption). Ranks every member for every query —
+        zero-vote members rank last with est_rel 0. Exactness: votes and
+        n_docs are exact integers; est_rel is ONE IEEE division, so ranks
+        are engine-stable. Selection cost is one top-n search of a
+        1/denom-sized index — member postings are never touched."""
+        import json
+        import os
+
+        with open(os.path.join(sample_dir, "redde_meta.json")) as f:
+            meta = json.load(f)
+        csi = Searcher(self.spark, os.path.join(sample_dir, "csi"))
+        hits = csi.search(queries, k=n, prune=prune)
+        dm = self.spark.read.parquet(
+            os.path.join(sample_dir, "csi", "doc_map")
+        ).select("docid", "conv_id", "turn_idx")
+        origin = self.spark.read.parquet(os.path.join(sample_dir, "origin"))
+        tagged = (
+            hits.join(F.broadcast(dm), "docid")
+            .join(
+                F.broadcast(origin), ["conv_id", "turn_idx"]
+            )
+            .select("qid", "index_id", "rank")
+        )
+        stats = self.spark.createDataFrame(
+            [
+                (m["index_id"], m["n_docs"], m["n_sample"])
+                for m in meta["members"]
+            ],
+            "index_id int, n_docs long, n_sample long",
+        )
+        return redde_scores(tagged, stats, n=n)
+
+
+def redde_scores(
+    sample_hits: DataFrame, shard_stats: DataFrame, n: int = 100
+) -> DataFrame:
+    """(qid, index_id, votes, est_rel, rank): the ReDDE vote aggregation
+    (Si & Callan, SIGIR 2003) as pure DataFrame algebra — independent of
+    how the sample was searched, so the index-backed path
+    (MultiSearcher.rank_shards_redde) and a corpus-scan twin share it.
+
+    ``sample_hits``: (qid, index_id, rank) — one row per retrieved sample
+    doc, already attributed to its source shard. ``shard_stats``:
+    (index_id, n_docs, n_sample) — live size and sample size per shard.
+    Every (qid, shard) pair is emitted (zero votes → est_rel 0.0);
+    est_rel = (votes·n_docs)/n_sample with an exact int64 numerator and
+    ONE IEEE division; ranks break est_rel ties by index_id ASC."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    votes = (
+        sample_hits.filter(F.col("rank") <= n)
+        .groupBy("qid", "index_id")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    grid = sample_hits.select("qid").distinct().crossJoin(
+        F.broadcast(shard_stats.select("index_id", "n_docs", "n_sample"))
+    )
+    out = grid.join(votes, ["qid", "index_id"], "left").select(
+        "qid",
+        "index_id",
+        F.coalesce(F.col("votes"), F.lit(0)).cast("long").alias("votes"),
+        F.when(
+            F.col("n_sample") > 0,
+            (
+                F.coalesce(F.col("votes"), F.lit(0)) * F.col("n_docs")
+            ).cast("double")
+            / F.col("n_sample").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("est_rel"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("est_rel").desc(), F.col("index_id").asc()
+    )
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -574,3 +574,110 @@ def test_federated_postings_list_equals_union(spark, sharded):
         sharded["full"], False,
     )
     assert fed == single and fed
+
+
+# ----------------------------------------------------------------- ReDDE
+
+
+@pytest.fixture(scope="module")
+def stored_pair(spark, tmp_path_factory):
+    """Two stored=True members (disjoint corpora) for CSI building."""
+    root = tmp_path_factory.mktemp("redde")
+    parts = [_batch(spark, 16, 3, "ra-"), _batch(spark, 12, 5, "rb-")]
+    dirs = []
+    for i, p in enumerate(parts):
+        d = str(root / f"m{i}")
+        build_index(spark, p, d, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+                    stored=True)
+        dirs.append(d)
+    return dict(dirs=dirs, parts=parts, root=root)
+
+
+def test_redde_csi_build_and_rank(spark, stored_pair, queries):
+    from dhr_spark.operators.textstats import tokhash60
+
+    ms = MultiSearcher(spark, stored_pair["dirs"])
+    sdir = str(stored_pair["root"] / "csi_out")
+    ms.build_sample_index(sdir, denom=2, chunk_bits=CHUNK_BITS,
+                          block_size=BLOCK)
+    # origin == the hash-gated sample of each member's live corpus
+    import json
+
+    with open(os.path.join(sdir, "redde_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["denom"] == 2
+    origin = spark.read.parquet(os.path.join(sdir, "origin"))
+    for i, p in enumerate(stored_pair["parts"]):
+        gate = (
+            tokhash60(
+                F.concat(F.lit("csi:"), F.col("conv_id"), F.lit("|"),
+                         F.col("turn_idx").cast("string"))
+            ) % 2 == 0
+        )
+        want = {
+            (r["conv_id"], r["turn_idx"])
+            for r in p.filter(gate).select("conv_id", "turn_idx").collect()
+        }
+        got = {
+            (r["conv_id"], r["turn_idx"])
+            for r in origin.filter(F.col("index_id") == i).collect()
+        }
+        assert got == want
+        m = next(m for m in meta["members"] if m["index_id"] == i)
+        assert m["n_sample"] == len(want)
+        assert m["n_docs"] == p.count()
+
+    ranks = ms.rank_shards_redde(queries, sdir, n=20)
+    rows = ranks.collect()
+    assert rows, "synthetic queries should hit the sample"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    stats = {m["index_id"]: m for m in meta["members"]}
+    for qid, rs in by_q.items():
+        # every member ranked once per qid, dense ranks, exact est_rel
+        assert sorted(r["index_id"] for r in rs) == [0, 1]
+        assert sorted(r["rank"] for r in rs) == [1, 2]
+        for r in rs:
+            m = stats[r["index_id"]]
+            assert r["est_rel"] == r["votes"] * m["n_docs"] / m["n_sample"]
+        a, b = sorted(rs, key=lambda r: r["rank"])
+        assert (a["est_rel"], -a["index_id"]) >= (b["est_rel"], -b["index_id"])
+
+
+def test_redde_guards(spark, stored_pair, sharded, queries, tmp_path):
+    ms_plain = MultiSearcher(spark, sharded["dirs"][:2])
+    with pytest.raises(ValueError, match="stored=True"):
+        ms_plain.build_sample_index(str(tmp_path / "x"), denom=2)
+
+    ms = MultiSearcher(spark, stored_pair["dirs"])
+    with pytest.raises(ValueError, match="denom"):
+        ms.build_sample_index(str(tmp_path / "y"), denom=0)
+
+    # duplicate (conv_id, turn_idx) across members -> refuse attribution
+    dup_root = tmp_path / "dup"
+    p = _batch(spark, 6, 11, "dup-")
+    d1, d2 = str(dup_root / "a"), str(dup_root / "b")
+    build_index(spark, p, d1, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+                stored=True)
+    build_index(spark, p, d2, chunk_bits=CHUNK_BITS, block_size=BLOCK,
+                stored=True)
+    with pytest.raises(ValueError, match="disjoint"):
+        MultiSearcher(spark, [d1, d2]).build_sample_index(
+            str(dup_root / "csi"), denom=1,
+            chunk_bits=CHUNK_BITS, block_size=BLOCK,
+        )
+
+    from dhr_spark.operators.federate import redde_scores
+
+    hits = spark.createDataFrame([("q", 0, 1)], "qid string, index_id int, rank int")
+    st = spark.createDataFrame([(0, 10, 5)], "index_id int, n_docs long, n_sample long")
+    with pytest.raises(ValueError, match="n must"):
+        redde_scores(hits, st, n=0)
+    # zero-sample shard: est_rel 0.0, never a division error
+    st2 = spark.createDataFrame(
+        [(0, 10, 5), (1, 99, 0)], "index_id int, n_docs long, n_sample long"
+    )
+    out = {r["index_id"]: r for r in redde_scores(hits, st2, n=5).collect()}
+    assert out[1]["votes"] == 0 and out[1]["est_rel"] == 0.0
+    assert out[0]["est_rel"] == 2.0  # 1 vote * 10 / 5
