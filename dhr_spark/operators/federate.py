@@ -811,6 +811,39 @@ class MultiSearcher:
             .filter(F.col("rank") <= n_select)
             .collect()
         )
+        return self._search_selected(queries, sel_rows, k, prune)
+
+    def search_redde(
+        self,
+        queries: DataFrame,
+        sample_dir: str,
+        k: int = 1000,
+        n_select: int = 1,
+        n: int = 100,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Approximate federated search with ReDDE shard selection: each
+        query runs only against its top-``n_select`` members by estimated
+        relevant-document count (rank_shards_redde over the CSI at
+        ``sample_dir``). Same contract as search_cori: scores stay EXACT
+        (merged global statistics); the approximation is recall-only, and
+        ``n_select >= N_c`` is identical to ``search``."""
+        if n_select < 1:
+            raise ValueError(f"n_select must be >= 1, got {n_select}")
+        if n_select >= len(self.searchers):
+            return self.search(queries, k=k, prune=prune)
+        sel_rows = (
+            self.rank_shards_redde(queries, sample_dir, n=n, prune=prune)
+            .filter(F.col("rank") <= n_select)
+            .collect()
+        )
+        return self._search_selected(queries, sel_rows, k, prune)
+
+    def _search_selected(
+        self, queries: DataFrame, sel_rows, k: int, prune: bool
+    ) -> DataFrame:
+        """Run each query against only its selected members (rows carrying
+        qid + index_id) and merge — shared by CORI and ReDDE selection."""
         by_shard: dict[int, list[str]] = {}
         for r in sel_rows:
             by_shard.setdefault(int(r["index_id"]), []).append(r["qid"])

@@ -681,3 +681,27 @@ def test_redde_guards(spark, stored_pair, sharded, queries, tmp_path):
     out = {r["index_id"]: r for r in redde_scores(hits, st2, n=5).collect()}
     assert out[1]["votes"] == 0 and out[1]["est_rel"] == 0.0
     assert out[0]["est_rel"] == 2.0  # 1 vote * 10 / 5
+
+
+def test_redde_select_all_equals_full_search(spark, stored_pair, queries):
+    ms = MultiSearcher(spark, stored_pair["dirs"])
+    sdir = str(stored_pair["root"] / "csi_out2")
+    ms.build_sample_index(sdir, denom=2, chunk_bits=CHUNK_BITS,
+                          block_size=BLOCK)
+    full = ms.search(queries, k=10)
+    sel_all = ms.search_redde(queries, sdir, k=10, n_select=2)
+    lhs = {(r["qid"], r["index_id"], r["docid"], r["rank"], round(r["score"], 6))
+           for r in full.collect()}
+    rhs = {(r["qid"], r["index_id"], r["docid"], r["rank"], round(r["score"], 6))
+           for r in sel_all.collect()}
+    assert lhs == rhs
+    # n_select=1: subset of the full result with EXACT (global) scores
+    sel_one = ms.search_redde(queries, sdir, k=10, n_select=1)
+    full_scores = {(r["qid"], r["index_id"], r["docid"]): round(r["score"], 6)
+                   for r in full.collect()}
+    for r in sel_one.collect():
+        key = (r["qid"], r["index_id"], r["docid"])
+        if key in full_scores:  # survivors keep exact global scores
+            assert round(r["score"], 6) == full_scores[key]
+    with pytest.raises(ValueError, match="n_select"):
+        ms.search_redde(queries, sdir, n_select=0)
