@@ -13,8 +13,9 @@ Local sandbox:
     python scripts/evaluate.py --run /tmp/run --qrels qrels.tsv
 
 Prints one JSON line per cutoff with the mean of every metric the reference
-reports (MRR, Recall, NDCG, MAP, R_cap, Hole, Acc) plus per-query output
-via --per-query.
+reports (MRR, Recall, NDCG, MAP, R_cap, Hole, Acc) plus, at cutoffs <= 10
+(the exact-arithmetic window), the graded-judgment trio bpref / ERR / RBP;
+per-query output via --per-query.
 """
 
 from __future__ import annotations
@@ -86,6 +87,32 @@ def main() -> None:
                 per_query = pq if per_query is None else per_query.join(
                     pq, "qid", "full_outer"
                 )
+        if k <= 10:
+            # graded-judgment metrics, exact only inside the lcm(1..10)
+            # window: bpref (judged rel=0 rows are its whole point), the
+            # ERR cascade (graded gains), and RBP (p = 1/2 persistence)
+            for name, fn, col, kw in (
+                ("bpref", M.bpref_at_k, "bpref", {}),
+                ("err", M.err_at_k, "err", {"max_grade": 4}),
+                ("rbp", M.rbp_at_k, "rbp", {"p_sixteenths": 8}),
+            ):
+                pq = fn(run, qrels, k=k, **kw)
+                out[name] = float(
+                    M.mean_metric(pq, col).collect()[0][f"mean_{col}"]
+                )
+                if run_b is not None:
+                    cmp_row = M.paired_diff_test(
+                        pq, fn(run_b, qrels, k=k, **kw), col
+                    ).collect()[0]
+                    out[f"{name}_diff"] = float(cmp_row["mean_diff"])
+                    out[f"{name}_t"] = (
+                        None if cmp_row["t_stat"] is None
+                        else round(float(cmp_row["t_stat"]), 4)
+                    )
+                if args.per_query:
+                    per_query = pq if per_query is None else per_query.join(
+                        pq, "qid", "full_outer"
+                    )
         if run_b is not None and k <= 10:
             # rank-biased overlap of the two runs' top-k prefixes (exact
             # at k <= 10 — metrics.rbo_at_k's lcm window); the rank-
