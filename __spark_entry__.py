@@ -3721,6 +3721,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return M.rbp_at_k(_bm25_topk(spark, sf), binary, k=10, p_sixteenths=8)
 
+    def iprec_q(spark, sf):
+        # 11-point interpolated precision-recall curve (trec_eval
+        # iprec_at_recall_*): suffix-max precision, recall gated by the
+        # EXACT integer predicate 10*i >= level*R
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        tfs = term_freqs(tok).select("docid", "term")
+        qterms = _qtfs(spark).select("qid", "term")
+        qsize = qterms.groupBy("qid").agg(F.count("*").alias("nt"))
+        qrels = (
+            qterms.join(tfs, "term")
+            .groupBy("qid", "docid")
+            .agg(F.count("*").alias("nhit"))
+            .join(F.broadcast(qsize), "qid")
+            .filter(F.col("nhit") == F.col("nt"))
+            .select("qid", "docid")
+        )
+        return M.iprec_at_recall(_bm25_topk(spark, sf), qrels, k=10)
+
     def curation_c4_q(spark, sf):
         # C4 line-cleaning rules (Raffel et al. 2020 §2.2); flags cast to
         # 0/1 BIGINT — every emitted value is an exact integer
@@ -6235,6 +6253,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "bpref_at_10": bpref_q,
         "err_at_10": err_q,
         "rbp_at_10": rbp_q,
+        "iprec_curve": iprec_q,
         "boosted_topk": boosted_topk_q,
         "boosted_index_identity": boosted_index_identity_q,
         "boosting_topk": boosting_topk_q,
@@ -7043,6 +7062,34 @@ SELECT qlist.qid,
                   / (c.n_rel * greatest(least(c.n_rel, c.n_nonrel), 1))::DOUBLE
              ELSE 0.0 END, 6) AS bpref
 FROM qlist LEFT JOIN counts c USING (qid) LEFT JOIN sums s USING (qid)""",
+        # 11-point interpolated precision-recall curve: suffix-max of the
+        # exact-double prec = i/rank, recall gate 10*i >= level*n_rel in
+        # pure integers — both engines compare identical doubles
+        "iprec_curve": f"""{metric_prefix},
+hits AS (
+  SELECT r.qid, r.rank,
+         row_number() OVER (PARTITION BY r.qid ORDER BY r.rank) AS i
+  FROM {topk10} r
+  JOIN qrels ON qrels.qid = r.qid AND qrels.docid = r.docid
+),
+rc AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1),
+mx AS (
+  SELECT qid, i,
+         max(i::DOUBLE / rank::DOUBLE) OVER (
+           PARTITION BY qid ORDER BY rank
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mprec
+  FROM hits
+),
+lv AS (SELECT unnest(range(0, 11))::INTEGER AS level),
+curves AS (
+  SELECT m.qid, l.level, max(m.mprec) AS iprec
+  FROM mx m JOIN rc USING (qid) CROSS JOIN lv l
+  WHERE 10 * m.i >= l.level * rc.n_rel
+  GROUP BY 1, 2
+)
+SELECT g.qid, l.level, coalesce(c.iprec, 0.0) AS iprec
+FROM qlist g CROSS JOIN lv l
+LEFT JOIN curves c ON c.qid = g.qid AND c.level = l.level""",
         # ERR@10: graded pool (rel = matched-term count), cascade walk as a
         # windowed prefix product (product() is double but every value is an
         # integer < 2^53, so the BIGINT casts are exact) — numerator over

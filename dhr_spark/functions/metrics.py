@@ -598,6 +598,64 @@ def rbp_at_k(
     )
 
 
+def iprec_at_recall(run: DataFrame, qrels: DataFrame, k: int = 1000) -> DataFrame:
+    """(qid, level, iprec): the 11-point interpolated precision-recall
+    curve (trec_eval ``iprec_at_recall_0.00`` .. ``_1.00``; Salton &
+    McGill's standard eval plot) over the top-k:
+
+        iprec(r) = max{ prec(j) : recall(j) >= r },  r = level/10
+
+    maximized over the ranks j of retrieved relevant docs (0.0 when no
+    relevant doc reaches recall r). With i = cumulative relevant count at
+    rank j and R = |relevant|, prec(j) = i/j and the recall gate is the
+    EXACT integer predicate 10·i >= level·R — no float recall ever
+    compared. prec values are single IEEE divisions of small ints, and
+    the suffix max picks among identical doubles on every engine, so the
+    curve is bit-stable cross-engine. One join + two windows; queries
+    with no relevant docs emit the all-zero curve (trec_eval behavior).
+    """
+    levels = F.explode(F.array(*[F.lit(i) for i in range(11)])).alias("level")
+    rel_counts = qrels.select("qid", "docid").distinct().groupBy("qid").agg(
+        F.count("*").alias("n_rel")
+    )
+    hits = (
+        run.filter(F.col("rank") <= k)
+        .join(qrels.select("qid", "docid").distinct(), ["qid", "docid"], "left_semi")
+    )
+    w_cum = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_suffix = (
+        Window.partitionBy("qid")
+        .orderBy("rank")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    curves = (
+        hits.withColumn("i", F.count("*").over(w_cum))
+        .withColumn(
+            "prec", F.col("i").cast("double") / F.col("rank").cast("double")
+        )
+        .withColumn("mprec", F.max("prec").over(w_suffix))
+        .join(F.broadcast(rel_counts), "qid")
+        .select("qid", "i", "mprec", "n_rel")
+        .select("qid", levels, "i", "mprec", "n_rel")
+        .filter(F.lit(10) * F.col("i") >= F.col("level") * F.col("n_rel"))
+        .groupBy("qid", "level")
+        .agg(F.max("mprec").alias("iprec"))
+    )
+    grid = _qids(run, qrels).select("qid", levels)
+    return (
+        grid.join(curves, ["qid", "level"], "left")
+        .select(
+            "qid",
+            F.col("level").cast("int").alias("level"),
+            F.coalesce(F.col("iprec"), F.lit(0.0)).alias("iprec"),
+        )
+    )
+
+
 def mean_metric(per_query: DataFrame, col: str) -> DataFrame:
     """Collapse a per-qid metric to its global mean (the reference's headline
     number, e.g. MRR@10 over all dev queries)."""

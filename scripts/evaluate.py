@@ -113,6 +113,20 @@ def main() -> None:
                     per_query = pq if per_query is None else per_query.join(
                         pq, "qid", "full_outer"
                     )
+        # 11-point interpolated precision-recall curve (trec_eval
+        # iprec_at_recall_*): mean over queries at each recall level
+        from pyspark.sql import functions as F
+
+        curve = (
+            M.iprec_at_recall(run, qrels, k=k)
+            .groupBy("level")
+            .agg(F.round(F.avg("iprec"), 6).alias("m"))
+            .collect()
+        )
+        out["iprec_at_recall"] = {
+            f"{r['level'] / 10:.1f}": float(r["m"])
+            for r in sorted(curve, key=lambda r: r["level"])
+        }
         if run_b is not None and k <= 10:
             # rank-biased overlap of the two runs' top-k prefixes (exact
             # at k <= 10 — metrics.rbo_at_k's lcm window); the rank-

@@ -273,3 +273,23 @@ def test_rbp_hand_example_and_guards(spark, run):
         M.rbp_at_k(run, qr, p_sixteenths=0)
     with pytest.raises(ValueError, match="k must"):
         M.rbp_at_k(run, qr, k=0)
+
+
+def test_iprec_at_recall_hand_example(spark, run):
+    # q1: rel at ranks 1 and 3, R=3 (one never retrieved): curve is
+    # 1.0 through level 3, 2/3 through level 6, 0.0 beyond
+    qr = spark.createDataFrame(
+        [("q1", 10), ("q1", 12), ("q1", 99), ("q3", 30)],
+        "qid string, docid long",
+    )
+    got = {(r["qid"], r["level"]): r["iprec"]
+           for r in M.iprec_at_recall(run, qr, k=10).collect()}
+    for lv in range(11):
+        want = 1.0 if lv <= 3 else (2 / 3 if lv <= 6 else 0.0)
+        assert got[("q1", lv)] == want, (lv, got[("q1", lv)])
+    # no relevant retrieved -> all-zero 11-point curve (trec_eval shape)
+    assert all(got[("q3", lv)] == 0.0 for lv in range(11))
+    # monotone non-increasing by construction (suffix max)
+    for qid in ("q1", "q2", "q3"):
+        curve = [got[(qid, lv)] for lv in range(11)]
+        assert curve == sorted(curve, reverse=True)
