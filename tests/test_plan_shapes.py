@@ -489,3 +489,34 @@ def test_ltr_features_broadcasts_stats_single_agg(spark):
     plan = _plan(res)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2  # term stats + qlen
+
+
+def test_semdedup_no_cartesian_single_cluster_shuffle(spark):
+    """SemDeDup's pair work happens inside the per-cluster Arrow kernel —
+    the plan must show NO CartesianProduct (the cluster gate is the whole
+    point) and the assignment join keeps the pair stage to the k-bounded
+    groupBy(cid) exchange."""
+    from dhr_spark.operators.dedup import semdedup_pairs
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(semdedup_pairs(embs, threshold=0.5, k=4, iters=1))
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+
+
+def test_redde_scores_broadcasts_shard_stats(spark):
+    """The qid x shard grid is |Q| x N_c rows — the shard-stats side must
+    broadcast (nested-loop over a broadcast is fine; a shuffled cartesian
+    would mean the tiny dim drove an exchange)."""
+    from dhr_spark.operators.federate import redde_scores
+
+    hits = spark.createDataFrame(
+        [("q1", 0, 1), ("q1", 1, 2), ("q2", 0, 1)],
+        "qid string, index_id int, rank int",
+    )
+    stats = spark.createDataFrame(
+        [(0, 100, 10), (1, 80, 8)], "index_id int, n_docs long, n_sample long"
+    )
+    plan = _plan(redde_scores(hits, stats, n=10))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan, plan[:800]
