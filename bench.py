@@ -552,6 +552,8 @@ def main() -> None:
         "complete_suggest",
         "phrase_prefix", "composite_hits", "phrase_suggest", "ltr_features",
         "dsir_sample", "intervals_ordered", "intervals_unordered",
+        "dedup_semdedup", "redde_shard_ranks", "sketch_quantiles",
+        "err_at_10", "iprec_curve",
     ]:
         # best-of-2: each op is 0.2-4s, so the second draw is cheap and
         # halves the ambient-noise variance in the committed per-op table
