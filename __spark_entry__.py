@@ -3739,6 +3739,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return M.iprec_at_recall(_bm25_topk(spark, sf), qrels, k=10)
 
+    def ndcg_graded_q(spark, sf):
+        # graded-gain NDCG@10 (trec_eval ndcg, 2^rel - 1 gains) over the
+        # matched-term-count graded pool ERR uses
+        return M.ndcg_graded_at_k(
+            _bm25_topk(spark, sf), _graded_pool(spark, sf), k=10
+        )
+
     def curation_c4_q(spark, sf):
         # C4 line-cleaning rules (Raffel et al. 2020 §2.2); flags cast to
         # 0/1 BIGINT — every emitted value is an exact integer
@@ -6254,6 +6261,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "err_at_10": err_q,
         "rbp_at_10": rbp_q,
         "iprec_curve": iprec_q,
+        "ndcg_graded_at_10": ndcg_graded_q,
         "boosted_topk": boosted_topk_q,
         "boosted_index_identity": boosted_index_identity_q,
         "boosting_topk": boosting_topk_q,
@@ -7090,6 +7098,35 @@ curves AS (
 SELECT g.qid, l.level, coalesce(c.iprec, 0.0) AS iprec
 FROM qlist g CROSS JOIN lv l
 LEFT JOIN curves c ON c.qid = g.qid AND c.level = l.level""",
+        # graded-gain NDCG@10 over the matched-term-count pool: DuckDB's
+        # double pow/log2 match Spark's; round6 absorbs sum-order noise
+        # (the binary ndcg oracle's established contract)
+        "ndcg_graded_at_10": f"""{metric_prefix},
+pool AS (
+  SELECT q2.qid, tf.doc_id AS docid, count(*)::INTEGER AS rel
+  FROM (SELECT DISTINCT qid, term FROM q) q2
+  JOIN tf USING (term)
+  GROUP BY q2.qid, tf.doc_id
+),
+dcg_t AS (
+  SELECT r.qid,
+         sum((power(2, least(p.rel, 30)) - 1) / log2(r.rank + 1)) AS dcg
+  FROM {topk10} r
+  JOIN pool p ON p.qid = r.qid AND p.docid = r.docid AND p.rel > 0
+  GROUP BY 1
+),
+idcg_t AS (
+  SELECT qid,
+         sum((power(2, least(rel, 30)) - 1) / log2(rn + 1)) AS idcg
+  FROM (SELECT qid, rel,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC) AS rn
+        FROM pool WHERE rel > 0)
+  WHERE rn <= 10 GROUP BY 1
+)
+SELECT qlist.qid,
+       round(CASE WHEN coalesce(idcg, 0) > 0
+             THEN coalesce(dcg, 0) / idcg ELSE 0.0 END, 6) AS ndcg
+FROM qlist LEFT JOIN dcg_t USING (qid) LEFT JOIN idcg_t USING (qid)""",
         # ERR@10: graded pool (rel = matched-term count), cascade walk as a
         # windowed prefix product (product() is double but every value is an
         # integer < 2^53, so the BIGINT casts are exact) — numerator over

@@ -656,6 +656,70 @@ def iprec_at_recall(run: DataFrame, qrels: DataFrame, k: int = 1000) -> DataFram
     )
 
 
+def ndcg_graded_at_k(
+    run: DataFrame, qrels_graded: DataFrame, k: int = 10
+) -> DataFrame:
+    """(qid, ndcg): graded-gain NDCG@k (trec_eval ``ndcg`` / Burges gains):
+
+        dcg  = Σ over judged hits of (2^rel − 1) / log2(rank + 1)
+        idcg = Σ_{i=1..min(#rel>0, k)} (2^g_(i) − 1) / log2(i + 1)
+
+    with g_(i) the grades sorted descending — the ideal ordering. The
+    binary-gain twin (ndcg_at_k) keeps the reference's BEIR parity;
+    this is the graded companion ERR/bpref callers expect. rel is
+    capped at 30 so 2^rel stays in int64; rel <= 0 contributes nothing.
+    Same rounding contract as ndcg_at_k (round 6)."""
+    gain = F.pow(F.lit(2.0), F.least(F.col("rel"), F.lit(30))) - 1
+    pool = qrels_graded.filter(F.col("rel") > 0).select(
+        "qid", "docid", gain.alias("gain"), F.col("rel").alias("rel")
+    )
+    dcg = (
+        run.filter(F.col("rank") <= k)
+        .join(pool, ["qid", "docid"])
+        .groupBy("qid")
+        .agg(F.sum(F.col("gain") / F.log2(F.col("rank") + 1)).alias("dcg"))
+    )
+    idcg = (
+        pool.groupBy("qid")
+        .agg(F.reverse(F.array_sort(F.collect_list("rel"))).alias("gs"))
+        .select(
+            "qid",
+            F.aggregate(
+                F.slice("gs", 1, k),
+                F.struct(
+                    F.lit(0.0).alias("s"), F.lit(0).cast("int").alias("i")
+                ),
+                lambda acc, g: F.struct(
+                    (
+                        acc["s"]
+                        + (
+                            F.pow(F.lit(2.0), F.least(g, F.lit(30))) - 1
+                        )
+                        / F.log2(acc["i"].cast("double") + 2)
+                    ).alias("s"),
+                    (acc["i"] + 1).alias("i"),
+                ),
+                lambda acc: acc["s"],
+            ).alias("idcg"),
+        )
+    )
+    return (
+        _qids(run, qrels_graded)
+        .join(dcg, "qid", "left")
+        .join(idcg, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.when(
+                    F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+                    F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
 def mean_metric(per_query: DataFrame, col: str) -> DataFrame:
     """Collapse a per-qid metric to its global mean (the reference's headline
     number, e.g. MRR@10 over all dev queries)."""

@@ -293,3 +293,26 @@ def test_iprec_at_recall_hand_example(spark, run):
     for qid in ("q1", "q2", "q3"):
         curve = [got[(qid, lv)] for lv in range(11)]
         assert curve == sorted(curve, reverse=True)
+
+
+def test_ndcg_graded_hand_example(spark, run):
+    import math
+
+    qr = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 12, 3), ("q1", 99, 2), ("q2", 5, 2),
+         ("q3", 30, 0)],
+        "qid string, docid long, rel int",
+    )
+    got = _by_qid(M.ndcg_graded_at_k(run, qr, k=10), "ndcg")
+    dcg = (2 ** 1 - 1) / math.log2(2) + (2 ** 3 - 1) / math.log2(4)
+    idcg = ((2 ** 3 - 1) / math.log2(2) + (2 ** 2 - 1) / math.log2(3)
+            + (2 ** 1 - 1) / math.log2(4))
+    assert got["q1"] == round(dcg / idcg, 6)
+    assert got["q2"] == 0.0  # relevant doc never retrieved
+    assert got["q3"] == 0.0  # only a rel=0 judgment: no gain, no idcg
+    # perfect ranking of the graded pool scores exactly 1.0
+    perfect = spark.createDataFrame(
+        [("q1", 12, 1, 9.0), ("q1", 99, 2, 8.0), ("q1", 10, 3, 7.0)],
+        "qid string, docid long, rank int, score double",
+    )
+    assert _by_qid(M.ndcg_graded_at_k(perfect, qr, k=10), "ndcg")["q1"] == 1.0
