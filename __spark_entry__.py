@@ -5792,7 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "docid",
         ).select("qid", "index_id", "rank")
-        return redde_scores(tagged, stats, n=REDDE_N)
+        return redde_scores(tagged, stats, n=REDDE_N, qids=_qtfs(spark))
 
     KMV_K = 64
 
@@ -8071,18 +8071,19 @@ votes AS (
 ),
 grid AS (
   SELECT qs.qid, st.index_id, st.n_docs, st.n_sample
-  FROM (SELECT DISTINCT qid FROM tagged) qs CROSS JOIN stats st
+  FROM (SELECT DISTINCT qid FROM q) qs CROSS JOIN stats st
 ),
 o AS (
   SELECT g.qid, g.index_id, coalesce(v.votes, 0)::BIGINT AS votes,
          CASE WHEN g.n_sample > 0
               THEN (coalesce(v.votes, 0) * g.n_docs)::DOUBLE / g.n_sample::DOUBLE
-              ELSE 0.0 END AS est_rel
+              ELSE 0.0 END AS est_rel,
+         g.n_docs
   FROM grid g LEFT JOIN votes v ON v.qid = g.qid AND v.index_id = g.index_id
 )
 SELECT qid, index_id, votes, est_rel,
        CAST(row_number() OVER (
-         PARTITION BY qid ORDER BY est_rel DESC, index_id ASC
+         PARTITION BY qid ORDER BY est_rel DESC, n_docs DESC, index_id ASC
        ) AS INTEGER) AS rank
 FROM o""",
         "cori_shard_ranks": f"""WITH {_TOKS_CTE}, {_q_values()},

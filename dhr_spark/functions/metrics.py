@@ -613,14 +613,23 @@ def iprec_at_recall(run: DataFrame, qrels: DataFrame, k: int = 1000) -> DataFram
     the suffix max picks among identical doubles on every engine, so the
     curve is bit-stable cross-engine. One join + two windows; queries
     with no relevant docs emit the all-zero curve (trec_eval behavior).
+    Relevance is binary over graded qrels: when a ``rel`` column is
+    present only rel > 0 rows are relevant (trec_eval's iprec uses the
+    judged-RELEVANT pool; judged-nonrelevant rel=0 rows must neither
+    inflate R nor count as hits), matching rbp_at_k's column check.
     """
     levels = F.explode(F.array(*[F.lit(i) for i in range(11)])).alias("level")
-    rel_counts = qrels.select("qid", "docid").distinct().groupBy("qid").agg(
+    rel_pool = (
+        qrels.filter(F.col("rel") > 0)
+        if "rel" in qrels.columns
+        else qrels
+    )
+    rel_counts = rel_pool.select("qid", "docid").distinct().groupBy("qid").agg(
         F.count("*").alias("n_rel")
     )
     hits = (
         run.filter(F.col("rank") <= k)
-        .join(qrels.select("qid", "docid").distinct(), ["qid", "docid"], "left_semi")
+        .join(rel_pool.select("qid", "docid").distinct(), ["qid", "docid"], "left_semi")
     )
     w_cum = (
         Window.partitionBy("qid")

@@ -1034,7 +1034,10 @@ class MultiSearcher:
             est_rel_i = votes_i * n_docs_i / n_sample_i
 
         (the expected number of relevant docs member i holds, under the
-        uniform-sample assumption). Ranks every member for every query —
+        uniform-sample assumption). Ranks every member for EVERY input
+        query — including queries whose terms miss the CSI sample
+        entirely, which fall back to ranking members by n_docs DESC
+        (reduced-recall degradation, never silent query loss) — and
         zero-vote members rank last with est_rel 0. Exactness: votes and
         n_docs are exact integers; est_rel is ONE IEEE division, so ranks
         are engine-stable. Selection cost is one top-n search of a
@@ -1064,11 +1067,14 @@ class MultiSearcher:
             ],
             "index_id int, n_docs long, n_sample long",
         )
-        return redde_scores(tagged, stats, n=n)
+        return redde_scores(tagged, stats, n=n, qids=queries)
 
 
 def redde_scores(
-    sample_hits: DataFrame, shard_stats: DataFrame, n: int = 100
+    sample_hits: DataFrame,
+    shard_stats: DataFrame,
+    n: int = 100,
+    qids: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, index_id, votes, est_rel, rank): the ReDDE vote aggregation
     (Si & Callan, SIGIR 2003) as pure DataFrame algebra — independent of
@@ -1078,9 +1084,16 @@ def redde_scores(
     ``sample_hits``: (qid, index_id, rank) — one row per retrieved sample
     doc, already attributed to its source shard. ``shard_stats``:
     (index_id, n_docs, n_sample) — live size and sample size per shard.
+    ``qids``: the query universe (any frame with a qid column). When given,
+    EVERY input query gets a full member ranking even if none of its terms
+    hit the CSI sample — zero-vote queries degrade to ranking members by
+    n_docs DESC (largest shard first), never to silent query loss. When
+    omitted, the grid falls back to the qids present in ``sample_hits``
+    (the pre-round-4 behavior, kept for twins that share the hit frame).
     Every (qid, shard) pair is emitted (zero votes → est_rel 0.0);
     est_rel = (votes·n_docs)/n_sample with an exact int64 numerator and
-    ONE IEEE division; ranks break est_rel ties by index_id ASC."""
+    ONE IEEE division; ranks break est_rel ties by n_docs DESC then
+    index_id ASC."""
     from pyspark.sql import Window
 
     if n < 1:
@@ -1090,7 +1103,8 @@ def redde_scores(
         .groupBy("qid", "index_id")
         .agg(F.count("*").cast("long").alias("votes"))
     )
-    grid = sample_hits.select("qid").distinct().crossJoin(
+    base = qids if qids is not None else sample_hits
+    grid = base.select("qid").distinct().crossJoin(
         F.broadcast(shard_stats.select("index_id", "n_docs", "n_sample"))
     )
     out = grid.join(votes, ["qid", "index_id"], "left").select(
@@ -1106,8 +1120,12 @@ def redde_scores(
         )
         .otherwise(F.lit(0.0))
         .alias("est_rel"),
+        "n_docs",
     )
     w = Window.partitionBy("qid").orderBy(
-        F.col("est_rel").desc(), F.col("index_id").asc()
+        F.col("est_rel").desc(), F.col("n_docs").desc(), F.col("index_id").asc()
     )
-    return out.withColumn("rank", F.row_number().over(w).cast("int"))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .drop("n_docs")
+    )

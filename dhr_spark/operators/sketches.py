@@ -533,7 +533,11 @@ def quantile_sketch(
         F.col(value_col).cast("long").alias("_v"),
     )
 
-    out_fields = ", ".join(f"{g} string" for g in gcols)
+    # group columns keep their INPUT types (an int category must not be
+    # silently stringified by the partial pass) — read them off the
+    # projected frame's schema instead of hardcoding string
+    gtypes = {f.name: f.dataType.simpleString() for f in hashed.schema.fields}
+    out_fields = ", ".join(f"{g} {gtypes[g]}" for g in gcols)
     schema = (
         (out_fields + ", " if out_fields else "")
         + "ph array<long>, pv array<long>"

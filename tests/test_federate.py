@@ -642,7 +642,12 @@ def test_redde_csi_build_and_rank(spark, stored_pair, queries):
             m = stats[r["index_id"]]
             assert r["est_rel"] == r["votes"] * m["n_docs"] / m["n_sample"]
         a, b = sorted(rs, key=lambda r: r["rank"])
-        assert (a["est_rel"], -a["index_id"]) >= (b["est_rel"], -b["index_id"])
+        # est_rel DESC, ties by n_docs DESC then index_id ASC
+        assert (
+            a["est_rel"], stats[a["index_id"]]["n_docs"], -a["index_id"]
+        ) >= (
+            b["est_rel"], stats[b["index_id"]]["n_docs"], -b["index_id"]
+        )
 
 
 def test_redde_guards(spark, stored_pair, sharded, queries, tmp_path):
@@ -681,6 +686,15 @@ def test_redde_guards(spark, stored_pair, sharded, queries, tmp_path):
     out = {r["index_id"]: r for r in redde_scores(hits, st2, n=5).collect()}
     assert out[1]["votes"] == 0 and out[1]["est_rel"] == 0.0
     assert out[0]["est_rel"] == 2.0  # 1 vote * 10 / 5
+    # a query with ZERO sample hits still gets a full member ranking
+    # (n_docs DESC fallback), never silent query loss
+    qframe = spark.createDataFrame([("q",), ("qmiss",)], "qid string")
+    out2 = redde_scores(hits, st2, n=5, qids=qframe).collect()
+    miss = sorted(
+        (r for r in out2 if r["qid"] == "qmiss"), key=lambda r: r["rank"]
+    )
+    assert [r["index_id"] for r in miss] == [1, 0]  # 99 docs ranks first
+    assert all(r["votes"] == 0 and r["est_rel"] == 0.0 for r in miss)
 
 
 def test_redde_select_all_equals_full_search(spark, stored_pair, queries):

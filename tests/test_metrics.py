@@ -295,6 +295,28 @@ def test_iprec_at_recall_hand_example(spark, run):
         assert curve == sorted(curve, reverse=True)
 
 
+def test_iprec_at_recall_graded_qrels_ignore_rel0(spark, run):
+    # graded qrels with judged-NONRELEVANT rel=0 rows (the bpref pool):
+    # rel=0 docs must neither inflate R nor count as hits — trec_eval's
+    # iprec_at_recall_* uses the rel > 0 pool only. Same pool as the
+    # binary hand example once rel=0 rows drop, so the curves must match.
+    graded = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 12, 2), ("q1", 99, 1),
+         ("q1", 11, 0),  # judged nonrelevant — was wrongly a hit pre-fix
+         ("q3", 30, 1), ("q3", 20, 0)],
+        "qid string, docid long, rel int",
+    )
+    binary = spark.createDataFrame(
+        [("q1", 10), ("q1", 12), ("q1", 99), ("q3", 30)],
+        "qid string, docid long",
+    )
+    got_g = {(r["qid"], r["level"]): r["iprec"]
+             for r in M.iprec_at_recall(run, graded, k=10).collect()}
+    got_b = {(r["qid"], r["level"]): r["iprec"]
+             for r in M.iprec_at_recall(run, binary, k=10).collect()}
+    assert got_g == got_b
+
+
 def test_ndcg_graded_hand_example(spark, run):
     import math
 

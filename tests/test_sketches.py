@@ -706,6 +706,30 @@ def test_quantile_sketch_grouped_and_partition_invariant(spark):
         assert s == sorted(s)
 
 
+def test_quantile_sketch_int_group_col_keeps_type(spark):
+    # non-string group columns must survive the partial pass with their
+    # input type (an int category must not be coerced to string)
+    from pyspark.sql.types import IntegerType
+
+    from dhr_spark.operators.sketches import quantile_sketch
+
+    df = _qs_rows(spark, 200).withColumn(
+        "cat", (F.col("v") % 3).cast("int")
+    )
+    sk = quantile_sketch(df, "v", "key", k=16, group_cols=("cat",))
+    assert isinstance(sk.schema["cat"].dataType, IntegerType)
+    rows = sk.collect()
+    assert {r["cat"] for r in rows} == {0, 1, 2}
+    # same merge result as the equivalent stringified grouping
+    via_str = quantile_sketch(
+        df.withColumn("cat", F.col("cat").cast("string")),
+        "v", "key", k=16, group_cols=("cat",),
+    )
+    lhs = {str(r["cat"]): [tuple(x) for x in r["sample"]] for r in rows}
+    rhs = {r["cat"]: [tuple(x) for x in r["sample"]] for r in via_str.collect()}
+    assert lhs == rhs
+
+
 def test_quantile_estimate_accuracy_and_guards(spark):
     from dhr_spark.operators.sketches import quantile_estimate, quantile_sketch
 
