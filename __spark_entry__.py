@@ -456,6 +456,9 @@ cs AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
 ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
 """
 
+# the full Lucene stopword list as a SQL IN-list (transcripts_bm25 oracle)
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(LUCENE_STOPWORDS))
+
 _HASH60 = (
     "list_sum(list_transform(range(1, 16), j -> "
     "(strpos('0123456789abcdef', substr(md5({arg}), CAST(j AS INTEGER), 1)) - 1)::BIGINT"
@@ -465,6 +468,23 @@ _HASH60 = (
 
 def _q_values() -> str:
     vals = ", ".join(f"('{q}', '{t}', {c})" for q, t, c in _query_tf())
+    return f"q(qid, term, qtf) AS (VALUES {vals})"
+
+
+def _q_values_lucene() -> str:
+    """Lucene-analyzed (stopword + Porter) query tf VALUES — computed by
+    the pure-Python analyzer (its own hand-example pytest oracle), so the
+    DuckDB side never needs to stem query text."""
+    from dhr_spark.functions.analyzer import _ANALYZERS
+
+    analyze = _ANALYZERS["lucene"]
+    rows: list[tuple[str, str, int]] = []
+    for qid, text in BM25_QUERIES:
+        tf: dict[str, int] = {}
+        for t in analyze(text):
+            tf[t] = tf.get(t, 0) + 1
+        rows += [(qid, t, c) for t, c in sorted(tf.items())]
+    vals = ", ".join(f"('{q}', '{t}', {c})" for q, t, c in rows)
     return f"q(qid, term, qtf) AS (VALUES {vals})"
 
 
@@ -2949,6 +2969,37 @@ SELECT qid, vec_id,
 FROM ivscored QUALIFY rank <= 10"""
 
 
+
+def _ann_recall_sql() -> str:
+    """recall@10-vs-brute report: wraps the full ivf / ivfpq / pq oracle
+    queries AND the brute-force scan as subqueries, then replays the same
+    |ann ∩ brute| / 10 set algebra as the Spark entry."""
+    brute = """
+SELECT qid, vec_id FROM (
+  SELECT q.vec_id AS qid, c.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 5
+)
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) <= 10"""
+    legs = []
+    for name, sql in (
+        ("ivf", _ivf_sql()), ("ivfpq", _ivfpq_sql()), ("pq", _pq_sql()),
+    ):
+        legs.append(f"""
+SELECT '{name}' AS method, ql.qid,
+       coalesce(h.n_hit, 0)::DOUBLE / 10.0 AS recall
+FROM qlist ql LEFT JOIN (
+  SELECT a.qid, count(*)::BIGINT AS n_hit
+  FROM ({sql}) a JOIN brute b ON b.qid = a.qid AND b.vec_id = a.vec_id
+  GROUP BY 1
+) h ON h.qid = ql.qid""")
+    u = "\nUNION ALL\n".join(legs)
+    return f"""WITH brute AS ({brute}),
+qlist AS (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < 5)
+{u}"""
+
+
 def _semdedup_sql(
     threshold: float = 0.35, k: int = 8, iters: int = 2, dim: int = 64
 ) -> tuple[str, str]:
@@ -3300,6 +3351,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _wand_index_dir(spark, sf)
         return _round4(search_wand(spark, idx, _queries_df(spark), k=TOPK))
 
+    def bm25_topk_bigbatch_q(spark, sf):
+        # the fully DISTRIBUTED batch path (Searcher.search_batch): no
+        # driver query dict at any size — Arrow-UDF query analysis,
+        # dictionary equi-join, decoded-postings scoring join. Same oracle
+        # as wand_topk: the path must be rank/score-identical to search;
+        # bench.py times it at 100k synthetic queries (the regime the
+        # MAX_COLLECTED_QUERIES gate routes here)
+        from dhr_spark.operators.wand import Searcher
+
+        idx = _wand_index_dir(spark, sf)
+        return _round4(
+            Searcher(spark, idx).search_batch(_queries_df(spark), k=TOPK)
+        )
+
     def trec_run_q(spark, sf):
         return trec_run_lines(_bm25_topk(spark, sf))
 
@@ -3539,6 +3604,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("qid"), "embedding"
         )
         return SIM.cosine_topk_quantized(qs, embs, k=10)
+
+    def ann_recall_q(spark, sf):
+        # ANN quality report (round-3 verdict item 10): per-query
+        # recall@10 vs the brute-force cosine ground truth for the three
+        # quantized/partitioned methods at their entry-pinned parameters.
+        # recall = |ann∩brute| / 10 — one exact small-int division, so the
+        # hash pins every value; the oracle replays each method's full
+        # k-means/ADC chain AND the brute scan, then the same set algebra
+        from dhr_spark.operators.ivf import cosine_topk_ivf
+        from dhr_spark.operators.pq import cosine_topk_ivfpq, cosine_topk_pq
+
+        embs = _embs(spark, sf)
+        qs = embs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        brute = SIM.cosine_topk_bruteforce(qs, embs, k=10).select(
+            "qid", "vec_id"
+        )
+        methods = (
+            ("ivf", cosine_topk_ivf(qs, embs, k=10)),
+            ("ivfpq", cosine_topk_ivfpq(qs, embs, k=10)),
+            ("pq", cosine_topk_pq(qs, embs, k=10)),
+        )
+        out = None
+        for name, df in methods:
+            n = (
+                df.select("qid", "vec_id")
+                .join(brute, ["qid", "vec_id"], "left_semi")
+                .groupBy("qid")
+                .agg(F.count("*").alias("n_hit"))
+            )
+            rep = (
+                qs.select("qid")
+                .join(n, "qid", "left")
+                .select(
+                    F.lit(name).alias("method"),
+                    "qid",
+                    (
+                        F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                        / 10.0
+                    ).alias("recall"),
+                )
+            )
+            out = rep if out is None else out.unionByName(rep)
+        return out
 
     def token_counts_q(spark, sf):
         return TS.token_counts(_docs(spark, sf))
@@ -3899,12 +4009,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.hole_at_k(_bm25_topk(spark, sf), _qrels(spark, sf), k=10)
 
     def transcripts_bm25_q(spark, sf):
-        # full lucene-analyzer transcripts pipeline (rows-only: the analyzer
-        # is deliberately NOT SQL-expressible; pytest owns its oracle)
-        from dhr_spark.data.synthetic import synth_queries, synth_transcripts
+        # full lucene-analyzer (stopword + Porter) transcripts pipeline,
+        # now with a COMPLETE DuckDB oracle (round-3 verdict item 4: this
+        # was the one permanently-`no_oracle` entry). The transcripts are
+        # derived from the documents table by the SQL-replayable bijection
+        # conv = doc_id % 97, turn = doc_id // 97 — so the `window` docid
+        # assignment (row_number over conv_id ASC, turn_idx ASC) permutes
+        # docids nontrivially and the oracle replays it exactly. The
+        # corpus vocabulary is CLOSED (31 generator words, identical at
+        # every sf), which makes the Lucene chain SQL-expressible: simple
+        # split == StandardTokenizer on this text, stopword filter is a
+        # literal NOT IN, Porter is a 6-row embedded stem map.
         from dhr_spark.operators.docids import with_docids
 
-        docs = with_docids(synth_transcripts(spark, n_convs=100), "window")
+        tr = _docs(spark, sf).select(
+            F.format_string(
+                "conv-%05d", F.pmod(F.col("doc_id"), F.lit(97))
+            ).alias("conv_id"),
+            F.floor(F.col("doc_id") / 97).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            "text",
+        )
+        docs = with_docids(tr, "window")
         tok = with_tokens(docs, mode="lucene")
         tfs = term_freqs(tok)
         dls = doc_lengths(tok)
@@ -3920,9 +4046,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("weight"))
         )
         qtfs = query_term_freqs(
-            with_tokens(synth_queries(spark, n_queries=10), mode="lucene")
+            with_tokens(_queries_df(spark), mode="lucene")
         )
-        return _round4(topk(score_all(qtfs, post, on="term"), 10))
+        hits = topk(score_all(qtfs, post, on="term"), TOPK)
+        # integer-micros 4-decimal emit: one of this corpus's scores sits
+        # EXACTLY on a .xxxx5 round-4 midpoint, where Spark (HALF_UP on
+        # the decimal string) and DuckDB (binary double) disagree — so
+        # both engines round the exact 6-decimal integer micros instead
+        micros = F.round(F.col("score") * 1_000_000, 0).cast("long")
+        return hits.select(
+            "qid", "docid", "rank",
+            (F.floor((micros + 50) / 100) / 10000.0).alias("score"),
+        )
 
     def wand_vs_slow_q(spark, sf):
         # self-check: COUNT of rows where the block-max WAND fast path
@@ -5907,6 +6042,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qw = _qtfs(spark).withColumnRenamed("qtf", "qweight")
         return impact_topk(_impacts_frame(spark, sf), qw, k=TOPK)
 
+    def impact_from_text_q(spark, sf):
+        # end-to-end learned-sparse pipeline from RAW TEXT — encoder →
+        # quantizer → retrieval with no external model (the reference's
+        # --model deepimpact switch, densify_corpus.py:109, had no
+        # self-contained counterpart before): SPLADE-style log-saturation
+        # weights (encode_term_weights), Anserini 8-bit quantization,
+        # DeepImpact-convention query side (analyzed term counts)
+        from dhr_spark.operators.impact import (
+            encode_term_weights,
+            impact_topk,
+            quantize_impacts,
+        )
+
+        tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        imp = quantize_impacts(encode_term_weights(tok), bits=8)
+        qw = _qtfs(spark).withColumnRenamed("qtf", "qweight")
+        return impact_topk(imp, qw, k=TOPK)
+
     def impact_index_identity_q(spark, sf):
         # block-max WAND over the impact index == the DataFrame slow path;
         # oracle pins the disagreement count to 0
@@ -6160,6 +6313,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "bm25_topk": bm25_topk_q,
         "bm25_topk_twostage": bm25_topk_twostage_q,
         "wand_topk": wand_topk_q,
+        "bm25_topk_bigbatch": bm25_topk_bigbatch_q,
         "trec_run": trec_run_q,
         "mrr_at_10": mrr_q,
         "ndcg_at_10": ndcg_q,
@@ -6174,6 +6328,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "ann_ivf": ann_ivf_q,
         "ann_lsh": ann_lsh_q,
         "ann_quantized": ann_quant_q,
+        "ann_recall_report": ann_recall_q,
         "densify_slots": densify_q,
         "densify_collisions": densify_collisions_q,
         "gip_topk": gip_topk_q,
@@ -6290,6 +6445,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "dedup_paragraphs": paragraph_dedup_q,
         "impact_quantize": impact_quantize_q,
         "impact_topk": impact_topk_q,
+        "impact_from_text_topk": impact_from_text_q,
         "impact_index_identity": impact_index_identity_q,
         "dedup_dup_spans": dup_spans_q,
         "dedup_strip_spans": strip_spans_q,
@@ -6337,6 +6493,7 @@ FROM tf JOIN ts USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN cs""",
         "bm25_topk": _TOPK_SQL,
         "bm25_topk_twostage": _TOPK_SQL,
         "wand_topk": _TOPK_SQL,
+        "bm25_topk_bigbatch": _TOPK_SQL,
         "trec_run": f"WITH {_TOKS_CTE}, {_q_values()}, {_SCORED_CTE} {trec}",
         "trec_roundtrip": _TOPK_SQL,
         "qrels_roundtrip": (
@@ -6826,6 +6983,7 @@ SELECT id_a, id_b, cosine FROM (
         "ann_ivf": _ivf_sql(),
         "ann_pq": _pq_sql(),
         "ann_ivfpq": _ivfpq_sql(),
+        "ann_recall_report": _ann_recall_sql(),
         "ann_quantized": _ANN_QUANT_SQL,
         "dedup_embedding_lsh": _EMB_LSH_SQL,
         "dedup_semdedup": _SEMDEDUP_PAIRS_SQL,
@@ -7222,8 +7380,63 @@ SELECT doc_id, 200::BIGINT AS n_samples, 16000::BIGINT AS sample_rate,
        max(abs(v))::BIGINT AS peak
 FROM lagd GROUP BY doc_id""",
         "syntax_range_topk": _RANGE_TOPK_SQL,
-        # transcripts_bm25: intentionally no oracle (the Lucene analyzer is
-        # deliberately not SQL-expressible; pytest owns its oracle) -> rows-only
+        # transcripts_bm25: the Lucene chain replayed in SQL — legal here
+        # because the corpus vocabulary is CLOSED (31 generator words):
+        # split == StandardTokenizer on this text, stopwords are a literal
+        # NOT IN, Porter is the embedded 6-row stem map (only 6 of the 29
+        # non-stopword vocab words change under Porter); docid replays the
+        # window strategy's row_number over (conv_id, turn_idx)
+        "transcripts_bm25": f"""WITH
+tr AS (
+  SELECT text, doc_id % 97 AS cnum, doc_id // 97 AS tnum FROM documents
+),
+ids AS (
+  SELECT text, row_number() OVER (ORDER BY cnum, tnum) - 1 AS docid FROM tr
+),
+stem(term, sterm) AS (VALUES
+  ('customer', 'custom'), ('key', 'kei'), ('merge', 'merg'),
+  ('query', 'queri'), ('table', 'tabl'), ('value', 'valu')),
+rawtok AS (
+  SELECT docid,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM ids
+),
+tok AS (
+  SELECT r.docid, coalesce(s.sterm, r.term) AS term
+  FROM rawtok r LEFT JOIN stem s USING (term)
+  WHERE r.term NOT IN ({_STOPLIST_SQL})
+),
+tf AS (SELECT docid, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT i.docid, coalesce(c.dl, 0)::BIGINT AS dl
+  FROM ids i LEFT JOIN (
+    SELECT docid, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+  ) c USING (docid)
+),
+cs AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+{_q_values_lucene()},
+scored AS (
+  SELECT q.qid, tf.docid,
+         sum(q.qtf * ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+             * tf.tf / (tf.tf + 0.9 * (0.6 + 0.4 * dl.dl / cs.avgdl))) AS score
+  FROM q JOIN tf USING (term) JOIN ts USING (term)
+  JOIN dl ON dl.docid = tf.docid CROSS JOIN cs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(score, 6) AS score
+  FROM scored
+)
+SELECT qid, docid, rank,
+       ((CAST(round(score * 1000000, 0) AS BIGINT) + 50) // 100)::DOUBLE
+         / 10000 AS score
+FROM ranked WHERE rank <= {TOPK}""",
         # FunctionScoreQuery: round6 relevance -> exact integer micros,
         # scaled by the integer signal, ONE trailing IEEE division (the
         # repo's midpoint-free float-composite pattern)
@@ -7840,6 +8053,36 @@ ranked AS (
 )
 SELECT qid, docid, rank, score FROM ranked WHERE rank <= 20""",
         "impact_index_identity": "SELECT 0::BIGINT AS mismatches",
+        # from-raw-text learned-sparse chain: SPLADE-shape ln(1+tf)·idf
+        # weights lifted to exact micros, Anserini 8-bit integer-exact
+        # quantization, Σ qtf·impact integer scores
+        "impact_from_text_topk": f"""WITH {_TOKS_CTE}, {_q_values()},
+w6 AS (
+  SELECT tf.doc_id AS docid, tf.term,
+         CAST(round(round(
+           ln(1 + tf.tf) * ln(1 + (cs.n_docs - ts.df + 0.5) / (ts.df + 0.5)),
+         6) * 1000000, 0) AS BIGINT) AS w6
+  FROM tf JOIN ts USING (term) CROSS JOIN cs
+),
+mx AS (SELECT max(w6) AS mx6 FROM w6 WHERE w6 > 0),
+imp AS (
+  SELECT docid, term,
+         greatest(1::BIGINT, ((w6 * 255 + mx6 // 2) // mx6))::BIGINT AS impact
+  FROM w6 CROSS JOIN mx WHERE w6 > 0
+),
+scored AS (
+  SELECT q.qid, imp.docid, sum(q.qtf * imp.impact)::DOUBLE AS score
+  FROM q JOIN imp USING (term) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(score, 6) DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         round(score, 6) AS score
+  FROM scored
+)
+SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""",
         # Lee et al. exact-substring dedup: positional 8-gram windows,
         # corpus-wide repeat tag, gaps-and-islands merge (gap > n breaks)
         "dedup_dup_spans": f"""WITH {_TOKS_CTE},

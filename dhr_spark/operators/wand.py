@@ -962,6 +962,86 @@ class Searcher:
         qinfo, all_terms = self._query_info(queries)
         return self._search_prepared(qinfo, all_terms, k, prune)
 
+    def search_batch(self, queries: DataFrame, k: int = 1000) -> DataFrame:
+        """(qid, docid, rank, score): FULLY DISTRIBUTED batch search — the
+        first-class form of the > MAX_COLLECTED_QUERIES path that the
+        ``_query_info`` gate error points at. No driver-resident query
+        state at ANY query-set size: analysis runs as an Arrow UDF stage
+        over the query frame, the dictionary resolves by equi-join (never
+        a collected term dict), postings decode per segment partition into
+        (term_id, docid, tf) rows, and scoring is one shuffled aggregate.
+        Rank/score contract is identical to ``search`` (round-6 score ties
+        broken by docid ASC) — pinned by a pytest identity test and the
+        driver's ``bm25_topk_bigbatch`` oracle.
+
+        When to use which: ``search`` (the collected-kernel path) is
+        faster below ~10^5 queries — query prep is zero or one tiny job
+        and the scoring kernel early-terminates per chunk. This path is
+        for offline evals at 10^5–10^9 queries, where a driver query dict
+        is the scale killer; its cost is one full decode of the matched
+        posting lists (no block-max pruning — with 10^5+ queries batched,
+        essentially every block contains some query's candidate anyway,
+        so pruning would buy nothing).
+
+        Scale shape: segments prune to the queried term_ids by semi-join
+        (AQE picks build side), decode is mapInPandas over the pruned
+        partitions, the scoring join shuffles on term_id then aggregates
+        on (qid, docid) — the same two-wide-shuffle plan as the oracle
+        slow path, with no collect anywhere.
+        """
+        from dhr_spark.functions.bm25 import bm25_weight_col
+        from dhr_spark.index.compact import decode_doclens, decode_segments
+        from dhr_spark.operators.termfreq import with_tokens
+        from dhr_spark.operators.topk import topk
+
+        if self._scoring != "bm25":
+            raise ValueError(
+                "search_batch scores text (bm25) indexes; impact indexes "
+                "take the distributed path operators.impact.impact_topk"
+            )
+        qtok = with_tokens(
+            queries.select("qid", "text"),
+            mode=self.manifest["analyzer_mode"],
+        )
+        qtfs = (
+            qtok.select("qid", F.explode("tokens").alias("term"))
+            .groupBy("qid", "term")
+            .agg(F.count("*").alias("qtf"))
+        )
+        tdict = self._tdict
+        if self._idf_dict_over:
+            ov = self.spark.createDataFrame(
+                [(t, float(v)) for t, v in self._idf_dict_over.items()],
+                "term string, _oidf double",
+            )
+            tdict = (
+                tdict.join(F.broadcast(ov), "term", "left")
+                .select(
+                    "term", "term_id",
+                    F.coalesce("_oidf", "idf").alias("idf"),
+                )
+            )
+        qterms = qtfs.join(tdict, "term").select("qid", "term_id", "qtf", "idf")
+        tids = qterms.select("term_id").distinct()
+        seg = self._seg.join(tids, "term_id", "left_semi")
+        posts = self._filter_live(
+            decode_segments(
+                seg, int(self.manifest["block_size"]), codec=self._codec
+            )
+        )
+        dl = decode_doclens(self._dl).select("docid", "dl")
+        w = bm25_weight_col(
+            F.col("tf"), F.col("dl"), F.col("idf"),
+            F.lit(self._avgdl), self.k1, self.b,
+        )
+        scored = (
+            posts.join(qterms, "term_id")
+            .join(dl, "docid")
+            .groupBy("qid", "docid")
+            .agg(F.sum(F.col("qtf") * w).alias("score"))
+        )
+        return topk(scored, k)
+
     def search_impact(
         self, queries: DataFrame, k: int = 1000, prune: bool = True
     ) -> DataFrame:

@@ -291,3 +291,62 @@ def test_append_impacts_equals_rebuild(spark, tmp_path):
             ),
             d,
         )
+
+
+def test_encode_term_weights_hand_example(spark):
+    # 3-doc corpus; weight(d,t) = ln(1+tf)·ln(1+(N−df+.5)/(df+.5))
+    import math
+
+    from dhr_spark.operators.termfreq import with_tokens
+    from dhr_spark.operators.impact import encode_term_weights
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "c c c")],
+        "docid long, text string",
+    )
+    tok = with_tokens(docs, mode="simple")
+    got = {
+        (r["docid"], r["term"]): r["weight"]
+        for r in encode_term_weights(tok).collect()
+    }
+
+    def w(tf, df, n=3):
+        return math.log(1 + tf) * math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    want = {
+        (0, "a"): w(2, 2), (0, "b"): w(1, 1), (1, "a"): w(1, 2),
+        (1, "c"): w(1, 2), (2, "c"): w(3, 2),
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+
+def test_from_text_pipeline_end_to_end(spark, tmp_path):
+    # raw text -> encoder -> quantizer -> impact index -> WAND search ==
+    # the DataFrame slow path over the same impacts (no external model)
+    from dhr_spark.operators.termfreq import with_tokens
+    from dhr_spark.operators.impact import encode_term_weights
+
+    docs = spark.createDataFrame(CORPUS, "docid long, text string")
+    imp = quantize_impacts(
+        encode_term_weights(with_tokens(docs, mode="simple")), bits=8
+    )
+    d = str(tmp_path / "fromtext_idx")
+    build_impact_index(spark, imp, d, analyzer_mode="simple", chunk_bits=2)
+    qdf = spark.createDataFrame(QUERIES, "qid string, text string")
+    fast = Searcher(spark, d).search_impact(qdf, k=10)
+    # query side: analyzed term counts (DeepImpact convention)
+    qw = (
+        qdf.select("qid", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").cast("double").alias("qweight"))
+    )
+    slow = impact_topk(imp, qw, k=10)
+    lhs = {(r["qid"], r["docid"], r["rank"], round(r["score"], 6))
+           for r in fast.collect()}
+    rhs = {(r["qid"], r["docid"], r["rank"], round(r["score"], 6))
+           for r in slow.collect()}
+    assert lhs == rhs and lhs  # non-empty and identical
+    # corpus-max weight maps to 255 (Anserini convention)
+    assert imp.agg(F.max("impact")).collect()[0][0] == 255

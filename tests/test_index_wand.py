@@ -340,3 +340,35 @@ def test_auto_chunk_bits_build_and_resume_guard(spark, tmp_path):
                        docid_strategy="window", resume=True)
     assert man2["chunk_bits"] == 10
     assert load_manifest(d)["n_docs"] == man["n_docs"]
+
+
+def test_search_batch_matches_search(spark, built):
+    # the fully distributed big-batch path (no driver query dict) must be
+    # rank- and score-identical to the collected-kernel path
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, built["idx"])
+    fast = s.search(built["queries"], k=10)
+    dist = s.search_batch(built["queries"], k=10)
+    lhs = {(r["qid"], r["docid"], r["rank"], round(r["score"], 6))
+           for r in fast.collect()}
+    rhs = {(r["qid"], r["docid"], r["rank"], round(r["score"], 6))
+           for r in dist.collect()}
+    assert lhs == rhs and lhs
+
+
+def test_search_batch_oov_and_k1b_override(spark, built):
+    from dhr_spark.operators.wand import Searcher
+
+    # OOV-only query: no rows, no crash; k1/b overrides flow through
+    q = spark.createDataFrame(
+        [("qo", "zzyzx qqqqq")], "qid string, text string"
+    )
+    s = Searcher(spark, built["idx"])
+    assert s.search_batch(q, k=5).count() == 0
+    so = Searcher(spark, built["idx"], k1=1.2, b=0.75)
+    lhs = {(r["qid"], r["docid"], r["rank"], round(r["score"], 6))
+           for r in so.search(built["queries"], k=10).collect()}
+    rhs = {(r["qid"], r["docid"], r["rank"], round(r["score"], 6))
+           for r in so.search_batch(built["queries"], k=10).collect()}
+    assert lhs == rhs
