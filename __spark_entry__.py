@@ -6234,7 +6234,66 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
     # them), so rotating a green entry out of the driver window loses no
     # in-repo coverage.
     return {
-        # -- round-2 surface: no driver row yet (23 entries) ----------------
+        # -- round-4 driver window (slots 1-50): entries with NO prior
+        # driver-green row — the LLM-pipeline families the brief names
+        # first-class (curation/DSIR/packing/dedup-span/sketches/
+        # multimodal-decode/fusion/impact/intervals), the three entries
+        # that missed the r03 window by ordering, the newly-oracled
+        # transcripts_bm25, and the round-4 additions --
+        "transcripts_bm25": transcripts_bm25_q,
+        "impact_from_text_topk": impact_from_text_q,
+        "bm25_topk_bigbatch": bm25_topk_bigbatch_q,
+        "ann_recall_report": ann_recall_q,
+        "index_stats": index_stats_q,
+        "range_topk": range_topk_q,
+        "delete_identity": delete_identity_q,
+        "curation_c4": curation_c4_q,
+        "curation_gopher": curation_gopher_q,
+        "curation_pipeline": curation_pipeline_q,
+        "dsir_weights": dsir_weights_q,
+        "dsir_sample": dsir_sample_q,
+        "pack_sequences": pack_sequences_q,
+        "pack_layout_stats": pack_layout_stats_q,
+        "dedup_semdedup": dedup_semdedup_q,
+        "dedup_semdedup_keep": dedup_semdedup_keep_q,
+        "dedup_paragraphs": paragraph_dedup_q,
+        "dedup_strip_spans": strip_spans_q,
+        "dedup_dup_spans": dup_spans_q,
+        "dedup_span_fraction": dedup_span_fraction_q,
+        "decontaminate_bloom": decontaminate_bloom_q,
+        "sketch_hll": sketch_hll_q,
+        "sketch_cms": sketch_cms_q,
+        "sketch_bloom": sketch_bloom_q,
+        "sketch_kmv": kmv_sketch_q,
+        "sketch_kmv_estimate": kmv_estimate_q,
+        "sketch_kmv_jaccard": kmv_jaccard_q,
+        "sketch_quantile_sample": quantile_sample_q,
+        "sketch_quantiles": quantile_est_q,
+        "sketch_percentile_ranks": quantile_rank_q,
+        "multimodal_decode_image": mm_decode_image_q,
+        "multimodal_decode_rgb": mm_decode_rgb_q,
+        "multimodal_decode_audio": mm_decode_audio_q,
+        "rrf_fusion": rrf_fusion_q,
+        "combsum_fusion": combsum_fusion_q,
+        "combmnz_fusion": combmnz_fusion_q,
+        "fusion_interpolation": fusion_interp_q,
+        "rrf_index_identity": rrf_index_identity_q,
+        "impact_quantize": impact_quantize_q,
+        "impact_topk": impact_topk_q,
+        "impact_index_identity": impact_index_identity_q,
+        "intervals_ordered": intervals_ordered_q,
+        "intervals_unordered": intervals_unordered_q,
+        "intervals_prefix": intervals_prefix_q,
+        "mmr_rerank": mmr_rerank_q,
+        "significant_terms": significant_terms_q,
+        "bpref_at_10": bpref_q,
+        "err_at_10": err_q,
+        "rbp_at_10": rbp_q,
+        "iprec_curve": iprec_q,
+        # -- past the driver's 50-entry window: every entry below stays
+        # verified by the in-repo DuckDB-oracle pytest suite
+        # (tests/test_entry_oracle.py runs ALL of them), so rotating a
+        # driver-green entry out of the window loses no coverage --
         "phrase_match": phrase_match_q,
         "phrase_sloppy": phrase_sloppy_q,
         "phrase_proximity": phrase_proximity_q,
@@ -6256,9 +6315,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "gip_topk_lambda": gip_topk_lambda_q,
         "maxsim_topk": maxsim_q,
         "hybrid_topk": hybrid_q,
-        "transcripts_bm25": transcripts_bm25_q,
         "wand_vs_slow_identity": wand_vs_slow_q,
-        # -- round-3 additions are registered here (keep inside slot 50) ----
         "ann_pq": ann_pq_q,
         "phrase_batch": phrase_batch_q,
         "aggpool_vectors": aggpool_q,
@@ -6286,10 +6343,6 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "search_after_page": search_after_q,
         "term_vectors": term_vectors_q,
         "term_suggest": term_suggest_q,
-        "index_stats": index_stats_q,
-        "range_topk": range_topk_q,
-        "delete_identity": delete_identity_q,
-        # -- past the driver's 50-entry window: pytest-oracled only --
         "facet_ranges": facet_ranges_q,
         "phrase_prefix": phrase_prefix_q,
         "composite_hits": composite_hits_q,
@@ -6305,7 +6358,6 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "merge_identity": merge_identity_q,
         "dv_update_identity": dv_update_identity_q,
         "by_query_identity": by_query_identity_q,
-        # -- long-green round-1 entries --
         "term_freqs": term_freqs_q,
         "corpus_stats": corpus_stats_q,
         "term_stats": term_stats_q,
@@ -6313,7 +6365,6 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "bm25_topk": bm25_topk_q,
         "bm25_topk_twostage": bm25_topk_twostage_q,
         "wand_topk": wand_topk_q,
-        "bm25_topk_bigbatch": bm25_topk_bigbatch_q,
         "trec_run": trec_run_q,
         "mrr_at_10": mrr_q,
         "ndcg_at_10": ndcg_q,
@@ -6323,16 +6374,12 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "dedup_minhash_verified": dedup_minhash_verified_q,
         "dedup_clusters_lsh": dedup_clusters_lsh_q,
         "dedup_embedding_lsh": dedup_embedding_lsh_q,
-        "dedup_semdedup": dedup_semdedup_q,
-        "dedup_semdedup_keep": dedup_semdedup_keep_q,
         "ann_ivf": ann_ivf_q,
         "ann_lsh": ann_lsh_q,
         "ann_quantized": ann_quant_q,
-        "ann_recall_report": ann_recall_q,
         "densify_slots": densify_q,
         "densify_collisions": densify_collisions_q,
         "gip_topk": gip_topk_q,
-        # ---- slot >50: driver-rotated-out, pytest-covered -----------------
         "doc_lengths": doc_lengths_q,
         "trec_roundtrip": trec_roundtrip_q,
         "qrels_roundtrip": qrels_roundtrip_q,
@@ -6361,9 +6408,6 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "multimodal_frames": mm_frames_q,
         "multimodal_features": mm_features_q,
         "multimodal_resize": mm_resize_q,
-        # round-3 late additions (registered past the driver's 50-entry
-        # window this round; pytest test_entry_oracle.py checks them now,
-        # the window rotation next round makes them driver-visible)
         "qld_topk": qld_topk_q,
         "rocchio_expansion": rocchio_expansion_q,
         "rocchio_topk": rocchio_topk_q,
@@ -6401,21 +6445,6 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "spl_vs_slow_identity": spl_vs_slow_q,
         "dph_topk": dph_topk_q,
         "dph_vs_slow_identity": dph_vs_slow_q,
-        "multimodal_decode_image": mm_decode_image_q,
-        "multimodal_decode_rgb": mm_decode_rgb_q,
-        "multimodal_decode_audio": mm_decode_audio_q,
-        "curation_c4": curation_c4_q,
-        "curation_gopher": curation_gopher_q,
-        "curation_pipeline": curation_pipeline_q,
-        "rrf_fusion": rrf_fusion_q,
-        "fusion_interpolation": fusion_interp_q,
-        "combsum_fusion": combsum_fusion_q,
-        "combmnz_fusion": combmnz_fusion_q,
-        "rrf_index_identity": rrf_index_identity_q,
-        "bpref_at_10": bpref_q,
-        "err_at_10": err_q,
-        "rbp_at_10": rbp_q,
-        "iprec_curve": iprec_q,
         "ndcg_graded_at_10": ndcg_graded_q,
         "boosted_topk": boosted_topk_q,
         "boosted_index_identity": boosted_index_identity_q,
@@ -6424,37 +6453,15 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "subword_tokens": subword_tokens_q,
         "postings_list": postings_list_q,
         "recency_topk": recency_topk_q,
-        "pack_sequences": pack_sequences_q,
-        "pack_layout_stats": pack_layout_stats_q,
         "sample_mixture": sample_mixture_q,
         "ttest_mrr": ttest_mrr_q,
         "wilcoxon_mrr": wilcoxon_mrr_q,
         "bool_msm": bool_msm_q,
-        "dedup_span_fraction": dedup_span_fraction_q,
-        "significant_terms": significant_terms_q,
-        "mmr_rerank": mmr_rerank_q,
         "stats_hits": stats_hits_q,
         "histogram_hits": histogram_hits_q,
         "percentile_hits": percentile_hits_q,
-        "sketch_hll": sketch_hll_q,
-        "sketch_cms": sketch_cms_q,
         "cardinality_hits": cardinality_hits_q,
-        "sketch_bloom": sketch_bloom_q,
-        "decontaminate_bloom": decontaminate_bloom_q,
         "top_hits_buckets": top_hits_q,
-        "dedup_paragraphs": paragraph_dedup_q,
-        "impact_quantize": impact_quantize_q,
-        "impact_topk": impact_topk_q,
-        "impact_from_text_topk": impact_from_text_q,
-        "impact_index_identity": impact_index_identity_q,
-        "dedup_dup_spans": dup_spans_q,
-        "dedup_strip_spans": strip_spans_q,
-        "sketch_kmv": kmv_sketch_q,
-        "sketch_kmv_estimate": kmv_estimate_q,
-        "sketch_kmv_jaccard": kmv_jaccard_q,
-        "sketch_quantile_sample": quantile_sample_q,
-        "sketch_quantiles": quantile_est_q,
-        "sketch_percentile_ranks": quantile_rank_q,
         "cori_shard_ranks": cori_ranks_q,
         "redde_shard_ranks": redde_ranks_q,
         "corr_hits": corr_hits_q,
@@ -6463,11 +6470,6 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "sql_bm25_topk": sql_views_topk_q,
         "complete_suggest": complete_suggest_q,
         "sorted_after_page": sorted_after_page_q,
-        "dsir_weights": dsir_weights_q,
-        "dsir_sample": dsir_sample_q,
-        "intervals_ordered": intervals_ordered_q,
-        "intervals_unordered": intervals_unordered_q,
-        "intervals_prefix": intervals_prefix_q,
     }
 
 
