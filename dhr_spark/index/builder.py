@@ -388,6 +388,14 @@ def build_index_from_docs(
     streaming compactor) use it to commit their own watermark transactionally
     with the build."""
     t0 = time.time()
+    _ph: dict[str, float] = {}
+    _pt = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        _ph[name] = round(now - _pt[0], 2)
+        _pt[0] = now
+
     prior = load_manifest(index_dir) if resume else None
     done_chunks = set(prior["chunks"].keys()) if prior else set()
 
@@ -409,6 +417,7 @@ def build_index_from_docs(
         )
     n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
     total_dl, max_docid = int(cs["total_dl"]), int(cs["max_docid"])
+    _mark("tokenize_stats")
 
     # chunk sizing: "auto" targets ~4 chunks/core over the docid space
     # (auto_chunk_bits documents why); a resume MUST keep the prior build's
@@ -470,6 +479,7 @@ def build_index_from_docs(
             f"n_terms={prior['n_terms']}. Run a full rebuild."
         )
 
+    _mark("dictionary")
     # idf deliberately NOT joined into the postings: segments are stats-free
     # (query-time idf comes from the term dictionary), which keeps one double
     # per posting out of the build's only wide shuffle AND makes the rows
@@ -569,6 +579,7 @@ def build_index_from_docs(
     # chunk instead of (tasks x chunks) shards — small-file listing cost at
     # read time dominated the old layout
     seg.repartition("chunk").write.mode(mode).partitionBy("chunk").parquet(seg_path)
+    _mark("segments_write")
 
     dls_for_chunks = dls
     if done_chunks:
@@ -595,6 +606,7 @@ def build_index_from_docs(
             _assert_index_sorted(doc_map_df, index_sort, chunk_bits)
     else:
         n_terms = prior["n_terms"]
+    _mark("doclens_dict_docmap")
 
     # per-chunk lineage + metrics from the committed files (A7 analogue:
     # the reference's collision/build counters, densify_corpus.py:85-91)
@@ -644,6 +656,7 @@ def build_index_from_docs(
             else None
         ),
         "build_seconds": round(time.time() - t0, 2),
+        "phase_seconds": dict(_ph, metrics=round(time.time() - _pt[0], 2)),
         "resumed_from": sorted(done_chunks) if done_chunks else [],
         "chunks": chunks,
     }

@@ -520,3 +520,31 @@ def test_redde_scores_broadcasts_shard_stats(spark):
     plan = _plan(redde_scores(hits, stats, n=10))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_search_batch_no_cartesian_and_term_semijoin(spark, idx):
+    # the distributed big-batch path: no CartesianProduct anywhere; the
+    # segment scan is gated by the queried term_ids (semi join), and no
+    # collect-backed driver state feeds the plan (the frame builds lazily)
+    from dhr_spark.operators.wand import Searcher
+
+    s = Searcher(spark, idx)
+    df = s.search_batch(synth_queries(spark, 6), k=5)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_encode_term_weights_broadcasts_df_stats(spark, docs_small):
+    # the from-text encoder: df stats broadcast back onto tf rows — one
+    # wide shuffle (the tf groupBy), never a cartesian
+    from dhr_spark.operators.impact import encode_term_weights
+    from dhr_spark.operators.termfreq import with_tokens
+
+    docs = docs_small.select(
+        F.col("doc_id").alias("docid"), "text"
+    )
+    w = encode_term_weights(with_tokens(docs, mode="simple"))
+    plan = _plan(w)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
