@@ -526,6 +526,32 @@ def main() -> None:
     result["append_turns_per_sec"] = round(append_turns / t_append, 1)
     result["append_batch_turns"] = append_turns
 
+    # ---- distributed big-batch path (100k queries, no driver state) ----
+    # Searcher.search_batch — the offline-eval regime the
+    # MAX_COLLECTED_QUERIES gate routes here. Selective (rare tail-term)
+    # queries over a sf0.01-scale index: with this generator's 31-word
+    # head vocabulary, head-term queries match most of the corpus, so an
+    # exhaustive no-pruning pass over the full sf corpus is O(|Q|·corpus)
+    # by construction (measured 500+s) — the selective-query shape is the
+    # one real offline evals have. The row times ONLY the batch (the
+    # small index build is untimed).
+    idx_bb = f"/tmp/dhr_bench_idx_bb{CPUS}"
+    _build(spark, max(60, n_convs // 10), idx_bb)
+    qbig = spark.range(100_000).select(
+        SF.format_string("bq-%06d", SF.col("id")).alias("qid"),
+        SF.format_string(
+            "tk%04d tk%04d",
+            SF.pmod(SF.col("id"), SF.lit(2000)),
+            SF.pmod(SF.col("id") * 7 + 13, SF.lit(2000)),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    n_bb = Searcher(spark, idx_bb).search_batch(qbig, k=10).count()
+    t_bb = time.time() - t0
+    timings["bm25_bigbatch_100k"] = round(t_bb, 2)
+    result["bigbatch_queries_per_sec"] = round(100_000 / t_bb, 1)
+    result["bigbatch_rows"] = int(n_bb)
+
     # ---- packed codec comparison (FOR / PFOR postings, index/codec.py) --
     # same corpus, same geometry: each row pair evidences both the byte
     # shrink and that the packed decode holds query throughput. Runs on
