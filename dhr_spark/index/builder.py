@@ -462,8 +462,20 @@ def build_index_from_docs(
     # similarities beyond BM25 — LM-Dirichlet needs P(t|C) = ctf/total_dl
     # (Searcher.search_qld) — stay one dictionary lookup, never a postings
     # decode. Additive under append, subtractive under exact-stats delete.
-    ctfs = tfs.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
-    tdict = term_dictionary(term_stats(tfs, n_docs)).join(ctfs, "term").cache()
+    # df and ctf come out of ONE groupBy over the tf rows (they used to be
+    # two separate full shuffles + a join — the dictionary phase's cost was
+    # 2x what the aggregation needs).
+    from dhr_spark.functions.bm25 import idf_col as _idf_col
+
+    ts = (
+        tfs.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").cast("long").alias("ctf"),
+        )
+        .withColumn("idf", _idf_col(F.col("df"), F.lit(n_docs)))
+    )
+    tdict = term_dictionary(ts).cache()
     if tdict.limit(1).count() == 0:
         fused.unpersist()
         tdict.unpersist()
@@ -575,37 +587,63 @@ def build_index_from_docs(
     seg_path = os.path.join(index_dir, "segments")
     dl_path = os.path.join(index_dir, "doclens")
     mode = "append" if done_chunks else "overwrite"
-    # cluster one chunk per task before the partitioned write: one file per
-    # chunk instead of (tasks x chunks) shards — small-file listing cost at
-    # read time dominated the old layout
-    seg.repartition("chunk").write.mode(mode).partitionBy("chunk").parquet(seg_path)
-    _mark("segments_write")
 
     dls_for_chunks = dls
     if done_chunks:
         dls_for_chunks = dls.filter(
             ~F.shiftright(F.col("docid"), chunk_bits).cast("int").isin(done_ints)
         )
-    build_doclens(dls_for_chunks, chunk_bits).write.mode(mode).partitionBy(
-        "chunk"
-    ).parquet(dl_path)
 
-    if not done_chunks:
+    # the four artifact writes are independent jobs over disjoint data —
+    # submit them from driver threads so the small ones (doclens, dict,
+    # doc_map) fill the segment shuffle's scheduling gaps and stage tails
+    # instead of serializing after it (Spark supports concurrent actions
+    # from threads; a failure in any write re-raises via .result()).
+    # Atomicity is unchanged: nothing is visible until the manifest commit.
+    def _w_segments():
+        # cluster one chunk per task before the partitioned write: one
+        # file per chunk instead of (tasks x chunks) shards — small-file
+        # listing cost at read time dominated the old layout
+        seg.repartition("chunk").write.mode(mode).partitionBy(
+            "chunk"
+        ).parquet(seg_path)
+
+    def _w_doclens():
+        build_doclens(dls_for_chunks, chunk_bits).write.mode(
+            mode
+        ).partitionBy("chunk").parquet(dl_path)
+
+    def _w_dict_map():
+        if done_chunks:
+            return int(prior["n_terms"])
         td_path = os.path.join(index_dir, "term_dict")
         tdict.write.mode("overwrite").parquet(td_path)
         # row count from parquet footers — metadata-only, no extra agg job
-        n_terms = spark.read.parquet(td_path).count()
+        nt = spark.read.parquet(td_path).count()
         if doc_map_df is not None:
             # seg_batch partitioning: 0 = base build; incremental appends
             # write their own seg_batch= partition with dynamic overwrite,
-            # so a crashed-and-retried append replaces rather than duplicates
+            # so a crashed-and-retried append replaces rather than
+            # duplicates
             doc_map_df.withColumn("seg_batch", F.lit(0)).write.mode(
                 "overwrite"
-            ).partitionBy("seg_batch").parquet(os.path.join(index_dir, "doc_map"))
+            ).partitionBy("seg_batch").parquet(
+                os.path.join(index_dir, "doc_map")
+            )
         if index_sort is not None:
             _assert_index_sorted(doc_map_df, index_sort, chunk_bits)
-    else:
-        n_terms = prior["n_terms"]
+        return int(nt)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _ex:
+        f_seg = _ex.submit(_w_segments)
+        f_dl = _ex.submit(_w_doclens)
+        f_dm = _ex.submit(_w_dict_map)
+        f_seg.result()
+        _mark("segments_write")
+        f_dl.result()
+        n_terms = f_dm.result()
     _mark("doclens_dict_docmap")
 
     # per-chunk lineage + metrics from the committed files (A7 analogue:
