@@ -296,14 +296,25 @@ def _append_docs(
     #   * term dictionary — written to a VERSIONED directory referenced only
     #     by the new manifest; a crash leaves the old pointer valid
     dyn = {"partitionOverwriteMode": "dynamic"}
-    if man.get("positional"):
+
+    # every artifact write below targets a disjoint path/partition and is
+    # idempotent — submit them from driver threads so the small ones ride
+    # the segment shuffle's stage tails (same overlap as the base build;
+    # failures re-raise via .result(), the manifest rewrite stays the
+    # single atomic commit point)
+    def _w_positions():
+        if not man.get("positional"):
+            return
         from dhr_spark.index.builder import write_positions
 
         write_positions(
             docs, tdict, index_dir, man["analyzer_mode"], chunk_bits,
             mode="overwrite", dynamic=True,
         )
-    if man.get("forward_index"):
+
+    def _w_forward():
+        if not man.get("forward_index"):
+            return
         (
             post.withColumn(
                 "chunk", F.shiftright(F.col("docid"), chunk_bits).cast("int")
@@ -314,7 +325,10 @@ def _append_docs(
             .partitionBy("chunk")
             .parquet(os.path.join(index_dir, "forward"))
         )
-    if man.get("stored"):
+
+    def _w_stored():
+        if not man.get("stored"):
+            return
         (
             docs.select(
                 F.shiftright(F.col("docid"), chunk_bits)
@@ -329,20 +343,27 @@ def _append_docs(
             .partitionBy("chunk")
             .parquet(os.path.join(index_dir, "stored"))
         )
-    seg = build_segments(
-        post, chunk_bits, int(man["block_size"]), man.get("codec", "varint")
-    )
-    seg.repartition("chunk").write.mode("overwrite").options(**dyn).partitionBy(
-        "chunk"
-    ).parquet(seg_path)
-    build_doclens(dls, chunk_bits).write.mode("overwrite").options(
-        **dyn
-    ).partitionBy("chunk").parquet(dl_path)
+
+    def _w_segments():
+        seg = build_segments(
+            post, chunk_bits, int(man["block_size"]), man.get("codec", "varint")
+        )
+        seg.repartition("chunk").write.mode("overwrite").options(
+            **dyn
+        ).partitionBy("chunk").parquet(seg_path)
+
+    def _w_doclens():
+        build_doclens(dls, chunk_bits).write.mode("overwrite").options(
+            **dyn
+        ).partitionBy("chunk").parquet(dl_path)
+
     # doc_map append is schema-driven off the COMMITTED doc_map (transcript
     # indexes carry ORDER_COLS, generic-corpus indexes whatever doc_map_df
-    # the build wrote) — the batch must supply those columns. An index built
-    # without a doc_map stays without one.
+    # the build wrote) — the batch must supply those columns; validated
+    # BEFORE any write so a bad batch fails fast. An index built without a
+    # doc_map stays without one.
     dm_path = os.path.join(index_dir, "doc_map")
+    dm_cols: list[str] | None = None
     if os.path.isdir(dm_path):
         dm_cols = [
             c
@@ -355,13 +376,33 @@ def _append_docs(
                 f"append batch is missing doc_map columns {missing} that "
                 "the committed index carries"
             )
+
+    def _w_doc_map():
+        if dm_cols is None:
+            return
         docs.select(*dm_cols).withColumn(
             "seg_batch", F.lit(append_no)
         ).write.mode("overwrite").options(**dyn).partitionBy(
             "seg_batch"
         ).parquet(dm_path)
+
     td_dir = f"term_dict_v{append_no}"
-    tdict.write.mode("overwrite").parquet(os.path.join(index_dir, td_dir))
+
+    def _w_tdict():
+        tdict.write.mode("overwrite").parquet(os.path.join(index_dir, td_dir))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as _ex:
+        futures = [
+            _ex.submit(f)
+            for f in (
+                _w_segments, _w_doclens, _w_doc_map, _w_tdict,
+                _w_positions, _w_forward, _w_stored,
+            )
+        ]
+        for fut in futures:
+            fut.result()
 
     written = spark.read.parquet(seg_path).filter(
         F.col("chunk") >= new_chunk_lo
