@@ -58,6 +58,27 @@ PHRASES: list[tuple[str, str]] = [
 ]
 PROX_TERMS = ["customer", "join", "scan"]
 PROX_WINDOW = 12
+
+# frozen WordPiece vocab for the subword_encode entry: multi-char pieces
+# chosen to split the synthetic corpus vocabulary non-trivially, plus the
+# full single-char alphabet (so greedy matching never hits [UNK] and the
+# DuckDB recursive-CTE twin needs no whole-word-collapse branch; the UNK
+# path is pinned in tests/test_subword.py instead)
+SUBWORD_VOCAB: list[str] = (
+    [
+        "table", "ta", "##ble", "wind", "##ow", "scan", "##can", "fast",
+        "##ast", "query", "qu", "##ery", "batch", "##tch", "spark", "##ark",
+        "value", "val", "##ue", "stream", "##eam", "filter", "fil", "##ter",
+        "order", "or", "##der", "column", "col", "##umn", "custom", "##omer",
+        "group", "##oup", "vector", "vec", "##tor", "merge", "##rge",
+        "small", "sm", "##all", "slow", "sl", "line", "li", "##ne", "the",
+        "row", "key", "agg", "##gg", "hash", "ha", "##sh", "join", "jo",
+        "##in", "data", "da", "big", "sort", "so", "##rt", "part", "pa",
+        "##art", "window", "win",
+    ]
+    + list("abcdefghijklmnopqrstuvwxyz0123456789")
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+)
 SLOPPY_PHRASES: list[tuple[str, str, int]] = [
     ("s1", "table hash", 2),
     ("s2", "slow hash batch", 3),
@@ -5935,10 +5956,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kmv_sketch_q(spark, sf):
         # bottom-k distinct sketch per language (Beyer et al. 2007) — the
-        # mergeable KMV complement to the HLL register sketch
+        # mergeable KMV complement to the HLL register sketch.  Exploded to
+        # (lang, rn, h) scalar rows so the driver compares plain columns
+        # (array columns break its pandas canonicalization — same pattern
+        # as sketch_quantile_sample).
         from dhr_spark.operators.sketches import kmv_sketch
 
-        return kmv_sketch(_lang_terms(spark, sf), "term", k=KMV_K, group_cols=("lang",))
+        sk = kmv_sketch(_lang_terms(spark, sf), "term", k=KMV_K, group_cols=("lang",))
+        return sk.select(
+            "lang", F.posexplode("kmv").alias("pos", "h")
+        ).select("lang", (F.col("pos") + 1).cast("long").alias("rn"), "h")
 
     def kmv_estimate_q(spark, sf):
         from dhr_spark.operators.sketches import kmv_estimate, kmv_sketch
@@ -6151,6 +6178,97 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
             F.size(enc(F.col("text"))).cast("long").alias("n_bpe_tokens"),
         )
 
+    def subword_encode_q(spark, sf):
+        # F3's ENCODE half end-to-end with a FULL oracle: greedy
+        # longest-match WordPiece over the frozen SUBWORD_VOCAB (the BERT
+        # inference loop, functions/subword.py:175), exploded to
+        # (doc_id, pos, piece) scalar rows.  Unlike BPE *training*
+        # (iterative, rows-only subword_tokens), encoding against a frozen
+        # vocab is deterministic and SQL-replayable — the DuckDB twin
+        # replays the greedy loop with a recursive CTE whose LATERAL picks
+        # the longest matching piece at each position.
+        from dhr_spark.functions.subword import wordpiece_encode_udf
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") % 10 == 0)
+        enc = wordpiece_encode_udf(SUBWORD_VOCAB)
+        return (
+            docs.select("doc_id", enc(F.col("text")).alias("pieces"))
+            .select("doc_id", F.posexplode("pieces").alias("p", "piece"))
+            .select(
+                "doc_id", (F.col("p") + 1).cast("long").alias("pos"), "piece"
+            )
+        )
+
+    def streaming_sessions_q(spark, sf):
+        # the STATEFUL STREAMING operator itself (streaming/sessions.py,
+        # applyInPandasWithState + EventTimeTimeout), driven as a real
+        # Structured Streaming query and checked against the batch
+        # session_stats rollup SQL: the events table streams in as batch 1
+        # (maxFilesPerTrigger=1), a far-future sentinel event as batch 2
+        # pushes the watermark past every real session's timeout, and the
+        # availableNow final timer batch fires the held tails — so the
+        # emitted rows equal the batch rollup EXACTLY (the equivalence the
+        # pytest suite pins phase-by-phase in test_streaming_sessions.py).
+        import datetime as dt
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        from dhr_spark.streaming.sessions import sessionize_stream
+
+        root = tempfile.mkdtemp(prefix="dhr_entry_stream_")
+        in_dir, ckpt, out = f"{root}/in", f"{root}/ckpt", f"{root}/out"
+        os.makedirs(in_dir, exist_ok=True)
+
+        ev = _events(spark, sf).select("event_id", "ts", "user_id", "value")
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+        def land(df, name):
+            tmp = f"{root}/__stage_{name}"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, f"{in_dir}/{name}.parquet")
+            shutil.rmtree(tmp)
+
+        land(ev, "p1")
+        land(
+            spark.createDataFrame(
+                [(-1, max_ts + dt.timedelta(days=365), -1, 0.0)],
+                "event_id long, ts timestamp, user_id long, value double",
+            ),
+            "p2",
+        )
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark_minutes=60)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = (
+            spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id", "session_seq", "n_events", "start_epoch",
+                "end_epoch", "duration_sec", "total_value",
+            )
+        )
+        # the mkdtemp root lives until process exit, so the returned frame
+        # stays readable for the driver's collect
+        return res
+
     def rbo_runs_q(spark, sf):
         # rank-biased overlap between BM25(0.9, 0.4) and BM25(2.0, 0.75)
         # runs: how differently do the two parameterizations RANK
@@ -6228,7 +6346,7 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
     # in-repo DuckDB-oracle pytest (tests/test_entry_oracle.py runs ALL of
     # them), so rotating a green entry out of the driver window loses no
     # in-repo coverage.
-    return {
+    reg = {
         # -- round-4 driver window (slots 1-50): entries with NO prior
         # driver-green row — the LLM-pipeline families the brief names
         # first-class (curation/DSIR/packing/dedup-span/sketches/
@@ -6465,7 +6583,43 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         "sql_bm25_topk": sql_views_topk_q,
         "complete_suggest": complete_suggest_q,
         "sorted_after_page": sorted_after_page_q,
+        "subword_encode": subword_encode_q,
+        "streaming_sessions_batch_equiv": streaming_sessions_q,
     }
+
+    # -- round-5 driver window (slots 1-50): the repaired sketch_kmv, the
+    # two new end-to-end entries (subword_encode = F3's deterministic
+    # encode half with a full recursive-CTE oracle; the stateful
+    # streaming sessionizer drained against the batch rollup SQL), and 47
+    # entries with NO prior driver-green row — the similarity family and
+    # its vs-slow identity twins, the span/syntax/positional layer, the
+    # serving aggregations, the lifecycle identities, shard selection and
+    # LTR.  Every entry outside the window stays verified by
+    # tests/test_entry_oracle.py, which runs ALL of them.
+    window = [
+        "sketch_kmv", "subword_encode", "streaming_sessions_batch_equiv",
+        "qld_topk", "qld_vs_slow_identity", "lmjm_topk",
+        "f2exp_topk", "f2exp_vs_slow_identity",
+        "f2log_topk", "f2log_vs_slow_identity",
+        "tfidf_topk", "tfidf_vs_slow_identity",
+        "inl2_topk", "inl2_vs_slow_identity",
+        "spl_topk", "spl_vs_slow_identity",
+        "dph_topk", "dph_vs_slow_identity",
+        "span_first", "span_not", "span_or",
+        "span_first_index", "span_not_index", "span_or_index",
+        "syntax_range_topk", "phrase_prefix", "phrase_suggest",
+        "snippet_fragments",
+        "facet_ranges", "composite_hits", "pipeline_hits",
+        "adjacency_hits", "rare_terms", "random_hits",
+        "merge_identity", "dv_update_identity", "by_query_identity",
+        "alias_rollover_identity", "reindex_identity", "sorted_after_page",
+        "ltr_features", "cori_shard_ranks", "redde_shard_ranks",
+        "rocchio_expansion", "rocchio_topk", "regexp_topk", "synonym_topk",
+        "bool_msm", "qpp_predictors", "sql_bm25_topk",
+    ]
+    out = {k: reg[k] for k in window}
+    out.update((k, v) for k, v in reg.items() if k not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6600,6 +6754,30 @@ SELECT event_id, user_id,
                       ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_seq
 FROM marked""",
         "events_session_stats": """
+WITH lagged AS (
+  SELECT *, lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR floor(epoch(ts))::BIGINT - prev > 1800 THEN 1 ELSE 0 END AS ns
+  FROM lagged
+),
+sess AS (
+  SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+       min(floor(epoch(ts))::BIGINT) AS start_epoch,
+       max(floor(epoch(ts))::BIGINT) AS end_epoch,
+       (max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT))::BIGINT AS duration_sec,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY 1, 2""",
+        # the STREAMING sessionizer drained to completion equals the batch
+        # rollup row-for-row (same gap, same dense per-user seq), so its
+        # oracle IS the batch session_stats SQL — this is the equivalence
+        # the driver now witnesses end-to-end
+        "streaming_sessions_batch_equiv": """
 WITH lagged AS (
   SELECT *, lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
@@ -8152,7 +8330,8 @@ SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
 FROM toks d LEFT JOIN perdoc p USING (doc_id) LEFT JOIN clean c USING (doc_id)""",
         # KMV bottom-k distinct sketch per language: k smallest distinct
         # tokhash60 values (global min-k == the partial-merge the Spark
-        # plan computes)
+        # plan computes), exploded to (lang, rn, h) scalar rows for the
+        # driver's pandas canonicalization
         "sketch_kmv": f"""WITH t AS (
   SELECT lang,
          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -8161,7 +8340,43 @@ FROM toks d LEFT JOIN perdoc p USING (doc_id) LEFT JOIN clean c USING (doc_id)""
 ),
 h AS (SELECT DISTINCT lang, ({_HASH60.format(arg="term")})::BIGINT AS h FROM t),
 r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h)
-SELECT lang, list(h ORDER BY h) AS kmv FROM r WHERE rn <= 64 GROUP BY lang""",
+SELECT lang, rn::BIGINT AS rn, h FROM r WHERE rn <= 64""",
+        # greedy longest-match WordPiece over the frozen SUBWORD_VOCAB,
+        # replayed exactly: the recursive CTE advances one piece per step,
+        # the LATERAL picks the longest vocab piece matching at the cursor
+        # (continuations compared with the ## prefix), global position by
+        # (word index, piece index) — byte-identical to the BERT greedy loop
+        "subword_encode": f"""WITH RECURSIVE
+vocab(p) AS (SELECT unnest([{", ".join("'" + p + "'" for p in SUBWORD_VOCAB)}])),
+words AS (
+  SELECT doc_id, wi, w FROM (
+    SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ws
+          FROM documents WHERE doc_id % 10 = 0)
+  )
+),
+rec AS (
+  SELECT doc_id, wi, w, 0 AS s, 0 AS pi, CAST(NULL AS VARCHAR) AS piece FROM words
+  UNION ALL
+  SELECT r.doc_id, r.wi, r.w,
+         r.s + length(best.p) - CASE WHEN r.s > 0 THEN 2 ELSE 0 END,
+         r.pi + 1, best.p
+  FROM rec r, LATERAL (
+    SELECT v.p FROM vocab v
+    WHERE length(v.p) - CASE WHEN r.s > 0 THEN 2 ELSE 0 END <= length(r.w) - r.s
+      AND v.p = CASE WHEN r.s > 0
+                     THEN '##' || substr(r.w, r.s + 1, length(v.p) - 2)
+                     ELSE substr(r.w, r.s + 1, length(v.p)) END
+    ORDER BY length(v.p) DESC LIMIT 1
+  ) best
+  WHERE r.s < length(r.w)
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY wi, pi)::BIGINT AS pos,
+       piece
+FROM rec WHERE piece IS NOT NULL""",
         # unbiased estimator (k-1)*DOMAIN/h_k, exact when unsaturated;
         # HUGEINT // mirrors Spark's decimal(38,0) DIV
         "sketch_kmv_estimate": f"""WITH t AS (
