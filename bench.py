@@ -231,7 +231,13 @@ def _run_leg_subprocess(cores: int, n_convs: int, repeats: int = 1) -> list[dict
         out = subprocess.run(
             cmd, capture_output=True, text=True, cwd=REPO, env=os.environ.copy(),
         )
-        draws.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        lines = out.stdout.strip().splitlines()
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling leg (cores={cores}) failed rc={out.returncode}; "
+                f"stderr tail: {out.stderr[-2000:]}"
+            )
+        draws.append(json.loads(lines[-1]))
     return draws
 
 

@@ -217,9 +217,11 @@ def check_index(
         probe = min(
             committed, key=lambda c: man["chunks"][str(c)]["postings"]
         )
+        from dhr_spark.index.codec import index_codec
+
         rows = decode_segments(
             seg.filter(F.col("chunk") == probe), int(man["block_size"]),
-            man.get("codec", "varint"),
+            index_codec(man),
         )
         lo = probe << chunk_bits
         hi_b = (probe + 1) << chunk_bits

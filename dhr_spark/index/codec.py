@@ -597,3 +597,39 @@ def pfor_decode_stream(
         )
         return abs_docs, sl
     return out.astype(np.int64), sl
+
+
+# ---------------------------------------------------------------------------
+# Mixed-tier codec resolution: a manifest either carries ONE codec for all
+# chunks (the common case) or per-chunk overrides written by
+# compact_index(codec=...) — the Lucene-style tiering where freshly appended
+# serving chunks stay varint (cheapest per-call decode) while compacted cold
+# chunks take the packed PFOR layout (smallest bytes, best for bulk decode
+# paths like Searcher.search_batch and merges).  Decode call-sites accept
+# ``str | dict`` and resolve per chunk with codec_of(); the dict keeps the
+# manifest default under key -1.
+# ---------------------------------------------------------------------------
+
+
+def codec_of(codec: "str | dict", chunk: int) -> str:
+    """Effective codec for ``chunk``: pass-through for a uniform str,
+    per-chunk lookup (default under -1) for a mixed-tier map."""
+    if isinstance(codec, str):
+        return codec
+    return codec.get(int(chunk)) or codec[-1]
+
+
+def index_codec(man: dict) -> "str | dict":
+    """Manifest -> uniform codec str, or a {chunk: codec, -1: default} map
+    when any committed chunk entry carries its own ``codec`` (mixed-tier
+    index). Chunks without an override inherit the manifest default."""
+    base = man.get("codec", "varint")
+    per = {
+        int(cid): v["codec"]
+        for cid, v in man.get("chunks", {}).items()
+        if isinstance(v, dict) and v.get("codec") and v["codec"] != base
+    }
+    if not per:
+        return base
+    per[-1] = base
+    return per

@@ -81,7 +81,9 @@ from dhr_spark.index.builder import (
 )
 from dhr_spark.index.segments import build_doclens, build_segments
 from dhr_spark.index.codec import (
+    codec_of,
     for_decode_stream,
+    index_codec,
     pfor_decode_stream,
     segmented_cumsum_decode,
     varint_decode,
@@ -114,28 +116,31 @@ def decode_doclens(dl_df: DataFrame) -> DataFrame:
 
 
 def decode_segments(
-    seg_df: DataFrame, block_size: int, codec: str = "varint"
+    seg_df: DataFrame, block_size: int, codec: "str | dict" = "varint"
 ) -> DataFrame:
     """Segment rows -> (term_id, docid, tf) posting rows — the encode kernel
     (segments._encode_batch_arrow) run backwards. ``block_size`` is the
     index's fixed block length (manifest), which fully determines the
     per-block posting counts the gap decoder needs for its absolute
     restarts: every block holds block_size postings except the last.
-    ``codec``: manifest["codec"] — varint LEB128 or FOR bit-packed blocks."""
+    ``codec``: codec.index_codec(manifest) — a uniform codec str (varint
+    LEB128 or FOR/PFOR bit-packed blocks), or a per-chunk {chunk: codec,
+    -1: default} map for mixed-tier indexes (compact_index(codec=...))."""
 
     def _go(batches):
         for pdf in batches:
             tids, docids, tfs = [], [], []
-            for tid, n, gaps_buf, tfs_buf, d_off, t_off in zip(
-                pdf["term_id"], pdf["n"], pdf["doc_gaps"], pdf["tfs"],
-                pdf["block_doc_off"], pdf["block_tf_off"],
+            for chunk, tid, n, gaps_buf, tfs_buf, d_off, t_off in zip(
+                pdf["chunk"], pdf["term_id"], pdf["n"], pdf["doc_gaps"],
+                pdf["tfs"], pdf["block_doc_off"], pdf["block_tf_off"],
             ):
+                ck = codec_of(codec, int(chunk))
                 n = int(n)
                 nblocks = -(-n // block_size)
                 lens = np.full(nblocks, block_size, dtype=np.int64)
                 lens[-1] = n - block_size * (nblocks - 1)
-                if codec in ("for", "pfor"):
-                    dec = (for_decode_stream if codec == "for"
+                if ck in ("for", "pfor"):
+                    dec = (for_decode_stream if ck == "for"
                            else pfor_decode_stream)
                     sel = np.arange(nblocks)
                     d, _ = dec(
@@ -194,6 +199,7 @@ def compact_index(
     max_chunks: int = 10_000,
     min_chunks: int = 2,
     gc: bool = True,
+    codec: str | None = None,
 ) -> dict:
     """Merge underfull chunks into densely packed fresh chunks.
 
@@ -201,7 +207,18 @@ def compact_index(
     results over the compacted index are identical — same (conv_id,
     turn_idx) ranking, same float64 BM25 scores — to both the pre-compaction
     index and a from-scratch rebuild; only docids and chunk layout move.
+
+    ``codec``: re-encode the compacted chunks under this codec instead of
+    the manifest default — the mixed-tier knob: fresh append chunks stay on
+    the serving codec (varint: cheapest per-call decode) while compaction
+    moves cold bulk into the packed FOR/PFOR layout (≈0.55x bytes;
+    BASELINE.md codec microbench). The per-chunk choice is recorded in the
+    manifest chunk entries and every decode path resolves it chunk-by-chunk
+    (codec.index_codec/codec_of), so search, search_batch, merges and later
+    compactions all read mixed tiers transparently.
     """
+    if codec is not None and codec not in ("varint", "for", "pfor"):
+        raise ValueError(f"unknown codec {codec!r}")
     t0 = time.time()
     man = load_manifest(index_dir)
     if man is None:
@@ -314,7 +331,7 @@ def compact_index(
     )
     post = (
         decode_segments(
-            seg_t, int(man["block_size"]), man.get("codec", "varint")
+            seg_t, int(man["block_size"]), index_codec(man)
         )
         .join(remap, "docid")
         .select(
@@ -322,8 +339,9 @@ def compact_index(
         )
     )
     dyn = {"partitionOverwriteMode": "dynamic"}
+    out_codec = codec or man.get("codec", "varint")
     build_segments(
-        post, chunk_bits, int(man["block_size"]), man.get("codec", "varint")
+        post, chunk_bits, int(man["block_size"]), out_codec
     ).repartition(
         "chunk"
     ).write.mode("overwrite").options(**dyn).partitionBy("chunk").parquet(
@@ -468,6 +486,9 @@ def compact_index(
             "terms": int(r["terms"]),
             "skew_ratio": round(float(r["skew_ratio"]), 3),
         }
+        if out_codec != man.get("codec", "varint"):
+            # mixed-tier marker: this chunk decodes under its own codec
+            chunks[str(r["chunk"])]["codec"] = out_codec
     man2.update(
         {
             "chunks": chunks,

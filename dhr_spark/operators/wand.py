@@ -40,7 +40,9 @@ from pyspark.sql import functions as F
 
 from dhr_spark.index.builder import load_manifest
 from dhr_spark.index.codec import (
+    codec_of,
     for_decode_stream,
+    index_codec,
     pfor_decode_stream,
     segmented_cumsum_decode,
     varint_decode,
@@ -140,7 +142,9 @@ class Searcher(SimilarityMixin, ReaderMixin, ExpandMixin, PhraseMixin):
         self._scoring = man.get("scoring", "bm25")
         # posting-bytes codec ("varint" default, "for" bit-packed) — every
         # decode kernel this searcher builds dispatches on it
-        self._codec = man.get("codec", "varint")
+        # str for a uniform index; {chunk: codec, -1: default} for a
+        # mixed-tier index (compact_index(codec=...) cold tiers)
+        self._codec = index_codec(man)
         self.k1 = float(man["k1"]) if k1 is None else float(k1)
         self.b = float(man["b"]) if b is None else float(b)
         if self.k1 <= 0 or not (0.0 <= self.b <= 1.0):
@@ -950,15 +954,16 @@ class Searcher(SimilarityMixin, ReaderMixin, ExpandMixin, PhraseMixin):
                 for r in pdf.itertuples(index=False):
                     lens = _block_lens(int(r.n), block_size)
                     sel = np.arange(lens.size)
+                    ck = codec_of(codec, int(r.chunk))
                     docids, _ = _decode_selected(
                         bytes(r.doc_gaps),
                         np.asarray(r.block_doc_off, dtype=np.int64),
-                        lens, sel, restarts=True, codec=codec,
+                        lens, sel, restarts=True, codec=ck,
                     )
                     tfs, _ = _decode_selected(
                         bytes(r.tfs),
                         np.asarray(r.block_tf_off, dtype=np.int64),
-                        lens, sel, restarts=False, codec=codec,
+                        lens, sel, restarts=False, codec=ck,
                     )
                     if tomb is not None and tomb.size:
                         keep = ~np.isin(docids, tomb)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from dhr_spark.index.builder import load_manifest
 from dhr_spark.index.codec import (
+    codec_of,
     for_decode_stream,
     pfor_decode_stream,
     segmented_cumsum_decode,
@@ -95,6 +96,8 @@ def _count_chunk(
                 {"qid": "str", "n": "int64"}
             )
         chunk = int(key[0])
+        # mixed-tier index: each chunk decodes under its own codec
+        ck = codec_of(codec, chunk)
         base = chunk << chunk_bits
         chunk_docs = 1 << chunk_bits
         dead: np.ndarray | None = None
@@ -116,7 +119,7 @@ def _count_chunk(
                 docids, _ = _decode_selected(
                     bytes(r.doc_gaps),
                     np.asarray(r.block_doc_off, dtype=np.int64),
-                    lens, np.arange(lens.size), restarts=True, codec=codec,
+                    lens, np.arange(lens.size), restarts=True, codec=ck,
                 )
                 hit = doc_cache[row_i] = docids - base
             return hit
@@ -172,6 +175,8 @@ def _presence_chunk(
         if seg.empty:
             return empty
         chunk = int(key[0])
+        # mixed-tier index: each chunk decodes under its own codec
+        ck = codec_of(codec, chunk)
         base = chunk << chunk_bits
         chunk_docs = 1 << chunk_bits
         dead: np.ndarray | None = None
@@ -193,7 +198,7 @@ def _presence_chunk(
                 docids, _ = _decode_selected(
                     bytes(r.doc_gaps),
                     np.asarray(r.block_doc_off, dtype=np.int64),
-                    lens, np.arange(lens.size), restarts=True, codec=codec,
+                    lens, np.arange(lens.size), restarts=True, codec=ck,
                 )
                 hit = doc_cache[row_i] = docids - base
             return hit
@@ -441,7 +446,8 @@ def _score_chunk(
             return _empty()
         base, dls_bytes = hit
         return score_frame(
-            seg, int(base), np.frombuffer(dls_bytes, dtype=np.int32)
+            seg, int(base), np.frombuffer(dls_bytes, dtype=np.int32),
+            codec_of(codec, int(key[0])),
         )
 
     def kernel(key, seg: pd.DataFrame, dl: pd.DataFrame) -> pd.DataFrame:
@@ -451,9 +457,12 @@ def _score_chunk(
             seg,
             int(dl["base_docid"].iloc[0]),
             np.frombuffer(dl["dls"].iloc[0], dtype=np.int32),
+            codec_of(codec, int(key[0])),
         )
 
-    def score_frame(seg: pd.DataFrame, base: int, dls: np.ndarray) -> pd.DataFrame:
+    def score_frame(
+        seg: pd.DataFrame, base: int, dls: np.ndarray, ck: str = "varint"
+    ) -> pd.DataFrame:
         dead: np.ndarray | None = None
         if tombstones is not None and tombstones.size:
             in_chunk = tombstones[
@@ -501,11 +510,11 @@ def _score_chunk(
                 sel = np.arange(lens.size)
             docids, _ = _decode_selected(
                 bytes(r.doc_gaps), np.asarray(r.block_doc_off, dtype=np.int64),
-                lens, sel, restarts=True, codec=codec,
+                lens, sel, restarts=True, codec=ck,
             )
             tfs, _ = _decode_selected(
                 bytes(r.tfs), np.asarray(r.block_tf_off, dtype=np.int64),
-                lens, sel, restarts=False, codec=codec,
+                lens, sel, restarts=False, codec=ck,
             )
             return docids - base, tfs
 
