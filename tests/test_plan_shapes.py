@@ -533,6 +533,17 @@ def test_search_batch_no_cartesian_and_term_semijoin(spark, idx):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    # broadcast tier: the score aggregate keyed (qn, docid) must add NO
+    # exchange — the docid repartition before the broadcast fan-out
+    # satisfies its clustering (HashPartitioning(docid) ⊆ (qn, docid)), so
+    # 40M fanned rows aggregate partition-local; the only qn exchange left
+    # is the k-bounded window merge
+    import re
+
+    assert re.search(r"hashpartitioning\(qn#\d+, docid#", plan) is None, (
+        plan[:1200]
+    )
+    assert re.search(r"hashpartitioning\(docid#", plan) is not None
 
 
 def test_encode_term_weights_broadcasts_df_stats(spark, docs_small):
