@@ -27,6 +27,8 @@ groupBy + applyInPandas (Arrow-batched; numpy inside, no per-row Python).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -36,6 +38,8 @@ from dhr_spark import B, K1
 from dhr_spark.index.codec import (
     for_encode_stream,
     pfor_encode_stream,
+    segmented_cumsum_decode,
+    varint_decode,
     varint_encode,
     varint_lengths,
 )
@@ -263,22 +267,41 @@ def build_segments(
     chunk_bits: int = 17,
     block_size: int = 128,
     codec: str = "varint",
+    packed_exchange: bool | None = None,
 ) -> DataFrame:
     """postings (term_id, docid, tf, dl) -> segment rows.
 
-    One shuffle: repartition on (chunk, term_id) + sortWithinPartitions, then
-    a mapInPandas kernel that walks group boundaries with numpy. One Python
-    call per PARTITION (not per group — an applyInPandas per (term, chunk)
-    pays pandas-group overhead per posting list; with Heaps-law vocabularies
-    most groups are tiny and the overhead dominated the build). Arrow batches
-    can split a group, so the kernel carries the trailing partial group into
-    the next batch and flushes at partition end.
+    One shuffle either way; two exchange layouts:
+
+    * ``packed_exchange=False`` (default, env DHR_PACKED_EXCHANGE): the
+      raw-row exchange — repartition + sortWithinPartitions + one encode
+      kernel per partition (one Python call per partition, never per
+      group). On a single node this wins: the shuffle is lz4-compressed
+      memcpy, and the whole JVM pipeline from the tf aggregate into the
+      exchange stays in one codegen stage.
+    * ``packed_exchange=True``: map-side combine — each input partition
+      sorts its postings in numpy and ships ONE varint-packed partial run
+      per (chunk, term_id) group (~5 B/posting); the reduce kernel merges
+      the sorted runs and encodes byte-identical segment rows
+      (tests/test_packed_exchange.py). Worth it only when the exchange
+      crosses a real network; on this harness the extra Arrow round-trip
+      of the raw stream measured 2x slower at 8c / 1.15x at 32c
+      (BASELINE.md round-5 record).
 
     ``codec``: posting-bytes codec — "varint", "for", or "pfor"
     (_encode_batch_arrow).
     """
     if codec not in ("varint", "for", "pfor"):
         raise ValueError(f"unknown postings codec {codec!r}")
+    if packed_exchange is None:
+        # default OFF on single-node: measured on this harness (1M-turn
+        # corpus), the packed path built 2x slower at 8c and 1.15x slower
+        # at 32c — the extra Arrow round-trip of the raw posting stream
+        # through the Python pack stage costs more than the exchange bytes
+        # it saves, because a local shuffle is lz4-compressed memcpy, not
+        # network. DHR_PACKED_EXCHANGE=1 opts in for deployments where the
+        # exchange crosses a real network (~5x fewer shuffled bytes).
+        packed_exchange = os.environ.get("DHR_PACKED_EXCHANGE", "0") == "1"
     # tf/dl travel the build's one wide exchange as int32: both are
     # per-document counts (or 31-bit-capped impacts, index/impact.py) —
     # the encode stage is memory-bandwidth-bound (BASELINE.md r03 profile),
@@ -292,6 +315,24 @@ def build_segments(
         F.col("tf").cast("int").alias("tf"),
         F.col("dl").cast("int").alias("dl"),
     )
+    if packed_exchange:
+        # explicit partition count: the packed exchange is ~5 B/posting, so
+        # AQE's size-based coalescing would fold the reduce side into one or
+        # two partitions and serialize the ENCODE stage (the expensive one);
+        # an explicit numPartitions keeps the merge+encode at full width
+        nparts = int(
+            postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        return (
+            src.mapInArrow(_pack_partials(chunk_bits), _PARTIAL_SCHEMA)
+            .repartition(nparts, "chunk", "term_id")
+            .sortWithinPartitions("chunk", "term_id")
+            .mapInArrow(
+                _merge_partials(chunk_bits, block_size, codec),
+                SEGMENT_SCHEMA,
+            )
+        )
+
     parted = src.repartition("chunk", "term_id").sortWithinPartitions(
         "chunk", "term_id", "docid"
     )
@@ -331,6 +372,210 @@ def build_segments(
             yield _encode_batch_arrow(*carry, block_size, codec)
 
     return parted.mapInArrow(_build, SEGMENT_SCHEMA)
+
+
+_PARTIAL_SCHEMA = (
+    "chunk int, term_id long, n long, offs binary, tfs binary, dls binary"
+)
+
+# rows accumulated inside the pack/merge kernels before a sort+encode pass:
+# Arrow delivers ~32k-row micro-batches (session conf), far too small for an
+# effective map-side combine — the kernels re-batch to this many rows
+_PACK_ROWS = 1 << 20
+
+
+def _pack_partials(chunk_bits: int):
+    """mapInArrow kernel factory — the build's MAP-SIDE COMBINE.
+
+    Sorts each accumulated super-batch by (chunk, term_id, docid) and emits
+    one varint-packed partial posting run per (chunk, term_id) group:
+    docid-offsets-in-chunk as delta+LEB128 (first absolute), tf and dl as
+    LEB128. The wide exchange then moves ~5 bytes per posting instead of a
+    28-byte (chunk, term_id, docid, tf, dl) row — the r03/r04 profiles pin
+    the build stage on the shared memory bus, so shuffled bytes ARE
+    wall-clock, and the combine also removes the JVM row sort the old
+    sortWithinPartitions did over the full posting stream (the reduce side
+    merges already-sorted runs in numpy instead)."""
+    import pyarrow as pa
+
+    def _flush(cols):
+        chunks, tids, docids, tfs, dls = cols
+        n = len(docids)
+        offs = docids - (chunks.astype(np.int64) << chunk_bits)
+        order = np.lexsort((offs, tids, chunks))
+        chunks, tids, offs = chunks[order], tids[order], offs[order]
+        tfs, dls = tfs[order], dls[order]
+        bounds = np.flatnonzero((np.diff(chunks) != 0) | (np.diff(tids) != 0))
+        starts = np.concatenate(([0], bounds + 1))
+        sb = np.append(starts, n)
+        d = np.empty_like(offs)
+        d[0] = offs[0]
+        np.subtract(offs[1:], offs[:-1], out=d[1:])
+        d[starts] = offs[starts]
+
+        def _col(vals):
+            u = vals.astype(np.uint64)
+            cum = np.concatenate(([0], np.cumsum(varint_lengths(u))))
+            return varint_encode(u), cum[sb]
+
+        def _bin(buf, off):
+            return pa.BinaryArray.from_buffers(
+                pa.binary(), len(starts),
+                [None, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
+            )
+
+        o_buf, o_off = _col(d)
+        t_buf, t_off = _col(tfs)
+        l_buf, l_off = _col(dls)
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(chunks[starts].astype(np.int32)),
+                pa.array(tids[starts].astype(np.int64)),
+                pa.array((sb[1:] - starts).astype(np.int64)),
+                _bin(o_buf, o_off),
+                _bin(t_buf, t_off),
+                _bin(l_buf, l_off),
+            ],
+            names=["chunk", "term_id", "n", "offs", "tfs", "dls"],
+        )
+
+    def _pack(batches):
+        acc: list[tuple] = []
+        acc_rows = 0
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            acc.append(
+                tuple(
+                    rb.column(i).to_numpy(zero_copy_only=False)
+                    for i in range(5)
+                )
+            )
+            acc_rows += rb.num_rows
+            if acc_rows >= _PACK_ROWS:
+                cols = tuple(
+                    np.concatenate([a[i] for a in acc]) for i in range(5)
+                )
+                acc, acc_rows = [], 0
+                yield _flush(
+                    (cols[0], cols[1], cols[2].astype(np.int64),
+                     cols[3], cols[4])
+                )
+        if acc_rows:
+            cols = tuple(np.concatenate([a[i] for a in acc]) for i in range(5))
+            yield _flush(
+                (cols[0], cols[1], cols[2].astype(np.int64), cols[3], cols[4])
+            )
+
+    return _pack
+
+
+def _merge_partials(chunk_bits: int, block_size: int, codec: str):
+    """mapInArrow kernel factory — the REDUCE side of the packed exchange.
+
+    Partition rows are partial runs sorted by (chunk, term_id); each run is
+    internally docid-sorted, so one vectorized decode (shared varint buffer
+    per column, segmented cumsum with per-run restarts) plus one lexsort
+    restores the exact globally sorted posting stream, which then feeds the
+    SAME _encode_batch_arrow as the unpacked path — byte-identical segment
+    rows. The trailing (chunk, term_id) group of each accumulated batch
+    carries into the next so a group split across batches encodes once."""
+
+    def _cols_of(rb):
+        return (
+            rb.column(0).to_numpy(zero_copy_only=False),
+            rb.column(1).to_numpy(zero_copy_only=False),
+            rb.column(2).to_numpy(zero_copy_only=False),
+            rb.column(3).to_pylist(),
+            rb.column(4).to_pylist(),
+            rb.column(5).to_pylist(),
+        )
+
+    def _encode(cols):
+        chunks, tids, ns, offs_b, tfs_b, dls_b = cols
+        ns = ns.astype(np.int64)
+        total = int(ns.sum())
+        offs_v = varint_decode(
+            np.frombuffer(b"".join(offs_b), dtype=np.uint8), total
+        )
+        offs_abs = segmented_cumsum_decode(offs_v, ns)
+        tf_v = varint_decode(
+            np.frombuffer(b"".join(tfs_b), dtype=np.uint8), total
+        ).astype(np.int64)
+        dl_v = varint_decode(
+            np.frombuffer(b"".join(dls_b), dtype=np.uint8), total
+        ).astype(np.int64)
+        chunk_pv = np.repeat(chunks.astype(np.int64), ns)
+        tid_pv = np.repeat(tids.astype(np.int64), ns)
+        order = np.lexsort((offs_abs, tid_pv, chunk_pv))
+        chunk_pv, tid_pv = chunk_pv[order], tid_pv[order]
+        docid = (chunk_pv << chunk_bits) + offs_abs[order]
+        return _encode_batch_arrow(
+            chunk_pv, tid_pv, docid, tf_v[order], dl_v[order],
+            block_size, codec,
+        )
+
+    def _merge(batches):
+        carry = None
+        acc: list[tuple] = []
+        acc_rows = 0
+
+        def _drain(cols):
+            m = len(cols[0])
+            tail = (cols[0] == cols[0][-1]) & (cols[1] == cols[1][-1])
+            head_idx = np.flatnonzero(~tail)
+            head_end = int(head_idx[-1]) + 1 if head_idx.size else 0
+            new_carry = tuple(c[head_end:] for c in cols)
+            head = tuple(c[:head_end] for c in cols) if head_end else None
+            return head, new_carry
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            acc.append(_cols_of(rb))
+            acc_rows += rb.num_rows
+            if acc_rows < _PACK_ROWS:
+                continue
+            cols = tuple(
+                np.concatenate([a[i] for a in acc]) if i < 3
+                else [x for a in acc for x in a[i]]
+                for i in range(6)
+            )
+            acc, acc_rows = [], 0
+            if carry is not None:
+                cols = tuple(
+                    np.concatenate([carry[i], cols[i]]) if i < 3
+                    else list(carry[i]) + list(cols[i])
+                    for i in range(6)
+                )
+            head, carry = _drain(
+                (cols[0], cols[1], cols[2],
+                 np.asarray(cols[3], dtype=object),
+                 np.asarray(cols[4], dtype=object),
+                 np.asarray(cols[5], dtype=object))
+            )
+            if head is not None:
+                yield _encode(head)
+        if acc:
+            cols = tuple(
+                np.concatenate([a[i] for a in acc]) if i < 3
+                else [x for a in acc for x in a[i]]
+                for i in range(6)
+            )
+            if carry is not None:
+                cols = tuple(
+                    np.concatenate([carry[i], cols[i]]) if i < 3
+                    else list(carry[i]) + list(cols[i])
+                    for i in range(6)
+                )
+            carry = (cols[0], cols[1], cols[2],
+                     np.asarray(cols[3], dtype=object),
+                     np.asarray(cols[4], dtype=object),
+                     np.asarray(cols[5], dtype=object))
+        if carry is not None and len(carry[0]):
+            yield _encode(carry)
+
+    return _merge
 
 
 def build_doclens(dls: DataFrame, chunk_bits: int = 17) -> DataFrame:

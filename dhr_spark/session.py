@@ -60,6 +60,12 @@ def get_spark(
         local_dir = "/dev/shm/dhr-spark-local"
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
+    # shuffle/spill block codec A/B knob (lz4 default; zstd trades spare
+    # CPU for shuffle bytes — relevant on membw-bound hosts and real
+    # networks; see BASELINE.md round-5 scaling notes)
+    io_codec = os.environ.get("DHR_IO_CODEC")
+    if io_codec:
+        b = b.config("spark.io.compression.codec", io_codec)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
