@@ -558,6 +558,19 @@ def main() -> None:
     result["bigbatch_queries_per_sec"] = round(100_000 / t_bb, 1)
     result["bigbatch_rows"] = int(n_bb)
 
+    # same batch against a PFOR index: search_batch is the bulk-decode tier
+    # the packed codec exists for (one full decode of every matched list,
+    # no block skipping) — the mixed-tier manifest (compact_index(codec=
+    # "pfor")) routes cold chunks here while serving chunks stay varint
+    idx_bbp = f"/tmp/dhr_bench_idx_bbp{CPUS}"
+    _build(spark, max(60, n_convs // 10), idx_bbp, codec="pfor")
+    t0 = time.time()
+    n_bbp = Searcher(spark, idx_bbp).search_batch(qbig, k=10).count()
+    t_bbp = time.time() - t0
+    timings["bm25_bigbatch_100k_pfor"] = round(t_bbp, 2)
+    result["bigbatch_pfor_queries_per_sec"] = round(100_000 / t_bbp, 1)
+    assert int(n_bbp) == int(n_bb)
+
     # ---- packed codec comparison (FOR / PFOR postings, index/codec.py) --
     # same corpus, same geometry: each row pair evidences both the byte
     # shrink and that the packed decode holds query throughput. Runs on
