@@ -551,9 +551,14 @@ def main() -> None:
             SF.pmod(SF.col("id") * 7 + 13, SF.lit(2000)),
         ).alias("text"),
     )
-    t0 = time.time()
-    n_bb = Searcher(spark, idx_bb).search_batch(qbig, k=10).count()
-    t_bb = time.time() - t0
+    # best-of-2 like every other per-op row: the first call additionally
+    # pays one-time JIT/codegen for the batch plan, which is not the
+    # steady-state offline-eval cost this row estimates
+    t_bb, n_bb = float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        n_bb = Searcher(spark, idx_bb).search_batch(qbig, k=10).count()
+        t_bb = min(t_bb, time.time() - t0)
     timings["bm25_bigbatch_100k"] = round(t_bb, 2)
     result["bigbatch_queries_per_sec"] = round(100_000 / t_bb, 1)
     result["bigbatch_rows"] = int(n_bb)
@@ -564,9 +569,11 @@ def main() -> None:
     # "pfor")) routes cold chunks here while serving chunks stay varint
     idx_bbp = f"/tmp/dhr_bench_idx_bbp{CPUS}"
     _build(spark, max(60, n_convs // 10), idx_bbp, codec="pfor")
-    t0 = time.time()
-    n_bbp = Searcher(spark, idx_bbp).search_batch(qbig, k=10).count()
-    t_bbp = time.time() - t0
+    t_bbp, n_bbp = float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        n_bbp = Searcher(spark, idx_bbp).search_batch(qbig, k=10).count()
+        t_bbp = min(t_bbp, time.time() - t0)
     timings["bm25_bigbatch_100k_pfor"] = round(t_bbp, 2)
     result["bigbatch_pfor_queries_per_sec"] = round(100_000 / t_bbp, 1)
     assert int(n_bbp) == int(n_bb)
