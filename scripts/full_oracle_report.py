@@ -1,0 +1,140 @@
+"""Full-registry oracle report: every __spark_entry__ entry vs its DuckDB
+twin at sf0.01, in the driver's CORRECTNESS_r{N}.json row format.
+
+The per-round driver window holds 50 slots; this script produces the same
+evidence for ALL registry entries (the rotation closed 198 of 228 across
+rounds 1-5 — the remaining 30 are pytest-oracle-only). Output is one JSON
+object {entry: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}; entries without an oracle_sql twin get the driver's
+weaker rows-only record ({rows_only: true, spark_rows, err}).
+
+Usage:
+    python scripts/full_oracle_report.py [OUT.json]
+Env:
+    SPARK_GRAFT_ORACLE_SF  sf dir (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("DHR_SHM_SCRATCH", "1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        if out[c].dtype == object:
+            out[c] = out[c].astype(str)
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def _values_match(s: pd.DataFrame, d: pd.DataFrame) -> bool:
+    for c in s.columns:
+        sv, dv = s[c].to_numpy(), d[c].to_numpy()
+        if s[c].dtype.kind == "f":
+            for a, b in zip(sv, dv):
+                if not (a == b or (math.isnan(a) and math.isnan(b))):
+                    return False
+        else:
+            for a, b in zip(sv, dv):
+                if a != b:
+                    return False
+    return True
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    # order-insensitive content hash of the canonicalized frame (the
+    # driver's compare sorts columns by name then rows by value, same as
+    # _canon); floats repr'd so bit-identical values hash identically
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(repr(tuple(row)).encode())
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_FULL_r05.json"
+    import __spark_entry__ as entry_mod
+    from dhr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="full_oracle_report", master="local[8]", shuffle_partitions=8
+    )
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    report: dict[str, dict] = {}
+    t_start = time.time()
+    for i, name in enumerate(sorted(queries), 1):
+        row: dict = {}
+        try:
+            sdf = queries[name](spark, SF_DIR).toPandas()
+            if name in oracles:
+                ddf = _duck(oracles[name])
+                row["rows_match"] = len(sdf) == len(ddf)
+                row["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
+                s, d = _canon(sdf), _canon(ddf)
+                row["hash_match"] = (
+                    row["rows_match"]
+                    and row["schema_match"]
+                    and _values_match(s, d)
+                )
+                row["spark_rows"] = len(sdf)
+                row["oracle_rows"] = len(ddf)
+                row["value_hash"] = _value_hash(s) if row["hash_match"] else None
+            else:
+                row["rows_only"] = True
+                row["spark_rows"] = len(sdf)
+            row["err"] = None
+        except Exception as e:  # noqa: BLE001 — the report IS the evidence
+            row["err"] = f"{type(e).__name__}: {e}"[:300]
+        report[name] = row
+        ok = row.get("hash_match", row.get("rows_only")) and not row["err"]
+        print(f"[{i}/{len(queries)}] {name}: {'ok' if ok else row}", flush=True)
+    n_full = sum(1 for r in report.values() if "hash_match" in r)
+    n_green = sum(1 for r in report.values() if r.get("hash_match"))
+    n_rows_only = sum(1 for r in report.values() if r.get("rows_only"))
+    summary = {
+        "sf_dir": SF_DIR,
+        "entries": len(report),
+        "full_oracle": n_full,
+        "full_oracle_green": n_green,
+        "rows_only": n_rows_only,
+        "errors": sum(1 for r in report.values() if r["err"]),
+        "wall_sec": round(time.time() - t_start, 1),
+    }
+    with open(out_path, "w") as f:
+        json.dump({"_summary": summary, **report}, f, indent=1)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
