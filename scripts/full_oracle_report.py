@@ -94,6 +94,7 @@ def main() -> None:
     t_start = time.time()
     for i, name in enumerate(sorted(queries), 1):
         row: dict = {}
+        t_entry = time.time()
         try:
             sdf = queries[name](spark, SF_DIR).toPandas()
             if name in oracles:
@@ -115,9 +116,14 @@ def main() -> None:
             row["err"] = None
         except Exception as e:  # noqa: BLE001 — the report IS the evidence
             row["err"] = f"{type(e).__name__}: {e}"[:300]
+        row["sec"] = round(time.time() - t_entry, 1)
         report[name] = row
         ok = row.get("hash_match", row.get("rows_only")) and not row["err"]
-        print(f"[{i}/{len(queries)}] {name}: {'ok' if ok else row}", flush=True)
+        print(
+            f"[{i}/{len(queries)}] {name}: {'ok' if ok else row} "
+            f"({row['sec']}s)",
+            flush=True,
+        )
     n_full = sum(1 for r in report.values() if "hash_match" in r)
     n_green = sum(1 for r in report.values() if r.get("hash_match"))
     n_rows_only = sum(1 for r in report.values() if r.get("rows_only"))
