@@ -269,7 +269,30 @@ def compact_index(
     # docid order would interleave their field ranges and break the
     # per-chunk sorted invariant search_sorted's early-termination cut
     # relies on — Lucene merges re-sort segments for the same reason ----
-    dl_t = decode_doclens(dl_all.filter(F.col("chunk").isin(targets)))
+    # Remap source = doc_map rows of the target chunks, NOT the decoded
+    # doclens alone: decode_doclens drops dl=0 slots, but some of those
+    # are REAL docs — analyzed-empty (e.g. stopword-only) texts that own
+    # no postings yet are counted in n_docs, doc_map, and the packed
+    # doclens headers. A remap built without them would strand their
+    # doc_map rows on dropped chunks (docids no reader can resolve) and
+    # leave the compacted doclens headers short of doc_map — the exact
+    # count mismatch check_index flags. The left join carries them
+    # through with dl=0: they get fresh docids and zero slots, postings
+    # and stored rows (which they never had) are unaffected.
+    dm_live = (
+        spark.read.parquet(os.path.join(index_dir, "doc_map"))
+        .select("docid")
+        .filter(
+            F.shiftright(F.col("docid"), chunk_bits)
+            .cast("int")
+            .isin(targets)
+        )
+    )
+    dl_t = dm_live.join(
+        decode_doclens(dl_all.filter(F.col("chunk").isin(targets))),
+        "docid",
+        "left",
+    ).select("docid", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
     if tomb is not None and tomb.size:
         t_in = tomb[np.isin(tomb >> chunk_bits, np.array(targets))]
         if t_in.size:
@@ -311,6 +334,24 @@ def compact_index(
     remap.write.mode("overwrite").parquet(
         os.path.join(index_dir, comp_dir, "remap")
     )
+    # From here on, the COMMITTED remap parquet is the one authoritative
+    # mapping for every artifact rewrite below. The in-memory frame must
+    # not be trusted across them: its lineage reads doclens/, and the new
+    # doclens write below would invalidate its cache by path — Spark then
+    # silently recomputes it with a FRESH range-partitioner sample, so the
+    # sidecars written after that point would carry a DIFFERENT
+    # old->new numbering than the segments/doclens written before it
+    # (measured: ~90% of docids renumbered differently; doc_map/stored
+    # text detached from the postings). with_global_ids is now
+    # checkpoint-backed (recompute-proof) as well — this re-read makes the
+    # compaction additionally immune to block loss on a real cluster: the
+    # mapping used is by construction the one durably recorded for GC and
+    # crash recovery.
+    remap.unpersist()
+    if numbered_cache is not None:
+        numbered_cache.unpersist()
+    numbered_cache = None
+    remap = spark.read.parquet(os.path.join(index_dir, comp_dir, "remap"))
     # tombstones cleared by this merge: their postings die with the dropped
     # chunks, but their doc_map rows must die too (GC) — a later
     # conversation append re-deriving tombstones from doc_map would
@@ -513,9 +554,6 @@ def compact_index(
         }
     )
     _write_manifest(index_dir, man2)
-    remap.unpersist()
-    if numbered_cache is not None:
-        numbered_cache.unpersist()
     if gc:
         man2 = gc_index(spark, index_dir)
     return man2

@@ -40,14 +40,32 @@ def with_global_ids(
     Window.partitionBy(_pid), which would hash-shuffle N partition ids into
     N buckets WITH COLLISIONS, silently capping stage parallelism (measured
     ~5 busy cores of 8). Bound: <= 2^33 rows per partition.
+
+    The materialized base is an EAGER LOCAL CHECKPOINT, not a persist().
+    Every pass (the counts collect and each later consumer job) must see
+    the SAME sampled range bounds and row order, but a plain cache is not
+    a guarantee of that: RangePartitioner re-samples with a fresh seed on
+    recomputation, and Spark SILENTLY recomputes a cached frame whenever
+    its cache is invalidated — most insidiously when a consumer OVERWRITES
+    a directory that appears in the frame's own read lineage (CacheManager
+    invalidates-by-path on InsertIntoHadoopFsRelation; measured: a
+    compaction numbering read from doclens/, then the new doclens write
+    invalidated it, and the remaining sidecar rewrites renumbered ~90% of
+    docids differently — doc_map/stored disagreeing with segments).
+    localCheckpoint truncates the lineage to the materialized blocks: no
+    path dependency to invalidate, and recomputation is impossible — a
+    lost block fails the job loudly instead of corrupting ids. Blocks are
+    MEMORY_AND_DISK and are released when the frame is garbage-collected
+    (the ``_dhr_persisted`` unpersist handle remains for caller
+    compatibility; on a checkpointed frame it is a no-op).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *order_exprs).sortWithinPartitions(
         *order_exprs
     )
-    # persist so the count pass and the numbering pass see the SAME range
-    # bounds (range partitioning samples; two separate jobs could re-sample)
-    with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    with_pid = parted.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     counts = {r["_pid"]: r["cnt"] for r in
               with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     if not counts:

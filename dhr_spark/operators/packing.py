@@ -21,18 +21,18 @@ exact anti-pattern this repo's docid assignment already avoids
 instead of counting:
 
   1. ``repartitionByRange(id)`` + ``sortWithinPartitions`` — ordered,
-     balanced partitions (persisted so both passes see the same sampled
-     range bounds);
+     balanced partitions (eagerly local-checkpointed so both passes see
+     the same sampled range bounds, recomputation-proof);
   2. per-partition token SUMS -> exclusive per-partition bases (a tiny
      driver array, one row per partition, broadcast back);
   3. one Arrow ``mapInPandas`` pass: local numpy cumsum + the partition
      base. No global sort, no shuffle beyond the range exchange, and the
      result is partitioning-independent.
 
-Like with_global_ids, the range-partitioned base stays persisted until
-the caller materializes the result; the handle rides on
-``out._dhr_persisted`` for disciplined unpersist (index/builder.py:98
-documents the hazard).
+Like with_global_ids, the range-partitioned base is an eager local
+checkpoint that lives until the result is garbage-collected; the
+``out._dhr_persisted`` handle remains for caller compatibility
+(index/builder.py:98 documents the original hazard).
 """
 
 from __future__ import annotations
@@ -76,7 +76,13 @@ def pack_offsets(
     parted = base.repartitionByRange(n_parts, id_col).sortWithinPartitions(
         id_col
     )
-    with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    # eager local checkpoint, not persist: the sums pass and the numbering
+    # pass MUST see identical range bounds and row order, and a cache can
+    # be silently invalidated + recomputed with a fresh range sample
+    # (operators/docids.with_global_ids documents the measured corruption)
+    with_pid = parted.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     sums = {
         r["_pid"]: int(r["s"] or 0)
         for r in with_pid.groupBy("_pid").agg(F.sum(n_col).alias("s")).collect()

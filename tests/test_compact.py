@@ -288,3 +288,80 @@ def test_refresh_loop_with_auto_compaction(spark, tmp_path, queries):
     build_index(spark, union, full, chunk_bits=CHUNK_BITS, block_size=BLOCK)
     assert _results(spark, idx, queries) == _results(spark, full, queries)
     assert len(man["chunks"]) <= len(load_manifest(full)["chunks"]) + 2
+
+
+def test_compaction_sidecar_numbering_consistency(spark, tmp_path):
+    """Regression: the doclens overwrite used to invalidate the cached
+    remap numbering by path (its lineage reads doclens/), and Spark
+    silently recomputed it with a fresh range-partitioner sample — so
+    positions/forward/stored/doc_map, written after that point, carried a
+    DIFFERENT old->new docid mapping than segments/doclens (measured ~90%
+    of docids renumbered: stored text detached from doc_map keys, and
+    docid collisions appeared in both). Reproduces deterministically at
+    this shape (auto chunk geometry, one large append, stored + docvalues
+    sidecars); fixed by checkpoint-backing with_global_ids and re-reading
+    the committed remap parquet for every artifact rewrite."""
+    tr = synth_transcripts(spark, 400).cache()
+    tr.count()
+    cid = F.abs(F.hash("conv_id"))
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, tr.filter(cid % 16 < 13), idx,
+        forward_index=True, stored=True, docvalues=["role", "ts"],
+    )
+    append_to_index(spark, tr.filter(cid % 16 >= 13), idx)
+    man = compact_index(spark, idx, fill_threshold=0.97)
+    assert man.get("compactions", 0) >= 1
+
+    dm = spark.read.parquet(os.path.join(idx, "doc_map"))
+    st = spark.read.parquet(os.path.join(idx, "stored"))
+    # one row per live doc, no docid collisions in either sidecar
+    assert dm.count() == man["n_docs"]
+    assert dm.groupBy("docid").count().filter("count > 1").count() == 0
+    assert st.groupBy("docid").count().filter("count > 1").count() == 0
+    # every docid's stored text is the corpus text of its doc_map key.
+    # Docs whose text analyzes to ZERO tokens (stopword-only) are counted
+    # in n_docs/doc_map but have no postings/doclens/stored rows — the
+    # only legal doc_map rows without a stored twin.
+    joined = dm.join(st, "docid").join(
+        tr.select(
+            "conv_id", "turn_idx", F.col("text").alias("corpus_text")
+        ),
+        ["conv_id", "turn_idx"],
+    )
+    assert joined.count() == st.count()
+    assert joined.filter(F.col("text") != F.col("corpus_text")).count() == 0
+    from dhr_spark.functions.analyzer import analyze_lucene
+
+    ghosts = (
+        dm.join(st, "docid", "left_anti")
+        .join(tr, ["conv_id", "turn_idx"])
+        .select("text")
+        .collect()
+    )
+    assert all(not analyze_lucene(r["text"]) for r in ghosts)
+    # forward sidecar agrees with the postings on per-doc lengths
+    from dhr_spark.index.compact import decode_doclens
+
+    dl = decode_doclens(
+        spark.read.parquet(os.path.join(idx, "doclens")).filter(
+            F.col("chunk").isin([int(c) for c in man["chunks"]])
+        )
+    )
+    fwd_dl = (
+        spark.read.parquet(os.path.join(idx, "forward"))
+        .groupBy("docid").agg(F.sum("tf").alias("fdl"))
+    )
+    bad = (
+        dl.join(fwd_dl, "docid")
+        .filter(F.col("dl") != F.col("fdl")).count()
+    )
+    assert bad == 0
+    # analyzed-empty docs must ride the remap (fresh docids, dl=0 slots):
+    # stranding them on dropped chunks would break the checker's
+    # doclens-header-vs-doc_map count invariant
+    from dhr_spark.index.check import check_index
+
+    chk = check_index(spark, idx)
+    assert chk["ok"], chk["problems"]
+    tr.unpersist()

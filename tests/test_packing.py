@@ -95,9 +95,16 @@ def test_bad_seq_len_raises(spark):
 
 
 def test_no_single_partition_window(spark):
-    # the scale claim: no WindowExec over an unpartitioned frame — the
-    # physical plan must be Exchange(rangepartitioning) + mapInPandas
+    # the scale claim: no WindowExec over an unpartitioned frame. The
+    # range exchange runs inside the eager local checkpoint's own job
+    # (recompute-proof numbering — operators/docids.py), so the final
+    # plan is mapInPandas over the checkpointed scan: still no Window,
+    # and the base must be the checkpoint scan, not a re-sort.
     plan = pack_offsets(_counts(spark, 100), SEQ)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Window" not in plan, plan[:1500]
-    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    assert (
+        "rangepartitioning" in plan.lower()
+        or "existingrdd" in plan.lower()
+        or "scan existing" in plan.lower()
+    ), plan[:1500]
