@@ -262,6 +262,32 @@ class Searcher(SimilarityMixin, ReaderMixin, ExpandMixin, PhraseMixin):
     MAX_TOMBSTONES = 5_000_000
     MAX_DL_BROADCAST_BYTES = 64 << 20  # 16M docs; beyond -> cogrouped plan
 
+    def _kernel_partitions(self) -> int:
+        """Explicit exchange width for the per-chunk kernel stages.
+
+        AQE coalesces shuffle partitions by INPUT BYTES, but segment rows
+        are a compressed proxy: the decode+score work per shuffled byte is
+        orders of magnitude above a normal row operator's, so byte-based
+        coalescing serializes the scoring stage (measured on this harness:
+        the 200-query batch kernel ran on 5 of 32 cores — 2.3s of a 3.2s
+        batch — and the 100k-query fan stage on 5 of 32, 133s of CPU).
+        Chunks are the kernel's parallel unit and the shuffle-partitions
+        conf carries the deployment's sizing, so pin the exchange at
+        min(n_chunks, spark.sql.shuffle.partitions) — scale-adaptive on
+        both axes, never a constant."""
+        n_chunks = max(1, len(self.manifest.get("chunks", {})))
+        sp = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return max(1, min(n_chunks, sp))
+
+    def _by_chunk(self, df: DataFrame):
+        """(chunk)-grouped view of ``df`` with the kernel exchange pinned at
+        _kernel_partitions width (repartition with an explicit partition
+        count is exempt from AQE coalescing; the following groupBy reuses
+        the exchange — one shuffle either way)."""
+        return df.repartition(self._kernel_partitions(), "chunk").groupBy(
+            "chunk"
+        )
+
     def _prune_to_manifest(self, df: DataFrame) -> DataFrame:
         """Restrict a chunk-partitioned artifact scan to the chunks committed
         in the manifest lineage. A crashed append leaves orphan chunk
@@ -485,7 +511,14 @@ class Searcher(SimilarityMixin, ReaderMixin, ExpandMixin, PhraseMixin):
         )
 
         if collision_free:
-            fan = posts_w.repartition("docid").join(
+            # explicit width: AQE would coalesce this exchange by the
+            # (small) weighted-postings bytes, but the broadcast fan-out
+            # below multiplies every row by the queries sharing its term —
+            # measured here, byte-based coalescing ran the fan+aggregate
+            # stage on 5 of 32 cores (133s of CPU serialized into 5 tasks).
+            # The shuffle-partitions conf carries the deployment sizing.
+            sp = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            fan = posts_w.repartition(sp, "docid").join(
                 F.broadcast(qterms.select("qn", "term_id", "qtf")), "term_id"
             )
             # docid partitioning satisfies the (qn, docid) clustering:
@@ -560,10 +593,10 @@ class Searcher(SimilarityMixin, ReaderMixin, ExpandMixin, PhraseMixin):
             codec=self._codec,
         )
         if self._dl_bc is not None:
-            return seg.groupBy("chunk").applyInPandas(kernel, RESULT_SCHEMA)
+            return self._by_chunk(seg).applyInPandas(kernel, RESULT_SCHEMA)
         return (
-            seg.groupBy("chunk")
-            .cogroup(dl.groupBy("chunk"))
+            self._by_chunk(seg)
+            .cogroup(self._by_chunk(dl))
             .applyInPandas(kernel, RESULT_SCHEMA)
         )
 

@@ -362,7 +362,7 @@ class ExpandMixin:
             seg = self._seg_for_terms(
                 sorted({int(t) for s in must_sets.values() for t in s})
             )
-            pres = seg.groupBy("chunk").applyInPandas(
+            pres = self._by_chunk(seg).applyInPandas(
                 kern, "qid string, docid long, n_hit long"
             )
             must_frames.append(
@@ -413,7 +413,7 @@ class ExpandMixin:
                 sorted({int(t) for s in not_sets.values() for t in s})
             )
             not_frames.append(
-                seg.groupBy("chunk")
+                self._by_chunk(seg)
                 .applyInPandas(kern, "qid string, docid long, n_hit long")
                 .select("qid", "docid")
             )
@@ -434,7 +434,7 @@ class ExpandMixin:
                     sorted({int(t) for s in msm_sets.values() for t in s})
                 )
                 msm_frames.append(
-                    seg.groupBy("chunk")
+                    self._by_chunk(seg)
                     .applyInPandas(kern, "qid string, docid long, n_hit long")
                     .select(
                         F.split_part(

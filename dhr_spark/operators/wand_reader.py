@@ -49,7 +49,7 @@ class ReaderMixin:
             tombstones=self._tombstones,
             codec=self._codec,
         )
-        counted = seg.groupBy("chunk").applyInPandas(
+        counted = self._by_chunk(seg).applyInPandas(
             kernel, "qid string, n long"
         )
         return counted.groupBy("qid").agg(F.sum("n").alias("n"))
@@ -91,8 +91,7 @@ class ReaderMixin:
             codec=self._codec,
         )
         return (
-            self._seg_for_terms(all_terms)
-            .groupBy("chunk")
+            self._by_chunk(self._seg_for_terms(all_terms))
             .applyInPandas(kern, "qid string, docid long, n_hit long")
             .select("qid", "docid")
         )
@@ -229,8 +228,7 @@ class ReaderMixin:
                 cursor_qids=cursor_qids,
             )
             cand = (
-                self._seg_for_terms(all_terms)
-                .groupBy("chunk")
+                self._by_chunk(self._seg_for_terms(all_terms))
                 .applyInPandas(kern, "qid string, docid long, n_hit long")
                 .select("qid", "docid")
             )
@@ -760,7 +758,7 @@ class ReaderMixin:
             seg = self._seg_for_terms(
                 sorted({int(t) for s in qsets.values() for t in s})
             )
-            neg = seg.groupBy("chunk").applyInPandas(
+            neg = self._by_chunk(seg).applyInPandas(
                 kern, "qid string, docid long, n_hit long"
             ).select("qid", "docid")
             if window is not None:

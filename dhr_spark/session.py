@@ -41,6 +41,14 @@ def get_spark(
         # kernel (best-of-N build ~13.3k vs ~11.9k turns/s at 10k rows);
         # 64k regressed (batch imbalance) — don't raise further blindly
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        # one-shot limit evaluation: CollectLimit's default 1→4→16… partition
+        # escalation costs one full job-scheduling round per step — a point
+        # query's tiny (qid, text) frame spread over defaultParallelism
+        # partitions paid FOUR jobs (~0.7s of a 1.3s p50) just collecting
+        # the query row. Covering all partitions in round one is scale-safe
+        # here: every limit+collect in this engine runs on query/result/
+        # metadata frames, never an unbounded corpus scan.
+        .config("spark.sql.limit.initialNumPartitions", str(max(cpus * 4, 64)))
         .config("spark.driver.memory", os.environ.get("DHR_DRIVER_MEM", default_mem))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
