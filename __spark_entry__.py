@@ -298,12 +298,44 @@ def _postings(spark: SparkSession, sf_dir: str):
     return post, n_docs, avgdl
 
 
+
+def _mismatches(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One-row (mismatches BIGINT): |A \\ B| + |B \\ A| over MULTISETS —
+    the exact value the old ``a.exceptAll(b).unionAll(b.exceptAll(a))``
+    count produced, computed with each input evaluated ONCE. The exceptAll
+    formulation referenced each side twice, so Spark executed both full
+    scoring subtrees twice per identity check (no common-subexpression
+    reuse across the union); here each side collapses to per-row
+    multiplicities first, then one null-safe full-outer join sums the
+    absolute multiplicity differences."""
+    cols = a.columns
+    ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("_ca"))
+    cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("_cb"))
+    cond = [ca[c].eqNullSafe(cb[c]) for c in cols]
+    return (
+        ca.join(cb, cond, "full_outer")
+        .select(
+            F.abs(
+                F.coalesce(F.col("_ca"), F.lit(0))
+                - F.coalesce(F.col("_cb"), F.lit(0))
+            ).alias("_d")
+        )
+        .agg(F.coalesce(F.sum("_d"), F.lit(0)).cast("long").alias("mismatches"))
+    )
+
+
 def _round4(df: DataFrame) -> DataFrame:
     return df.withColumn("score", F.round(F.col("score"), 4))
 
 
-def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    post, _, _ = _postings(spark, sf_dir)
+def _bm25_topk(
+    spark: SparkSession, sf_dir: str, post: DataFrame | None = None
+) -> DataFrame:
+    """``post`` lets callers that already built the BM25 postings (the PRF
+    entries score twice over the same postings) reuse them — _postings runs
+    a corpus-stats collect job per call, so sharing halves that fixed cost."""
+    if post is None:
+        post, _, _ = _postings(spark, sf_dir)
     return _round4(topk(score_all(_qtfs(spark), post, on="term"), TOPK))
 
 
@@ -3798,8 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         slow = rrf_fuse(
             [_bm25_topk(spark, sf), _qld_run(spark, sf)], k=TOPK
         )
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def bpref_q(spark, sf):
         # graded pool from the deterministic rule: all-terms docs are
@@ -4089,8 +4120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _wand_index_dir(spark, sf)
         fast = _round4(search_wand(spark, idx, _queries_df(spark), k=TOPK))
         slow = _bm25_topk(spark, sf)
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def syntax_range_q(spark, sf):
         # the classic-syntax spelling of range_topk: every BM25 query plus
@@ -4123,8 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _qtfs(spark), term_freqs(tok), doc_lengths(tok), k=TOPK, mu=QLD_MU
             )
         )
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def phrase_batch_q(spark, sf):
         # index-backed BATCH phrase search: all phrases answered from ONE
@@ -4172,8 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         a, b = ranked(inc), ranked(full)
-        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(a, b)
 
     def highlight_topk_q(spark, sf):
         # index-backed highlighting: BM25 top-k + stored-field fetch +
@@ -4238,8 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "qid", "conv_id", "turn_idx", F.round("score", 4).alias("score")
             )
         )
-        mism = fed_t.exceptAll(single_t).unionAll(single_t.exceptAll(fed_t))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fed_t, single_t)
 
     def compact_identity_q(spark, sf):
         # chunk compaction (Lucene tiered-merge analogue): base build + two
@@ -4279,8 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         a, b = ranked(inc), ranked(full)
-        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(a, b)
 
     def merge_identity_q(spark, sf):
         # physical index merge (Lucene IndexWriter.addIndexes analogue,
@@ -4322,8 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         a, b = ranked(da), ranked(full)
-        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(a, b)
 
     def alias_rollover_identity_q(spark, sf):
         # index alias + ILM rollover (index/alias.py): an alias that rolled
@@ -4375,10 +4400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "conv_id", "turn_idx",
             F.round("score", 4).alias("score"),
         )
-        mism = fed_keys.exceptAll(sing_keys).unionAll(
-            sing_keys.exceptAll(fed_keys)
-        )
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fed_keys, sing_keys)
 
     def reindex_identity_q(spark, sf):
         # reindex-from-stored-fields (index/reindex.py, ES _reindex): after
@@ -4415,8 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         a, b = ranked(src), ranked(dst)
-        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(a, b)
 
     def dv_update_identity_q(spark, sf):
         # in-place docvalue updates (Lucene updateDocValues analogue,
@@ -4463,8 +4484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         a, b = ranked(idx), ranked(ref)
-        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(a, b)
 
     def by_query_identity_q(spark, sf):
         # ES _update_by_query + _delete_by_query (index/byquery.py): after
@@ -4531,8 +4551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         a, b = ranked(idx), ranked(ref)
-        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(a, b)
 
     def phrase_match_q(spark, sf):
         docs = _docs(spark, sf)
@@ -4606,11 +4625,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = m if out is None else out.unionByName(m)
         return out.select("phrase_id", "doc_id", "n_matches", "first_pos")
 
-    def _rm3_expanded(spark, sf):
+    def _rm3_expanded(spark, sf, post=None):
         tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
         return R3.rm3_expand(
             _qtfs(spark),
-            _bm25_topk(spark, sf),
+            _bm25_topk(spark, sf, post=post),
             term_freqs(tok),
             doc_lengths(tok),
             fb_docs=RM3_FB_DOCS,
@@ -4623,13 +4642,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def rm3_topk_q(spark, sf):
         post, _, _ = _postings(spark, sf)
-        return _round4(R3.rm3_topk(_rm3_expanded(spark, sf), post, k=TOPK, on="term"))
+        return _round4(
+            R3.rm3_topk(_rm3_expanded(spark, sf, post=post), post, k=TOPK, on="term")
+        )
 
-    def _rocchio_expanded(spark, sf):
+    def _rocchio_expanded(spark, sf, post=None):
         tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
         return RC.rocchio_expand(
             _qtfs(spark),
-            _bm25_topk(spark, sf),
+            _bm25_topk(spark, sf, post=post),
             term_freqs(tok),
             doc_lengths(tok),
             fb_docs=ROCCHIO_FB_DOCS,
@@ -4646,7 +4667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rocchio_topk_q(spark, sf):
         post, _, _ = _postings(spark, sf)
         return _round4(
-            RC.rocchio_topk(_rocchio_expanded(spark, sf), post, k=TOPK, on="term")
+            RC.rocchio_topk(
+                _rocchio_expanded(spark, sf, post=post), post, k=TOPK, on="term"
+            )
         )
 
     def qld_topk_q(spark, sf):
@@ -4694,8 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 k=TOPK, s=F2EXP_S, kexp=F2EXP_KEXP,
             )
         )
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def f2log_topk_q(spark, sf):
         tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
@@ -4725,8 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 k=TOPK, s=F2EXP_S,
             )
         )
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def inl2_topk_q(spark, sf):
         tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
@@ -4756,8 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 k=TOPK, c=DFR_C,
             )
         )
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def spl_topk_q(spark, sf):
         tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
@@ -4787,8 +4807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 k=TOPK, c=DFR_C,
             )
         )
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def dph_topk_q(spark, sf):
         tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
@@ -4815,8 +4834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _qtfs(spark), term_freqs(tok), doc_lengths(tok), k=TOPK
             )
         )
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def sharded_range_q(spark, sf):
         # range-sharded index: whole-shard pruning on the shard key, exact
@@ -4873,8 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         slow = _round4(
             tfidf_topk(_qtfs(spark), term_freqs(tok), doc_lengths(tok), k=TOPK)
         )
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def synonym_topk_q(spark, sf):
         # Lucene SynonymQuery semantics: member tfs sum BEFORE saturation,
@@ -5274,8 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).select("qid", "docid", F.round("score", 4).alias("score"))
 
         a, b = ranked(deld), ranked(full)
-        mism = a.exceptAll(b).unionAll(b.exceptAll(a))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(a, b)
 
     def dismax_topk_q(spark, sf):
         # Lucene DisjunctionMaxQuery over the pseudo-conversation fields:
@@ -5517,8 +5533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _queries_df(spark), "n_chars", scale=250.0, k=TOPK
         )
         slow = boosted_topk_q(spark, sf)
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def recency_topk_q(spark, sf):
         # recency-boosted retrieval with a DETERMINISTIC synthetic
@@ -6107,8 +6122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fast = Searcher(spark, idx).search_impact(_queries_df(spark), k=TOPK)
         qw = _qtfs(spark).withColumnRenamed("qtf", "qweight")
         slow = impact_topk(_impacts_frame(spark, sf), qw, k=TOPK)
-        mism = fast.exceptAll(slow).unionAll(slow.exceptAll(fast))
-        return mism.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+        return _mismatches(fast, slow)
 
     def sql_views_topk_q(spark, sf):
         # SQL-parity layer (dhr_spark/sql.py): the BM25 top-k as ONE pure

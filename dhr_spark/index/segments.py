@@ -305,13 +305,19 @@ def build_segments(
     # tf/dl travel the build's one wide exchange as int32: both are
     # per-document counts (or 31-bit-capped impacts, index/impact.py) —
     # the encode stage is memory-bandwidth-bound (BASELINE.md r03 profile),
-    # so every byte off the shuffled row is wall-clock
+    # so every byte off the shuffled row is wall-clock. The docid travels
+    # as its int32 IN-CHUNK OFFSET (chunk_bits <= 22, so offsets fit) and
+    # the kernel reconstructs (chunk << chunk_bits) + off — 4 fewer bytes
+    # on every shuffled/sorted row of the build's only wide exchange
+    # (guide §2.3: narrower types, project before the exchange).
     src = postings.withColumn(
         "chunk", F.shiftright(F.col("docid"), chunk_bits).cast("int")
     ).select(
         "chunk",
         "term_id",
-        "docid",
+        (F.col("docid") - F.shiftleft(F.shiftright(F.col("docid"), chunk_bits), chunk_bits))
+        .cast("int")
+        .alias("off"),
         F.col("tf").cast("int").alias("tf"),
         F.col("dl").cast("int").alias("dl"),
     )
@@ -333,8 +339,14 @@ def build_segments(
             )
         )
 
-    parted = src.repartition("chunk", "term_id").sortWithinPartitions(
-        "chunk", "term_id", "docid"
+    # explicit width (same rationale as the packed path below): the encode
+    # kernel's work per shuffled byte is far above a row operator's, so
+    # AQE's byte-based coalescing must not shrink this stage
+    nparts = int(
+        postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    parted = src.repartition(nparts, "chunk", "term_id").sortWithinPartitions(
+        "chunk", "term_id", "off"
     )
 
     def _build(batches):
@@ -345,10 +357,13 @@ def build_segments(
         # the next so a group split across Arrow batches encodes once.
         carry: tuple | None = None
         for rb in batches:
+            chunk_col = rb.column(0).to_numpy(zero_copy_only=False)
+            off_col = rb.column(2).to_numpy(zero_copy_only=False)
             cols = (
-                rb.column(0).to_numpy(zero_copy_only=False),          # chunk
+                chunk_col,                                            # chunk
                 rb.column(1).to_numpy(zero_copy_only=False),          # term_id
-                rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64),
+                (chunk_col.astype(np.int64) << chunk_bits)
+                + off_col.astype(np.int64),                           # docid
                 rb.column(3).to_numpy(zero_copy_only=False),          # tf
                 rb.column(4).to_numpy(zero_copy_only=False),          # dl
             )
@@ -399,9 +414,8 @@ def _pack_partials(chunk_bits: int):
     import pyarrow as pa
 
     def _flush(cols):
-        chunks, tids, docids, tfs, dls = cols
-        n = len(docids)
-        offs = docids - (chunks.astype(np.int64) << chunk_bits)
+        chunks, tids, offs, tfs, dls = cols
+        n = len(offs)
         order = np.lexsort((offs, tids, chunks))
         chunks, tids, offs = chunks[order], tids[order], offs[order]
         tfs, dls = tfs[order], dls[order]
