@@ -62,18 +62,32 @@ def _stem_cached(tok: str) -> str:
     return s
 
 
+# Whole-pipeline per-RAW-token memo (possessive strip + lowercase +
+# apostrophe removal + stop check + stem): the normalization steps cost as
+# much as the memoized stem itself per repeated token, and a corpus shard
+# sees each surface form thousands of times. ``""`` marks a removed token
+# (stopword / cleans to empty) — distinct from a cache miss (absent key).
+_NORM_CACHE: dict[str, str] = {}
+
+
+def _norm_cached(raw: str) -> str:
+    s = _NORM_CACHE.get(raw)
+    if s is None:
+        if len(_NORM_CACHE) >= _STEM_CACHE_MAX:
+            _NORM_CACHE.clear()
+        tok = _POSSESSIVE_RE.sub("", raw)
+        tok = tok.lower().replace("'", "").replace("’", "")
+        s = _NORM_CACHE[raw] = (
+            "" if not tok or tok in LUCENE_STOPWORDS else _stem_cached(tok)
+        )
+    return s
+
+
 def analyze_lucene(text: str) -> list[str]:
     """Full chain: tokenize > de-possessive > lowercase > stop > Porter."""
     if not text:
         return []
-    out = []
-    for tok in _TOKEN_RE.findall(text):
-        tok = _POSSESSIVE_RE.sub("", tok)
-        tok = tok.lower().replace("'", "").replace("’", "")
-        if not tok or tok in LUCENE_STOPWORDS:
-            continue
-        out.append(_stem_cached(tok))
-    return out
+    return [s for s in map(_norm_cached, _TOKEN_RE.findall(text)) if s]
 
 
 def analyze_simple(text: str) -> list[str]:
@@ -93,15 +107,10 @@ def analyze_lucene_gaps(text: str) -> list:
     reference's Lucene backend exposes)."""
     if not text:
         return []
-    out = []
-    for tok in _TOKEN_RE.findall(text):
-        tok = _POSSESSIVE_RE.sub("", tok)
-        tok = tok.lower().replace("'", "").replace("’", "")
-        if not tok or tok in LUCENE_STOPWORDS:
-            out.append(None)
-        else:
-            out.append(_stem_cached(tok))
-    return out
+    return [
+        (s if s else None)
+        for s in map(_norm_cached, _TOKEN_RE.findall(text))
+    ]
 
 
 def analyze_positions(mode: str, text: str) -> list[tuple[int, str]]:
