@@ -4648,9 +4648,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _rocchio_expanded(spark, sf, post=None):
         tok = _docs_tok(spark, sf).withColumnRenamed("doc_id", "docid")
+        # gamma > 0 references the first pass from the positive, negative
+        # AND max-rank arms — checkpoint the tiny k x |Q| frame once
+        first = _bm25_topk(spark, sf, post=post).localCheckpoint(eager=False)
         return RC.rocchio_expand(
             _qtfs(spark),
-            _bm25_topk(spark, sf, post=post),
+            first,
             term_freqs(tok),
             doc_lengths(tok),
             fb_docs=ROCCHIO_FB_DOCS,
