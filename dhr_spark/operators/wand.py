@@ -340,13 +340,16 @@ class Searcher(SimilarityMixin, ReaderMixin, ExpandMixin, PhraseMixin):
         queries should not funnel through the driver — route it through the
         distributed slow path (operators.topk.search_slow_path), which
         scores all queries in one shuffled join with no driver state."""
+        # No coalesce here, interactive or not: a point query arrives as an
+        # RDD-backed frame (createDataFrame from a list) whose per-PARTITION
+        # Python evaluation costs ~60-80 ms each; coalesce(8) makes each of
+        # 8 tasks evaluate 4 parent partitions SERIALLY (~0.64 s measured),
+        # while the plain CollectLimit — with the session's one-shot
+        # spark.sql.limit.initialNumPartitions — runs every partition in one
+        # parallel round (~0.30 s; p50 0.94 -> 0.62 s end-to-end on
+        # local[32]). Task metrics, not guesswork: each coalesced task
+        # showed ~500 ms Executor Run Time for a 1-row output.
         q = queries.select("qid", "text")
-        if self._interactive:
-            # a point query arrives as a tiny frame spread over
-            # defaultParallelism near-empty partitions; coalescing to the
-            # interactive width turns the prep collect into a handful of
-            # tasks instead of one per core (~0.1 s off every point query)
-            q = q.coalesce(self.INTERACTIVE_SHUFFLE_PARTITIONS)
         qrows = q.limit(self.MAX_COLLECTED_QUERIES + 1).collect()
         if len(qrows) > self.MAX_COLLECTED_QUERIES:
             raise ValueError(
