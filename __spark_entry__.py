@@ -266,8 +266,43 @@ def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_tokens(_docs(spark, sf_dir), mode="simple")
 
 
+def _lit_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """JVM LocalRelation for a small literal table (VALUES + explicit
+    casts), replacing ``createDataFrame(list)`` for the entry query/bench
+    constants. The createDataFrame spelling parallelizes the list into
+    defaultParallelism Python partitions, and EVERY evaluation of that
+    subtree (each broadcast build, each branch of an identity entry) pays
+    a ~0.2–0.3 s parallel Python-evaluation round on local[32] — measured
+    per-task Executor Run Time, same failure class as the interactive
+    coalesce (OPTIMIZATION_r06.md addenda 6–7). A VALUES LocalRelation is
+    pure JVM: zero Python tasks, and broadcast builds need no job at all.
+    Values and column types are identical to the createDataFrame
+    spelling; only strings/ints/floats/None are accepted."""
+    cols = [c.strip().rsplit(None, 1) for c in schema.split(",")]
+
+    def _sql_lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            raise TypeError("bool literal not supported in _lit_df")
+        if isinstance(v, (int, float)):
+            return repr(v)
+        raise TypeError(f"unsupported literal type {type(v)} in _lit_df")
+
+    vals = ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows
+    )
+    proj = ", ".join(
+        f"CAST(c{i} AS {t}) AS {n}" for i, (n, t) in enumerate(cols)
+    )
+    cnames = ", ".join(f"c{i}" for i in range(len(cols)))
+    return spark.sql(f"SELECT {proj} FROM VALUES {vals} AS t({cnames})")
+
+
 def _queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(BM25_QUERIES, "qid string, text string")
+    return _lit_df(spark, BM25_QUERIES, "qid string, text string")
 
 
 def _qtfs(spark: SparkSession) -> DataFrame:
@@ -4033,8 +4068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dhr_spark.operators.maxsim import maxsim_topk
 
         post, _, _ = _postings(spark, sf)
-        qt = spark.createDataFrame(
-            _query_tokens(), "qid string, qpos int, term string"
+        qt = _lit_df(
+            spark, _query_tokens(), "qid string, qpos int, term string"
         )
         return _round4(maxsim_topk(qt, post, k=TOPK))
 
@@ -4128,7 +4163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # EXACT search_filtered result — same oracle SQL, different
         # execution path (boolean plan + membership gate vs pushed-down
         # predicate), a strong cross-path consistency check
-        q = spark.createDataFrame(
+        q = _lit_df(
+            spark,
             [
                 (qid, f"{text} n_chars:[{RANGE_LO} TO {RANGE_HI}]")
                 for qid, text in BM25_QUERIES
@@ -4163,7 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from dhr_spark.operators.wand import Searcher
 
         idx = _wand_index_dir(spark, sf)
-        ph = spark.createDataFrame(list(PHRASES), "qid string, phrase string")
+        ph = _lit_df(spark, list(PHRASES), "qid string, phrase string")
         return Searcher(spark, idx).search_phrase_batch(ph).select(
             F.col("qid").alias("phrase_id"),
             F.col("docid").alias("doc_id"),
@@ -5316,7 +5352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def syntax_topk_q(spark, sf):
         # Lucene classic syntax through the index: scoring-boolean
         # semantics, wildcard cap df DESC/term ASC at SX_MAXEXP
-        q = spark.createDataFrame(SX_QUERIES, "qid string, text string")
+        q = _lit_df(spark, SX_QUERIES, "qid string, text string")
         return _round4(
             _searcher(spark, sf).search_syntax(
                 q, k=TOPK, max_expansions=SX_MAXEXP
@@ -5374,7 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pretraining hygiene: flag docs sharing n-grams with the eval set
         from dhr_spark.operators.dedup import decontaminate
 
-        bench = spark.createDataFrame(DECON_BENCH, "doc_id string, text string")
+        bench = _lit_df(spark, DECON_BENCH, "doc_id string, text string")
         return decontaminate(
             _docs(spark, sf), bench, n=DECON_N, min_hits=DECON_MIN_HITS
         )
@@ -5789,7 +5825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact op — no false negatives)
         from dhr_spark.operators.dedup import decontaminate_bloom
 
-        bench = spark.createDataFrame(DECON_BENCH, "doc_id string, text string")
+        bench = _lit_df(spark, DECON_BENCH, "doc_id string, text string")
         return decontaminate_bloom(
             _docs(spark, sf), bench, n=DECON_N, min_hits=DECON_MIN_HITS,
             m_bits=1024, k=4,
@@ -6321,8 +6357,8 @@ SELECT qid, docid, rank, score FROM ranked WHERE rank <= {TOPK}""")
         from dhr_spark.operators.boost import boosting_topk
 
         post, _, _ = _postings(spark, sf)
-        negs = spark.createDataFrame(
-            BOOSTING_NEG, "qid string, term string"
+        negs = _lit_df(
+            spark, BOOSTING_NEG, "qid string, term string"
         )
         dterms = _docs_tok(spark, sf).select(
             F.col("doc_id").alias("docid"),

@@ -156,18 +156,21 @@ def register_index_views(
         )
         _live(fwd, tombs).createOrReplaceTempView(f"{prefix}_forward")
 
-    spark.createDataFrame(
-        [
-            (
-                int(man["n_docs"]),
-                float(man["avgdl"]),
-                int(man["total_dl"]),
-                int(man["n_terms"]),
-                float(man["k1"]),
-                float(man["b"]),
-            )
-        ],
-        "n_docs long, avgdl double, total_dl long, n_terms long, "
-        "k1 double, b double",
+    # literal SELECT (OneRowRelation), NOT createDataFrame(list): the list
+    # spelling parallelizes one row into defaultParallelism Python
+    # partitions, and a CROSS JOIN of that against a chunk-partitioned scan
+    # multiplies partition counts (31 chunks x 32 stats partitions = 992
+    # tasks, 8.2 s, measured on the sql_bm25_topk plan). A LocalRelation
+    # keeps the cross join at the scan's own width. Doubles ride as quoted
+    # reprs cast to DOUBLE — Double.parseDouble round-trips the shortest
+    # repr bit-exactly, so values match the createDataFrame spelling.
+    spark.sql(
+        "SELECT "
+        f"CAST({int(man['n_docs'])} AS BIGINT) AS n_docs, "
+        f"CAST('{float(man['avgdl'])!r}' AS DOUBLE) AS avgdl, "
+        f"CAST({int(man['total_dl'])} AS BIGINT) AS total_dl, "
+        f"CAST({int(man['n_terms'])} AS BIGINT) AS n_terms, "
+        f"CAST('{float(man['k1'])!r}' AS DOUBLE) AS k1, "
+        f"CAST('{float(man['b'])!r}' AS DOUBLE) AS b"
     ).createOrReplaceTempView(f"{prefix}_stats")
     return man
